@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration.
+  *
+  * The reference (aws-samples/dbt-glue) owns no engine — it remotes every
+  * statement to a Glue-managed Spark session (reference
+  * dbt/adapters/glue/gluedbapi/connection.py:219-250). Here the "session
+  * protocol" collapses to an in-process SparkSession; the confs below mirror
+  * the ones the reference sets per session:
+  *   - crossJoin enabled (connection.py:429)
+  *   - dynamic partition overwrite (tests/functional/conftest.py:46,
+  *     macros/materializations/incremental/strategies.sql:14-17)
+  */
+object Engine {
+  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.crossJoin.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+
+  def session(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply the per-session confs the reference sets to an externally-created
+    * session (Verify/Bench create their own). Idempotent and safe on a
+    * running session — only runtime-mutable confs are touched.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark
+  }
+}

@@ -1,0 +1,22 @@
+package graft.core
+
+/** A named dataset in the reference's two-level namespace.
+  *
+  * Mirrors reference dbt/adapters/glue/relation.py:15-28: `schema.identifier`
+  * only (no third database level — credentials.py:69-78 rejects
+  * database != schema), backtick quoting, and the `<model>_tmp` temp-relation
+  * convention (macros/adapters.sql:99-135).
+  */
+final case class Relation(schema: String, identifier: String, isTemporary: Boolean = false) {
+  private def q(part: String): String = s"`${part.replace("`", "``")}`"
+  /** Backtick-quoted fully-qualified name (quote char per relation.py:25). */
+  def quoted: String = if (isTemporary) q(identifier) else s"${q(schema)}.${q(identifier)}"
+  /** Unquoted dotted name for catalog APIs. */
+  def name: String = if (isTemporary) identifier else s"$schema.$identifier"
+  /** Staging relation for incremental/snapshot work (adapters.sql:99-106). */
+  def tmp: Relation = Relation(schema, s"${identifier}_tmp", isTemporary = true)
+}
+
+object Relation {
+  def temp(identifier: String): Relation = Relation("", identifier, isTemporary = true)
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+import graft.materialize._
+import graft.quality.QualityChecks
+
+/** Driver-gate queries exercising the five materialization state machines
+  * (SURVEY §2.1, §2.5) end-to-end: each builds real tables in a scratch
+  * database, runs the materialization, and returns a final state the DuckDB
+  * oracle can recompute declaratively from the raw tables.
+  */
+object MaterializationQueries {
+  private val D2 = DecimalType(18, 2)
+
+  /** Isolated scratch database backed by a temp directory, so repeated runs
+    * (Verify, Bench, tests) never collide and nothing depends on a writable
+    * default warehouse.
+    */
+  private def scratchDb(spark: SparkSession): String = {
+    val name = "graft_scratch_" + UUID.randomUUID.toString.replace("-", "").take(12)
+    val loc = java.nio.file.Files.createTempDirectory(name).toString
+    spark.sql(s"CREATE DATABASE $name LOCATION '$loc'")
+    name
+  }
+
+  // ---------------------------------------------------------------- S1
+  /** CTAS with directory partitioning (reference adapters.sql:148-192).
+    * Partition column = orderstatus (low cardinality → prune-friendly). */
+  def matCtas(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_ctas"
+    TableMaterialization.run(spark, t, Tables.orders(spark, dir),
+      partitionBy = Seq("o_orderstatus"))
+    spark.table(t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val matCtasSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- S2/S3
+  /** View over a join, then a query through the view (adapters.sql:253-299). */
+  def matView(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val v = "customer_orders_v_" + UUID.randomUUID.toString.replace("-", "").take(8)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW $v AS
+         |SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+         |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin)
+    spark.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM $v GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val matViewSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- O1
+  /** Incremental append: base load + two append batches == full table
+    * (strategies.sql:22-39). */
+  def incAppend(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_inc_append"
+    val o = Tables.orders(spark, dir)
+    val cut1 = to_timestamp(lit("1997-01-01"))
+    val cut2 = to_timestamp(lit("1998-01-01"))
+    val cfg = IncrementalConfig(IncrementalStrategy.Append)
+    IncrementalMaterialization.run(spark, t, o.filter(col("o_orderdate") < cut1), cfg)
+    IncrementalMaterialization.run(spark, t,
+      o.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2), cfg)
+    IncrementalMaterialization.run(spark, t, o.filter(col("o_orderdate") >= cut2), cfg)
+    spark.table(t)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("yr"))
+  }
+
+  private val incAppendSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- O2
+  /** insert_overwrite with dynamic partition replacement (strategies.sql:
+    * 1-19): the stale 'O' partition is rebuilt; untouched partitions ('F',
+    * 'P') must survive — whole-table overwrite would lose them.
+    */
+  def incInsertOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_inc_iow"
+    val o = Tables.orders(spark, dir)
+    val stale = o.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "O", lit(-1.0)).otherwise(col("o_totalprice")))
+    val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
+      partitionBy = Seq("o_orderstatus"))
+    IncrementalMaterialization.run(spark, t, stale, cfg)                       // create (stale 'O')
+    IncrementalMaterialization.run(spark, t, o.filter(col("o_orderstatus") === "O"), cfg) // repair 'O' only
+    spark.table(t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val incInsertOverwriteSql = matCtasSql // repaired table == source of truth
+
+  // ---------------------------------------------------------------- O3′
+  /** Incremental merge by unique key on a plain-parquet table: stale early
+    * keys stay, overlapping keys update, new keys insert
+    * (strategies.sql:42-93 semantics via the MergeOps rewrite).
+    */
+  def incMerge(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_inc_merge"
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("STALE"))
+    val source = o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1500)
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("o_orderkey"))
+    IncrementalMaterialization.run(spark, t, target, cfg)
+    IncrementalMaterialization.run(spark, t, source, cfg)
+    spark.table(t)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val incMergeSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey <= 500 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey <= 500 THEN 'STALE' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey <= 1500 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- O3′ b
+  /** merge_update_columns: only the listed columns take source values on
+    * match; everything else keeps the target value (strategies.sql:61-66).
+    */
+  def incMergeUpdateCols(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.cust_inc_merge_cols"
+    val c = Tables.customer(spark, dir)
+    val target = c.withColumn("c_acctbal", lit(0.0)).withColumn("c_name", lit("OLD"))
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("c_custkey"), mergeUpdateColumns = Seq("c_acctbal"))
+    IncrementalMaterialization.run(spark, t, target, cfg)
+    IncrementalMaterialization.run(spark, t, c, cfg)
+    spark.table(t)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val incMergeUpdateColsSql =
+    """SELECT c_custkey, 'OLD' AS c_name, c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- O4/O5
+  /** SCD2 snapshot, check-cols strategy, two runs with fixed clocks:
+    * changed rows get their v1 closed at t2 and a v2 opened; unchanged rows
+    * keep a single open v1 (snapshot.sql:15-41).
+    */
+  def snapScd2(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.customer_snapshot"
+    val c = Tables.customer(spark, dir)
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+    def cfg(ts: Timestamp) = SnapshotConfig(
+      keys = Seq("c_custkey"),
+      strategy = SnapshotStrategy.ByCheck(Seq("c_acctbal")),
+      clock = () => ts)
+    SnapshotMaterialization.run(spark, t, c, cfg(t1))
+    val v2 = c.withColumn("c_acctbal",
+      when(col("c_nationkey") === 1, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+    SnapshotMaterialization.run(spark, t, v2, cfg(t2))
+    spark.table(t)
+      .select(col("c_custkey"), col("c_acctbal"), col("dbt_valid_from"), col("dbt_valid_to"))
+      .orderBy(col("c_custkey"), col("dbt_valid_from"))
+  }
+
+  private val snapScd2Sql =
+    """SELECT c_custkey, c_acctbal, TIMESTAMP '2024-01-01' AS dbt_valid_from,
+      |  CASE WHEN c_nationkey = 1 THEN TIMESTAMP '2024-02-01' END AS dbt_valid_to
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal + 100, TIMESTAMP '2024-02-01', NULL
+      |FROM customer WHERE c_nationkey = 1
+      |ORDER BY c_custkey, dbt_valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- S4
+  /** Seed with 2-phase typing (impl.py:37-64): parse as strings, cast per
+    * declared column_types, write, read back. */
+  def seedTypes(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.seed_demo"
+    import spark.implicits._
+    val raw = Seq(
+      ("1", "alpha", "2024-01-03", "10.50"),
+      ("2", "beta", "2024-02-14", "7.25"),
+      ("3", "gamma", "2024-03-09", "99.99"))
+      .toDF("id", "name", "event_date", "score")
+    SeedLoader.loadRows(spark, t, raw, columnTypes = Map(
+      "id" -> "bigint", "event_date" -> "date", "score" -> "double"))
+    spark.table(t).orderBy(col("id"))
+  }
+
+  private val seedTypesSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'alpha', DATE '2024-01-03', CAST(10.50 AS DOUBLE)),
+      |  (CAST(2 AS BIGINT), 'beta',  DATE '2024-02-14', CAST(7.25 AS DOUBLE)),
+      |  (CAST(3 AS BIGINT), 'gamma', DATE '2024-03-09', CAST(99.99 AS DOUBLE))
+      |) AS t(id, name, event_date, score) ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------- A1
+  /** accepted_values data test returning offending groups. */
+  def dqAcceptedValues(spark: SparkSession, dir: String): DataFrame =
+    QualityChecks.acceptedValues(Tables.orders(spark, dir), "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .orderBy(col("o_orderpriority"))
+
+  private val dqAcceptedValuesSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_records FROM orders
+      |GROUP BY o_orderpriority
+      |HAVING o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** unique data test: keys appearing more than once. */
+  def dqUnique(spark: SparkSession, dir: String): DataFrame =
+    QualityChecks.unique(Tables.lineitem(spark, dir), "l_orderkey")
+      .orderBy(col("l_orderkey"))
+
+  private val dqUniqueSql =
+    """SELECT l_orderkey, COUNT(*) AS n_records FROM lineitem
+      |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mat_ctas" -> (matCtas _),
+    "mat_view" -> (matView _),
+    "inc_append" -> (incAppend _),
+    "inc_insert_overwrite" -> (incInsertOverwrite _),
+    "inc_merge" -> (incMerge _),
+    "inc_merge_update_cols" -> (incMergeUpdateCols _),
+    "snap_scd2" -> (snapScd2 _),
+    "seed_types" -> (seedTypes _),
+    "dq_accepted_values" -> (dqAcceptedValues _),
+    "dq_unique" -> (dqUnique _))
+
+  val oracles: Map[String, String] = Map(
+    "mat_ctas" -> matCtasSql,
+    "mat_view" -> matViewSql,
+    "inc_append" -> incAppendSql,
+    "inc_insert_overwrite" -> incInsertOverwriteSql,
+    "inc_merge" -> incMergeSql,
+    "inc_merge_update_cols" -> incMergeUpdateColsSql,
+    "snap_scd2" -> snapScd2Sql,
+    "seed_types" -> seedTypesSql,
+    "dq_accepted_values" -> dqAcceptedValuesSql,
+    "dq_unique" -> dqUniqueSql)
+}

@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.materialize._
+import graft.quality.QualityChecks
+
+/** Matrix tests for the materialization layer — the Scala analog of the
+  * reference's macro-rendering unit tests (SURVEY §5 layer 2): one cell per
+  * (strategy × option × schema-change) behavior.
+  */
+class MaterializationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private var n = 0
+  private def freshTable(): String = { n += 1; s"default.mat_spec_$n" }
+  private def orders = Tables.orders(spark, sf)
+
+  test("merge with no unique key is insert-only (ON FALSE)") {
+    val t = orders.limit(10)
+    val s = orders.limit(5)
+    val merged = MergeOps.merge(t, s, keys = Nil)
+    assert(merged.count() === 15)
+  }
+
+  test("merge updates matched rows and inserts unmatched ones") {
+    val target = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderpriority", lit("STALE"))
+    val source = orders.filter(col("o_orderkey") > 50 && col("o_orderkey") <= 150)
+    val merged = MergeOps.merge(target, source, Seq("o_orderkey"))
+    assert(merged.count() === 151) // keys 0..150
+    assert(merged.filter(col("o_orderpriority") === "STALE").count() === 51) // 0..50
+  }
+
+  test("merge_exclude_columns keeps excluded columns from the target") {
+    val target = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderpriority", lit("KEEP_ME"))
+      .withColumn("o_orderstatus", lit("X"))
+    val source = orders.filter(col("o_orderkey") <= 100)
+    val merged = MergeOps.merge(target, source, Seq("o_orderkey"),
+      excludeColumns = Seq("o_orderpriority"))
+    assert(merged.filter(col("o_orderpriority") === "KEEP_ME").count() === 101)
+    assert(merged.filter(col("o_orderstatus") === "X").count() === 0) // updated
+  }
+
+  test("matched predicate gates the update branch") {
+    val target = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderpriority", lit("STALE"))
+    val source = orders.filter(col("o_orderkey") <= 100)
+    val merged = MergeOps.merge(target, source, Seq("o_orderkey"),
+      matchedPredicate = Some(col("t.o_orderkey") > 90))
+    assert(merged.filter(col("o_orderpriority") === "STALE").count() === 91) // 0..90 kept
+  }
+
+  test("incremental append on existing table aligns batch columns to target order") {
+    val t = freshTable()
+    val cfg = IncrementalConfig(IncrementalStrategy.Append)
+    IncrementalMaterialization.run(spark, t, orders.limit(10), cfg)
+    // shuffled column order in the second batch must not corrupt rows
+    val batch = orders.limit(5).select("o_totalprice", "o_orderkey", "o_orderstatus",
+      "o_orderdate", "o_orderpriority", "o_custkey")
+    IncrementalMaterialization.run(spark, t, batch, cfg)
+    val got = spark.table(t)
+    assert(got.count() === 15)
+    assert(got.filter(col("o_totalprice") < 1).count() === 0) // no column swap
+  }
+
+  test("on_schema_change=append_new_columns adds the column; ignore does not") {
+    val t = freshTable()
+    val cfg = IncrementalConfig(IncrementalStrategy.Append,
+      onSchemaChange = SchemaChangePolicy.AppendNewColumns)
+    IncrementalMaterialization.run(spark, t, orders.limit(10), cfg)
+    val widened = orders.limit(5).withColumn("loyalty_tier", lit("gold"))
+    IncrementalMaterialization.run(spark, t, widened, cfg)
+    assert(spark.table(t).columns.contains("loyalty_tier"))
+    assert(spark.table(t).filter(col("loyalty_tier").isNull).count() === 10)
+
+    val t2 = freshTable()
+    val cfgIgnore = IncrementalConfig(IncrementalStrategy.Append,
+      onSchemaChange = SchemaChangePolicy.Ignore)
+    IncrementalMaterialization.run(spark, t2, orders.limit(10), cfgIgnore)
+    IncrementalMaterialization.run(spark, t2, widened, cfgIgnore)
+    assert(!spark.table(t2).columns.contains("loyalty_tier"))
+  }
+
+  test("on_schema_change=fail raises on new columns") {
+    val t = freshTable()
+    val cfg = IncrementalConfig(IncrementalStrategy.Append,
+      onSchemaChange = SchemaChangePolicy.Fail)
+    IncrementalMaterialization.run(spark, t, orders.limit(10), cfg)
+    val widened = orders.limit(5).withColumn("extra", lit(1))
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t, widened, cfg)
+    }
+  }
+
+  test("snapshot timestamp strategy versions rows whose updated_at advanced") {
+    val t = freshTable()
+    import spark.implicits._
+    val v1 = Seq((1L, "a", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "b", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "val", "updated_at")
+    val v2 = Seq((1L, "a2", Timestamp.valueOf("2024-02-01 00:00:00")), // changed
+      (2L, "b", Timestamp.valueOf("2024-01-01 00:00:00")),             // unchanged
+      (3L, "c", Timestamp.valueOf("2024-02-01 00:00:00")))             // new
+      .toDF("id", "val", "updated_at")
+    val cfg = SnapshotConfig(Seq("id"), SnapshotStrategy.ByTimestamp("updated_at"))
+    SnapshotMaterialization.run(spark, t, v1, cfg)
+    SnapshotMaterialization.run(spark, t, v2, cfg)
+    val snap = spark.table(t)
+    assert(snap.count() === 4) // 2 v1 rows + new version of id=1 + id=3
+    assert(snap.filter(col("id") === 1 && col("dbt_valid_to").isNotNull).count() === 1)
+    assert(snap.filter(col("id") === 1 && col("dbt_valid_to").isNull)
+      .select("val").head.getString(0) === "a2")
+    assert(snap.filter(col("id") === 2).count() === 1)
+    assert(snap.filter(col("id") === 3 && col("dbt_valid_to").isNull).count() === 1)
+  }
+
+  test("snapshot invalidate_hard_deletes closes vanished rows") {
+    val t = freshTable()
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "val")
+    val v2 = Seq((1L, "a")).toDF("id", "val") // id=2 deleted
+    val clock2 = Timestamp.valueOf("2024-03-01 00:00:00")
+    SnapshotMaterialization.run(spark, t, v1, SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("val")), invalidateHardDeletes = true,
+      clock = () => Timestamp.valueOf("2024-01-01 00:00:00")))
+    SnapshotMaterialization.run(spark, t, v2, SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("val")), invalidateHardDeletes = true,
+      clock = () => clock2))
+    val closed = spark.table(t).filter(col("id") === 2)
+    assert(closed.count() === 1)
+    assert(closed.select("dbt_valid_to").head.getTimestamp(0) === clock2)
+  }
+
+  test("seed loads CSV from disk with 2-phase typing") {
+    val t = freshTable()
+    val csv = java.nio.file.Files.createTempDirectory("graft_seed")
+    java.nio.file.Files.writeString(csv.resolve("seed.csv"),
+      "id,name,joined\n1,ann,2024-01-01\n2,bo,2024-05-06\n")
+    SeedLoader.loadCsv(spark, t, csv.resolve("seed.csv").toString,
+      columnTypes = Map("id" -> "bigint", "joined" -> "date"))
+    val got = spark.table(t)
+    assert(got.schema("id").dataType.typeName === "long")
+    assert(got.schema("joined").dataType.typeName === "date")
+    assert(got.count() === 2)
+    // append mode (full_refresh=false) inserts instead of replacing
+    SeedLoader.loadCsv(spark, t, csv.resolve("seed.csv").toString,
+      columnTypes = Map("id" -> "bigint", "joined" -> "date"), overwrite = false)
+    assert(spark.table(t).count() === 4)
+  }
+
+  test("quality checks return offending rows only") {
+    assert(QualityChecks.notNull(orders, "o_orderkey").count() === 0)
+    assert(QualityChecks.unique(orders, "o_orderkey").count() === 0)
+    assert(QualityChecks.unique(Tables.lineitem(spark, sf), "l_orderkey").count() > 0)
+    assert(QualityChecks.acceptedValues(orders, "o_orderstatus", Seq("O", "F", "P")).count() === 0)
+    assert(QualityChecks.relationships(
+      Tables.lineitem(spark, sf), "l_orderkey", orders, "o_orderkey").count() === 0)
+    assert(QualityChecks.expression(orders, col("o_totalprice") > 0).count() === 0)
+  }
+}

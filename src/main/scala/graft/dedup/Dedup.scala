@@ -1,0 +1,208 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, Kernels}
+
+/** Deduplication operators for training-data pipelines, designed around one
+  * invariant: never materialize the O(n²) pair space. Every near-dup
+  * algorithm is CANDIDATES (LSH bucket self-join, bucket sizes bounded) →
+  * VERIFY (exact measure on candidate pairs only). At 100 TB the only
+  * shuffles are a groupBy(doc) for signatures and the bucket join; both
+  * partial-aggregate map-side.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per duplicate group, chosen by `tieBreak`
+    * (first row in that order wins — deterministic, unlike dropDuplicates).
+    * Single hash shuffle on the dup key.
+    */
+  def exact(df: DataFrame, dupCols: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(dupCols.map(col): _*).orderBy(tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct word shingles (n-grams) — the Jaccard universe of a doc. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+
+  // ------------------------------------------------------------ MinHash+LSH
+
+  final case class MinHashConfig(
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  // Deterministic 31-bit multipliers/offsets per hash function: a*h31 + b
+  // stays < 2^62, so no overflow even under ANSI arithmetic.
+  private val MersennePrime = 2147483647L
+  private def hashParams(i: Int): (Long, Long) = {
+    val a = (Kernels.mix(2L * i + 1) >>> 33) | 1L
+    val b = Kernels.mix(2L * i + 2) >>> 33
+    (a, b)
+  }
+
+  /** MinHash signatures: one row per doc, `numHashes` min-columns. One
+    * explode + one partially-aggregated groupBy — shuffle volume is
+    * O(docs × numHashes), independent of document length.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, cfg.shingleSize)
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
+    val minCols = (0 until cfg.numHashes).map { i =>
+      val (a, b) = hashParams(i)
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"mh_$i")
+    }
+    sh.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH banding: (id, band_idx, band_hash); docs sharing any band bucket
+    * become candidate pairs via a bucket self-join.
+    */
+  def bandedSignatures(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val bands = (0 until cfg.bands).map { bnd =>
+      val parts = (0 until cfg.rowsPerBand)
+        .map(r => col(s"mh_${bnd * cfg.rowsPerBand + r}").cast("string"))
+      xxhash64(concat_ws("_", lit(bnd.toString) +: parts: _*))
+    }
+    sigs.select(col("id"), posexplode(array(bands: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  private def bucketJoinPairs(banded: DataFrame): DataFrame = {
+    val a = banded.toDF("id_a", "band_idx", "band_hash")
+    val b = banded.toDF("id_b", "band_idx", "band_hash")
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs via shingle co-occurrence — touches
+    * only candidate docs' shingles, never the corpus square.
+    */
+  def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, candidates: DataFrame): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.toDF("id_a", "sh"), "id_a")
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold). */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, cfg)
+    val candidates = bucketJoinPairs(bandedSignatures(sigs, cfg))
+    verifyJaccard(docs, idCol, textCol, cfg.shingleSize, candidates)
+      .filter(col("jaccard") >= cfg.threshold)
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** SimHash near-dup pairs: 64-bit signature per doc; banding the signature
+    * into 4 × 16-bit chunks guarantees (pigeonhole) that any pair within
+    * Hamming distance 3 shares a chunk. Returns (id_a, id_b, hamming ≤ maxDist).
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
+    val chunks = (0 until 4).map(j =>
+      shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash")))
+    val a = banded.toDF("id_a", "sig_a", "band_idx", "band_hash")
+    val b = banded.toDF("id_b", "sig_b", "band_idx", "band_hash")
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------------ n-gram Jaccard
+
+  /** Set-similarity join on word n-grams with exact Jaccard ≥ threshold,
+    * using PPJoin-style prefix filtering: two sets with Jaccard ≥ τ must
+    * share a shingle within each other's prefix of the ⌊(1-τ)·|set|⌋+1
+    * globally-rarest shingles, so the candidate join runs only over those
+    * prefixes — on skewed vocabularies this cuts the bucket join from
+    * Σ freq² over ALL shingles to the rare tail. A size-ratio filter
+    * (τ·|B| ≤ |A|) prunes the survivors before exact verification.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    val sized = sh.join(freq, "sh")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("freq"), col("sh"))))
+    val prefix = sized
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select(col("id"), col("sh"), col("sz"))
+    val candidates = prefix.toDF("id_a", "sh", "sz_a")
+      .join(prefix.toDF("id_b", "sh", "sz_b"), Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= lit(threshold) * col("sz_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(docs, idCol, textCol, n, candidates)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------ Embeddings
+
+  /** Embedding near-dup pairs: sign-random-projection LSH (64 deterministic
+    * hyperplanes) → 4 × 16-bit band buckets → exact cosine on candidates.
+    * Returns (id_a, id_b, cosine ≥ threshold).
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      GraftFunctions.signProjection(col(vecCol)).as("sig"))
+    val chunks = (0 until 4).map(j =>
+      shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("id"), col("vec"),
+      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash")))
+    // Dedup candidate pairs on ids only (don't shuffle vectors through the
+    // distinct), then join the vectors back for the exact-cosine verify.
+    val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = sigs.select(col("id"), col("vec"))
+    candidates
+      .join(vecs.toDF("id_a", "vec_a"), "id_a")
+      .join(vecs.toDF("id_b", "vec_b"), "id_b")
+      .withColumn("cosine", GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark lacks natively
+  * (SURVEY §7 "custom Catalyst work": optional sketches; here they power the
+  * dedup/similarity pipeline). Each generates a single static kernel call,
+  * staying inside whole-stage codegen — preferred over Scala UDFs, which
+  * break codegen and pay serialization per row.
+  */
+
+/** cosine(array<float>, array<float>) → double. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** simhash64(array<string>) → bigint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rolling_fingerprint(string) → bigint; window is plan-time constant. */
+case class RollingFingerprint(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.rollingMinHash(v.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingMinHash($c, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sign_projection(array<float>) → bigint LSH signature; planes ≤ 64. */
+case class SignProjection(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 64, s"planes must be in 1..64, got $planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_projection"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.signProjection(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.signProjection($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  /** Register the functions in a session's registry so both `spark.sql` and
+    * `call_function` can use them. Idempotent per session.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => RollingFingerprint(es.head, 12), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign_projection",
+      es => SignProjection(es.head, 64), "built-in")
+  }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
+  def signProjection(vec: Column): Column = call_function("graft_sign_projection", vec)
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the custom Catalyst expressions. Top-level objects get
+  * static forwarders, so generated (Janino) code can call these directly —
+  * the expressions stay inside whole-stage codegen with one static call per
+  * row instead of falling back to interpreted eval.
+  */
+object Kernels {
+
+  /** FNV-1a 64-bit over a UTF8String's bytes — deterministic token hash. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash-64 of a token array: per-token 64-bit hashes vote on each bit;
+    * the sign of each bit's tally forms the signature. Near-identical token
+    * multisets land within a small Hamming distance.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv64(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Document fingerprint: minimum of rolling polynomial (Karp–Rabin) hashes
+    * over byte windows of size `window`. O(n) single pass; equal prefixes/
+    * suffixes of near-dup docs share window hashes, so the min is stable
+    * under small edits.
+    */
+  def rollingMinHash(s: UTF8String, window: Int): Long = {
+    val b = s.getBytes
+    if (b.length == 0) return 0L
+    if (b.length <= window) return fnv64(s)
+    val base = 257L
+    var pow = 1L // base^(window-1), wrapping arithmetic is fine (JVM longs)
+    var i = 1
+    while (i < window) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * base + (b(i) & 0xffL); i += 1 }
+    var min = mix(h)
+    i = window
+    while (i < b.length) {
+      h = (h - (b(i - window) & 0xffL) * pow) * base + (b(i) & 0xffL)
+      val m = mix(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+
+  /** splitmix64 finalizer — decorrelates consecutive rolling hashes. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): plane p,
+    * dimension j. No driver-side state to broadcast — every executor
+    * recomputes the same plane from (p, j).
+    */
+  def planeComponent(p: Int, j: Int): Double =
+    (mix(p.toLong * 100003L + j) >>> 11) * (2.0 / (1L << 53)) - 1.0
+
+  /** Sign-random-projection LSH signature of a float vector: bit p is the
+    * sign of the dot product with deterministic hyperplane p. Cosine-similar
+    * vectors agree on most bits.
+    */
+  def signProjection(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        if (!vec.isNullAt(j)) dot += vec.getFloat(j) * planeComponent(p, j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

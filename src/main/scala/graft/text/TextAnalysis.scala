@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All built from
+  * codegen'd built-ins (plus the custom fingerprint expression), so every
+  * scorer runs scan-local with no shuffle — at 100 TB these are pure map
+  * stages that pipeline with the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks — a cheap, deterministic proxy for subword tokenizer counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** English stopword ratio among whitespace tokens. */
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    hits.cast("double") / size(toks)
+  }
+
+  /** Heuristic quality score in [0,1] — the length / punctuation / stopword
+    * ratio family of filters used by web-scale corpus cleaning. All integer
+    * counts ratioed in double, so engines agree bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+    val meanTokLen = (nChars - (nTokens - 1)) / nTokens // chars sans separators
+    val lenScore = least(nTokens / lit(100.0), lit(1.0))
+    val punctPenalty = least(nPunct / nChars * 5.0, lit(1.0))
+    val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    (lenScore * 0.5 + tokLenScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
+  /** Stopword-profile language ID. Scores each candidate language by its
+    * stopword hits over whitespace tokens; ties break to the lexically
+    * smallest language code. Deterministic and SQL-expressible (so the
+    * DuckDB oracle can replay it); a production system would add char
+    * n-gram profiles, but the operator shape — per-row scoring, no shuffle —
+    * is the same.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "la", "y", "es", "de", "un", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "que", "les"))
+
+  def langHits(text: Column, lang: String): Column = {
+    val words = stopwordProfiles(lang)
+    size(filter(tokens(text), t => words.map(w => t === lit(w)).reduce(_ || _)))
+  }
+
+  def langId(text: Column): Column = {
+    // array of (-hits, code) structs; min-sort → max hits, ties on asc code
+    val scored = array(stopwordProfiles.keys.toSeq.sorted.map(l =>
+      struct((-langHits(text, l)).as("neg"), lit(l).as("code"))): _*)
+    sort_array(scored).getItem(0).getField("code")
+  }
+
+  /** Rolling-hash document fingerprint (custom codegen'd expression). */
+  def fingerprint(text: Column): Column = GraftFunctions.fingerprint(text)
+}

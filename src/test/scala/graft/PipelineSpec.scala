@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.{GraftFunctions, Kernels}
+import graft.multimodal.Multimodal
+import graft.similarity.Knn
+import graft.text.TextAnalysis
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  GraftFunctions.register(spark)
+
+  private def docs = Tables.documents(spark, sf)
+  private def vecs = Tables.embeddings(spark, sf)
+
+  test("kernels: fnv64/simhash/rolling/planes are deterministic and sane") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = UTF8String.fromString("hello world")
+    assert(Kernels.fnv64(s) === Kernels.fnv64(UTF8String.fromString("hello world")))
+    assert(Kernels.fnv64(s) !== Kernels.fnv64(UTF8String.fromString("hello worle")))
+    assert(Kernels.planeComponent(3, 7) === Kernels.planeComponent(3, 7))
+    assert(math.abs(Kernels.planeComponent(3, 7)) < 1.0)
+  }
+
+  test("cosine expression: identical vectors → 1.0, orthogonal → 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(GraftFunctions.cosineSim(col("a"), col("b"))).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1).getDouble(0)) < 1e-9)
+  }
+
+  test("simhash: near-identical docs within small hamming distance, random docs far") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h i j k l m n o p", "a b c d e f g h i j k l m n o p"),
+      ("a b c d e f g h i j k l m n o p", "q r s t u v w x y z aa bb cc dd ee ff"))
+      .toDF("t1", "t2")
+    val hd = df.select(bit_count(
+      GraftFunctions.simhash64(split(col("t1"), " "))
+        .bitwiseXOR(GraftFunctions.simhash64(split(col("t2"), " ")))).as("h"))
+      .collect().map(_.getInt(0))
+    assert(hd(0) === 0)
+    assert(hd(1) > 10)
+  }
+
+  test("exact dedup keeps exactly one row per text, lowest id") {
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+    val kept = Dedup.exact(doubled, Seq("text"), Seq(col("doc_id")))
+    assert(kept.count() === docs.select("text").distinct().count())
+    assert(kept.filter(col("doc_id") >= 10000).count() === 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", concat(col("text"), lit(" tail"))))
+    val pairs = Dedup.minhashNearDupPairs(planted, "doc_id", "text").collect()
+    val plantedFound = pairs.count(r =>
+      r.getLong(1) === r.getLong(0) + 10000 && r.getDouble(2) > 0.7)
+    assert(plantedFound === 10, s"found $plantedFound of 10 planted pairs")
+  }
+
+  test("simhash LSH finds exact copies at hamming 0") {
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10).withColumn("doc_id", col("doc_id") + 10000))
+    val pairs = Dedup.simhashNearDupPairs(planted, "doc_id", "text").collect()
+    assert(pairs.count(r => r.getLong(1) === r.getLong(0) + 10000 && r.getInt(2) === 0) === 10)
+  }
+
+  test("prefix-filtered ngram jaccard finds planted near-duplicates") {
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", concat(col("text"), lit(" tail"))))
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text", 3, 0.8).collect()
+    val plantedFound = pairs.count(r =>
+      r.getLong(1) === r.getLong(0) + 10000 && r.getDouble(2) >= 0.8)
+    assert(plantedFound === 10, s"found $plantedFound of 10 planted pairs")
+  }
+
+  test("embedding near-dup finds planted copies at cosine ~1") {
+    val planted = vecs.unionByName(
+      vecs.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 10000))
+    val pairs = Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding", 0.99).collect()
+    assert(pairs.count(r => r.getLong(1) === r.getLong(0) + 10000) === 10)
+  }
+
+  test("brute-force knn: self-similarity is 1 with self included, monotone ranks") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val res = Knn.bruteForceTopK(q, vecs, "vec_id", "embedding", 10)
+      .orderBy("rank").collect()
+    assert(res.length === 10)
+    val cosines = res.map(_.getDouble(2))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+  }
+
+  test("lsh knn retrieves the original of a duplicated query as top hit") {
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val res = Knn.lshTopK(probes, vecs, "vec_id", "embedding", 1).collect()
+    assert(res.length === 5)
+    assert(res.forall(r => r.getLong(1) === r.getLong(0) - 5000000L))
+    assert(res.forall(_.getDouble(2) > 0.999))
+  }
+
+  test("language id picks a deterministic language with asc-code tiebreak") {
+    import spark.implicits._
+    val df = Seq("der hund und die katze ist hier",
+      "the cat and the dog is here",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "de")
+    assert(got(1) === "en")
+    assert(got(2) === "de") // zero hits everywhere → lexically smallest code
+  }
+
+  test("multimodal: features are partition-parallel and byte-exact") {
+    val media = Multimodal.packDocuments(docs.limit(100)).repartition(7)
+    val feats = Multimodal.decodeStub(spark, media)
+    assert(feats.count() === 100)
+    val joined = feats.join(docs, col("media_id") === col("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text")))
+    assert(joined.count() === 0) // ascii corpus: bytes == chars
+    val hist = feats.select(col("histogram")).head.getSeq[Double](0)
+    assert(hist.length === 16)
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+  }
+
+  test("multimodal: frame sampling emits n frames per media row") {
+    val media = Multimodal.packDocuments(docs.limit(20))
+    val frames = Multimodal.frameSample(media, n = 4)
+    assert(frames.count() === 80)
+    assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() === 0)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table as batch plans (the
+  * reference treats all event data as batch — SURVEY §1; the streaming twins
+  * live in graft.streaming and are exercised by StreamingSpec).
+  */
+object EventQueries {
+  private val D2 = DecimalType(18, 2)
+
+  /** Sessionization: a session breaks after 30+ minutes of user inactivity.
+    * lag + conditional cumsum over a per-user window — the standard batch
+    * sessionizer; one shuffle on user_id.
+    */
+  def evtSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser) > 1800, 1
+    ).otherwise(0)
+    ev.withColumn("new_s", newSession)
+      .withColumn("session_idx",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val evtSessionizeSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked
+      |)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sessions GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Tumbling 1-hour windows per event type (batch twin of
+    * EventStreams.tumblingCounts). */
+  def evtTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // Spark's window() aligns 1-hour tumbling buckets to the epoch, which for
+  // whole hours coincides with date_trunc.
+  private val evtTumblingSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Funnel: per user, did a 'click' ever follow a 'view'? Conditional
+    * windowed min-timestamps, then a flag — no self-join needed.
+    */
+  def evtFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        max(when(col("event_type") === "click", col("ts"))).as("last_click"))
+      .withColumn("converted",
+        col("first_view").isNotNull && col("last_click").isNotNull &&
+          col("last_click") > col("first_view"))
+      .select(col("user_id"), col("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  private val evtFunnelSql =
+    """SELECT user_id,
+      |  (first_view IS NOT NULL AND last_click IS NOT NULL AND last_click > first_view) AS converted
+      |FROM (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    MAX(CASE WHEN event_type = 'click' THEN ts END) AS last_click
+      |  FROM events GROUP BY user_id
+      |) ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sessionize" -> (evtSessionize _),
+    "evt_tumbling" -> (evtTumbling _),
+    "evt_funnel" -> (evtFunnel _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_sessionize" -> evtSessionizeSql,
+    "evt_tumbling" -> evtTumblingSql,
+    "evt_funnel" -> evtFunnelSql)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Engine, Tables}
-import graft.queries.{MaterializationQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{EventQueries, MaterializationQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ MaterializationQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MaterializationQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ EventQueries.oracles
 }

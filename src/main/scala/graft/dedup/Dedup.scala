@@ -8,12 +8,29 @@ import graft.functions.{GraftFunctions, Kernels}
 
 /** Deduplication operators for training-data pipelines, designed around one
   * invariant: never materialize the O(n²) pair space. Every near-dup
-  * algorithm is CANDIDATES (LSH bucket self-join, bucket sizes bounded) →
-  * VERIFY (exact measure on candidate pairs only). At 100 TB the only
-  * shuffles are a groupBy(doc) for signatures and the bucket join; both
-  * partial-aggregate map-side.
+  * algorithm is CANDIDATES (LSH bucket self-join, each bucket capped at
+  * `maxBucketSize` members via [[capBuckets]] so a hot bucket contributes at
+  * most max² pairs, never quadratic in bucket size) → VERIFY (exact measure
+  * on candidate pairs only). At 100 TB the only shuffles are a groupBy(doc)
+  * for signatures and the bucket join; both partial-aggregate map-side.
+  *
+  * The cap trades recall only inside pathological buckets (boilerplate text
+  * duplicated millions of times). Route exact duplicates through [[exact]]
+  * first — then hot buckets can only come from *near*-identical clusters,
+  * and any `maxBucketSize` sample of such a cluster still links it.
   */
 object Dedup {
+
+  /** Within each (band_idx, band_hash) bucket keep only the first
+    * `max` members (ordered by id — deterministic). Linear (sort + filter)
+    * per bucket; bounds downstream pair generation at max² per bucket.
+    */
+  private def capBuckets(banded: DataFrame, max: Int): DataFrame = {
+    val w = Window.partitionBy("band_idx", "band_hash").orderBy(col("id"))
+    banded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= max)
+      .drop("__rn")
+  }
 
   /** Exact dedup: keep one row per duplicate group, chosen by `tieBreak`
     * (first row in that order wins — deterministic, unlike dropDuplicates).
@@ -42,7 +59,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.7) {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 10000) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
   }
@@ -83,9 +101,10 @@ object Dedup {
     sigs.select(col("id"), posexplode(array(bands: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  private def bucketJoinPairs(banded: DataFrame): DataFrame = {
-    val a = banded.toDF("id_a", "band_idx", "band_hash")
-    val b = banded.toDF("id_b", "band_idx", "band_hash")
+  private def bucketJoinPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val capped = capBuckets(banded, maxBucketSize)
+    val a = capped.toDF("id_a", "band_idx", "band_hash")
+    val b = capped.toDF("id_b", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -111,11 +130,26 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Ground-truth pair set: exact Jaccard for EVERY pair of docs sharing at
+    * least one shingle. Quadratic in per-shingle frequency — a recall oracle
+    * for small corpora, NOT a production path (use [[minhashNearDupPairs]] /
+    * [[ngramJaccardPairs]] at scale).
+    */
+  def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+    val candidates = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(docs, idCol, textCol, shingleSize, candidates)
+  }
+
   /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, cfg)
-    val candidates = bucketJoinPairs(bandedSignatures(sigs, cfg))
+    val candidates = bucketJoinPairs(bandedSignatures(sigs, cfg), cfg.maxBucketSize)
     verifyJaccard(docs, idCol, textCol, cfg.shingleSize, candidates)
       .filter(col("jaccard") >= cfg.threshold)
   }
@@ -127,13 +161,13 @@ object Dedup {
     * Hamming distance 3 shares a chunk. Returns (id_a, id_b, hamming ≤ maxDist).
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
     val chunks = (0 until 4).map(j =>
       shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL)))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash")))
+    val banded = capBuckets(sigs.select(col("id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash"))), maxBucketSize)
     val a = banded.toDF("id_a", "sig_a", "band_idx", "band_hash")
     val b = banded.toDF("id_b", "sig_b", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))
@@ -156,18 +190,27 @@ object Dedup {
     * (τ·|B| ≤ |A|) prunes the survivors before exact verification.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    // One window pass: the ordered spec with an unbounded frame yields both
+    // the per-doc rank and the per-doc size off a single partition+sort.
+    val wOrd = Window.partitionBy("id").orderBy(col("freq"), col("sh"))
     val sized = sh.join(freq, "sh")
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("freq"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wOrd))
     val prefix = sized
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
       .select(col("id"), col("sh"), col("sz"))
-    val candidates = prefix.toDF("id_a", "sh", "sz_a")
-      .join(prefix.toDF("id_b", "sh", "sz_b"), Seq("sh"))
+    // Cap per-shingle groups like LSH buckets (band_idx is constant: the
+    // prefix join has a single logical band).
+    val capped = capBuckets(
+      prefix.withColumn("band_idx", lit(0)).withColumnRenamed("sh", "band_hash"),
+      maxBucketSize)
+      .withColumnRenamed("band_hash", "sh").drop("band_idx")
+    val candidates = capped.toDF("id_a", "sh", "sz_a")
+      .join(capped.toDF("id_b", "sh", "sz_b"), Seq("sh"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") >= lit(threshold) * col("sz_b") &&
         col("sz_b") >= lit(threshold) * col("sz_a"))
@@ -183,15 +226,15 @@ object Dedup {
     * Returns (id_a, id_b, cosine ≥ threshold).
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       GraftFunctions.signProjection(col(vecCol)).as("sig"))
     val chunks = (0 until 4).map(j =>
       shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL)))
-    val banded = sigs.select(col("id"), col("vec"),
-      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash")))
-    // Dedup candidate pairs on ids only (don't shuffle vectors through the
-    // distinct), then join the vectors back for the exact-cosine verify.
+    // Band rows carry ids only — no vector rides the bucket exchange; the
+    // vectors are joined back after the candidate distinct.
+    val banded = capBuckets(sigs.select(col("id"),
+      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash"))), maxBucketSize)
     val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))

@@ -107,11 +107,71 @@ object PipelineQueries {
   private val ddExactSql =
     "SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_kept FROM documents"
 
+  /** Planted-docs corpus as DuckDB SQL — the oracle-side twin of
+    * [[plantedDocs]]. */
+  private val plantedDocsSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' zq zq' AS text
+      |  FROM documents WHERE doc_id >= 25 AND doc_id < 50""".stripMargin
+
+  /** Brute-force exact word-3-gram Jaccard pairs ≥ threshold, as DuckDB SQL
+    * (mirrors Dedup.shingles/verifyJaccard semantics exactly). */
+  private def bruteJaccardSql(threshold: Double): String =
+    s"""WITH docs AS (
+       |  $plantedDocsSql
+       |), toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM docs
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS sh
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+       |        FROM toks)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = id_a
+       |JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= $threshold""".stripMargin
+
   def ddMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = plantedDocs(Tables.documents(spark, dir))
     Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** MinHash-LSH recall against brute-force ground truth (Jaccard ≥ 0.7):
+    * the LSH output is sketch-dependent, but its RECALL against the exact
+    * pair set is checkable — the oracle computes the true pair count and
+    * expects ≥ 90% of them retrieved (the 16-band × 4-row curve puts
+    * expected recall at J=0.7 around 99%).
+    */
+  def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedDocs(Tables.documents(spark, dir))
+    val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 3)
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b")
+    val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val missed = truth.except(found)
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(missed.agg(count(lit(1)).as("__n_missed")))
+      .select(col("n_true"),
+        (col("__n_missed") * 10 <= col("n_true")).as("recall_ok"))
+  }
+
+  private val ddMinhashRecallSql =
+    s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok
+       |FROM (${bruteJaccardSql(0.7)})""".stripMargin
 
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -120,28 +180,69 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Prefix filtering is lossless, so this one is EXACT: the DuckDB
+    * brute-force pair set is a full oracle, not just a recall floor. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = plantedDocs(Tables.documents(spark, dir))
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  private val ddNgramJaccardSql =
+    s"${bruteJaccardSql(0.8)}\nORDER BY id_a, id_b"
+
+  /** Cosine is rounded to 6 dp on both sides: the engines accumulate the
+    * same float values in double in the same order, so agreement far beyond
+    * 6 dp is expected — rounding just absorbs the last-ulp difference. */
   def ddEmbedding(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
     val planted = vecs.unionByName(
       vecs.filter(col("vec_id") < 25).withColumn("vec_id", col("vec_id") + 1000000L))
     Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding", threshold = 0.98)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val ddEmbeddingSql =
+    """WITH planted AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 25
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- knn
   def simKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
     Knn.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private val simKnnBruteSql =
+    """WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.v, c.v) AS cos_raw
+      |  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cos_raw,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** LSH ANN in its sweet spot — near-duplicate retrieval: the queries are
     * copies of corpus vectors (ids +5,000,000), and the LSH index must pull
@@ -180,6 +281,7 @@ object PipelineQueries {
     "txt_fingerprint" -> (txtFingerprint _),
     "dd_exact" -> (ddExact _),
     "dd_minhash" -> (ddMinhash _),
+    "dd_minhash_recall" -> (ddMinhashRecall _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding" -> (ddEmbedding _),
@@ -192,5 +294,9 @@ object PipelineQueries {
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
     "dd_exact" -> ddExactSql,
+    "dd_minhash_recall" -> ddMinhashRecallSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_embedding" -> ddEmbeddingSql,
+    "sim_knn_brute" -> simKnnBruteSql,
     "mm_features" -> mmFeaturesSql)
 }

@@ -415,7 +415,7 @@ object RelationalQueries {
       .orderBy(col("event_type"))
 
   private val q20Sql =
-    """SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -437,15 +437,23 @@ object RelationalQueries {
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q22
-  /** approx_count_distinct (HLL). Sketch internals differ across engines, so
-    * the oracle is the exact distinct count with a tolerance-free shape check
-    * only (no oracleSql entry → driver records rows-only). */
+  /** approx_count_distinct (HLL). Sketch estimates differ across engines, so
+    * the comparable output is the exact count plus an error-bound boolean:
+    * |approx - exact| / exact < 5% (HLL rsd default is 5%). The oracle
+    * computes the exact count and expects the bound to hold. */
   def q22ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <
+          col("exact_parts") * 0.05).as("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  private val q22Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q23
   /** J4 + broadcast hint: dimension join with an explicit broadcast. */
@@ -513,5 +521,6 @@ object RelationalQueries {
     "q19_string_functions" -> q19Sql,
     "q20_json" -> q20Sql,
     "q21_explode" -> q21Sql,
+    "q22_approx_distinct" -> q22Sql,
     "q23_broadcast_join" -> q23Sql)
 }

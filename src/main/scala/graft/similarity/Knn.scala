@@ -53,15 +53,24 @@ object Knn {
       val sig = GraftFunctions.signProjection(col(vecCol))
       val chunks = (0 until bands).map(j =>
         shiftright(sig, bandBits * j).bitwiseAND(lit(mask)))
-      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+      df.select(col(idCol).as(s"${role}_id"),
         posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash")))
     }
+    // Candidate generation carries ids only: the distinct dedups (query_id,
+    // neighbor_id) without shuffling any vector through the exchange; the
+    // vectors are joined back afterwards (same pattern as
+    // Dedup.embeddingNearDupPairs).
     val q = broadcast(banded(queries, "query"))
     val c = banded(corpus, "neighbor")
-    val scored = c.join(q, Seq("band_idx", "band_hash"))
+    val candidates = c.join(q, Seq("band_idx", "band_hash"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val scored = candidates
+      .join(cv, "neighbor_id")
+      .join(qv, "query_id")
       .withColumn("cosine", GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
     topK(scored, k)
   }

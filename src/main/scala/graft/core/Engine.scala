@@ -41,4 +41,23 @@ object Engine {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark
   }
+
+  /** X2: per-model isolated session — separate SQL conf / temp views /
+    * registered functions over the shared SparkContext (the reference's
+    * `enable_session_per_model`, connections.py:43-84).
+    */
+  def newSession(spark: SparkSession): SparkSession = spark.newSession()
+
+  /** X5: statement cancel (reference connection.py:283-295) — run `f` under
+    * a job group so [[cancel]] can abort all of its Spark jobs from another
+    * thread.
+    */
+  def withJobGroup[T](spark: SparkSession, group: String, desc: String)(f: => T): T =
+    try {
+      spark.sparkContext.setJobGroup(group, desc, interruptOnCancel = true)
+      f
+    } finally spark.sparkContext.clearJobGroup()
+
+  def cancel(spark: SparkSession, group: String): Unit =
+    spark.sparkContext.cancelJobGroup(group)
 }

@@ -19,4 +19,16 @@ final case class Relation(schema: String, identifier: String, isTemporary: Boole
 
 object Relation {
   def temp(identifier: String): Relation = Relation("", identifier, isTemporary = true)
+
+  /** Parse a raw `schema.identifier` / `identifier` string (no backticks —
+    * quoting is THIS type's job; raw dots inside names are not supported,
+    * mirroring the reference's 2-level namespace).
+    */
+  def parse(name: String): Relation = name.split('.') match {
+    case Array(id)         => Relation("", id, isTemporary = true)
+    case Array(schema, id) => Relation(schema, id)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"expected [schema.]identifier, got '$name'")
+  }
 }

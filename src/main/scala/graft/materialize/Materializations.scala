@@ -4,6 +4,32 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructField
 
+import graft.core.Relation
+
+/** Staging locations for the merge/snapshot swap writes.
+  *
+  * These MUST live on storage every executor can reach: executors write the
+  * staging parquet, the driver then re-reads it. A driver-local
+  * `Files.createTempDirectory` path works on local[N] but silently corrupts
+  * on a real cluster (each executor would write to its own local disk), so
+  * staging goes under `spark.sql.warehouse.dir` — shared storage wherever
+  * the warehouse itself is usable.
+  */
+object Staging {
+  def withDir[T](spark: SparkSession, tag: String)(f: String => T): T = {
+    val warehouse = spark.conf.get(
+      "spark.sql.warehouse.dir").stripSuffix("/")
+    val dir = s"$warehouse/_graft_staging/${tag}_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    try f(dir)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
+}
+
 /** The five materialization state machines of the reference (SURVEY §0, §2.1,
   * §2.5): table (CTAS), view, incremental (append / insert_overwrite /
   * merge), seed, snapshot — re-expressed on the Spark catalog + DataFrame
@@ -27,21 +53,22 @@ object TableMaterialization {
       bucketBy: Option[(Int, Seq[String])] = None,
       location: Option[String] = None,
       properties: Map[String, String] = Map.empty): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP VIEW IF EXISTS $table")
+    val rel = Relation.parse(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+    spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
     var w = df.write.format(format).mode(SaveMode.Overwrite)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     bucketBy.foreach { case (n, cols) => w = w.bucketBy(n, cols.head, cols.tail: _*) }
     location.foreach(p => w = w.option("path", p))
     properties.foreach { case (k, v) => w = w.option(k, v) }
-    w.saveAsTable(table)
+    w.saveAsTable(rel.quoted)
   }
 }
 
 object ViewMaterialization {
   /** `create or replace view` from SQL text (reference adapters.sql:253-299). */
   def run(spark: SparkSession, view: String, selectSql: String): Unit =
-    spark.sql(s"CREATE OR REPLACE VIEW $view AS $selectSql")
+    spark.sql(s"CREATE OR REPLACE VIEW ${Relation.parse(view).quoted} AS $selectSql")
 
   /** Temp view from a DataFrame (reference adapters.sql:121-135 — the
     * staging relation used by incremental/snapshot). */
@@ -64,7 +91,8 @@ object SchemaChangePolicy {
 object SchemaEvolution {
   /** Columns in `incoming` missing from table `target`. */
   def newColumns(spark: SparkSession, target: String, incoming: DataFrame): Seq[StructField] = {
-    val have = spark.table(target).schema.fieldNames.map(_.toLowerCase).toSet
+    val have = spark.table(Relation.parse(target).quoted)
+      .schema.fieldNames.map(_.toLowerCase).toSet
     incoming.schema.fields.toSeq.filterNot(f => have(f.name.toLowerCase))
   }
 
@@ -72,7 +100,7 @@ object SchemaEvolution {
   def addColumns(spark: SparkSession, target: String, cols: Seq[StructField]): Unit =
     if (cols.nonEmpty) {
       val ddl = cols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"ALTER TABLE $target ADD COLUMNS ($ddl)")
+      spark.sql(s"ALTER TABLE ${Relation.parse(target).quoted} ADD COLUMNS ($ddl)")
     }
 
   def apply(spark: SparkSession, target: String, incoming: DataFrame,
@@ -80,7 +108,8 @@ object SchemaEvolution {
     val added = newColumns(spark, target, incoming)
     val removed = {
       val incomingNames = incoming.schema.fieldNames.map(_.toLowerCase).toSet
-      spark.table(target).schema.fieldNames.toSeq.filterNot(n => incomingNames(n.toLowerCase))
+      spark.table(Relation.parse(target).quoted)
+        .schema.fieldNames.toSeq.filterNot(n => incomingNames(n.toLowerCase))
     }
     policy match {
       case SchemaChangePolicy.Ignore => ()
@@ -129,11 +158,12 @@ object IncrementalMaterialization {
 
   def run(spark: SparkSession, target: String, batch: DataFrame,
       cfg: IncrementalConfig): Unit = {
+    val rel = Relation.parse(target)
     if (cfg.strategy == IncrementalStrategy.Merge && cfg.uniqueKey.isEmpty) {
       // Reference: no unique_key → merge degenerates to ON FALSE insert-only
       // (strategies.sql:76). Handled inside MergeOps.
     }
-    if (!spark.catalog.tableExists(target)) {
+    if (!spark.catalog.tableExists(rel.quoted)) {
       TableMaterialization.run(spark, target, batch,
         format = cfg.fileFormat, partitionBy = cfg.partitionBy)
       return
@@ -141,26 +171,78 @@ object IncrementalMaterialization {
     SchemaEvolution(spark, target, batch, cfg.onSchemaChange)
     // Project to destination columns in target order (reference
     // strategies.sql:2-3 — dest_columns drive the insert projection).
-    val destCols = spark.table(target).columns.toSeq
+    val destCols = spark.table(rel.quoted).columns.toSeq
     val aligned = batch.select(destCols.map(c =>
       if (batch.columns.contains(c)) col(c) else lit(null).as(c)): _*)
 
     cfg.strategy match {
       case IncrementalStrategy.Append =>
-        aligned.write.mode(SaveMode.Append).insertInto(target)
+        aligned.write.mode(SaveMode.Append).insertInto(rel.quoted)
 
       case IncrementalStrategy.InsertOverwrite =>
         // Dynamic mode: only partitions present in the batch are replaced;
         // unpartitioned target → whole-table overwrite (README.md:549-553).
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        aligned.write.mode(SaveMode.Overwrite).insertInto(target)
+        aligned.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
+
+      case IncrementalStrategy.Merge if cfg.partitionBy.nonEmpty =>
+        partitionScopedMerge(spark, rel, aligned, cfg)
 
       case IncrementalStrategy.Merge =>
-        val merged = MergeOps.merge(spark.table(target), aligned,
+        val merged = MergeOps.merge(spark.table(rel.quoted), aligned,
           cfg.uniqueKey, cfg.mergeUpdateColumns, cfg.mergeExcludeColumns,
           cfg.matchedPredicate)
-        atomicReplace(spark, target, merged, cfg)
+        atomicReplace(spark, rel, merged, cfg)
     }
+  }
+
+  /** Partition-scoped MERGE for partitioned non-ACID targets: only the
+    * partitions that can change are read and rewritten, instead of the whole
+    * table — the property that keeps merge affordable at 100 TB (a lakehouse
+    * format gets this from MERGE INTO metadata; this is the parquet analog).
+    *
+    * Affected partitions = partitions of the source batch ∪ partitions of
+    * target rows whose unique key appears in the batch (a key UPDATE may
+    * move a row across partitions — its old partition must be rewritten
+    * too). The merge runs over that target subset only; the result lands via
+    * dynamic-partition INSERT OVERWRITE, replacing exactly the rewritten
+    * partitions. A partition drained empty by the merge produces no output
+    * rows, so it is dropped explicitly (metadata-scale operation).
+    */
+  private def partitionScopedMerge(spark: SparkSession, rel: Relation,
+      aligned: DataFrame, cfg: IncrementalConfig): Unit = {
+    val pcols = cfg.partitionBy
+    val tgt = spark.table(rel.quoted)
+    val srcParts = aligned.select(pcols.map(col): _*).distinct()
+    val matchedParts =
+      if (cfg.uniqueKey.isEmpty) srcParts.limit(0)
+      else tgt.join(
+          aligned.select(cfg.uniqueKey.map(col): _*).distinct(),
+          cfg.uniqueKey, "left_semi")
+        .select(pcols.map(col): _*).distinct()
+    val affected = srcParts.unionByName(matchedParts).distinct()
+    val scopedTarget = tgt.join(affected, pcols, "left_semi")
+    val merged = MergeOps.merge(scopedTarget, aligned,
+      cfg.uniqueKey, cfg.mergeUpdateColumns, cfg.mergeExcludeColumns,
+      cfg.matchedPredicate)
+    Staging.withDir(spark, s"merge_${rel.identifier}") { staging =>
+      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+      val fresh = spark.read.parquet(staging)
+        .select(spark.table(rel.quoted).columns.map(col).toSeq: _*)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      fresh.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
+      // Drop partitions the merge drained (rows moved out by a key update):
+      // affected-but-absent from the output. Partition lists are metadata
+      // scale, so the collect is bounded.
+      val drained = affected.except(
+        fresh.select(pcols.map(col): _*).distinct()).collect()
+      drained.foreach { row =>
+        val spec = pcols.zipWithIndex
+          .map { case (c, i) => s"`$c` = '${row.get(i)}'" }.mkString(", ")
+        spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS PARTITION ($spec)")
+      }
+    }
+    spark.catalog.refreshTable(rel.quoted)
   }
 
   /** Atomic-ish replace for non-ACID formats: materialize the merged result
@@ -168,18 +250,43 @@ object IncrementalMaterialization {
     * reference restricts MERGE to ACID formats (validate.sql:41-43) — the
     * staging write makes the overwrite never read what it's writing. On a
     * lakehouse format the swap would be a metadata-only commit instead.
+    * (No delta/iceberg/hudi runtime jar ships in this sandbox's
+    * /opt/spark/jars, so the parquet rewrite is the only merge path.)
     */
-  private def atomicReplace(spark: SparkSession, target: String,
-      merged: DataFrame, cfg: IncrementalConfig): Unit = {
-    val staging = java.nio.file.Files
-      .createTempDirectory(s"graft_merge_${target.replace('.', '_')}")
-      .toString
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val fresh = spark.read.parquet(staging)
-    var w = fresh.write.format(cfg.fileFormat).mode(SaveMode.Overwrite)
-    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
-    w.saveAsTable(target)
-    spark.catalog.refreshTable(target) // SURVEY §2.5 O8
+  private def atomicReplace(spark: SparkSession, rel: Relation,
+      merged: DataFrame, cfg: IncrementalConfig): Unit =
+    Staging.withDir(spark, s"merge_${rel.identifier}") { staging =>
+      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+      val fresh = spark.read.parquet(staging)
+      var w = fresh.write.format(cfg.fileFormat).mode(SaveMode.Overwrite)
+      if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+      w.saveAsTable(rel.quoted)
+      spark.catalog.refreshTable(rel.quoted) // SURVEY §2.5 O8
+    }
+}
+
+/** F2: audit-column star projection (reference macros/iceberg_helper.sql:
+  * 1-37 — `select *, current_timestamp() as update_iceberg_ts`, dedup-aware
+  * when a unique key orders versions). Clock is injectable for
+  * deterministic tests/oracles (SURVEY §7 timestamp-determinism risk).
+  */
+object AuditColumns {
+  def withUpdateTs(df: DataFrame, colName: String = "update_ts",
+      clock: Option[java.sql.Timestamp] = None,
+      uniqueKey: Seq[String] = Nil,
+      latestBy: Seq[Column] = Nil): DataFrame = {
+    val ts = clock.map(t => lit(t).cast("timestamp")).getOrElse(current_timestamp())
+    val base =
+      if (uniqueKey.isEmpty) df
+      else {
+        // Dedup-aware path: one row per key, latest by `latestBy` order.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(uniqueKey.map(col): _*)
+          .orderBy(latestBy: _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    base.withColumn(colName, ts)
   }
 }
 
@@ -214,11 +321,13 @@ object SeedLoader {
     }: _*)
 
   private def write(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean): Unit =
-    if (!spark.catalog.tableExists(table))
-      df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+      overwrite: Boolean): Unit = {
+    val rel = Relation.parse(table)
+    if (!spark.catalog.tableExists(rel.quoted))
+      df.write.mode(SaveMode.Overwrite).saveAsTable(rel.quoted)
     else if (overwrite) {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      df.write.mode(SaveMode.Overwrite).saveAsTable(table)
-    } else df.write.mode(SaveMode.Append).insertInto(table)
+      spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+      df.write.mode(SaveMode.Overwrite).saveAsTable(rel.quoted)
+    } else df.write.mode(SaveMode.Append).insertInto(rel.quoted)
+  }
 }

@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps {
 
+  /** Target-side column reference for use in `matchedPredicate` (the
+    * reference's `incremental_predicates` address DBT_INTERNAL_DEST /
+    * DBT_INTERNAL_SOURCE; these helpers are the engine's public equivalent —
+    * the join aliases stay internal).
+    */
+  def tgt(name: String): Column = col(s"t.`$name`")
+
+  /** Source-side column reference for use in `matchedPredicate`. */
+  def src(name: String): Column = col(s"s.`$name`")
+
   /** Pure-DataFrame MERGE returning the post-merge dataset.
     *
     * @param updateColumns  reference `merge_update_columns` — when non-empty,

@@ -1,0 +1,119 @@
+package graft.materialize
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.Relation
+
+/** Relation lifecycle operators (SURVEY §2.1 S9–S11, §2.5 O8/O9/O11).
+  *
+  * The reference implements rename as copy-write-drop because Glue lacks
+  * ALTER RENAME (reference impl.py:192-217); Spark has the native statement,
+  * so managed tables rename as a metadata-only operation — the copy path
+  * survives only as the cross-schema fallback. Drops are type-aware
+  * (table vs view vs temp view — adapters.sql:56-97, 198-228).
+  */
+object RelationOps {
+
+  /** S9: rename. Metadata-only `ALTER TABLE RENAME` within a schema; views
+    * re-create via their stored DDL ([[duplicateView]] + drop).
+    */
+  def rename(spark: SparkSession, from: String, to: String): Unit = {
+    val f = Relation.parse(from)
+    val t = Relation.parse(to)
+    if (isView(spark, f)) {
+      duplicateView(spark, from, to)
+      spark.sql(s"DROP VIEW IF EXISTS ${f.quoted}")
+    } else {
+      spark.sql(s"ALTER TABLE ${f.quoted} RENAME TO ${t.quoted}")
+    }
+  }
+
+  /** S10: duplicate a view under a new name via its stored definition
+    * (the reference rewrites `SHOW CREATE TABLE` output textually —
+    * impl.py:398-413; the catalog's View Text is the same definition without
+    * the fragile string surgery).
+    */
+  def duplicateView(spark: SparkSession, from: String, to: String): Unit = {
+    val f = Relation.parse(from)
+    val t = Relation.parse(to)
+    val body = spark.sql(s"DESCRIBE TABLE EXTENDED ${f.quoted}")
+      .filter(col("col_name") === "View Text")
+      .collect().headOption.map(_.getString(1))
+      .getOrElse(throw new IllegalArgumentException(s"$from is not a view"))
+    spark.sql(s"CREATE OR REPLACE VIEW ${t.quoted} AS $body")
+  }
+
+  /** S11: type-aware drop matrix. Temp views, views, and tables each need a
+    * different statement; `purge` mirrors `drop table ... purge`
+    * (adapters.sql:76-83) by also deleting the table's files for EXTERNAL
+    * tables (managed-table data is dropped by Spark itself).
+    */
+  def drop(spark: SparkSession, name: String, purge: Boolean = false): Unit = {
+    val rel = Relation.parse(name)
+    if (spark.catalog.dropTempView(rel.identifier)) return
+    if (!spark.catalog.tableExists(rel.quoted)) return
+    val info = spark.catalog.getTable(rel.quoted)
+    if (info.tableType.equalsIgnoreCase("VIEW")) {
+      spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
+    } else {
+      val loc = if (purge) tableLocation(spark, rel) else None
+      spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+      loc.foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    }
+  }
+
+  private def isView(spark: SparkSession, rel: Relation): Boolean =
+    spark.catalog.tableExists(rel.quoted) &&
+      spark.catalog.getTable(rel.quoted).tableType.equalsIgnoreCase("VIEW")
+
+  private def tableLocation(spark: SparkSession, rel: Relation): Option[String] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED ${rel.quoted}")
+      .filter(col("col_name") === "Location")
+      .collect().headOption.map(_.getString(1))
+
+  /** O9: discover partitions written out-of-band (impl.py:771-773). */
+  def repair(spark: SparkSession, name: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE ${Relation.parse(name).quoted}")
+
+  /** O11: post-write verification select (impl.py:209,707,1039). */
+  def verifyReadable(spark: SparkSession, name: String): Boolean =
+    spark.table(Relation.parse(name).quoted).limit(1).count() >= 0
+}
+
+/** S8: the Python-model analog (reference
+  * macros/materializations/python/python_utils.sql:1-277 + impl.py:1137-1288)
+  * — a user-supplied transform routed through the standard materializations.
+  * In the reference the "model" is arbitrary PySpark receiving a `dbt` ctx
+  * and the session; here it is any `(ModelCtx, SparkSession) => DataFrame`.
+  */
+final case class ModelCtx(
+    spark: SparkSession,
+    dataDir: String,
+    config: Map[String, String] = Map.empty) {
+  /** dbtObj.source analog: a raw input table by name. */
+  def source(name: String): DataFrame = graft.core.Tables.load(spark, dataDir, name)
+  /** dbtObj.ref analog: a previously materialized relation. */
+  def ref(name: String): DataFrame = spark.table(Relation.parse(name).quoted)
+}
+
+object UserModel {
+  type Transform = (ModelCtx, SparkSession) => DataFrame
+
+  /** Table-materialize a user transform (python_utils.sql:86 writer). */
+  def runTable(spark: SparkSession, target: String, ctx: ModelCtx,
+      model: Transform, partitionBy: Seq[String] = Nil): Unit =
+    TableMaterialization.run(spark, target, model(ctx, spark),
+      partitionBy = partitionBy)
+
+  /** Incrementally materialize a user transform — the python-model
+    * incremental path (incremental.sql:96-108 routes python models through
+    * the same strategies). */
+  def runIncremental(spark: SparkSession, target: String, ctx: ModelCtx,
+      model: Transform, cfg: IncrementalConfig): Unit =
+    IncrementalMaterialization.run(spark, target, model(ctx, spark), cfg)
+}

@@ -5,6 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Relation
+
 /** SCD Type-2 snapshots (SURVEY §2.5 O4/O5, reference
   * macros/materializations/snapshot.sql).
   *
@@ -54,12 +56,12 @@ object SnapshotMaterialization {
       .withColumn("dbt_scd_id",
         scdId(cfg.keys.map(col) :+ col("dbt_updated_at")))
 
-    if (!spark.catalog.tableExists(target)) {
+    if (!spark.catalog.tableExists(Relation.parse(target).quoted)) {
       TableMaterialization.run(spark, target, withMeta)
       return
     }
 
-    val snapshotted = spark.table(target)
+    val snapshotted = spark.table(Relation.parse(target).quoted)
     val current = snapshotted.filter(col("dbt_valid_to").isNull)
 
     // One full-outer join source × current rows decides inserts / updates /
@@ -109,11 +111,14 @@ object SnapshotMaterialization {
       .reduce(_ unionByName _)
     val merged = MergeOps.snapshotMerge(snapshotted, staging)
 
-    // Same staging-then-swap discipline as incremental merge.
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_snap_${target.replace('.', '_')}").toString
-    merged.write.mode(SaveMode.Overwrite).parquet(dir)
-    spark.read.parquet(dir).write.mode(SaveMode.Overwrite).saveAsTable(target)
-    spark.catalog.refreshTable(target)
+    // Same staging-then-swap discipline as incremental merge — staged on
+    // shared storage (Staging), never a driver-local temp dir.
+    val rel = Relation.parse(target)
+    Staging.withDir(spark, s"snap_${rel.identifier}") { dir =>
+      merged.write.mode(SaveMode.Overwrite).parquet(dir)
+      spark.read.parquet(dir).write.mode(SaveMode.Overwrite)
+        .saveAsTable(rel.quoted)
+      spark.catalog.refreshTable(rel.quoted)
+    }
   }
 }

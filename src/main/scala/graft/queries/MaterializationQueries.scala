@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.core.Tables
+import graft.core.{Catalog, Tables}
 import graft.materialize._
 import graft.quality.QualityChecks
 
@@ -225,6 +225,145 @@ object MaterializationQueries {
       |  (CAST(3 AS BIGINT), 'gamma', DATE '2024-03-09', CAST(99.99 AS DOUBLE))
       |) AS t(id, name, event_date, score) ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- O3′ c
+  /** Partition-scoped merge: the target is partitioned and only the
+    * partitions holding batch keys are rewritten (the 100 TB merge path).
+    * A stale slice of the 'F' partition is repaired by merge; untouched
+    * partitions must survive byte-identically. Final state == raw orders.
+    */
+  def incMergeScoped(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_merge_scoped"
+    val o = Tables.orders(spark, dir)
+    val stale = o.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "F" && col("o_orderkey") <= 1000, lit(-1.0))
+        .otherwise(col("o_totalprice")))
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+    IncrementalMaterialization.run(spark, t, stale, cfg)
+    IncrementalMaterialization.run(spark, t,
+      o.filter(col("o_orderstatus") === "F" && col("o_orderkey") <= 1000), cfg)
+    spark.table(t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val incMergeScopedSql = matCtasSql // repaired table == raw orders
+
+  // ---------------------------------------------------------------- S8
+  /** Python-model analog: a user `(ModelCtx, SparkSession) => DataFrame`
+    * transform routed through incremental-merge (reference
+    * python_utils.sql:1-277 + incremental.sql:96-108). Run 1 aggregates
+    * early orders; run 2 re-aggregates customers with late orders and
+    * merges — so early-only customers keep run-1 values.
+    */
+  def matUserModel(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.user_model_agg"
+    val cut = "1998-01-01"
+    def model(pred: org.apache.spark.sql.Column): UserModel.Transform =
+      (ctx, _) => ctx.source("orders")
+        .filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("total"))
+    val ctx = ModelCtx(spark, dir)
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("o_custkey"))
+    UserModel.runIncremental(spark, t, ctx,
+      model(col("o_orderdate") < to_timestamp(lit(cut))), cfg)
+    UserModel.runIncremental(spark, t, ctx,
+      model(col("o_orderdate") >= to_timestamp(lit(cut))), cfg)
+    spark.table(t).orderBy(col("o_custkey"))
+  }
+
+  private val matUserModelSql =
+    """WITH early AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+      |), late AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
+      |)
+      |SELECT COALESCE(l.o_custkey, e.o_custkey) AS o_custkey,
+      |  COALESCE(l.n_orders, e.n_orders) AS n_orders,
+      |  COALESCE(l.total, e.total) AS total
+      |FROM early e FULL JOIN late l ON e.o_custkey = l.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- C1–C5
+  /** Catalog roundtrip: create schema → CTAS + view → per-column catalog
+    * snapshot (the docs plane, impl.py:538-612) → drop schema cascade.
+    * The scratch-schema name is excluded so the output is deterministic.
+    */
+  def catRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    TableMaterialization.run(spark, s"$db.cat_nation", Tables.nation(spark, dir))
+    ViewMaterialization.run(spark, s"$db.cat_nation_v",
+      s"SELECT n_nationkey, n_name FROM $db.cat_nation")
+    val snap = Catalog.snapshot(spark, db)
+      .select(col("table_name"), col("table_type"), col("column_name"),
+        col("column_type"), col("column_index"))
+      .orderBy(col("table_name"), col("column_index"))
+    val out = snap.cache()
+    out.count() // materialize before the schema vanishes
+    Catalog.dropSchema(spark, db, cascade = true)
+    out
+  }
+
+  private val catRoundtripSql =
+    """SELECT * FROM (VALUES
+      |  ('cat_nation',   'managed', 'n_nationkey', 'int',    0),
+      |  ('cat_nation',   'managed', 'n_name',      'string', 1),
+      |  ('cat_nation',   'managed', 'n_regionkey', 'int',    2),
+      |  ('cat_nation_v', 'view',    'n_nationkey', 'int',    0),
+      |  ('cat_nation_v', 'view',    'n_name',      'string', 1)
+      |) AS t(table_name, table_type, column_name, column_type, column_index)
+      |ORDER BY table_name, column_index""".stripMargin
+
+  // ---------------------------------------------------------------- S9–S11
+  /** Relation lifecycle roundtrip: CTAS → rename → view over the renamed
+    * table → duplicate the view → drop the original view. Surviving
+    * relations and their row counts are the deterministic output.
+    */
+  def relOps(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    TableMaterialization.run(spark, s"$db.src_tbl", Tables.nation(spark, dir))
+    RelationOps.rename(spark, s"$db.src_tbl", s"$db.renamed_tbl")
+    ViewMaterialization.run(spark, s"$db.v1",
+      s"SELECT n_nationkey, n_name FROM $db.renamed_tbl WHERE n_regionkey = 0")
+    RelationOps.duplicateView(spark, s"$db.v1", s"$db.v2")
+    RelationOps.drop(spark, s"$db.v1")
+    import spark.implicits._
+    Catalog.listRelations(spark, db)
+      .map(r => (r.identifier, r.tableType,
+        spark.table(s"$db.${r.identifier}").count()))
+      .toDF("identifier", "table_type", "n_rows")
+      .orderBy(col("identifier"))
+  }
+
+  private val relOpsSql =
+    """SELECT * FROM (VALUES
+      |  ('renamed_tbl', 'managed', CAST(25 AS BIGINT)),
+      |  ('v2',          'view',    CAST(5 AS BIGINT))
+      |) AS t(identifier, table_type, n_rows) ORDER BY identifier""".stripMargin
+
+  // ---------------------------------------------------------------- F2
+  /** Audit-column star projection with an injected clock (reference
+    * iceberg_helper.sql:1-37) — deterministic, so fully oracle-checkable. */
+  def audStar(spark: SparkSession, dir: String): DataFrame =
+    AuditColumns.withUpdateTs(Tables.nation(spark, dir), "update_ts",
+      clock = Some(Timestamp.valueOf("2024-06-01 00:00:00")))
+      .orderBy(col("n_nationkey"))
+
+  private val audStarSql =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  TIMESTAMP '2024-06-01 00:00:00' AS update_ts
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- A1
   /** accepted_values data test returning offending groups. */
   def dqAcceptedValues(spark: SparkSession, dir: String): DataFrame =
@@ -255,6 +394,11 @@ object MaterializationQueries {
     "inc_insert_overwrite" -> (incInsertOverwrite _),
     "inc_merge" -> (incMerge _),
     "inc_merge_update_cols" -> (incMergeUpdateCols _),
+    "inc_merge_scoped" -> (incMergeScoped _),
+    "mat_user_model" -> (matUserModel _),
+    "cat_roundtrip" -> (catRoundtrip _),
+    "rel_ops" -> (relOps _),
+    "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
     "seed_types" -> (seedTypes _),
     "dq_accepted_values" -> (dqAcceptedValues _),
@@ -267,6 +411,11 @@ object MaterializationQueries {
     "inc_insert_overwrite" -> incInsertOverwriteSql,
     "inc_merge" -> incMergeSql,
     "inc_merge_update_cols" -> incMergeUpdateColsSql,
+    "inc_merge_scoped" -> incMergeScopedSql,
+    "mat_user_model" -> matUserModelSql,
+    "cat_roundtrip" -> catRoundtripSql,
+    "rel_ops" -> relOpsSql,
+    "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,
     "seed_types" -> seedTypesSql,
     "dq_accepted_values" -> dqAcceptedValuesSql,

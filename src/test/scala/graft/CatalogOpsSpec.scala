@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Catalog, Relation, Tables}
+import graft.materialize._
+
+/** Catalog facade (C1–C5), relation lifecycle ops (S9–S11), user-model
+  * harness (S8), identifier quoting, and the partition-scoped merge's
+  * cross-partition edge cases.
+  */
+class CatalogOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private var n = 0
+  private def freshDb(): String = {
+    n += 1
+    val db = s"graft_catspec_$n"
+    Catalog.dropSchema(spark, db, cascade = true)
+    Catalog.createSchema(spark, db)
+    db
+  }
+  private def nation = Tables.nation(spark, sf)
+
+  test("catalog: create/list/get/drop schema roundtrip") {
+    val db = freshDb()
+    assert(Catalog.listSchemas(spark).contains(db))
+    TableMaterialization.run(spark, s"$db.t1", nation)
+    ViewMaterialization.run(spark, s"$db.v1", s"SELECT n_name FROM $db.t1")
+    val rels = Catalog.listRelations(spark, db)
+    assert(rels.map(_.identifier) === Seq("t1", "v1"))
+    assert(rels.map(_.tableType) === Seq("managed", "view"))
+    val t1 = Catalog.getRelation(spark, db, "t1")
+    assert(t1.exists(_.format.contains("parquet")))
+    assert(Catalog.getRelation(spark, db, "nope").isEmpty)
+    val snap = Catalog.snapshot(spark, db)
+    assert(snap.filter(col("table_name") === "t1").count() === 3) // 3 nation cols
+    Catalog.dropSchema(spark, db, cascade = true)
+    assert(!Catalog.listSchemas(spark).contains(db))
+  }
+
+  test("relation ops: rename table, duplicate view, type-aware drop") {
+    val db = freshDb()
+    TableMaterialization.run(spark, s"$db.a", nation)
+    RelationOps.rename(spark, s"$db.a", s"$db.b")
+    assert(!spark.catalog.tableExists(s"$db.a"))
+    assert(spark.table(s"$db.b").count() === 25)
+
+    ViewMaterialization.run(spark, s"$db.v", s"SELECT * FROM $db.b WHERE n_regionkey = 0")
+    RelationOps.duplicateView(spark, s"$db.v", s"$db.v_copy")
+    assert(spark.table(s"$db.v_copy").count() === spark.table(s"$db.v").count())
+
+    // renaming a view goes through recreate+drop
+    RelationOps.rename(spark, s"$db.v", s"$db.v_renamed")
+    assert(!spark.catalog.tableExists(s"$db.v"))
+    assert(spark.table(s"$db.v_renamed").count() === 5)
+
+    RelationOps.drop(spark, s"$db.v_copy")
+    assert(!spark.catalog.tableExists(s"$db.v_copy"))
+    RelationOps.drop(spark, s"$db.b", purge = true)
+    assert(!spark.catalog.tableExists(s"$db.b"))
+    RelationOps.drop(spark, s"$db.never_existed") // no-op, no throw
+  }
+
+  test("quoted identifiers: reserved-word table name works end-to-end") {
+    // Spark's SessionCatalog restricts managed-table names to [A-Za-z0-9_],
+    // so the quoting test uses a reserved word — unquoted DDL would fail to
+    // parse `select` as an identifier.
+    val db = freshDb()
+    val t = s"$db.select"
+    TableMaterialization.run(spark, t, nation)
+    assert(spark.table(Relation.parse(t).quoted).count() === 25)
+    val cfg = IncrementalConfig(IncrementalStrategy.Append)
+    IncrementalMaterialization.run(spark, t, nation.limit(5), cfg)
+    assert(spark.table(Relation.parse(t).quoted).count() === 30)
+    RelationOps.drop(spark, t)
+    assert(!spark.catalog.tableExists(Relation.parse(t).quoted))
+  }
+
+  test("user model routes through incremental merge (S8)") {
+    val db = freshDb()
+    val t = s"$db.um"
+    val ctx = ModelCtx(spark, sf)
+    val m1: UserModel.Transform = (c, _) =>
+      c.source("nation").select(col("n_nationkey"), lit("v1").as("tag"))
+    val m2: UserModel.Transform = (c, _) =>
+      c.source("nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey"), lit("v2").as("tag"))
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("n_nationkey"))
+    UserModel.runIncremental(spark, t, ctx, m1, cfg)
+    UserModel.runIncremental(spark, t, ctx, m2, cfg)
+    val got = spark.table(t)
+    assert(got.count() === 25)
+    assert(got.filter(col("tag") === "v2").count() === 5)
+  }
+
+  test("partition-scoped merge: only touched partitions rewritten; moves + drains handled") {
+    val db = freshDb()
+    val t = s"$db.part_merge"
+    import spark.implicits._
+    val base = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "C", 40.0))
+      .toDF("id", "part", "amount")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("id"), partitionBy = Seq("part"))
+    IncrementalMaterialization.run(spark, t, base, cfg)
+    val files0 = partitionFiles(t, "part=C")
+
+    // batch: update id=3 in B, move id=1 from A to B, insert id=5 into B.
+    val batch = Seq((3L, "B", 31.0), (1L, "B", 11.0), (5L, "B", 50.0))
+      .toDF("id", "part", "amount")
+    IncrementalMaterialization.run(spark, t, batch, cfg)
+    // saveAsTable puts partition columns last in the catalog schema —
+    // select explicitly rather than assuming input order.
+    val got = spark.table(t).select("id", "part", "amount").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got === Array((1L, "B", 11.0), (2L, "A", 20.0), (3L, "B", 31.0),
+      (4L, "C", 40.0), (5L, "B", 50.0)))
+    // untouched partition C was not rewritten (same physical files)
+    assert(partitionFiles(t, "part=C") === files0)
+
+    // drain: move every remaining A row to B → partition A must disappear
+    val drain = Seq((2L, "B", 21.0)).toDF("id", "part", "amount")
+    IncrementalMaterialization.run(spark, t, drain, cfg)
+    assert(spark.table(t).filter(col("part") === "A").count() === 0)
+    assert(spark.table(t).count() === 5)
+    assert(!spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+      .exists(_.startsWith("part=A")))
+  }
+
+  private def partitionFiles(table: String, part: String): Set[String] = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location").collect().head.getString(1)
+    val dir = new java.io.File(new java.net.URI(loc).getPath, part)
+    Option(dir.listFiles()).map(_.map(f => f.getName + ":" + f.lastModified).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  test("audit column: star projection + fixed clock + dedup-aware path") {
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val out = AuditColumns.withUpdateTs(nation, "update_ts", clock = Some(ts))
+    assert(out.columns.toSeq === (nation.columns.toSeq :+ "update_ts"))
+    assert(out.select("update_ts").distinct().head.getTimestamp(0) === ts)
+
+    import spark.implicits._
+    val versions = Seq((1L, 1, "old"), (1L, 2, "new"), (2L, 1, "only"))
+      .toDF("id", "v", "payload")
+    val deduped = AuditColumns.withUpdateTs(versions, "update_ts", Some(ts),
+      uniqueKey = Seq("id"), latestBy = Seq(col("v").desc))
+    assert(deduped.count() === 2)
+    assert(deduped.filter(col("id") === 1).head.getString(2) === "new")
+  }
+
+  test("engine: job group cancel API is safe when idle (X5)") {
+    graft.core.Engine.withJobGroup(spark, "gspec", "noop") {
+      assert(spark.range(10).count() === 10)
+    }
+    graft.core.Engine.cancel(spark, "gspec") // nothing running — must not throw
+    val s2 = graft.core.Engine.newSession(spark)
+    assert(s2 ne spark)
+    assert(s2.sparkContext eq spark.sparkContext)
+  }
+}

@@ -52,7 +52,7 @@ class MaterializationSpec extends AnyFunSuite {
       .withColumn("o_orderpriority", lit("STALE"))
     val source = orders.filter(col("o_orderkey") <= 100)
     val merged = MergeOps.merge(target, source, Seq("o_orderkey"),
-      matchedPredicate = Some(col("t.o_orderkey") > 90))
+      matchedPredicate = Some(MergeOps.tgt("o_orderkey") > 90))
     assert(merged.filter(col("o_orderpriority") === "STALE").count() === 91) // 0..90 kept
   }
 

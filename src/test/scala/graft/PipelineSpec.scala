@@ -50,6 +50,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(hd(1) > 10)
   }
 
+  test("LSH bucket cap bounds candidate pairs for a pathological hot bucket") {
+    import spark.implicits._
+    // 1,000 identical docs — uncapped, every band bucket would generate
+    // ~500k pairs; capped at 20 members the pair space is 20·19/2 = 190.
+    val clones = (0 until 1000)
+      .map(i => (i.toLong, "the same boilerplate text repeated over and over again forever"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDupPairs(clones, "doc_id", "text",
+      Dedup.MinHashConfig(maxBucketSize = 20))
+    val mhCount = mh.count()
+    assert(mhCount > 0 && mhCount <= 190)
+    val sh = Dedup.simhashNearDupPairs(clones, "doc_id", "text", maxBucketSize = 20)
+    val shCount = sh.count()
+    assert(shCount > 0 && shCount <= 190)
+  }
+
   test("exact dedup keeps exactly one row per text, lowest id") {
     val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
     val kept = Dedup.exact(doubled, Seq("text"), Seq(col("doc_id")))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** Structured Streaming twin of the batch event queries: the same tumbling
+  * aggregation over the events table, run as a watermarked stream into a
+  * memory sink, must agree with the batch answer on every window it emits.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming tumbling counts agree with the batch aggregation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source needs a directory; stage the single parquet
+    // file into one.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // events.ts is parquet TIMESTAMP(NANOS): read as long, convert to
+    // micros inside the stream (same policy as Tables.events).
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val transform: DataFrame => DataFrame = df =>
+      EventStreams.tumblingCounts(
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "tumbling_sink")
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+    // Append mode withholds windows still above the watermark, so the
+    // streamed result is a prefix subset of the batch result — but every
+    // emitted window must match the batch answer exactly.
+    assert(streamed.count() > 0)
+    val mismatched = streamed.alias("s")
+      .join(batch.alias("b"), Seq("window_start", "event_type"), "left")
+      .filter(col("b.n").isNull ||
+        col("s.n") =!= col("b.n") ||
+        abs(col("s.total_value") - col("b.total_value")) > 1e-6)
+    assert(mismatched.count() === 0)
+    assert(streamed.count() <= batch.count())
+  }
+}

@@ -76,6 +76,22 @@ object RelationOps {
       .filter(col("col_name") === "Location")
       .collect().headOption.map(_.getString(1))
 
+  /** O7 analog: change a table's partition spec. Iceberg evolves the spec
+    * as metadata (reference python_utils.sql:197-230); plain parquet needs a
+    * one-time rewrite under the new layout — staged on shared storage, then
+    * swapped (data is preserved, only the directory layout changes).
+    */
+  def evolvePartitioning(spark: SparkSession, name: String,
+      newPartitionBy: Seq[String]): Unit = {
+    val rel = Relation.parse(name)
+    val df = spark.table(rel.quoted)
+    Staging.withDir(spark, s"evolve_${rel.identifier}") { dir =>
+      df.write.parquet(dir)
+      TableMaterialization.run(spark, name, spark.read.parquet(dir),
+        partitionBy = newPartitionBy)
+    }
+  }
+
   /** O9: discover partitions written out-of-band (impl.py:771-773). */
   def repair(spark: SparkSession, name: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE ${Relation.parse(name).quoted}")

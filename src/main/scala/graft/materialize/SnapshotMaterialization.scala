@@ -35,7 +35,15 @@ final case class SnapshotConfig(
     keys: Seq[String],
     strategy: SnapshotStrategy,
     invalidateHardDeletes: Boolean = false,
-    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
+    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    /** Partition the history by close date (`dbt_valid_to_date`, open rows
+      * under a 9999-12-31 sentinel). A snapshot run then scans ONLY the
+      * open partition plus the close-date partitions it touches, and
+      * rewrites only those — O(current + churn) instead of O(full history),
+      * which is what keeps long histories affordable at 100 TB. Off by
+      * default because it adds the partition column to the table schema.
+      */
+    partitionHistory: Boolean = false)
 
 object SnapshotMaterialization {
   /** md5(coalesce(cast(c as string),'') || '|' || ...) — snapshot.sql:1-6. */
@@ -57,16 +65,42 @@ object SnapshotMaterialization {
         scdId(cfg.keys.map(col) :+ col("dbt_updated_at")))
 
     if (!spark.catalog.tableExists(Relation.parse(target).quoted)) {
-      TableMaterialization.run(spark, target, withMeta)
+      if (cfg.partitionHistory)
+        TableMaterialization.run(spark, target,
+          withMeta.withColumn(CloseDateCol, closeDate(col("dbt_valid_to"))),
+          partitionBy = Seq(CloseDateCol))
+      else
+        TableMaterialization.run(spark, target, withMeta)
+      return
+    }
+
+    if (cfg.partitionHistory) {
+      runPartitioned(spark, target, withMeta, cfg)
       return
     }
 
     val snapshotted = spark.table(Relation.parse(target).quoted)
     val current = snapshotted.filter(col("dbt_valid_to").isNull)
+    val staging = stagingRows(withMeta, current, cfg, now)
+    val merged = MergeOps.snapshotMerge(snapshotted, staging)
 
-    // One full-outer join source × current rows decides inserts / updates /
-    // deletes (dbt-core's snapshot_staging_table, referenced from
-    // snapshot.sql:15-41).
+    // Same staging-then-swap discipline as incremental merge — staged on
+    // shared storage (Staging), never a driver-local temp dir.
+    val rel = Relation.parse(target)
+    Staging.withDir(spark, s"snap_${rel.identifier}") { dir =>
+      merged.write.mode(SaveMode.Overwrite).parquet(dir)
+      spark.read.parquet(dir).write.mode(SaveMode.Overwrite)
+        .saveAsTable(rel.quoted)
+      spark.catalog.refreshTable(rel.quoted)
+    }
+  }
+
+  /** One full-outer join source × current rows decides inserts / updates /
+    * deletes (dbt-core's snapshot_staging_table, referenced from
+    * snapshot.sql:15-41). Returns staging rows tagged `dbt_change_type`.
+    */
+  private def stagingRows(withMeta: DataFrame, current: DataFrame,
+      cfg: SnapshotConfig, now: Column): DataFrame = {
     val s = withMeta.alias("s")
     val t = current.alias("t")
     val joinCond = cfg.keys.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _)
@@ -107,18 +141,50 @@ object SnapshotMaterialization {
           case c               => col(s"t.$c").as(c)
         } :+ lit("delete").as("dbt_change_type"): _*))
 
-    val staging = (Seq(inserts, newVersions, closeOld) ++ deletes)
-      .reduce(_ unionByName _)
-    val merged = MergeOps.snapshotMerge(snapshotted, staging)
+    (Seq(inserts, newVersions, closeOld) ++ deletes).reduce(_ unionByName _)
+  }
 
-    // Same staging-then-swap discipline as incremental merge — staged on
-    // shared storage (Staging), never a driver-local temp dir.
+  /** Close-date partition column: open rows live under a far-future
+    * sentinel partition, closed rows under their close date. */
+  private val CloseDateCol = "dbt_valid_to_date"
+  private val OpenSentinel = "9999-12-31"
+  private def closeDate(validTo: Column): Column =
+    coalesce(to_date(validTo), to_date(lit(OpenSentinel)))
+
+  /** History-partitioned snapshot run (cfg.partitionHistory): change
+    * detection and the close-merge read ONLY the open partition; the write
+    * replaces the open partition plus the close-date partitions this run
+    * adds rows to (their pre-existing rows are unioned back in, both reads
+    * partition-pruned). Older history partitions are untouched.
+    */
+  private def runPartitioned(spark: SparkSession, target: String,
+      withMeta: DataFrame, cfg: SnapshotConfig): Unit = {
     val rel = Relation.parse(target)
+    val now = lit(cfg.clock()).cast("timestamp")
+    val full = spark.table(rel.quoted)
+    val current = full
+      .filter(col(CloseDateCol) === to_date(lit(OpenSentinel)))
+      .drop(CloseDateCol)
+    val staging = stagingRows(withMeta, current, cfg, now)
+    val merged = MergeOps.snapshotMerge(current, staging)
+
     Staging.withDir(spark, s"snap_${rel.identifier}") { dir =>
-      merged.write.mode(SaveMode.Overwrite).parquet(dir)
-      spark.read.parquet(dir).write.mode(SaveMode.Overwrite)
-        .saveAsTable(rel.quoted)
-      spark.catalog.refreshTable(rel.quoted)
+      merged.withColumn(CloseDateCol, closeDate(col("dbt_valid_to")))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val fresh = spark.read.parquet(dir)
+      // Close-date partitions touched this run (metadata-scale collect);
+      // their existing rows ride along so dynamic overwrite keeps them.
+      val touchedDates = fresh
+        .filter(col(CloseDateCol) =!= to_date(lit(OpenSentinel)))
+        .select(CloseDateCol).distinct().collect().map(_.getDate(0))
+      val existingClosed = full.filter(
+        col(CloseDateCol).isin(touchedDates.toSeq: _*))
+      val outCols = full.columns.toSeq
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      fresh.select(outCols.map(col): _*)
+        .unionByName(existingClosed.select(outCols.map(col): _*))
+        .write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
     }
+    spark.catalog.refreshTable(rel.quoted)
   }
 }

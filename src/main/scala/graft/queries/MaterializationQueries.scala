@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.{Catalog, Tables}
 import graft.materialize._
-import graft.quality.QualityChecks
+import graft.quality.{Governance, QualityChecks}
 
 /** Driver-gate queries exercising the five materialization state machines
   * (SURVEY §2.1, §2.5) end-to-end: each builds real tables in a scratch
@@ -200,6 +200,55 @@ object MaterializationQueries {
       |SELECT c_custkey, c_acctbal + 100, TIMESTAMP '2024-02-01', NULL
       |FROM customer WHERE c_nationkey = 1
       |ORDER BY c_custkey, dbt_valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- O4 part
+  /** Same SCD2 scenario as snap_scd2 but with history partitioned by close
+    * date (the 100 TB layout: a run scans/rewrites only the open partition
+    * plus the close-date partitions it touches). Logical result must be
+    * identical to the unpartitioned run — same oracle.
+    */
+  def snapScd2Part(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.customer_snapshot_part"
+    val c = Tables.customer(spark, dir)
+    def cfg(ts: Timestamp) = SnapshotConfig(
+      keys = Seq("c_custkey"),
+      strategy = SnapshotStrategy.ByCheck(Seq("c_acctbal")),
+      clock = () => ts,
+      partitionHistory = true)
+    SnapshotMaterialization.run(spark, t, c, cfg(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val v2 = c.withColumn("c_acctbal",
+      when(col("c_nationkey") === 1, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+    SnapshotMaterialization.run(spark, t, v2, cfg(Timestamp.valueOf("2024-02-01 00:00:00")))
+    spark.table(t)
+      .select(col("c_custkey"), col("c_acctbal"), col("dbt_valid_from"), col("dbt_valid_to"))
+      .orderBy(col("c_custkey"), col("dbt_valid_from"))
+  }
+
+  // ---------------------------------------------------------------- C6/C7
+  /** LF-style data-cell filter enforced as a secured view (reference
+    * lakeformation.py:167-204): row predicate + column include list; the
+    * reader only ever sees the view.
+    */
+  def lfSecuredView(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.customer_gov"
+    TableMaterialization.run(spark, t, Tables.customer(spark, dir))
+    Governance.setTags(spark, t, Map("domain" -> "sales", "pii" -> "masked"))
+    Governance.createSecuredView(spark, t, s"$db.customer_secure",
+      Governance.CellFilter(rowFilter = "c_nationkey <= 5",
+        includeColumns = Seq("c_custkey", "c_mktsegment", "c_nationkey")))
+    spark.table(s"$db.customer_secure")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  private val lfSecuredViewSql =
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |FROM customer WHERE c_nationkey <= 5
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- S4
   /** Seed with 2-phase typing (impl.py:37-64): parse as strings, cast per
@@ -400,6 +449,8 @@ object MaterializationQueries {
     "rel_ops" -> (relOps _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
+    "snap_scd2_part" -> (snapScd2Part _),
+    "lf_secured_view" -> (lfSecuredView _),
     "seed_types" -> (seedTypes _),
     "dq_accepted_values" -> (dqAcceptedValues _),
     "dq_unique" -> (dqUnique _))
@@ -417,6 +468,8 @@ object MaterializationQueries {
     "rel_ops" -> relOpsSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,
+    "snap_scd2_part" -> snapScd2Sql, // identical logical result by design
+    "lf_secured_view" -> lfSecuredViewSql,
     "seed_types" -> seedTypesSql,
     "dq_accepted_values" -> dqAcceptedValuesSql,
     "dq_unique" -> dqUniqueSql)

@@ -151,6 +151,71 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(deduped.filter(col("id") === 1).head.getString(2) === "new")
   }
 
+  test("governance: tags roundtrip and cell filter enforces rows + columns") {
+    import graft.quality.Governance
+    val db = freshDb()
+    val t = s"$db.gov"
+    TableMaterialization.run(spark, t, nation)
+    Governance.setTags(spark, t, Map("domain" -> "ref", "tier" -> "gold"))
+    assert(Governance.tags(spark, t) === Map("domain" -> "ref", "tier" -> "gold"))
+    Governance.setTags(spark, t, Map("tier" -> "silver")) // diff update
+    assert(Governance.tags(spark, t)("tier") === "silver")
+    Governance.removeTags(spark, t, Seq("domain"))
+    assert(Governance.tags(spark, t) === Map("tier" -> "silver"))
+
+    val filter = Governance.CellFilter("n_regionkey = 0", Seq("n_nationkey", "n_name"))
+    Governance.createSecuredView(spark, t, s"$db.gov_v", filter)
+    val viaView = spark.table(s"$db.gov_v")
+    assert(viaView.columns.toSeq === Seq("n_nationkey", "n_name"))
+    assert(viaView.count() === 5)
+    assert(Governance.applyFilter(nation, filter).count() === 5)
+  }
+
+  test("partitioned snapshot: same result as plain SCD2, old partitions untouched") {
+    import java.sql.Timestamp
+    val db = freshDb()
+    val t = s"$db.snap_part"
+    import spark.implicits._
+    def cfg(ts: String) = SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("v")),
+      clock = () => Timestamp.valueOf(ts), partitionHistory = true)
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    SnapshotMaterialization.run(spark, t, v1, cfg("2024-01-01 00:00:00"))
+    // run 2: id=1 changes → closed into partition 2024-02-01
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"), cfg("2024-02-01 00:00:00"))
+    val febFiles = partitionFiles(t, "dbt_valid_to_date=2024-02-01")
+    assert(febFiles.nonEmpty)
+    // run 3: id=2 changes → closed into 2024-03-01; February partition
+    // must not be rewritten.
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("id", "v"), cfg("2024-03-01 00:00:00"))
+    assert(partitionFiles(t, "dbt_valid_to_date=2024-02-01") === febFiles)
+    val snap = spark.table(t)
+    assert(snap.count() === 5) // 3 open + 2 closed versions
+    assert(snap.filter(col("dbt_valid_to").isNull).count() === 3)
+    assert(snap.filter(col("id") === 1 && col("dbt_valid_to").isNull)
+      .head.getAs[String]("v") === "a2")
+    // same-day double close: run 4 changes id=3 with the March clock —
+    // the existing March partition rows must survive the second write.
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c2")).toDF("id", "v"), cfg("2024-03-01 00:00:00"))
+    assert(spark.table(t)
+      .filter(col("dbt_valid_to") === Timestamp.valueOf("2024-03-01 00:00:00"))
+      .count() === 2)
+  }
+
+  test("partition evolution rewrites layout without losing data (O7 analog)") {
+    val db = freshDb()
+    val t = s"$db.evolve_me"
+    TableMaterialization.run(spark, t, nation)
+    assert(intercept[Exception](spark.sql(s"SHOW PARTITIONS $t")) != null)
+    RelationOps.evolvePartitioning(spark, t, Seq("n_regionkey"))
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+    assert(parts.length === 5 && parts.forall(_.startsWith("n_regionkey=")))
+    assert(spark.table(t).count() === 25)
+  }
+
   test("engine: job group cancel API is safe when idle (X5)") {
     graft.core.Engine.withJobGroup(spark, "gspec", "noop") {
       assert(spark.range(10).count() === 10)

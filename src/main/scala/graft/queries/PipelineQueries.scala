@@ -108,19 +108,23 @@ object PipelineQueries {
     "SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_kept FROM documents"
 
   /** Planted-docs corpus as DuckDB SQL — the oracle-side twin of
-    * [[plantedDocs]]. */
+    * [[plantedDocs]], over a `base` CTE supplied by the caller. */
   private val plantedDocsSql =
-    """SELECT doc_id, text FROM documents
+    """SELECT doc_id, text FROM base
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id < 25
       |  UNION ALL
       |  SELECT doc_id + 2000000 AS doc_id, text || ' zq zq' AS text
-      |  FROM documents WHERE doc_id >= 25 AND doc_id < 50""".stripMargin
+      |  FROM base WHERE doc_id >= 25 AND doc_id < 50""".stripMargin
 
   /** Brute-force exact word-3-gram Jaccard pairs ≥ threshold, as DuckDB SQL
-    * (mirrors Dedup.shingles/verifyJaccard semantics exactly). */
-  private def bruteJaccardSql(threshold: Double): String =
-    s"""WITH docs AS (
+    * (mirrors Dedup.shingles/verifyJaccard semantics exactly).
+    * `sample` restricts the base corpus to doc_id < 500 (the recall query's
+    * sf-stable sample). */
+  private def bruteJaccardSql(threshold: Double, sample: Boolean = false): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents${if (sample) " WHERE doc_id < 500" else ""}
+       |), docs AS (
        |  $plantedDocsSql
        |), toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM docs
@@ -153,10 +157,13 @@ object PipelineQueries {
     * the LSH output is sketch-dependent, but its RECALL against the exact
     * pair set is checkable — the oracle computes the true pair count and
     * expects ≥ 90% of them retrieved (the 16-band × 4-row curve puts
-    * expected recall at J=0.7 around 99%).
+    * expected recall at J=0.7 around 99%). Ground truth is quadratic, so
+    * the check runs over a bounded 500-doc sample (sf-stable) — a recall
+    * estimate needs a representative corpus, not the whole table.
     */
   def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val docs = plantedDocs(Tables.documents(spark, dir))
+    val docs = plantedDocs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 500))
     val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 3)
       .filter(col("jaccard") >= 0.7)
       .select("id_a", "id_b")
@@ -171,7 +178,7 @@ object PipelineQueries {
 
   private val ddMinhashRecallSql =
     s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok
-       |FROM (${bruteJaccardSql(0.7)})""".stripMargin
+       |FROM (${bruteJaccardSql(0.7, sample = true)})""".stripMargin
 
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)

@@ -60,4 +60,19 @@ object Engine {
 
   def cancel(spark: SparkSession, group: String): Unit =
     spark.sparkContext.cancelJobGroup(group)
+
+  /** X8: per-model session config (the reference's per-model `meta` confs,
+    * connections.py:54-68) — set runtime confs for the duration of `f`,
+    * then restore the previous values (unsetting ones that were unset).
+    */
+  def withConf[T](spark: SparkSession, confs: Map[String, String])(f: => T): T = {
+    val previous = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      f
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -265,6 +265,24 @@ object IncrementalMaterialization {
     }
 }
 
+/** S12: location resolution (reference impl.py:415-444 `_build_location` /
+  * `get_location`): `custom_location` wins outright; else
+  * `root_location/table`; else the default `warehouse/schema/table`.
+  */
+object Locations {
+  def resolve(spark: SparkSession, rel: graft.core.Relation,
+      rootLocation: Option[String] = None,
+      customLocation: Option[String] = None): String =
+    customLocation.getOrElse {
+      rootLocation match {
+        case Some(r) => s"${r.stripSuffix("/")}/${rel.identifier}"
+        case None =>
+          val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+          s"$wh/${rel.schema}/${rel.identifier}"
+      }
+    }
+}
+
 /** F2: audit-column star projection (reference macros/iceberg_helper.sql:
   * 1-37 — `select *, current_timestamp() as update_iceberg_ts`, dedup-aware
   * when a unique key orders versions). Clock is injectable for

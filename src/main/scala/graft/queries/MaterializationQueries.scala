@@ -274,6 +274,58 @@ object MaterializationQueries {
       |  (CAST(3 AS BIGINT), 'gamma', DATE '2024-03-09', CAST(99.99 AS DOUBLE))
       |) AS t(id, name, event_date, score) ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- O3′ p
+  /** incremental_predicates (reference strategies.sql:67-75): the extra
+    * predicate gates the MATCHED→UPDATE branch — matched rows failing it
+    * keep their target values; inserts are unaffected.
+    */
+  def incMergePredicate(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_merge_pred"
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_orderpriority", lit("STALE"))
+    val source = o.filter(col("o_orderkey") <= 1500)
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("o_orderkey"),
+      matchedPredicate = Some(MergeOps.tgt("o_orderkey") > 750))
+    IncrementalMaterialization.run(spark, t, target, cfg)
+    IncrementalMaterialization.run(spark, t, source, cfg)
+    spark.table(t)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val incMergePredicateSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey <= 750 THEN 'STALE' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey <= 1500 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- O6
+  /** on_schema_change=append_new_columns as a driver-gate row (reference
+    * incremental.sql:71-80 + adapters.sql:15-46): the widened batch adds a
+    * column via ALTER TABLE ADD COLUMNS; pre-existing rows read NULL for it.
+    */
+  def incSchemaChange(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_schema_change"
+    val o = Tables.orders(spark, dir)
+    val cfg = IncrementalConfig(IncrementalStrategy.Append,
+      onSchemaChange = SchemaChangePolicy.AppendNewColumns)
+    IncrementalMaterialization.run(spark, t, o.filter(col("o_orderkey") <= 1000), cfg)
+    IncrementalMaterialization.run(spark, t,
+      o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+        .withColumn("loyalty_tier", lit("gold")), cfg)
+    spark.table(t)
+      .select(col("o_orderkey"), col("loyalty_tier"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val incSchemaChangeSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey > 1000 THEN 'gold' END AS loyalty_tier
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- O3′ c
   /** Partition-scoped merge: the target is partitioned and only the
     * partitions holding batch keys are rewritten (the 100 TB merge path).
@@ -444,6 +496,8 @@ object MaterializationQueries {
     "inc_merge" -> (incMerge _),
     "inc_merge_update_cols" -> (incMergeUpdateCols _),
     "inc_merge_scoped" -> (incMergeScoped _),
+    "inc_merge_predicate" -> (incMergePredicate _),
+    "inc_schema_change" -> (incSchemaChange _),
     "mat_user_model" -> (matUserModel _),
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
@@ -463,6 +517,8 @@ object MaterializationQueries {
     "inc_merge" -> incMergeSql,
     "inc_merge_update_cols" -> incMergeUpdateColsSql,
     "inc_merge_scoped" -> incMergeScopedSql,
+    "inc_merge_predicate" -> incMergePredicateSql,
+    "inc_schema_change" -> incSchemaChangeSql,
     "mat_user_model" -> matUserModelSql,
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,

@@ -225,4 +225,23 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(s2 ne spark)
     assert(s2.sparkContext eq spark.sparkContext)
   }
+
+  test("engine: withConf scopes and restores per-model config (X8)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    graft.core.Engine.withConf(spark, Map(key -> "12345")) {
+      assert(spark.conf.get(key) === "12345")
+    }
+    assert(spark.conf.get(key) === before)
+  }
+
+  test("location resolution follows custom > root > warehouse default (S12)") {
+    val rel = Relation("sales", "orders")
+    assert(Locations.resolve(spark, rel, customLocation = Some("/x/y"))
+      === "/x/y")
+    assert(Locations.resolve(spark, rel, rootLocation = Some("/data/lake/"))
+      === "/data/lake/orders")
+    assert(Locations.resolve(spark, rel)
+      .endsWith("/sales/orders"))
+  }
 }

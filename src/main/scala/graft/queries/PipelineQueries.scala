@@ -264,6 +264,27 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN in the same near-duplicate-retrieval harness as the LSH path:
+    * probes are exact copies of corpus vectors (+5,000,000); the coarse
+    * quantizer must route each probe to its original's inverted list, so
+    * rank-1 retrieval of the original is the deterministic contract the
+    * oracle checks (an identical vector always lands in the same list).
+    */
+  def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+    val probes = vecs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    Knn.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .agg(count(lit(1)).as("n_queries"),
+        (count(when(col("neighbor_id") === col("query_id") - 5000000L, 1))
+          === count(lit(1))).as("top1_ok"))
+  }
+
+  private val simKnnIvfSql =
+    "SELECT COUNT(*) AS n_queries, TRUE AS top1_ok FROM embeddings WHERE vec_id < 20"
+
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packDocuments(Tables.documents(spark, dir))
@@ -280,6 +301,29 @@ object PipelineQueries {
       |  4 AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Frame sampling at the byte level: the oracle recomputes each sampled
+    * window's offset arithmetic and length (DuckDB has no blob substring,
+    * so the check is arithmetic over octet_length — it still pins every
+    * window's position and clamping, not just the frame count).
+    */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.packDocuments(Tables.documents(spark, dir))
+    Multimodal.frameSample(media, n = 4)
+      .select(col("media_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("int").as("frame_bytes"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val mmFramesSql =
+    """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+      |     s AS (SELECT doc_id, nb,
+      |             greatest(CAST(floor(nb / 4) AS INT), 1) AS step
+      |           FROM m)
+      |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(least(greatest(nb - i * step, 0), 16) AS INT) AS frame_bytes
+      |FROM s, (SELECT unnest(range(0, 4)) AS i)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -294,7 +338,9 @@ object PipelineQueries {
     "dd_embedding" -> (ddEmbedding _),
     "sim_knn_brute" -> (simKnnBrute _),
     "sim_knn_lsh" -> (simKnnLsh _),
-    "mm_features" -> (mmFeatures _))
+    "sim_knn_ivf" -> (simKnnIvf _),
+    "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _))
 
   val oracles: Map[String, String] = Map(
     "txt_tokens" -> txtTokensSql,
@@ -305,5 +351,7 @@ object PipelineQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_knn_brute" -> simKnnBruteSql,
-    "mm_features" -> mmFeaturesSql)
+    "sim_knn_ivf" -> simKnnIvfSql,
+    "mm_features" -> mmFeaturesSql,
+    "mm_frames" -> mmFramesSql)
 }

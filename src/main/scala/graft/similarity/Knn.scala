@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,81 @@ object Knn {
       .join(cv, "neighbor_id")
       .join(qv, "query_id")
       .withColumn("cosine", GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
+    topK(scored, k)
+  }
+
+  /** IVF-style ANN (the FAISS IVF-Flat shape on DataFrames): a seeded
+    * KMeans coarse quantizer over L2-normalized vectors partitions the
+    * corpus into `nlist` inverted lists; each query probes its `nprobe`
+    * nearest centroids and exact cosine re-ranks only those lists.
+    *
+    * Scale shape: corpus assignment is one scan-local ML transform; the
+    * centroid table is tiny and broadcast; the candidate join is an
+    * equi-join on list id, so the corpus never shuffles by query. Recall
+    * grows with nprobe (nprobe = nlist ⇒ exact brute force).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // Euclidean k-means on the unit sphere ≈ cosine geometry. The norm is
+    // materialized once per row (a lambda-inlined norm would recompute the
+    // O(d) aggregate per ELEMENT — O(d²) per row).
+    def l2norm(c: Column): Column =
+      sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x))
+    def withNormed(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("__l2", l2norm(col(vec)))
+        .withColumn("nvec", transform(col(vec), x => x.cast("double") / col("__l2")))
+        .drop("__l2")
+
+    val corpusN = withNormed(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+      "neighbor_vec")
+    val assignedInput = corpusN.withColumn("fvec", array_to_vector(col("nvec")))
+    // Train the coarse quantizer on a bounded sample (the standard IVF
+    // recipe: ~100s of points per centroid suffice); the full corpus is
+    // only ASSIGNED, one scan-local transform. Training cost stays flat as
+    // the corpus grows.
+    val trainTarget = nlist * 256
+    val train = assignedInput.select("fvec").limit(trainTarget * 4)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fvec").setPredictionCol("list_id")
+      .fit(train)
+    val assigned = model.transform(assignedInput)
+      .select("neighbor_id", "neighbor_vec", "list_id")
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) =>
+        val arr = v.toArray
+        (i, arr, arr.map(x => x * x).sum)
+      }.toSeq.toDF("list_id", "centroid", "cnorm2")
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    // Probe ranking must mirror the quantizer's metric: for unit-norm q,
+    // argmin ||q - c||² == argmax (2·q·c - ||c||²). Ranking by raw dot
+    // would disagree with KMeans assignment whenever centroid norms differ,
+    // and an identical query could miss its own vector's list.
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("list_id"))
+    val probes = withNormed(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+        "query_vec")
+      .withColumnRenamed("nvec", "qn")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", dot(col("qn"), col("centroid")) * 2 - col("cnorm2"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nprobe)
+      .select("query_id", "query_vec", "list_id")
+
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
     topK(scored, k)
   }
 

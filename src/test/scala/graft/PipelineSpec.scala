@@ -50,6 +50,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(hd(1) > 10)
   }
 
+  test("IVF ANN retrieves planted originals at rank 1") {
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val top = Knn.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3)
+    val top1 = top.filter(col("rank") === 1).collect()
+    assert(top1.length === 5)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 5000000L)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    // nprobe = nlist degenerates to exact search: must agree with brute force
+    val exact = Knn.bruteForceTopK(probes, vecs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+    val ivfFull = Knn.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 8).select("query_id", "neighbor_id", "rank")
+    assert(ivfFull.except(exact).count() === 0)
+    assert(exact.except(ivfFull).count() === 0)
+  }
+
   test("LSH bucket cap bounds candidate pairs for a pathological hot bucket") {
     import spark.implicits._
     // 1,000 identical docs — uncapped, every band bucket would generate

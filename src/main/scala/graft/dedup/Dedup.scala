@@ -21,6 +21,19 @@ import graft.functions.{GraftFunctions, Kernels}
   */
 object Dedup {
 
+  /** Split a 64-bit signature column into per-band bucket rows. The band
+    * hash is computed AFTER the explode from the materialized `sig` column:
+    * inlining the signature kernel into the band array would let Catalyst
+    * collapse it into the Generate and re-evaluate the O(planes×dim) kernel
+    * once per band instead of once per row.
+    */
+  private[dedup] def bandRows(sigs: DataFrame, bands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    sigs.withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        expr(s"shiftright(sig, band_idx * $bandBits) & $mask"))
+  }
+
   /** Within each (band_idx, band_hash) bucket keep only the first
     * `max` members (ordered by id — deterministic). Linear (sort + filter)
     * per bucket; bounds downstream pair generation at max² per bucket.
@@ -164,10 +177,8 @@ object Dedup {
       maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
-    val chunks = (0 until 4).map(j =>
-      shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL)))
-    val banded = capBuckets(sigs.select(col("id"), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash"))), maxBucketSize)
+    val banded = capBuckets(bandRows(sigs, bands = 4, bandBits = 16), maxBucketSize)
+      .select("id", "sig", "band_idx", "band_hash")
     val a = banded.toDF("id_a", "sig_a", "band_idx", "band_hash")
     val b = banded.toDF("id_b", "sig_b", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))
@@ -229,12 +240,11 @@ object Dedup {
       threshold: Double = 0.95, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       GraftFunctions.signProjection(col(vecCol)).as("sig"))
-    val chunks = (0 until 4).map(j =>
-      shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL)))
     // Band rows carry ids only — no vector rides the bucket exchange; the
     // vectors are joined back after the candidate distinct.
-    val banded = capBuckets(sigs.select(col("id"),
-      posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash"))), maxBucketSize)
+    val banded = capBuckets(
+      bandRows(sigs.select("id", "sig"), bands = 4, bandBits = 16), maxBucketSize)
+      .select("id", "band_idx", "band_hash")
     val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))

@@ -49,12 +49,15 @@ object Knn {
       bands: Int = 4, bandBits: Int = 16): DataFrame = {
     require(bands * bandBits <= 64, "bands * bandBits must fit the 64-bit signature")
     val mask = (1L << bandBits) - 1
+    // Band hashes are derived AFTER the explode from a materialized sig so
+    // the O(planes×dim) projection kernel runs once per row, not per band
+    // (Catalyst would collapse an inlined kernel into the Generate).
     def banded(df: DataFrame, role: String) = {
-      val sig = GraftFunctions.signProjection(col(vecCol))
-      val chunks = (0 until bands).map(j =>
-        shiftright(sig, bandBits * j).bitwiseAND(lit(mask)))
       df.select(col(idCol).as(s"${role}_id"),
-        posexplode(array(chunks: _*)).as(Seq("band_idx", "band_hash")))
+          GraftFunctions.signProjection(col(vecCol)).as("sig"))
+        .withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("band_hash", expr(s"shiftright(sig, band_idx * $bandBits) & $mask"))
+        .drop("sig")
     }
     // Candidate generation carries ids only: the distinct dedups (query_id,
     // neighbor_id) without shuffling any vector through the exchange; the

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Engine, Tables}
+import graft.materialize._
+
+/** Diagnostic main: prints the physical plans of the scale-critical paths
+  * so partition pruning / broadcast / exchange placement can be audited
+  * (`sbt "runMain graft.tools.PlanAudit [sfDir]"`). Not part of the driver
+  * contract — a development tool.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Engine.builder("local[8]", "graft-plan-audit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val db = "plan_audit_db"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+
+    // Partitioned snapshot: the current-partition read must show
+    // PartitionFilters on dbt_valid_to_date (static pruning).
+    val c = Tables.customer(spark, dir)
+    val cfg = SnapshotConfig(Seq("c_custkey"),
+      SnapshotStrategy.ByCheck(Seq("c_acctbal")),
+      clock = () => java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      partitionHistory = true)
+    SnapshotMaterialization.run(spark, s"$db.snap", c, cfg)
+    println("=== partitioned-snapshot current read (want PartitionFilters) ===")
+    spark.table(s"$db.snap")
+      .filter(col("dbt_valid_to_date") === to_date(lit("9999-12-31")))
+      .explain()
+
+    // Partition-scoped merge: the scoped-target semi join should prune at
+    // runtime (DPP) or broadcast the tiny partition list.
+    val o = Tables.orders(spark, dir)
+    val mcfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+    IncrementalMaterialization.run(spark, s"$db.om", o, mcfg)
+    val batch = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") <= 500)
+    println("=== scoped-merge affected-partition semi join ===")
+    spark.table(s"$db.om")
+      .join(batch.select("o_orderstatus").distinct(), Seq("o_orderstatus"), "left_semi")
+      .explain()
+
+    // LSH top-k: no embedding array may ride the candidate-distinct exchange.
+    val vecs = Tables.embeddings(spark, dir)
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    println("=== lshTopK (distinct must carry ids only) ===")
+    graft.similarity.Knn.lshTopK(probes, vecs, "vec_id", "embedding", 3).explain()
+
+    // Reference relational shapes: pushdown + broadcast sanity.
+    println("=== q04 filter/projection pushdown ===")
+    graft.queries.RelationalQueries.q04FilterProject(spark, dir).explain()
+
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.stop()
+  }
+}

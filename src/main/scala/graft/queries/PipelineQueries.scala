@@ -253,7 +253,11 @@ object PipelineQueries {
 
   /** LSH ANN in its sweet spot — near-duplicate retrieval: the queries are
     * copies of corpus vectors (ids +5,000,000), and the LSH index must pull
-    * the original back as the top hit without scanning the corpus.
+    * the original back as the top hit without scanning the corpus. Ranks
+    * 2+ depend on bucket contents (sketch-dependent), but rank 1 is a
+    * deterministic contract — an identical vector shares every band, so
+    * the original is always a candidate and wins at cosine 1 — which makes
+    * the rank-1 slice fully oracle-checkable.
     */
   def simKnnLsh(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -261,8 +265,16 @@ object PipelineQueries {
     val probes = vecs.filter(col("vec_id") < 5)
       .withColumn("vec_id", col("vec_id") + 5000000L)
     Knn.lshTopK(probes, vecs, "vec_id", "embedding", 3)
-      .orderBy(col("query_id"), col("rank"))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"))
   }
+
+  private val simKnnLshSql =
+    """SELECT vec_id + 5000000 AS query_id, vec_id AS neighbor_id,
+      |  1.0 AS cosine, 1 AS rank
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
   /** IVF ANN in the same near-duplicate-retrieval harness as the LSH path:
     * probes are exact copies of corpus vectors (+5,000,000); the coarse
@@ -351,6 +363,7 @@ object PipelineQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_knn_brute" -> simKnnBruteSql,
+    "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql)

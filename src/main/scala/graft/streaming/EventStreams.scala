@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface. The reference has no streaming path
@@ -25,6 +25,69 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Input/state/output rows for the stateful sessionizer. */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Stateful streaming sessionizer — the streaming twin of the batch
+    * `evt_sessionize` query, built on `flatMapGroupsWithState` (custom
+    * per-key state, the shape Spark offers for semantics windows can't
+    * express). A session closes after `gapSeconds` of user inactivity:
+    * closure by a newer event emits immediately; the trailing open session
+    * emits when the event-time watermark passes its gap (state is then
+    * dropped, so the store is bounded by ACTIVE users, not history).
+    *
+    * Same second-floor gap arithmetic as the batch query so the two agree
+    * row-for-row on bounded input (StreamingSpec asserts it).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState) = Session(uid,
+            new java.sql.Timestamp(s.start * 1000L),
+            new java.sql.Timestamp(s.end * 1000L), s.n)
+          if (batch.isEmpty && state.hasTimedOut) {
+            // Watermark passed the open session's gap — finalize it.
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // Events within a micro-batch are unordered; sort before folding.
+            val evs = batch.map(e => math.floorDiv(e.ts.getTime, 1000L))
+              .toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            evs.foreach { sec =>
+              open match {
+                case Some(s) if sec - s.end > gapSeconds =>
+                  closed += toSession(s)
+                  open = Some(SessionState(sec, sec, 1))
+                case Some(s) =>
+                  open = Some(SessionState(s.start, math.max(s.end, sec), s.n + 1))
+                case None =>
+                  open = Some(SessionState(sec, sec, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming query over a bounded parquet source into an in-memory
     * sink, synchronously (the local-smoke pattern for streaming jobs:

@@ -49,4 +49,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatched.count() === 0)
     assert(streamed.count() <= batch.count())
   }
+
+  test("stateful streaming sessionizer agrees with the batch sessionizer") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val transform: DataFrame => DataFrame = df =>
+      EventStreams.sessionize(
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))).toDF()
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "session_sink")
+
+    // Batch truth, reduced to the same (user, start, end, n) shape. The
+    // batch query keeps sub-second precision in min/max(ts); the stateful
+    // sessionizer folds on floor-seconds (its gap arithmetic), so compare
+    // on second-floored bounds.
+    val batch = graft.queries.EventQueries.evtSessionize(spark, sf)
+      .select(col("user_id"),
+        expr("timestamp_seconds(CAST(session_start AS LONG))").as("session_start"),
+        expr("timestamp_seconds(CAST(session_end AS LONG))").as("session_end"),
+        col("n_events"))
+
+    assert(streamed.count() > 0)
+    // Every emitted session must exist identically in the batch answer
+    // (append mode withholds sessions still above the watermark).
+    assert(streamed.select("user_id", "session_start", "session_end", "n_events")
+      .except(batch).count() === 0)
+  }
 }

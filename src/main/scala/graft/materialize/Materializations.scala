@@ -241,16 +241,21 @@ object IncrementalMaterialization {
       merged.write.mode(SaveMode.Overwrite).parquet(staging)
       val fresh = spark.read.parquet(staging)
         .select(spark.table(rel.quoted).columns.map(col).toSeq: _*)
+      // Snapshot the affected-partition list BEFORE the overwrite: the plan
+      // reads the target table, and evaluating it after insertInto would
+      // see post-merge state (a moved row's OLD partition would vanish from
+      // the list and never get dropped). Partition lists are metadata
+      // scale, so the collects are bounded.
+      val affectedVals = affected.collect().map(_.toSeq).toSet
+      val writtenVals = fresh.select(pcols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSet
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       fresh.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
       // Drop partitions the merge drained (rows moved out by a key update):
-      // affected-but-absent from the output. Partition lists are metadata
-      // scale, so the collect is bounded.
-      val drained = affected.except(
-        fresh.select(pcols.map(col): _*).distinct()).collect()
-      drained.foreach { row =>
-        val spec = pcols.zipWithIndex
-          .map { case (c, i) => s"`$c` = '${row.get(i)}'" }.mkString(", ")
+      // affected-but-absent from the output.
+      (affectedVals -- writtenVals).foreach { vals =>
+        val spec = pcols.zip(vals)
+          .map { case (c, v) => s"`$c` = '$v'" }.mkString(", ")
         spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS PARTITION ($spec)")
       }
     }

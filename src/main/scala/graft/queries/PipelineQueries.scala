@@ -39,11 +39,15 @@ object PipelineQueries {
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** DuckDB fragment: whitespace token count of `text`. */
+  private val wsTokensFrag =
+    """CAST(len(string_split_regex(trim(text), '\s+')) AS INT)"""
+
   private val txtTokensSql =
-    """SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  $wsTokensFrag AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   def txtQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -52,17 +56,22 @@ object PipelineQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
-  private val txtQualitySql =
-    """SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
-      |  (least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+  /** DuckDB fragment: the quality score of `text` (mirrors
+    * TextAnalysis.qualityScore term-for-term). */
+  private val qualityFrag =
+    """(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
       |   + (CASE WHEN (CAST(length(text) AS DOUBLE)
       |                 - (CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) - 1))
       |                / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
       |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
       |   + (1.0 - least(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-      |                  / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2) AS quality
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |                  / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2)""".stripMargin
+
+  private val txtQualitySql =
+    s"""SELECT doc_id,
+       |  $wsTokensFrag AS n_tokens,
+       |  $qualityFrag AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   def txtLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -76,17 +85,62 @@ object PipelineQueries {
     s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), " +
       s"x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INT)"
 
-  private val txtLangIdSql = {
+  /** DuckDB fragment: the language guess of `text` (mirrors
+    * TextAnalysis.langId's profile-vote tiebreak order). */
+  private val langGuessFrag = {
     val profiles = TextAnalysis.stopwordProfiles
     val Seq(de, en, es, fr) = Seq("de", "en", "es", "fr").map(l => hitsSql(profiles(l)))
-    s"""SELECT doc_id, lang,
-       |  CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+    s"""CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
        |       WHEN $en >= $es AND $en >= $fr THEN 'en'
        |       WHEN $es >= $fr THEN 'es'
-       |       ELSE 'fr' END AS lang_guess,
+       |       ELSE 'fr' END""".stripMargin
+  }
+
+  private val txtLangIdSql = {
+    val profiles = TextAnalysis.stopwordProfiles
+    val Seq(de, en) = Seq("de", "en").map(l => hitsSql(profiles(l)))
+    s"""SELECT doc_id, lang,
+       |  $langGuessFrag AS lang_guess,
        |  $en AS en_hits, $de AS de_hits
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** The composed training-data cleaning pipeline: language filter →
+    * quality filter → exact dedup (lowest doc_id wins) → corpus accounting.
+    * One scan + one dedup shuffle end-to-end; the oracle recomputes the
+    * whole chain declaratively, so the COMPOSITION (filter interplay,
+    * dedup tiebreak, final accounting) is verified, not just each stage.
+    */
+  def pipeCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_guess"))
+    val filtered = scored.filter(col("quality") >= 0.5 && col("lang_guess") === "en")
+    val deduped = Dedup.exact(filtered, Seq("text"), Seq(col("doc_id")))
+    deduped.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      min(col("doc_id")).as("first_doc"))
+  }
+
+  private val pipeCleanCorpusSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    $wsTokensFrag AS n_tokens,
+       |    $qualityFrag AS quality,
+       |    $langGuessFrag AS lang_guess
+       |  FROM documents
+       |), filtered AS (
+       |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess = 'en'
+       |), deduped AS (
+       |  SELECT * FROM filtered
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       |)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS first_doc
+       |FROM deduped""".stripMargin
 
   /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -342,6 +396,7 @@ object PipelineQueries {
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_exact" -> (ddExact _),
     "dd_minhash" -> (ddMinhash _),
     "dd_minhash_recall" -> (ddMinhashRecall _),
@@ -358,6 +413,7 @@ object PipelineQueries {
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
+    "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,

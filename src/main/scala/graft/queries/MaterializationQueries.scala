@@ -50,6 +50,50 @@ object MaterializationQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- S1 b
+  /** CTAS with bucketing, then a bucket-co-located join: both tables hash
+    * into 8 buckets on the join key, so the fact-fact join needs NO
+    * exchange on either side (spec asserts the plan) — the layout knob that
+    * turns the biggest recurring shuffle of a 100 TB star schema into a
+    * scan-local merge.
+    */
+  def matBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    TableMaterialization.run(spark, s"$db.orders_b", Tables.orders(spark, dir),
+      bucketBy = Some((8, Seq("o_orderkey"))))
+    TableMaterialization.run(spark, s"$db.lineitem_b", Tables.lineitem(spark, dir),
+      bucketBy = Some((8, Seq("l_orderkey"))))
+    val o = spark.table(s"$db.orders_b")
+    val l = spark.table(s"$db.lineitem_b")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D2)).cast(DoubleType).as("total_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val matBucketedJoinSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- skew
+  /** Salted two-phase aggregation over a pathologically skewed key space
+    * (3 order statuses ≫ reducer count): partial per (key, salt), final per
+    * key. Result must equal the direct GROUP BY.
+    */
+  def aggSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+      Tables.orders(spark, dir), Seq("o_orderstatus"), saltBuckets = 16,
+      partials = Seq(count(lit(1)).as("pc"),
+        sum(col("o_totalprice").cast(D2)).as("ps")),
+      finals = Seq(sum(col("pc")).as("n"),
+        sum(col("ps")).cast(DoubleType).as("total")))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggSaltedSql = matCtasSql // must equal the direct GROUP BY
+
   // ---------------------------------------------------------------- S2/S3
   /** View over a join, then a query through the view (adapters.sql:253-299). */
   def matView(spark: SparkSession, dir: String): DataFrame = {
@@ -490,6 +534,8 @@ object MaterializationQueries {
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mat_ctas" -> (matCtas _),
+    "mat_bucketed_join" -> (matBucketedJoin _),
+    "agg_salted" -> (aggSalted _),
     "mat_view" -> (matView _),
     "inc_append" -> (incAppend _),
     "inc_insert_overwrite" -> (incInsertOverwrite _),
@@ -511,6 +557,8 @@ object MaterializationQueries {
 
   val oracles: Map[String, String] = Map(
     "mat_ctas" -> matCtasSql,
+    "mat_bucketed_join" -> matBucketedJoinSql,
+    "agg_salted" -> aggSaltedSql,
     "mat_view" -> matViewSql,
     "inc_append" -> incAppendSql,
     "inc_insert_overwrite" -> incInsertOverwriteSql,

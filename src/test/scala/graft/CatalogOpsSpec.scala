@@ -136,6 +136,50 @@ class CatalogOpsSpec extends AnyFunSuite {
       .getOrElse(Set.empty)
   }
 
+  test("bucketed tables join without a join-key exchange") {
+    val db = freshDb()
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    TableMaterialization.run(spark, s"$db.ob", o, bucketBy = Some((4, Seq("o_orderkey"))))
+    TableMaterialization.run(spark, s"$db.lb", l, bucketBy = Some((4, Seq("l_orderkey"))))
+    graft.core.Engine.withConf(spark,
+      Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      val ob = spark.table(s"$db.ob")
+      val lb = spark.table(s"$db.lb")
+      val joined = lb.join(ob, lb("l_orderkey") === ob("o_orderkey"))
+      assert(joined.count() === l.join(o, l("l_orderkey") === o("o_orderkey")).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(l_orderkey"),
+        "bucketed join must not exchange the lineitem side")
+      assert(!plan.contains("hashpartitioning(o_orderkey"),
+        "bucketed join must not exchange the orders side")
+    }
+  }
+
+  test("salted aggregate and salted join match their unsalted twins") {
+    import graft.operators.Skew
+    val o = Tables.orders(spark, sf)
+    // Exact decimal: double SUM is order-dependent, and salting reorders
+    // the additions — the same reason the oracle-checked queries go
+    // through DECIMAL(18,2).
+    val dec = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val salted = Skew.saltedAggregate(o, Seq("o_orderstatus"), 8,
+      partials = Seq(count(lit(1)).as("pc"), sum(dec).as("ps")),
+      finals = Seq(sum(col("pc")).as("n"), sum(col("ps")).cast("double").as("total")))
+    val direct = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(dec).cast("double").as("total"))
+    assert(salted.except(direct).count() === 0)
+    assert(direct.except(salted).count() === 0)
+
+    val n = Tables.nation(spark, sf)
+    val c = Tables.customer(spark, sf)
+      .withColumnRenamed("c_nationkey", "n_nationkey")
+    val sj = Skew.saltedJoin(c, n, Seq("n_nationkey"), 8)
+    val dj = c.join(n, Seq("n_nationkey"))
+    assert(sj.count() === dj.count())
+    assert(sj.select("c_custkey", "n_name").except(dj.select("c_custkey", "n_name")).count() === 0)
+  }
+
   test("audit column: star projection + fixed clock + dedup-aware path") {
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     val out = AuditColumns.withUpdateTs(nation, "update_ts", clock = Some(ts))

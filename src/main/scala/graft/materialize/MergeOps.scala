@@ -87,7 +87,8 @@ object MergeOps {
     * `dbt_change_type`; updates/deletes close the matched current row by
     * setting `dbt_valid_to`, inserts add new rows verbatim.
     */
-  def snapshotMerge(target: DataFrame, staging: DataFrame): DataFrame = {
+  def snapshotMerge(target: DataFrame, staging: DataFrame,
+      openPredicate: Column = col("dbt_valid_to").isNull): DataFrame = {
     val cols = target.columns.toSeq
     val closers = staging
       .filter(col("dbt_change_type").isin("update", "delete"))
@@ -98,7 +99,7 @@ object MergeOps {
     val closed = target
       .join(closers, col("dbt_scd_id") === col("__close_id"), "left")
       .withColumn("dbt_valid_to",
-        when(col("__close_id").isNotNull && col("dbt_valid_to").isNull, col("__new_valid_to"))
+        when(col("__close_id").isNotNull && openPredicate, col("__new_valid_to"))
           .otherwise(col("dbt_valid_to")))
       .select(cols.map(col): _*)
     val inserts = staging

@@ -43,7 +43,24 @@ final case class SnapshotConfig(
       * which is what keeps long histories affordable at 100 TB. Off by
       * default because it adds the partition column to the table schema.
       */
-    partitionHistory: Boolean = false)
+    partitionHistory: Boolean = false,
+    /** dbt's `dbt_valid_to_current` (reference snapshot.sql:27-32): when
+      * set, OPEN rows carry this literal timestamp in `dbt_valid_to`
+      * instead of NULL (the "9999-12-31 convention" some warehouses use so
+      * BETWEEN-style validity predicates need no null handling). Change
+      * detection and close-merges treat the sentinel as open.
+      */
+    validToCurrent: Option[Timestamp] = None) {
+  /** Predicate: is this row's dbt_valid_to an OPEN marker? */
+  def isOpen(validTo: Column): Column = validToCurrent match {
+    case Some(ts) => validTo.isNull || validTo === lit(ts)
+    case None     => validTo.isNull
+  }
+  def openValue: Column = validToCurrent match {
+    case Some(ts) => lit(ts).cast("timestamp")
+    case None     => lit(null).cast("timestamp")
+  }
+}
 
 object SnapshotMaterialization {
   /** md5(coalesce(cast(c as string),'') || '|' || ...) — snapshot.sql:1-6. */
@@ -60,14 +77,14 @@ object SnapshotMaterialization {
     val withMeta = source
       .withColumn("dbt_updated_at", updatedAt)
       .withColumn("dbt_valid_from", updatedAt)
-      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+      .withColumn("dbt_valid_to", cfg.openValue)
       .withColumn("dbt_scd_id",
         scdId(cfg.keys.map(col) :+ col("dbt_updated_at")))
 
     if (!spark.catalog.tableExists(Relation.parse(target).quoted)) {
       if (cfg.partitionHistory)
         TableMaterialization.run(spark, target,
-          withMeta.withColumn(CloseDateCol, closeDate(col("dbt_valid_to"))),
+          withMeta.withColumn(CloseDateCol, closeDate(col("dbt_valid_to"), cfg)),
           partitionBy = Seq(CloseDateCol))
       else
         TableMaterialization.run(spark, target, withMeta)
@@ -80,9 +97,10 @@ object SnapshotMaterialization {
     }
 
     val snapshotted = spark.table(Relation.parse(target).quoted)
-    val current = snapshotted.filter(col("dbt_valid_to").isNull)
+    val current = snapshotted.filter(cfg.isOpen(col("dbt_valid_to")))
     val staging = stagingRows(withMeta, current, cfg, now)
-    val merged = MergeOps.snapshotMerge(snapshotted, staging)
+    val merged = MergeOps.snapshotMerge(snapshotted, staging,
+      openPredicate = cfg.isOpen(col("dbt_valid_to")))
 
     // Same staging-then-swap discipline as incremental merge — staged on
     // shared storage (Staging), never a driver-local temp dir.
@@ -148,8 +166,9 @@ object SnapshotMaterialization {
     * sentinel partition, closed rows under their close date. */
   private val CloseDateCol = "dbt_valid_to_date"
   private val OpenSentinel = "9999-12-31"
-  private def closeDate(validTo: Column): Column =
-    coalesce(to_date(validTo), to_date(lit(OpenSentinel)))
+  private def closeDate(validTo: Column, cfg: SnapshotConfig): Column =
+    when(cfg.isOpen(validTo), to_date(lit(OpenSentinel)))
+      .otherwise(to_date(validTo))
 
   /** History-partitioned snapshot run (cfg.partitionHistory): change
     * detection and the close-merge read ONLY the open partition; the write
@@ -166,10 +185,11 @@ object SnapshotMaterialization {
       .filter(col(CloseDateCol) === to_date(lit(OpenSentinel)))
       .drop(CloseDateCol)
     val staging = stagingRows(withMeta, current, cfg, now)
-    val merged = MergeOps.snapshotMerge(current, staging)
+    val merged = MergeOps.snapshotMerge(current, staging,
+      openPredicate = cfg.isOpen(col("dbt_valid_to")))
 
     Staging.withDir(spark, s"snap_${rel.identifier}") { dir =>
-      merged.withColumn(CloseDateCol, closeDate(col("dbt_valid_to")))
+      merged.withColumn(CloseDateCol, closeDate(col("dbt_valid_to"), cfg))
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val fresh = spark.read.parquet(dir)
       // Close-date partitions touched this run (metadata-scale collect);

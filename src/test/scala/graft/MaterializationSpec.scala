@@ -137,6 +137,32 @@ class MaterializationSpec extends AnyFunSuite {
     assert(closed.select("dbt_valid_to").head.getTimestamp(0) === clock2)
   }
 
+  test("snapshot dbt_valid_to_current: open rows carry the sentinel, not null") {
+    val t = freshTable()
+    import spark.implicits._
+    val sentinel = Timestamp.valueOf("9999-12-31 00:00:00")
+    def cfg(ts: String) = SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("val")),
+      clock = () => Timestamp.valueOf(ts),
+      validToCurrent = Some(sentinel))
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "val"), cfg("2024-01-01 00:00:00"))
+    val after1 = spark.table(t)
+    assert(after1.filter(col("dbt_valid_to").isNull).count() === 0)
+    assert(after1.filter(col("dbt_valid_to") === sentinel).count() === 2)
+
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a2"), (2L, "b")).toDF("id", "val"), cfg("2024-02-01 00:00:00"))
+    val after2 = spark.table(t)
+    assert(after2.count() === 3)
+    // id=1 v1 closed at the run-2 clock; open rows still carry the sentinel
+    assert(after2.filter(col("id") === 1 &&
+      col("dbt_valid_to") === Timestamp.valueOf("2024-02-01 00:00:00")).count() === 1)
+    assert(after2.filter(col("dbt_valid_to") === sentinel).count() === 2)
+    assert(after2.filter(col("id") === 1 && col("dbt_valid_to") === sentinel)
+      .select("val").head.getString(0) === "a2")
+  }
+
   test("seed loads CSV from disk with 2-phase typing") {
     val t = freshTable()
     val csv = java.nio.file.Files.createTempDirectory("graft_seed")

@@ -350,7 +350,9 @@ object SeedLoader {
     if (columnTypes.isEmpty) df
     else df.select(df.columns.toSeq.map { c =>
       columnTypes.get(c) match {
-        case Some(t) => col(c).cast(t).as(c) // 2-phase typing, impl.py:679-690
+        // 2-phase typing (impl.py:679-690); declared names normalized via
+        // the reference's type-mapping rules (TEXT→STRING etc.).
+        case Some(t) => col(c).cast(graft.core.TypeMapper.castType(t)).as(c)
         case None    => col(c)
       }
     }: _*)

@@ -29,6 +29,9 @@ sealed trait SnapshotStrategy
 object SnapshotStrategy {
   final case class ByTimestamp(updatedAt: String) extends SnapshotStrategy
   final case class ByCheck(cols: Seq[String]) extends SnapshotStrategy
+  /** dbt's `check_cols = 'all'`: every non-key source column participates
+    * in change detection. */
+  case object ByCheckAll extends SnapshotStrategy
 }
 
 final case class SnapshotConfig(
@@ -72,7 +75,7 @@ object SnapshotMaterialization {
     val now = lit(cfg.clock()).cast("timestamp")
     val updatedAt: Column = cfg.strategy match {
       case SnapshotStrategy.ByTimestamp(c) => col(c)
-      case SnapshotStrategy.ByCheck(_)     => now
+      case _                               => now // check strategies stamp the clock
     }
     val withMeta = source
       .withColumn("dbt_updated_at", updatedAt)
@@ -126,10 +129,14 @@ object SnapshotMaterialization {
 
     val sHit = col("s.dbt_scd_id").isNotNull
     val tHit = col("t.dbt_scd_id").isNotNull
+    def checkDiff(cols: Seq[String]): Column =
+      cols.map(c => !(col(s"s.$c") <=> col(s"t.$c"))).reduce(_ || _)
     val changed: Column = cfg.strategy match {
       case SnapshotStrategy.ByTimestamp(c) => col(s"s.$c") > col("t.dbt_updated_at")
-      case SnapshotStrategy.ByCheck(cols) =>
-        cols.map(c => !(col(s"s.$c") <=> col(s"t.$c"))).reduce(_ || _)
+      case SnapshotStrategy.ByCheck(cols)  => checkDiff(cols)
+      case SnapshotStrategy.ByCheckAll     =>
+        checkDiff(withMeta.columns.toSeq
+          .filterNot(_.startsWith("dbt_")).filterNot(cfg.keys.contains))
     }
 
     val srcCols = withMeta.columns.toSeq

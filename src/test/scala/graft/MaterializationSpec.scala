@@ -180,6 +180,39 @@ class MaterializationSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 4)
   }
 
+  test("snapshot check_cols=all versions any non-key change") {
+    val t = freshTable()
+    import spark.implicits._
+    def cfg(ts: String) = SnapshotConfig(Seq("id"), SnapshotStrategy.ByCheckAll,
+      clock = () => Timestamp.valueOf(ts))
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v1", "v2"), cfg("2024-01-01 00:00:00"))
+    // change a DIFFERENT column than a ByCheck(v1) config would watch
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a", 11), (2L, "b", 20)).toDF("id", "v1", "v2"), cfg("2024-02-01 00:00:00"))
+    val snap = spark.table(t)
+    assert(snap.count() === 3)
+    assert(snap.filter(col("id") === 1 && col("dbt_valid_to").isNull)
+      .head.getAs[Int]("v2") === 11)
+  }
+
+  test("type mapper mirrors the reference's agate and seed-load rules") {
+    import graft.core.TypeMapper
+    import org.apache.spark.sql.types._
+    assert(TypeMapper.fromAgate("text") === StringType)
+    assert(TypeMapper.fromAgate("number") === LongType)
+    assert(TypeMapper.fromAgate("number", hasDecimals = true) === DoubleType)
+    assert(TypeMapper.fromAgate("date") === DateType)
+    assert(TypeMapper.fromAgate("datetime") === TimestampType)
+    assert(TypeMapper.headTypeName("decimal(10,2)") === "decimal")
+    assert(TypeMapper.headTypeName("array<string>") === "array")
+    assert(TypeMapper.headTypeName("VARCHAR(20)") === "string")
+    assert(TypeMapper.seedLoadType("timestamp") === "string")
+    assert(TypeMapper.seedLoadType("bigint") === "double")
+    assert(TypeMapper.castType("TEXT") === "string")
+    assert(TypeMapper.castType("decimal(10,2)") === "decimal(10,2)")
+  }
+
   test("quality checks return offending rows only") {
     assert(QualityChecks.notNull(orders, "o_orderkey").count() === 0)
     assert(QualityChecks.unique(orders, "o_orderkey").count() === 0)

@@ -114,7 +114,10 @@ object Knn {
     // the corpus grows.
     val trainTarget = nlist * 256
     val train = assignedInput.select("fvec").limit(trainTarget * 4)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    // Random init (seeded): a coarse quantizer doesn't need k-means||'s
+    // extra initialization passes or full convergence.
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+      .setInitMode("random")
       .setFeaturesCol("fvec").setPredictionCol("list_id")
       .fit(train)
     val assigned = model.transform(assignedInput)

@@ -48,6 +48,20 @@ object Engine {
     */
   def newSession(spark: SparkSession): SparkSession = spark.newSession()
 
+  /** X2: session pool keyed like the reference's GLUE_CONNECTIONS_BY_KEY
+    * (connections.py:43-84 — one connection per thread / model / session
+    * group): same key reuses the isolated session, new key forks one off
+    * the shared SparkContext.
+    */
+  object SessionPool {
+    private val sessions =
+      new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+    def forKey(base: SparkSession, key: String): SparkSession =
+      sessions.computeIfAbsent(key, _ => base.newSession())
+    def close(key: String): Unit = sessions.remove(key)
+    def clear(): Unit = sessions.clear()
+  }
+
   /** X5: statement cancel (reference connection.py:283-295) — run `f` under
     * a job group so [[cancel]] can abort all of its Spark jobs from another
     * thread.

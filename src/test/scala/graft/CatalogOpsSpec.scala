@@ -270,6 +270,22 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(s2.sparkContext eq spark.sparkContext)
   }
 
+  test("engine: session pool reuses per key, isolates temp views (X2)") {
+    import graft.core.Engine.SessionPool
+    val a1 = SessionPool.forKey(spark, "model_a")
+    val a2 = SessionPool.forKey(spark, "model_a")
+    val b = SessionPool.forKey(spark, "model_b")
+    assert(a1 eq a2)
+    assert(a1 ne b)
+    assert(a1.sparkContext eq spark.sparkContext)
+    a1.range(3).createOrReplaceTempView("pool_scoped_view")
+    assert(a2.catalog.tableExists("pool_scoped_view"))
+    assert(!b.catalog.tableExists("pool_scoped_view"))
+    SessionPool.clear()
+    assert(SessionPool.forKey(spark, "model_a") ne a1)
+    SessionPool.clear()
+  }
+
   test("engine: withConf scopes and restores per-model config (X8)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val before = spark.conf.get(key)

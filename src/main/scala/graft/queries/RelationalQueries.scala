@@ -473,6 +473,49 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** PIVOT: orders per year × status matrix. Pivot values are enumerated
+    * explicitly so the output schema is static (the scale-safe form — a
+    * value-discovering pivot adds a collect of the key domain). */
+  def q24Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("yr"))
+
+  private val q24Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Higher-order array functions — filter/transform/aggregate stay INSIDE
+    * the array (no explode, no shuffle): long-token stats per document. */
+  def q25HigherOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), t => length(t) > 4).as("long_toks"))
+      .select(col("doc_id"),
+        size(col("long_toks")).as("n_long"),
+        aggregate(transform(col("long_toks"), t => length(t)),
+          lit(0), (acc, n) => acc + n).as("long_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q25Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |           x -> length(x) > 4)) AS INT) AS n_long,
+      |  CAST(coalesce(list_sum(list_transform(
+      |           list_filter(string_split_regex(trim(text), '\s+'),
+      |                       x -> length(x) > 4),
+      |           x -> length(x))), 0) AS INT) AS long_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -497,7 +540,9 @@ object RelationalQueries {
     "q20_json" -> (q20Json _),
     "q21_explode" -> (q21Explode _),
     "q22_approx_distinct" -> (q22ApproxDistinct _),
-    "q23_broadcast_join" -> (q23BroadcastJoin _))
+    "q23_broadcast_join" -> (q23BroadcastJoin _),
+    "q24_pivot" -> (q24Pivot _),
+    "q25_higher_order" -> (q25HigherOrder _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -522,5 +567,7 @@ object RelationalQueries {
     "q20_json" -> q20Sql,
     "q21_explode" -> q21Sql,
     "q22_approx_distinct" -> q22Sql,
-    "q23_broadcast_join" -> q23Sql)
+    "q23_broadcast_join" -> q23Sql,
+    "q24_pivot" -> q24Sql,
+    "q25_higher_order" -> q25Sql)
 }

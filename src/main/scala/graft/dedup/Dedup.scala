@@ -14,10 +14,19 @@ import graft.functions.{GraftFunctions, Kernels}
   * on candidate pairs only). At 100 TB the only shuffles are a groupBy(doc)
   * for signatures and the bucket join; both partial-aggregate map-side.
   *
-  * The cap trades recall only inside pathological buckets (boilerplate text
-  * duplicated millions of times). Route exact duplicates through [[exact]]
-  * first — then hot buckets can only come from *near*-identical clusters,
-  * and any `maxBucketSize` sample of such a cluster still links it.
+  * Exact duplicates are PRE-ROUTED inside every near-dup entry point
+  * ([[collapseGroups]]): identical content collapses to one representative
+  * (min id) via a map-side-combined aggregation — 100M copies of one
+  * boilerplate doc reach the reducer as O(partitions) rows, never as a
+  * 100M-row bucket — LSH runs over distinct content only, and results fan
+  * back out to member ids ([[fanOut]]). Dup groups larger than
+  * `maxBucketSize` are down-sampled for pair REPORTING (the same ≤max²
+  * contract as an LSH bucket); the representative always survives, so the
+  * group still links to its near-dup neighbors.
+  *
+  * The residual cap in [[capBuckets]] then only fires for *near*-identical
+  * clusters (distinct texts landing in one bucket); it trades recall only
+  * there, and any `maxBucketSize` sample of such a cluster still links it.
   */
 object Dedup {
 
@@ -35,14 +44,94 @@ object Dedup {
   }
 
   /** Within each (band_idx, band_hash) bucket keep only the first
-    * `max` members (ordered by id — deterministic). Linear (sort + filter)
-    * per bucket; bounds downstream pair generation at max² per bucket.
+    * `max` members (ordered by id — deterministic). Bounds downstream pair
+    * generation at max² per bucket.
+    *
+    * Enforcement is two-phase so a pathological bucket never funnels through
+    * one task: (1) a map-side-combined count finds buckets over 4·max, and a
+    * deterministic hash-mod filter (broadcast of the rare oversized keys —
+    * ≤ rows/4max of them by construction) down-samples them scan-locally to
+    * ~4·max expected members; (2) the row_number window — whose per-bucket
+    * input is now bounded — applies the exact first-max-by-id cap. Buckets
+    * ≤ 4·max skip phase 1 entirely and keep the exact deterministic-prefix
+    * semantics. (Windows get no AQE skew mitigation, so the bound must exist
+    * BEFORE the sort — that is what phase 1 provides.)
     */
   private def capBuckets(banded: DataFrame, max: Int): DataFrame = {
+    val counts = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__cnt"))
+    val hot = counts.filter(col("__cnt") > 4L * max)
+    val bounded = banded
+      .join(broadcast(hot), Seq("band_idx", "band_hash"), "left")
+      .filter(col("__cnt").isNull ||
+        pmod(xxhash64(col("id")),
+          ceil(col("__cnt") / lit(4 * max)).cast("long")) === 0)
+      .drop("__cnt")
     val w = Window.partitionBy("band_idx", "band_hash").orderBy(col("id"))
-    banded.withColumn("__rn", row_number().over(w))
+    bounded.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= max)
-      .drop("__rn")
+      // the USING-join moved the band keys first; callers rename
+      // positionally, so restore the input column order
+      .select(banded.columns.map(col).toSeq: _*)
+  }
+
+  /** Exact-duplicate pre-routing: collapse rows with identical `content` to
+    * one representative (the min id), so LSH/banding sees each distinct
+    * content ONCE. Returns (reps, members):
+    *   - reps: (id, content) — one row per distinct content, the group's
+    *     min-id row
+    *   - members: (id, __rep) — group membership, down-sampled to at most
+    *     `maxGroupSize` members per group (representative always kept,
+    *     then first-by-id among deterministic hash-mod survivors)
+    *
+    * Scale shape: the group aggregation is map-side combined (a 100M-copy
+    * group reaches the reducer as O(partitions) partial rows); the
+    * membership join is an equi-join, which AQE skew-split handles —
+    * unlike a window, which would sort the whole hot group in one task.
+    * The member cap uses the same bounded two-phase trick as
+    * [[capBuckets]]: hash-mod oversized groups to ~4·max expected
+    * survivors, then an exact row_number cap over the bounded input.
+    */
+  private[dedup] def collapseGroups(docs: DataFrame, idCol: String,
+      contentCol: String, maxGroupSize: Int): (DataFrame, DataFrame) = {
+    val keyed = docs.select(col(idCol).as("id"), col(contentCol).as("__key"))
+    val groups = keyed.groupBy("__key")
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__n"))
+    val reps = groups.select(col("__rep").as("id"), col("__key").as(contentCol))
+    val bounded = keyed.join(groups, "__key")
+      .filter(col("__n") <= maxGroupSize || col("id") === col("__rep") ||
+        pmod(xxhash64(col("id")),
+          ceil(col("__n") / lit(4 * maxGroupSize)).cast("long")) === 0)
+    val w = Window.partitionBy("__rep").orderBy(col("id"))
+    val members = bounded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxGroupSize)
+      .select(col("id"), col("__rep"))
+    (reps, members)
+  }
+
+  /** Fan representative-level near-dup pairs back out to member ids:
+    *   - cross-group: every (member of rep_a) × (member of rep_b) pair
+    *     inherits the rep pair's score (identical content ⇒ identical
+    *     measure), normalized to id_a < id_b
+    *   - within-group: every member pair of a dup group scores as the
+    *     identical-content pair it is, via `selfScore` over the group's
+    *     (id_a, id_b, __rep) rows
+    */
+  private def fanOut(repPairs: DataFrame, members: DataFrame,
+      selfScore: DataFrame => DataFrame): DataFrame = {
+    val mA = members.select(col("__rep").as("id_a"), col("id").as("__ma"))
+    val mB = members.select(col("__rep").as("id_b"), col("id").as("__mb"))
+    val scoreCols = repPairs.columns.filterNot(Set("id_a", "id_b")).toSeq
+    val cross = repPairs.join(mA, "id_a").join(mB, "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a") +:
+        greatest(col("__ma"), col("__mb")).as("id_b") +:
+        scoreCols.map(col): _*)
+    val within = selfScore(
+      members.select(col("__rep"), col("id").as("id_a"))
+        .join(members.select(col("__rep"), col("id").as("id_b")), "__rep")
+        .filter(col("id_a") < col("id_b")))
+    cross.unionByName(within.select(cross.columns.map(col).toSeq: _*))
   }
 
   /** Exact dedup: keep one row per duplicate group, chosen by `tieBreak`
@@ -158,13 +247,20 @@ object Dedup {
     verifyJaccard(docs, idCol, textCol, shingleSize, candidates)
   }
 
-  /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold). */
+  /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold).
+    * Exact duplicates are pre-routed ([[collapseGroups]]): signatures and
+    * buckets are computed over distinct texts only; identical-text pairs
+    * come back via [[fanOut]] at jaccard 1.0 (their exact measure).
+    */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, cfg)
+    val (reps, members) = collapseGroups(docs, idCol, textCol, cfg.maxBucketSize)
+    val sigs = minhashSignatures(reps, "id", textCol, cfg)
     val candidates = bucketJoinPairs(bandedSignatures(sigs, cfg), cfg.maxBucketSize)
-    verifyJaccard(docs, idCol, textCol, cfg.shingleSize, candidates)
+    val repPairs = verifyJaccard(reps, "id", textCol, cfg.shingleSize, candidates)
       .filter(col("jaccard") >= cfg.threshold)
+    fanOut(repPairs, members,
+      within => within.select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
   }
 
   // ------------------------------------------------------------ SimHash
@@ -175,19 +271,22 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
+    val (reps, members) = collapseGroups(docs, idCol, textCol, maxBucketSize)
+    val sigs = reps.select(col("id"),
       GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
     val banded = capBuckets(bandRows(sigs, bands = 4, bandBits = 16), maxBucketSize)
       .select("id", "sig", "band_idx", "band_hash")
     val a = banded.toDF("id_a", "sig_a", "band_idx", "band_hash")
     val b = banded.toDF("id_b", "sig_b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
+    val repPairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    fanOut(repPairs, members, within =>
+      within.select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming")))
   }
 
   // ------------------------------------------------------------ n-gram Jaccard
@@ -202,7 +301,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+    val (reps, members) = collapseGroups(docs, idCol, textCol, maxBucketSize)
+    val sh = shingleRows(reps, "id", textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
     // One window pass: the ordered spec with an unbounded frame yields both
     // the per-doc rank and the per-doc size off a single partition+sort.
@@ -226,8 +326,10 @@ object Dedup {
         col("sz_a") >= lit(threshold) * col("sz_b") &&
         col("sz_b") >= lit(threshold) * col("sz_a"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(docs, idCol, textCol, n, candidates)
+    val repPairs = verifyJaccard(reps, "id", textCol, n, candidates)
       .filter(col("jaccard") >= threshold)
+    fanOut(repPairs, members,
+      within => within.select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
   }
 
   // ------------------------------------------------------------ Embeddings
@@ -238,7 +340,8 @@ object Dedup {
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val (reps, members) = collapseGroups(vectors, idCol, vecCol, maxBucketSize)
+    val sigs = reps.select(col("id"), col(vecCol).as("vec"),
       GraftFunctions.signProjection(col(vecCol)).as("sig"))
     // Band rows carry ids only — no vector rides the bucket exchange; the
     // vectors are joined back after the candidate distinct.
@@ -251,11 +354,20 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = sigs.select(col("id"), col("vec"))
-    candidates
+    val repPairs = candidates
       .join(vecs.toDF("id_a", "vec_a"), "id_a")
       .join(vecs.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    // Within-group score = the identical-vector cosine computed by the SAME
+    // kernel over the rep's own vector — bit-identical to what the uncollapsed
+    // pair would have produced (not a synthesized 1.0, which could differ in
+    // the last ulp).
+    fanOut(repPairs, members, within =>
+      within.join(vecs.toDF("__rep", "vec"), "__rep")
+        .select(col("id_a"), col("id_b"),
+          GraftFunctions.cosineSim(col("vec"), col("vec")).as("cosine"))
+        .filter(col("cosine") >= threshold))
   }
 }

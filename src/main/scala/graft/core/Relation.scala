@@ -20,6 +20,18 @@ final case class Relation(schema: String, identifier: String, isTemporary: Boole
 object Relation {
   def temp(identifier: String): Relation = Relation("", identifier, isTemporary = true)
 
+  /** Render a runtime value as a safe single-quoted SQL string literal —
+    * the ONLY way data values may enter generated DDL text (partition
+    * specs, TBLPROPERTIES). Escapes backslash + single quote; a null
+    * partition value renders as Hive's default-partition sentinel, which is
+    * how Spark names the directory a null partition row lands in.
+    */
+  def sqlLiteral(v: Any): String = v match {
+    case null => "'__HIVE_DEFAULT_PARTITION__'"
+    case other =>
+      "'" + other.toString.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  }
+
   /** Parse a raw `schema.identifier` / `identifier` string (no backticks —
     * quoting is THIS type's job; raw dots inside names are not supported,
     * mirroring the reference's 2-level namespace).

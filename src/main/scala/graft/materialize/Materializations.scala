@@ -255,7 +255,8 @@ object IncrementalMaterialization {
       // affected-but-absent from the output.
       (affectedVals -- writtenVals).foreach { vals =>
         val spec = pcols.zip(vals)
-          .map { case (c, v) => s"`$c` = '$v'" }.mkString(", ")
+          .map { case (c, v) => s"`$c` = ${Relation.sqlLiteral(v)}" }
+          .mkString(", ")
         spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS PARTITION ($spec)")
       }
     }
@@ -336,7 +337,26 @@ object SeedLoader {
   def loadCsv(spark: SparkSession, table: String, path: String,
       columnTypes: Map[String, String] = Map.empty,
       overwrite: Boolean = true): Unit = {
-    val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    val raw =
+      if (columnTypes.isEmpty)
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else {
+        // Phase-1 lenient load typing (reference impl.py:37-64 via
+        // TypeMapper.seedLoadType): parse the CSV AS the lenient types
+        // derived from the declared column types — timestamp/date as
+        // string, bigint as double — in ONE scan; inferSchema would scan
+        // the file twice AND could infer a type the reference's
+        // string-then-cast contract never produces. Undeclared columns
+        // load as string (the lenient identity).
+        val header = spark.read.option("header", "true").csv(path)
+          .schema.fieldNames.toSeq
+        val loadSchema = org.apache.spark.sql.types.StructType(header.map { c =>
+          val load = columnTypes.get(c)
+            .map(graft.core.TypeMapper.seedLoadType).getOrElse("string")
+          StructField(c, org.apache.spark.sql.types.DataType.fromDDL(load))
+        })
+        spark.read.option("header", "true").schema(loadSchema).csv(path)
+      }
     write(spark, table, cast(raw, columnTypes), overwrite)
   }
 

@@ -52,14 +52,18 @@ object Governance {
     * not in `tags` are left alone; use [[removeTags]] to drop). */
   def setTags(spark: SparkSession, table: String, tags: Map[String, String]): Unit =
     if (tags.nonEmpty) {
+      // Keys and values are caller data — they only enter the DDL as escaped
+      // literals (a tag value containing ' must not break the statement).
       val props = tags
-        .map { case (k, v) => s"'$TagPrefix$k' = '$v'" }.mkString(", ")
+        .map { case (k, v) =>
+          s"${Relation.sqlLiteral(TagPrefix + k)} = ${Relation.sqlLiteral(v)}"
+        }.mkString(", ")
       spark.sql(s"ALTER TABLE ${Relation.parse(table).quoted} SET TBLPROPERTIES ($props)")
     }
 
   def removeTags(spark: SparkSession, table: String, keys: Seq[String]): Unit =
     if (keys.nonEmpty) {
-      val props = keys.map(k => s"'$TagPrefix$k'").mkString(", ")
+      val props = keys.map(k => Relation.sqlLiteral(TagPrefix + k)).mkString(", ")
       spark.sql(
         s"ALTER TABLE ${Relation.parse(table).quoted} UNSET TBLPROPERTIES IF EXISTS ($props)")
     }

@@ -351,6 +351,42 @@ object PipelineQueries {
   private val simKnnIvfSql =
     "SELECT COUNT(*) AS n_queries, TRUE AS top1_ok FROM embeddings WHERE vec_id < 20"
 
+  /** IVF recall against brute-force ground truth (the FAISS recall@1
+    * protocol, mirroring dd_minhash_recall): probes are deterministic
+    * 95/5 blends of neighboring corpus vectors — close to their source but
+    * NOT byte-identical, so the coarse quantizer must route a genuinely
+    * novel point. At nprobe=4 of nlist=16 the gate demands ≥90% of probes
+    * retrieve their true nearest neighbor. recall@1 (not @k) because the
+    * synthetic corpus is isotropic — ranks 2+ sit in the noise floor
+    * (cosine ≈ 0.3) and spread uniformly across lists, so recall@k>1
+    * would measure the corpus, not the index. Bounded 500-vector sample,
+    * sf-stable.
+    */
+  def simKnnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val a = corpus.select(col("vec_id").as("pid"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("nid"), col("embedding").as("vb"))
+    val probes = a.join(b, col("nid") === (col("pid") + 1) % 500)
+      .select((col("pid") + 7000000L).as("vec_id"),
+        transform(zip_with(col("va"), col("vb"),
+          (x, y) => x.cast("double") * 0.95 + y.cast("double") * 0.05),
+          v => v.cast("float")).as("embedding"))
+    val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = Knn.ivfTopK(probes, corpus, "vec_id", "embedding", k = 1,
+      nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.intersect(found)
+    truth.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"),
+        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+  }
+
+  private val simKnnIvfRecallSql =
+    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packDocuments(Tables.documents(spark, dir))
@@ -406,6 +442,7 @@ object PipelineQueries {
     "sim_knn_brute" -> (simKnnBrute _),
     "sim_knn_lsh" -> (simKnnLsh _),
     "sim_knn_ivf" -> (simKnnIvf _),
+    "sim_knn_ivf_recall" -> (simKnnIvfRecall _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _))
 
@@ -421,6 +458,7 @@ object PipelineQueries {
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
+    "sim_knn_ivf_recall" -> simKnnIvfRecallSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql)
 }

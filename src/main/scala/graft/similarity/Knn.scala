@@ -108,12 +108,18 @@ object Knn {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
       "neighbor_vec")
     val assignedInput = corpusN.withColumn("fvec", array_to_vector(col("nvec")))
-    // Train the coarse quantizer on a bounded sample (the standard IVF
-    // recipe: ~100s of points per centroid suffice); the full corpus is
-    // only ASSIGNED, one scan-local transform. Training cost stays flat as
-    // the corpus grows.
+    // Train the coarse quantizer on a bounded REPRESENTATIVE sample (the
+    // standard IVF recipe: ~100s of points per centroid suffice); the full
+    // corpus is only ASSIGNED, one scan-local transform. Training cost stays
+    // flat as the corpus grows. A seeded sample() — not limit(), which takes
+    // whatever partitions arrive first and on clustered/sorted corpora would
+    // train the quantizer on one region of the space, skewing the inverted
+    // lists. The count() is parquet-metadata cheap relative to the KMeans.
     val trainTarget = nlist * 256
-    val train = assignedInput.select("fvec").limit(trainTarget * 4)
+    val fraction = math.min(1.0,
+      trainTarget * 4.0 / math.max(corpus.count(), 1L))
+    val train = assignedInput.select("fvec")
+      .sample(withReplacement = false, fraction, seed)
     // Random init (seeded): a coarse quantizer doesn't need k-means||'s
     // extra initialization passes or full convergence.
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)

@@ -128,6 +128,41 @@ class CatalogOpsSpec extends AnyFunSuite {
       .exists(_.startsWith("part=A")))
   }
 
+  test("partition-scoped merge: quoted and null partition values drain safely") {
+    val db = freshDb()
+    val t = s"$db.part_merge_quoted"
+    import spark.implicits._
+    // partition values an unescaped interpolation would choke on: a single
+    // quote inside the value, and a NULL partition value
+    val base = Seq((1L, "it's-A", 10.0), (2L, "plain-B", 20.0), (3L, null, 30.0))
+      .toDF("id", "part", "amount")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("id"), partitionBy = Seq("part"))
+    IncrementalMaterialization.run(spark, t, base, cfg)
+    // move id=1 out of the quoted partition and id=3 out of the null one:
+    // both source partitions drain → DROP PARTITION with escaped literals
+    val batch = Seq((1L, "plain-B", 11.0), (3L, "plain-B", 31.0))
+      .toDF("id", "part", "amount")
+    IncrementalMaterialization.run(spark, t, batch, cfg)
+    val got = spark.table(t).select("id", "part", "amount").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got === Array((1L, "plain-B", 11.0), (2L, "plain-B", 20.0),
+      (3L, "plain-B", 31.0)))
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+    assert(parts.length === 1 && parts.head.startsWith("part=plain-B"),
+      s"stale partitions not dropped: ${parts.mkString(",")}")
+  }
+
+  test("governance: tag values with quotes survive the DDL roundtrip") {
+    import graft.quality.Governance
+    val db = freshDb()
+    val t = s"$db.gov_quoted"
+    TableMaterialization.run(spark, t, nation)
+    val tags = Map("note" -> "it's a 'quoted' value \\ with backslash")
+    Governance.setTags(spark, t, tags)
+    assert(Governance.tags(spark, t) === tags)
+  }
+
   private def partitionFiles(table: String, part: String): Set[String] = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location").collect().head.getString(1)

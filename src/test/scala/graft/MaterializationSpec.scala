@@ -180,6 +180,28 @@ class MaterializationSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 4)
   }
 
+  test("seed CSV phase-1 lenient schema handles beyond-int bigints and bare dates") {
+    // Reference contract (impl.py:37-64): the CSV parses AS the lenient
+    // load type of each declared column (bigint→double, date→string), then
+    // the cast projection applies the declared type — one scan, no
+    // inference pass to disagree with.
+    val t = freshTable()
+    val csv = java.nio.file.Files.createTempDirectory("graft_seed_lenient")
+    java.nio.file.Files.writeString(csv.resolve("seed.csv"),
+      "id,big,joined,note\n1,3000000000,2024-01-01,x\n2,-3000000000,2024-05-06,y\n")
+    SeedLoader.loadCsv(spark, t, csv.resolve("seed.csv").toString,
+      columnTypes = Map("big" -> "bigint", "joined" -> "date"))
+    val got = spark.table(t)
+    assert(got.schema("big").dataType.typeName === "long")
+    assert(got.schema("joined").dataType.typeName === "date")
+    // undeclared columns load as string (the lenient identity)
+    assert(got.schema("id").dataType.typeName === "string")
+    val rows = got.orderBy(col("big")).collect()
+    assert(rows.map(_.getAs[Long]("big")).toSeq === Seq(-3000000000L, 3000000000L))
+    assert(rows.map(_.getAs[java.sql.Date]("joined").toString).toSeq ===
+      Seq("2024-05-06", "2024-01-01"))
+  }
+
   test("snapshot check_cols=all versions any non-key change") {
     val t = freshTable()
     import spark.implicits._

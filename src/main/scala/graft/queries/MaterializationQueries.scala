@@ -245,6 +245,34 @@ object MaterializationQueries {
       |FROM customer WHERE c_nationkey = 1
       |ORDER BY c_custkey, dbt_valid_from""".stripMargin
 
+  // ---------------------------------------------------------------- O4 del
+  /** invalidate_hard_deletes (reference snapshot.sql delete branch): keys
+    * that vanish from the source get their open row closed at the snapshot
+    * clock; surviving keys stay open.
+    */
+  def snapScd2Deletes(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.customer_snapshot_del"
+    val c = Tables.customer(spark, dir)
+    def cfg(ts: Timestamp) = SnapshotConfig(
+      keys = Seq("c_custkey"),
+      strategy = SnapshotStrategy.ByCheck(Seq("c_acctbal")),
+      invalidateHardDeletes = true,
+      clock = () => ts)
+    SnapshotMaterialization.run(spark, t, c,
+      cfg(Timestamp.valueOf("2024-01-01 00:00:00")))
+    SnapshotMaterialization.run(spark, t, c.filter(col("c_nationkey") =!= 2),
+      cfg(Timestamp.valueOf("2024-02-01 00:00:00")))
+    spark.table(t)
+      .select(col("c_custkey"), col("c_acctbal"), col("dbt_valid_from"), col("dbt_valid_to"))
+      .orderBy(col("c_custkey"), col("dbt_valid_from"))
+  }
+
+  private val snapScd2DeletesSql =
+    """SELECT c_custkey, c_acctbal, TIMESTAMP '2024-01-01' AS dbt_valid_from,
+      |  CASE WHEN c_nationkey = 2 THEN TIMESTAMP '2024-02-01' END AS dbt_valid_to
+      |FROM customer ORDER BY c_custkey, dbt_valid_from""".stripMargin
+
   // ---------------------------------------------------------------- O4 part
   /** Same SCD2 scenario as snap_scd2 but with history partitioned by close
     * date (the 100 TB layout: a run scans/rewrites only the open partition
@@ -367,6 +395,34 @@ object MaterializationQueries {
 
   private val incSchemaChangeSql =
     """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey > 1000 THEN 'gold' END AS loyalty_tier
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- O6 sync
+  /** on_schema_change=sync_all_columns (reference adapters.sql:15-46): the
+    * second batch DROPS one column and ADDS another. Sync adds the new
+    * column; the dropped one is retained (column removal is rejected on
+    * every reference platform) and reads NULL for the new rows.
+    */
+  def incSchemaSync(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_schema_sync"
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+    val cfg = IncrementalConfig(IncrementalStrategy.Append,
+      onSchemaChange = SchemaChangePolicy.SyncAllColumns)
+    IncrementalMaterialization.run(spark, t,
+      o.filter(col("o_orderkey") <= 1000).withColumn("legacy", lit("old")), cfg)
+    IncrementalMaterialization.run(spark, t,
+      o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+        .withColumn("loyalty_tier", lit("gold")), cfg)
+    spark.table(t)
+      .select(col("o_orderkey"), col("legacy"), col("loyalty_tier"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val incSchemaSyncSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey <= 1000 THEN 'old' END AS legacy,
       |  CASE WHEN o_orderkey > 1000 THEN 'gold' END AS loyalty_tier
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
@@ -531,6 +587,142 @@ object MaterializationQueries {
     """SELECT l_orderkey, COUNT(*) AS n_records FROM lineitem
       |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin
 
+  /** not_null data test (reference not_null.sql): offending rows. The base
+    * tables have no nulls, so the gate derives a column that nulls out one
+    * priority class and asserts exactly those rows are reported.
+    */
+  def dqNotNull(spark: SparkSession, dir: String): DataFrame = {
+    val withNulls = Tables.orders(spark, dir).withColumn("prio",
+      when(col("o_orderpriority") === "3-MEDIUM", lit(null: String))
+        .otherwise(col("o_orderpriority")))
+    QualityChecks.notNull(withNulls, "prio")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val dqNotNullSql =
+    """SELECT o_orderkey FROM orders
+      |WHERE o_orderpriority = '3-MEDIUM' ORDER BY o_orderkey""".stripMargin
+
+  /** relationships data test (reference relationships.sql:1-19): child keys
+    * with no matching parent, as a LEFT ANTI join. The parent is truncated
+    * to keys ≤ 1000 so the orphan set is deterministic and non-empty.
+    */
+  def dqRelationships(spark: SparkSession, dir: String): DataFrame =
+    QualityChecks.relationships(
+      Tables.lineitem(spark, dir), "l_orderkey",
+      Tables.orders(spark, dir).filter(col("o_orderkey") <= 1000), "o_orderkey")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_orphans"))
+      .orderBy(col("l_orderkey"))
+
+  private val dqRelationshipsSql =
+    """SELECT l_orderkey, COUNT(*) AS n_orphans FROM lineitem
+      |WHERE l_orderkey IS NOT NULL
+      |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- lifecycle
+  /** The reference's end-to-end `dbt build` lifecycle (SURVEY §3.1) as ONE
+    * gate row: seed → view → incremental merge (2 batches) → snapshot over
+    * the twice-loaded seed → data-quality tests, executed in dependency
+    * order with each "model" on its own pooled session (X2 — sessions share
+    * the catalog, so cross-model reads resolve by name). The oracle
+    * recomputes the full final state declaratively from the raw tables.
+    */
+  def pipeDbtLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Engine
+    val db = scratchDb(spark)
+    val cut = to_timestamp(lit("1997-07-01"))
+
+    def seedRows(s: SparkSession, feeO: String): DataFrame = {
+      import s.implicits._
+      Seq(("O", feeO), ("F", "2.0"), ("P", "3.0")).toDF("status", "fee")
+    }
+    // model 1 (seed, S4): fee schedule with declared types
+    locally {
+      val s = Engine.SessionPool.forKey(spark, s"$db.seed")
+      SeedLoader.loadRows(s, s"$db.fee_schedule", seedRows(s, "1.0"),
+        columnTypes = Map("fee" -> "double"))
+    }
+    // model 2 (view, S2): projection of the seed
+    ViewMaterialization.run(Engine.SessionPool.forKey(spark, s"$db.view"),
+      s"$db.fee_v", s"SELECT status, fee FROM $db.fee_schedule")
+    // model 3 (incremental merge, O3′): per-customer order fees, two batches
+    locally {
+      val s = Engine.SessionPool.forKey(spark, s"$db.inc")
+      val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+        uniqueKey = Seq("o_custkey"))
+      def batch(pred: org.apache.spark.sql.Column): DataFrame =
+        Tables.orders(s, dir).filter(pred)
+          .join(s.table(s"$db.fee_v"), col("o_orderstatus") === col("status"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("fee")).as("total_fees"))
+      IncrementalMaterialization.run(s, s"$db.cust_fees",
+        batch(col("o_orderdate") < cut), cfg)
+      IncrementalMaterialization.run(s, s"$db.cust_fees",
+        batch(col("o_orderdate") >= cut), cfg)
+    }
+    // model 4 (snapshot, O4): seed fee changes between runs → SCD2 history
+    locally {
+      val s = Engine.SessionPool.forKey(spark, s"$db.snap")
+      def cfg(ts: String) = SnapshotConfig(Seq("status"),
+        SnapshotStrategy.ByCheck(Seq("fee")),
+        clock = () => Timestamp.valueOf(ts))
+      SnapshotMaterialization.run(s, s"$db.fee_snapshot",
+        s.table(s"$db.fee_v"), cfg("2024-01-01 00:00:00"))
+      SeedLoader.loadRows(s, s"$db.fee_schedule", seedRows(s, "1.5"),
+        columnTypes = Map("fee" -> "double"))
+      SnapshotMaterialization.run(s, s"$db.fee_snapshot",
+        s.table(s"$db.fee_v"), cfg("2024-02-01 00:00:00"))
+    }
+    // model 5 (dq): dbt tests over the merged output — all must pass
+    val s5 = Engine.SessionPool.forKey(spark, s"$db.dq")
+    val merged = s5.table(s"$db.cust_fees")
+    val dqViolations =
+      QualityChecks.notNull(merged, "o_custkey").count() +
+        QualityChecks.unique(merged, "o_custkey").count() +
+        QualityChecks.relationships(merged, "o_custkey",
+          Tables.customer(s5, dir), "c_custkey").count()
+    Seq("seed", "view", "inc", "snap", "dq")
+      .foreach(k => Engine.SessionPool.close(s"$db.$k"))
+
+    val snap = spark.table(s"$db.fee_snapshot")
+    merged.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("total_fees")).cast(DoubleType).as("total_fees"))
+      .crossJoin(snap.agg(count(lit(1)).as("snap_rows"),
+        count(when(col("dbt_valid_to").isNull, 1)).as("snap_open")))
+      .withColumn("dq_violations", lit(dqViolations))
+  }
+
+  private val pipeDbtLifecycleSql =
+    """WITH fees AS (
+      |  SELECT * FROM (VALUES
+      |    ('O', CAST(1.0 AS DOUBLE)), ('F', CAST(2.0 AS DOUBLE)),
+      |    ('P', CAST(3.0 AS DOUBLE))) AS t(status, fee)
+      |), early AS (
+      |  SELECT o_custkey, COUNT(*) AS n, SUM(fee) AS tf
+      |  FROM orders JOIN fees ON o_orderstatus = status
+      |  WHERE o_orderdate < TIMESTAMP '1997-07-01' GROUP BY o_custkey
+      |), late AS (
+      |  SELECT o_custkey, COUNT(*) AS n, SUM(fee) AS tf
+      |  FROM orders JOIN fees ON o_orderstatus = status
+      |  WHERE o_orderdate >= TIMESTAMP '1997-07-01' GROUP BY o_custkey
+      |), merged AS (
+      |  SELECT COALESCE(l.o_custkey, e.o_custkey) AS ck,
+      |    COALESCE(l.n, e.n) AS n, COALESCE(l.tf, e.tf) AS tf
+      |  FROM early e FULL JOIN late l ON e.o_custkey = l.o_custkey
+      |)
+      |SELECT COUNT(*) AS n_customers,
+      |  CAST(SUM(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(tf) AS DOUBLE) AS total_fees,
+      |  CAST(4 AS BIGINT) AS snap_rows,
+      |  CAST(3 AS BIGINT) AS snap_open,
+      |  CAST(0 AS BIGINT) AS dq_violations
+      |FROM merged""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mat_ctas" -> (matCtas _),
@@ -544,16 +736,21 @@ object MaterializationQueries {
     "inc_merge_scoped" -> (incMergeScoped _),
     "inc_merge_predicate" -> (incMergePredicate _),
     "inc_schema_change" -> (incSchemaChange _),
+    "inc_schema_sync" -> (incSchemaSync _),
     "mat_user_model" -> (matUserModel _),
+    "pipe_dbt_lifecycle" -> (pipeDbtLifecycle _),
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
+    "snap_scd2_deletes" -> (snapScd2Deletes _),
     "lf_secured_view" -> (lfSecuredView _),
     "seed_types" -> (seedTypes _),
     "dq_accepted_values" -> (dqAcceptedValues _),
-    "dq_unique" -> (dqUnique _))
+    "dq_unique" -> (dqUnique _),
+    "dq_not_null" -> (dqNotNull _),
+    "dq_relationships" -> (dqRelationships _))
 
   val oracles: Map[String, String] = Map(
     "mat_ctas" -> matCtasSql,
@@ -567,14 +764,19 @@ object MaterializationQueries {
     "inc_merge_scoped" -> incMergeScopedSql,
     "inc_merge_predicate" -> incMergePredicateSql,
     "inc_schema_change" -> incSchemaChangeSql,
+    "inc_schema_sync" -> incSchemaSyncSql,
     "mat_user_model" -> matUserModelSql,
+    "pipe_dbt_lifecycle" -> pipeDbtLifecycleSql,
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design
+    "snap_scd2_deletes" -> snapScd2DeletesSql,
     "lf_secured_view" -> lfSecuredViewSql,
     "seed_types" -> seedTypesSql,
     "dq_accepted_values" -> dqAcceptedValuesSql,
-    "dq_unique" -> dqUniqueSql)
+    "dq_unique" -> dqUniqueSql,
+    "dq_not_null" -> dqNotNullSql,
+    "dq_relationships" -> dqRelationshipsSql)
 }

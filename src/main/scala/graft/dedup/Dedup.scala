@@ -79,26 +79,44 @@ object Dedup {
     * one representative (the min id), so LSH/banding sees each distinct
     * content ONCE. Returns (reps, members):
     *   - reps: (id, content) — one row per distinct content, the group's
-    *     min-id row
-    *   - members: (id, __rep) — group membership, down-sampled to at most
-    *     `maxGroupSize` members per group (representative always kept,
-    *     then first-by-id among deterministic hash-mod survivors)
+    *     min-id row (singletons pass through untouched)
+    *   - members: (id, __rep) — membership of DUP GROUPS ONLY (size > 1),
+    *     down-sampled to at most `maxGroupSize` members per group
+    *     (representative always kept, then first-by-id among deterministic
+    *     hash-mod survivors). Singletons are implicit — [[fanOut]] falls
+    *     back to the rep id itself.
     *
-    * Scale shape: the group aggregation is map-side combined (a 100M-copy
-    * group reaches the reducer as O(partitions) partial rows); the
-    * membership join is an equi-join, which AQE skew-split handles —
-    * unlike a window, which would sort the whole hot group in one task.
-    * The member cap uses the same bounded two-phase trick as
+    * Scale shape: content identity is a scan-local 128-bit hash pair
+    * (collision odds ~n²/2¹²⁹ — vanishing even at 10¹¹ docs), so the group
+    * aggregation shuffles (hash, id) — never the content — and is map-side
+    * combined: a 100M-copy group reaches the reducer as O(partitions)
+    * partial rows. The one content-carrying join is against the DUP groups
+    * only, which a mostly-unique corpus keeps broadcast-small; when dups
+    * dominate it degrades to a shuffled equi-join, which AQE skew-split
+    * handles — unlike a window, which would sort the whole hot group in one
+    * task. The member cap uses the same bounded two-phase trick as
     * [[capBuckets]]: hash-mod oversized groups to ~4·max expected
     * survivors, then an exact row_number cap over the bounded input.
     */
   private[dedup] def collapseGroups(docs: DataFrame, idCol: String,
       contentCol: String, maxGroupSize: Int): (DataFrame, DataFrame) = {
-    val keyed = docs.select(col(idCol).as("id"), col(contentCol).as("__key"))
-    val groups = keyed.groupBy("__key")
-      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__n"))
-    val reps = groups.select(col("__rep").as("id"), col("__key").as(contentCol))
-    val bounded = keyed.join(groups, "__key")
+    val keyed = docs.select(col(idCol).as("id"), col(contentCol).as("__c"),
+      xxhash64(col(contentCol)).as("__h1"),
+      xxhash64(lit(7), col(contentCol)).as("__h2"))
+    // One map-side-combined aggregation carries the content through first()
+    // (all group members are identical by construction), so `reps` is a
+    // plain agg output — a single reusable exchange, not a join subtree
+    // that downstream shingle/signature passes would re-evaluate.
+    val groups = keyed.groupBy("__h1", "__h2")
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__n"),
+        first(col("__c")).as("__c"))
+    val reps = groups.select(col("__rep").as("id"), col("__c").as(contentCol))
+    val dupGroups = groups.filter(col("__n") > 1)
+      .select("__h1", "__h2", "__rep", "__n")
+    // Membership carries ids + 16-byte hash keys only — content never rides
+    // this join, and a mostly-unique corpus keeps dupGroups broadcast-small.
+    val bounded = keyed.select("id", "__h1", "__h2")
+      .join(dupGroups, Seq("__h1", "__h2"))
       .filter(col("__n") <= maxGroupSize || col("id") === col("__rep") ||
         pmod(xxhash64(col("id")),
           ceil(col("__n") / lit(4 * maxGroupSize)).cast("long")) === 0)
@@ -113,7 +131,9 @@ object Dedup {
   /** Fan representative-level near-dup pairs back out to member ids:
     *   - cross-group: every (member of rep_a) × (member of rep_b) pair
     *     inherits the rep pair's score (identical content ⇒ identical
-    *     measure), normalized to id_a < id_b
+    *     measure), normalized to id_a < id_b. `members` holds dup groups
+    *     only, so the joins are left with the rep id itself as fallback —
+    *     a singleton rep is its own single member.
     *   - within-group: every member pair of a dup group scores as the
     *     identical-content pair it is, via `selfScore` over the group's
     *     (id_a, id_b, __rep) rows
@@ -123,7 +143,11 @@ object Dedup {
     val mA = members.select(col("__rep").as("id_a"), col("id").as("__ma"))
     val mB = members.select(col("__rep").as("id_b"), col("id").as("__mb"))
     val scoreCols = repPairs.columns.filterNot(Set("id_a", "id_b")).toSeq
-    val cross = repPairs.join(mA, "id_a").join(mB, "id_b")
+    val cross = repPairs
+      .join(mA, Seq("id_a"), "left")
+      .join(mB, Seq("id_b"), "left")
+      .withColumn("__ma", coalesce(col("__ma"), col("id_a")))
+      .withColumn("__mb", coalesce(col("__mb"), col("id_b")))
       .select(least(col("__ma"), col("__mb")).as("id_a") +:
         greatest(col("__ma"), col("__mb")).as("id_b") +:
         scoreCols.map(col): _*)

@@ -76,4 +76,93 @@ object Governance {
       .collect { case (k, v) if k.startsWith(TagPrefix) =>
         k.stripPrefix(TagPrefix) -> v
       }.toMap
+
+  // ------------------------------------------------------- principal plane
+
+  private val FilterPrefix = "graft.filter."
+  private val GrantPrefix = "graft.grant."
+
+  final case class GrantDiff(added: Map[String, String],
+      revoked: Map[String, String])
+
+  private def props(spark: SparkSession, table: String,
+      prefix: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES ${Relation.parse(table).quoted}")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .collect { case (k, v) if k.startsWith(prefix) =>
+        k.stripPrefix(prefix) -> v
+      }.toMap
+
+  private def setProps(spark: SparkSession, table: String,
+      kv: Map[String, String]): Unit =
+    if (kv.nonEmpty) {
+      val rendered = kv.map { case (k, v) =>
+        s"${Relation.sqlLiteral(k)} = ${Relation.sqlLiteral(v)}"
+      }.mkString(", ")
+      spark.sql(
+        s"ALTER TABLE ${Relation.parse(table).quoted} SET TBLPROPERTIES ($rendered)")
+    }
+
+  private def unsetProps(spark: SparkSession, table: String,
+      keys: Seq[String]): Unit =
+    if (keys.nonEmpty) {
+      val rendered = keys.map(Relation.sqlLiteral).mkString(", ")
+      spark.sql(s"ALTER TABLE ${Relation.parse(table).quoted} " +
+        s"UNSET TBLPROPERTIES IF EXISTS ($rendered)")
+    }
+
+  /** C7: register a NAMED data-cell filter on a relation (the reference
+    * creates/updates it via the LF API — lakeformation.py:167-204; here the
+    * definition is catalog-backed table metadata, so any session can
+    * enforce it).
+    */
+  def defineFilter(spark: SparkSession, table: String, name: String,
+      filter: CellFilter): Unit =
+    setProps(spark, table, Map(
+      s"$name.row" -> filter.rowFilter,
+      s"$name.cols" -> filter.includeColumns.mkString(","))
+      .map { case (k, v) => (FilterPrefix + k, v) })
+
+  /** C7: read a named filter's definition back from the catalog. */
+  def filterDef(spark: SparkSession, table: String, name: String): CellFilter = {
+    val all = props(spark, table, FilterPrefix)
+    val row = all.getOrElse(s"$name.row",
+      throw new IllegalArgumentException(s"no filter '$name' on $table"))
+    val cols = all.getOrElse(s"$name.cols", "")
+    CellFilter(row, cols.split(",").filter(_.nonEmpty).toSeq)
+  }
+
+  /** C7 principal plane (reference lakeformation.py:207-333 — diff-based
+    * grant/revoke of SELECT per principal on data-cell filters): make the
+    * catalog's grants match `desired` (principal → filter name). Grants
+    * already in place are left alone; principals absent from `desired` are
+    * revoked. Returns the applied diff, like the reference's
+    * `to_add`/`to_revoke` bookkeeping.
+    */
+  def applyGrants(spark: SparkSession, table: String,
+      desired: Map[String, String]): GrantDiff = {
+    val current = grants(spark, table)
+    val toAdd = desired.filter { case (p, f) => !current.get(p).contains(f) }
+    val toRevoke = current.filter { case (p, _) => !desired.contains(p) }
+    setProps(spark, table, toAdd.map { case (p, f) => (GrantPrefix + p, f) })
+    unsetProps(spark, table, toRevoke.keys.map(GrantPrefix + _).toSeq)
+    GrantDiff(toAdd, toRevoke)
+  }
+
+  /** C7: current grants (principal → filter name) on a relation. */
+  def grants(spark: SparkSession, table: String): Map[String, String] =
+    props(spark, table, GrantPrefix)
+
+  /** C7 enforcement: `principal` reads `table` through its granted cell
+    * filter; a principal with no grant is denied (the reference delegates
+    * this to Lake Formation at query time).
+    */
+  def readFor(spark: SparkSession, table: String, principal: String): DataFrame = {
+    val filterName = grants(spark, table).getOrElse(principal,
+      throw new SecurityException(
+        s"principal '$principal' has no grant on $table"))
+    applyFilter(spark.table(Relation.parse(table).quoted),
+      filterDef(spark, table, filterName))
+  }
 }

@@ -307,10 +307,15 @@ object MaterializationQueries {
     val t = s"$db.customer_gov"
     TableMaterialization.run(spark, t, Tables.customer(spark, dir))
     Governance.setTags(spark, t, Map("domain" -> "sales", "pii" -> "masked"))
-    Governance.createSecuredView(spark, t, s"$db.customer_secure",
-      Governance.CellFilter(rowFilter = "c_nationkey <= 5",
-        includeColumns = Seq("c_custkey", "c_mktsegment", "c_nationkey")))
-    spark.table(s"$db.customer_secure")
+    val filter = Governance.CellFilter(rowFilter = "c_nationkey <= 5",
+      includeColumns = Seq("c_custkey", "c_mktsegment", "c_nationkey"))
+    Governance.createSecuredView(spark, t, s"$db.customer_secure", filter)
+    // Principal plane (C7, lakeformation.py:207-333): the same filter as a
+    // named catalog object, granted to a principal, read back through the
+    // grant — identical semantics to the view, one oracle covers both.
+    Governance.defineFilter(spark, t, "sales_filter", filter)
+    Governance.applyGrants(spark, t, Map("analyst" -> "sales_filter"))
+    Governance.readFor(spark, t, "analyst")
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"), col("c_mktsegment"))

@@ -153,6 +153,32 @@ class CatalogOpsSpec extends AnyFunSuite {
       s"stale partitions not dropped: ${parts.mkString(",")}")
   }
 
+  test("governance: principal grants are diff-applied and enforced on read") {
+    import graft.quality.Governance
+    val db = freshDb()
+    val t = s"$db.gov_grants"
+    TableMaterialization.run(spark, t, nation)
+    Governance.defineFilter(spark, t, "r0",
+      Governance.CellFilter("n_regionkey = 0", Seq("n_nationkey", "n_name")))
+    Governance.defineFilter(spark, t, "all_rows",
+      Governance.CellFilter("true", Nil))
+    // initial grants
+    val d1 = Governance.applyGrants(spark, t,
+      Map("alice" -> "r0", "bob" -> "all_rows"))
+    assert(d1.added === Map("alice" -> "r0", "bob" -> "all_rows"))
+    assert(d1.revoked === Map.empty)
+    // re-apply with bob dropped and alice unchanged → diff revokes only bob
+    val d2 = Governance.applyGrants(spark, t, Map("alice" -> "r0"))
+    assert(d2.added === Map.empty)
+    assert(d2.revoked === Map("bob" -> "all_rows"))
+    assert(Governance.grants(spark, t) === Map("alice" -> "r0"))
+    // enforcement: alice sees the filtered projection, bob is denied
+    val forAlice = Governance.readFor(spark, t, "alice")
+    assert(forAlice.columns.toSeq === Seq("n_nationkey", "n_name"))
+    assert(forAlice.count() === nation.filter(col("n_regionkey") === 0).count())
+    intercept[SecurityException] { Governance.readFor(spark, t, "bob") }
+  }
+
   test("governance: tag values with quotes survive the DDL roundtrip") {
     import graft.quality.Governance
     val db = freshDb()

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, repartition-stable sampling for training-data pipelines.
+  *
+  * `DataFrame.sample()` draws per-partition, so its output changes whenever
+  * the input's partitioning changes (a re-read at different parallelism, an
+  * AQE re-plan, a task retry under non-deterministic upstream order). A
+  * 100 TB corpus pipeline needs the opposite contract: the SAME rows are
+  * selected on every run, on any cluster shape, and train/valid/test splits
+  * never leak across re-runs. These operators derive membership purely from
+  * a per-row key, so selection is a scan-local codegen'd filter — no
+  * shuffle, no RNG state, pushdown-friendly.
+  *
+  * The bucket is the first 32 bits of `md5("<key>:<salt>")` — the classic
+  * content-addressed holdout trick. md5 (unlike multiplicative hashing,
+  * which is linear in the key and turns consecutive ids into a lattice)
+  * decorrelates both key structure and salts, and exists verbatim in
+  * every mainstream engine, which keeps every gate below independently
+  * recomputable by the DuckDB oracle (xxhash64 would be ~2× cheaper per
+  * row but exists only on the Spark side; the md5 cost is scan-local and
+  * codegen'd either way).
+  */
+object Sampling {
+  /** Bucket space: first 8 hex chars of the md5 = 32 bits. */
+  val Space = 4294967296L
+
+  /** The bucket expression: deterministic in `key` and `salt` alone.
+    * Integer keys render identically as strings in any engine, so the
+    * hashed bytes — and therefore membership — are engine-independent.
+    */
+  def hashBucket(key: Column, salt: Long): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long")
+
+  /** Bucket-space threshold for a keep fraction (public so oracle SQL and
+    * specs can interpolate the exact same literal the filter compares to).
+    */
+  def threshold(fraction: Double): Long =
+    math.round(fraction * Space)
+
+  /** Keep ~`fraction` of rows, chosen deterministically by `keyCol`.
+    * Different `salt` values draw statistically independent samples. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < lit(threshold(fraction)))
+
+  /** Weighted corpus mixture (data mixing): per-group keep rates in one
+    * scan-local pass — e.g. downsample boilerplate-heavy sources while
+    * keeping rare languages at full rate. Groups absent from `rates` use
+    * `defaultRate`. No shuffle: the per-row threshold is a CASE chain.
+    */
+  def mixture(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: Long = 0L): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(threshold(defaultRate)): Column) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(threshold(r))).otherwise(acc)
+      }
+    df.filter(hashBucket(col(keyCol), salt) < thr)
+  }
+
+  /** Disjoint train/valid/test assignment: each key lands in exactly one
+    * split (cumulative bucket ranges), so membership never leaks between
+    * splits across runs or engine versions. `fractions` are (label, share)
+    * in order; shares must sum to ≤ 1 — rows past the last boundary get the
+    * final label (so (train .8)(valid .1)(test .1) is exhaustive).
+    */
+  def withSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], salt: Long = 0L,
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split label required")
+    val bucket = hashBucket(col(keyCol), salt)
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    val expr = fractions.init.zip(bounds.tail.init).foldRight(
+      lit(fractions.last._1): Column) { case (((label, _), hi), acc) =>
+        when(bucket < lit(threshold(hi)), lit(label)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+}

@@ -557,6 +557,37 @@ object MaterializationQueries {
       |  ('v2',          'view',    CAST(5 AS BIGINT))
       |) AS t(identifier, table_type, n_rows) ORDER BY identifier""".stripMargin
 
+  // ---------------------------------------------------------------- O7
+  /** Partition-spec evolution (reference python_utils.sql:197-230, iceberg
+    * metadata evolution; parquet analog = one-time staged relayout): CTAS
+    * partitioned by o_orderstatus, evolve to o_orderpriority, then prove
+    * both that the data survived byte-for-byte (per-priority counts the
+    * oracle recomputes from raw orders) and that the physical layout
+    * actually changed (n_partitions = SHOW PARTITIONS count = the distinct
+    * priorities, not the 3 statuses the table started with).
+    */
+  def relPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_evolve"
+    TableMaterialization.run(spark, t, Tables.orders(spark, dir),
+      partitionBy = Seq("o_orderstatus"))
+    RelationOps.evolvePartitioning(spark, t, Seq("o_orderpriority"))
+    val nParts = spark.sql(s"SHOW PARTITIONS $t").count()
+    spark.table(t)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).cast(D2).as("sum_price"))
+      .withColumn("n_partitions", lit(nParts))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val relPartitionEvolutionSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS sum_price,
+      |  (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+      |    AS n_partitions
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- F2
   /** Audit-column star projection with an injected clock (reference
     * iceberg_helper.sql:1-37) — deterministic, so fully oracle-checkable. */
@@ -746,6 +777,7 @@ object MaterializationQueries {
     "pipe_dbt_lifecycle" -> (pipeDbtLifecycle _),
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
+    "rel_partition_evolution" -> (relPartitionEvolution _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
@@ -774,6 +806,7 @@ object MaterializationQueries {
     "pipe_dbt_lifecycle" -> pipeDbtLifecycleSql,
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,
+    "rel_partition_evolution" -> relPartitionEvolutionSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design

@@ -7,6 +7,7 @@ import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
+import graft.operators.Sampling
 import graft.similarity.Knn
 import graft.text.TextAnalysis
 
@@ -426,6 +427,53 @@ object PipelineQueries {
       |FROM s, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------- sampling/mixing
+  /** The DuckDB oracle recomputes `Sampling.hashBucket` byte-for-byte —
+    * the operator's md5 portability contract (Sampling.scala) is exactly
+    * what makes these gates fully oracle-checkable.
+    */
+  private def bucketSql(keyExpr: String, salt: Long): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT)"
+
+  /** Deterministic hash sample: same rows on every run and cluster shape. */
+  def pipeHashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.documents(spark, dir), "doc_id", 0.3, salt = 7L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val pipeHashSampleSql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${bucketSql("doc_id", 7L)} < ${Sampling.threshold(0.3)}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Weighted mixture: downsample 'en' to 25%, keep the rest at 90%. */
+  def pipeCorpusMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixture(Tables.documents(spark, dir), "doc_id", "lang",
+      rates = Map("en" -> 0.25), defaultRate = 0.9, salt = 3L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  private val pipeCorpusMixSql =
+    s"""SELECT lang, COUNT(*) AS n_docs FROM documents
+       |WHERE ${bucketSql("doc_id", 3L)} <
+       |  CASE WHEN lang = 'en' THEN ${Sampling.threshold(0.25)}
+       |       ELSE ${Sampling.threshold(0.9)} END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Disjoint 80/10/10 train/valid/test split — every doc in exactly one. */
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.withSplit(Tables.documents(spark, dir), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = 11L)
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+
+  private val pipeSplitSql =
+    s"""SELECT CASE WHEN ${bucketSql("doc_id", 11L)} < ${Sampling.threshold(0.8)} THEN 'train'
+       |            WHEN ${bucketSql("doc_id", 11L)} < ${Sampling.threshold(0.9)} THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -444,7 +492,10 @@ object PipelineQueries {
     "sim_knn_ivf" -> (simKnnIvf _),
     "sim_knn_ivf_recall" -> (simKnnIvfRecall _),
     "mm_features" -> (mmFeatures _),
-    "mm_frames" -> (mmFrames _))
+    "mm_frames" -> (mmFrames _),
+    "pipe_hash_sample" -> (pipeHashSample _),
+    "pipe_corpus_mix" -> (pipeCorpusMix _),
+    "pipe_split" -> (pipeSplit _))
 
   val oracles: Map[String, String] = Map(
     "txt_tokens" -> txtTokensSql,
@@ -460,5 +511,8 @@ object PipelineQueries {
     "sim_knn_ivf" -> simKnnIvfSql,
     "sim_knn_ivf_recall" -> simKnnIvfRecallSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_frames" -> mmFramesSql)
+    "mm_frames" -> mmFramesSql,
+    "pipe_hash_sample" -> pipeHashSampleSql,
+    "pipe_corpus_mix" -> pipeCorpusMixSql,
+    "pipe_split" -> pipeSplitSql)
 }

@@ -7,6 +7,7 @@ import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.{GraftFunctions, Kernels}
 import graft.multimodal.Multimodal
+import graft.operators.Sampling
 import graft.similarity.Knn
 import graft.text.TextAnalysis
 
@@ -206,5 +207,48 @@ class PipelineSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(media, n = 4)
     assert(frames.count() === 80)
     assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() === 0)
+  }
+
+  test("sampling: deterministic, repartition-stable, fraction-accurate") {
+    import spark.implicits._
+    val base = spark.range(20000).toDF("id")
+    val a = Sampling.hashSample(base, "id", 0.3, salt = 5L)
+      .select("id").as[Long].collect().toSet
+    // same rows regardless of physical partitioning
+    val b = Sampling.hashSample(base.repartition(7), "id", 0.3, salt = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    val frac = a.size.toDouble / 20000
+    assert(frac > 0.28 && frac < 0.32, s"kept fraction $frac")
+    // different salts draw (near-)independent samples
+    val c = Sampling.hashSample(base, "id", 0.3, salt = 99L)
+      .select("id").as[Long].collect().toSet
+    val overlap = a.intersect(c).size.toDouble / a.size
+    assert(overlap > 0.2 && overlap < 0.4, s"salt overlap $overlap")
+  }
+
+  test("sampling: split is exhaustive, disjoint, and matches shares") {
+    import spark.implicits._
+    val base = spark.range(20000).toDF("id")
+    val split = Sampling.withSplit(base, "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = 1L)
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 20000L) // every row in exactly one split
+    assert(counts.keySet === Set("train", "valid", "test"))
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("valid") / 20000.0 - 0.1) < 0.02)
+    // membership is a pure function of the key: re-derivation agrees
+    val again = Sampling.withSplit(base.repartition(13), "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = 1L)
+    assert(split.select("id", "split").except(again.select("id", "split")).count() === 0)
+  }
+
+  test("sampling: mixture applies per-group rates in one scan") {
+    val mixed = Sampling.mixture(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.0), defaultRate = 1.0, salt = 2L)
+    // rate 0 removes the group entirely; rate 1 keeps every other row
+    assert(mixed.filter(col("lang") === "en").count() === 0)
+    assert(mixed.count() === docs.filter(col("lang") =!= "en").count())
   }
 }

@@ -9,7 +9,7 @@ import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.TextAnalysis
+import graft.text.{Decontamination, TextAnalysis}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
@@ -427,6 +427,52 @@ object PipelineQueries {
       |FROM s, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // --------------------------------------------------- decontamination
+  /** Benchmark decontamination: every 50th doc is the "eval set"; the
+    * corpus is all docs plus planted near-copies of the eval docs (a
+    * leading token run prepended, ids +3,000,000). Contaminated = shares
+    * ≥1 distinct word 5-gram with any eval doc — which catches the eval
+    * docs themselves and the planted copies, plus any natural overlap the
+    * oracle independently re-derives.
+    */
+  def txtDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.unionByName(
+      bench.withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat(lit("zx qv zx qv "), col("text"))))
+    Decontamination.contaminated(corpus, bench,
+      "doc_id", "text", "text", n = 5, minHits = 1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtDecontaminateSql =
+    """WITH bench AS (
+      |  SELECT text FROM documents WHERE doc_id % 50 = 0
+      |), corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, 'zx qv zx qv ' || text AS text
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), btoks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM bench
+      |), bsh AS (
+      |  SELECT DISTINCT array_to_string(t[i : i + 4], ' ') AS g
+      |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |        FROM btoks)
+      |), ctoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+      |), csh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 4], ' ') AS g
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |        FROM ctoks)
+      |)
+      |SELECT doc_id, COUNT(*) AS n_hits
+      |FROM csh JOIN bsh USING (g)
+      |GROUP BY doc_id HAVING COUNT(*) >= 1
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- sampling/mixing
   /** The DuckDB oracle recomputes `Sampling.hashBucket` byte-for-byte —
     * the operator's md5 portability contract (Sampling.scala) is exactly
@@ -495,7 +541,8 @@ object PipelineQueries {
     "mm_frames" -> (mmFrames _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
-    "pipe_split" -> (pipeSplit _))
+    "pipe_split" -> (pipeSplit _),
+    "txt_decontaminate" -> (txtDecontaminate _))
 
   val oracles: Map[String, String] = Map(
     "txt_tokens" -> txtTokensSql,
@@ -514,5 +561,6 @@ object PipelineQueries {
     "mm_frames" -> mmFramesSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
-    "pipe_split" -> pipeSplitSql)
+    "pipe_split" -> pipeSplitSql,
+    "txt_decontaminate" -> txtDecontaminateSql)
 }

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Benchmark decontamination: drop training documents that overlap an
+  * evaluation set (the n-gram-collision protocol used by published LLM
+  * data pipelines — a document is contaminated when it shares at least
+  * `minHits` distinct word n-grams with any benchmark document).
+  *
+  * Scale shape: the benchmark side is small (thousands of prompts), the
+  * corpus side is the 100 TB table. Benchmark n-grams are therefore
+  * reduced to DISTINCT 64-bit hashes and broadcast, so the corpus pass is
+  * a scan-local explode + broadcast semi-join + partial-aggregated count —
+  * the corpus never shuffles by gram. Joining on xxhash64 instead of the
+  * raw gram text keeps the broadcast a few MB per million benchmark grams
+  * (a raw 13-gram averages ~80 bytes); a 64-bit collision would need
+  * ~2^32 gram pairs to become likely, far beyond any benchmark set.
+  */
+object Decontamination {
+
+  private def benchGramHashes(bench: DataFrame, textCol: String, n: Int) =
+    bench.select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("__gh"))
+      .distinct()
+
+  /** Contaminated corpus docs: (idCol, n_hits) where n_hits = distinct
+    * n-grams of the doc that appear anywhere in the benchmark set.
+    */
+  def contaminated(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 13, minHits: Int = 1): DataFrame = {
+    val grams = corpus.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("__gh"))
+    grams.join(broadcast(benchGramHashes(bench, benchTextCol, n)), "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** The clean corpus: contaminated rows anti-joined away. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 13, minHits: Int = 1): DataFrame =
+    corpus.join(
+      contaminated(corpus, bench, idCol, textCol, benchTextCol, n, minHits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -9,7 +9,7 @@ import graft.functions.{GraftFunctions, Kernels}
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.TextAnalysis
+import graft.text.{Decontamination, TextAnalysis}
 
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -242,6 +242,28 @@ class PipelineSpec extends AnyFunSuite {
     val again = Sampling.withSplit(base.repartition(13), "id",
       Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = 1L)
     assert(split.select("id", "split").except(again.select("id", "split")).count() === 0)
+  }
+
+  test("decontamination: flags eval overlaps, clean corpus survives") {
+    import spark.implicits._
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+      .unionByName(bench.select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("aa bb cc dd "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    val flagged = Decontamination.contaminated(corpus, bench,
+      "doc_id", "text", "text", n = 5, minHits = 1)
+    val flaggedIds = flagged.select("doc_id").as[Long].collect().toSet
+    // every planted near-copy shares its 5-grams with the eval set
+    assert((0L until 10L).map(_ + 5000000L).toSet.subsetOf(flaggedIds))
+    val clean = Decontamination.decontaminate(corpus, bench,
+      "doc_id", "text", "text", n = 5, minHits = 1)
+    assert(clean.count() === corpus.count() - flagged.count())
+    assert(clean.filter(col("doc_id") >= 5000000L).count() === 0)
+    // the benchmark gram side must broadcast — the corpus never shuffles
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
   test("sampling: mixture applies per-group rates in one scan") {

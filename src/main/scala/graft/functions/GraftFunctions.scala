@@ -65,6 +65,32 @@ case class SignProjection(child: Expression, planes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** top_ngram_char_fraction(array<string>) → double; n is plan-time constant. */
+case class TopNgramCharFraction(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_top_ngram_frac"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.topNgramCharFraction(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.topNgramCharFraction($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** dup_ngram_char_fraction(array<string>) → double; n is plan-time constant. */
+case class DupNgramCharFraction(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dup_ngram_frac"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.dupNgramCharFraction(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dupNgramCharFraction($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   /** Register the functions in a session's registry so both `spark.sql` and
@@ -80,10 +106,16 @@ object GraftFunctions {
       es => RollingFingerprint(es.head, 12), "built-in")
     reg.createOrReplaceTempFunction("graft_sign_projection",
       es => SignProjection(es.head, 64), "built-in")
+    reg.createOrReplaceTempFunction("graft_top_ngram_frac",
+      es => TopNgramCharFraction(es(0), 2), "built-in")
+    reg.createOrReplaceTempFunction("graft_dup_ngram_frac",
+      es => DupNgramCharFraction(es(0), 5), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
   def signProjection(vec: Column): Column = call_function("graft_sign_projection", vec)
+  def topNgramFrac(tokens: Column): Column = call_function("graft_top_ngram_frac", tokens)
+  def dupNgramFrac(tokens: Column): Column = call_function("graft_dup_ngram_frac", tokens)
 }

@@ -114,6 +114,81 @@ object Kernels {
     sig
   }
 
+  /** Per-doc word-n-gram occurrence counts for the repetition metrics:
+    * key = gram text, value = (occurrences, gram chars). Also returns the
+    * whitespace-normalized doc length (token chars + single separators) —
+    * the denominator both metrics share. One pass over the token array,
+    * per-row state only: this is what keeps the repetition filters
+    * scan-local instead of shuffling a gram stream per document.
+    */
+  private def gramCounts(tokens: ArrayData, n: Int):
+      (java.util.HashMap[String, Array[Long]], Long) = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    val nTok = tokens.numElements()
+    var docLen = 0L
+    var i = 0
+    while (i < nTok) {
+      if (!tokens.isNullAt(i)) docLen += tokens.getUTF8String(i).numChars()
+      i += 1
+    }
+    if (nTok > 1) docLen += nTok - 1
+    val nGrams = math.max(nTok - n + 1, 1)
+    i = 0
+    while (i < nGrams && i < nTok) {
+      val sb = new java.lang.StringBuilder()
+      var chars = 0L
+      var j = i
+      val end = math.min(i + n, nTok)
+      while (j < end) {
+        if (j > i) { sb.append(' '); chars += 1 }
+        if (!tokens.isNullAt(j)) {
+          val t = tokens.getUTF8String(j)
+          sb.append(t.toString); chars += t.numChars()
+        }
+        j += 1
+      }
+      val v = m.get(sb.toString)
+      if (v == null) m.put(sb.toString, Array(1L, chars)) else v(0) += 1
+      i += 1
+    }
+    (m, docLen)
+  }
+
+  /** Character share of the single most repeated word n-gram: max over
+    * grams of occurrences × gram chars, over the normalized doc length
+    * (a Gopher-style repetition rule). 0.0 for empty docs.
+    */
+  def topNgramCharFraction(tokens: ArrayData, n: Int): Double = {
+    val (m, docLen) = gramCounts(tokens, n)
+    if (docLen == 0L) return 0.0
+    var best = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      val w = v(0) * v(1)
+      if (w > best) best = w
+    }
+    best.toDouble / docLen
+  }
+
+  /** Character share of all word n-grams occurring more than once
+    * (occurrences × gram chars summed over duplicated grams, over the
+    * normalized doc length). Overlapping occurrences each count, so
+    * heavily-looped boilerplate can exceed 1.0 — callers threshold, not
+    * normalize. 0.0 for empty docs.
+    */
+  def dupNgramCharFraction(tokens: ArrayData, n: Int): Double = {
+    val (m, docLen) = gramCounts(tokens, n)
+    if (docLen == 0L) return 0.0
+    var dup = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (v(0) >= 2L) dup += v(0) * v(1)
+    }
+    dup.toDouble / docLen
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -427,6 +427,65 @@ object PipelineQueries {
       |FROM s, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ----------------------------------------------------- repetition
+  /** Gopher-style repetition metrics over the corpus plus planted
+    * boilerplate (each of docs 0-9 self-concatenated, ids +4,000,000 —
+    * those saturate the dup-5-gram share). Rounded to 6 dp on both sides
+    * to absorb last-ulp double differences (cosine-gate precedent).
+    */
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 4000000L)
+      .withColumn("text", concat(col("text"), lit(" "), col("text"))))
+    corpus.select(col("doc_id"),
+      round(TextAnalysis.topNgramCharFrac(col("text")), 6).as("top2_frac"),
+      round(TextAnalysis.dupNgramCharFrac(col("text")), 6).as("dup5_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtRepetitionSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id, text || ' ' || text AS text
+      |  FROM documents WHERE doc_id < 10
+      |), dl AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+      |    len(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS dlen
+      |  FROM corpus
+      |), c2 AS (
+      |  SELECT doc_id, MAX(c * gl) AS topw FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c, len(g) AS gl
+      |    FROM (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
+      |          FROM (SELECT doc_id, t,
+      |                  unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i
+      |                FROM dl))
+      |    GROUP BY doc_id, g)
+      |  GROUP BY doc_id
+      |), c5 AS (
+      |  SELECT doc_id,
+      |    COALESCE(SUM(CASE WHEN c >= 2 THEN c * gl END), 0) AS dupw
+      |  FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c, len(g) AS gl
+      |    FROM (SELECT doc_id, array_to_string(t[i : i + 4], ' ') AS g
+      |          FROM (SELECT doc_id, t,
+      |                  unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |                FROM dl))
+      |    GROUP BY doc_id, g)
+      |  GROUP BY doc_id
+      |)
+      |SELECT dl.doc_id,
+      |  CASE WHEN dlen = 0 THEN 0.0
+      |       ELSE round(CAST(topw AS DOUBLE) / dlen, 6) END AS top2_frac,
+      |  CASE WHEN dlen = 0 THEN 0.0
+      |       ELSE round(CAST(dupw AS DOUBLE) / dlen, 6) END AS dup5_frac
+      |FROM dl
+      |JOIN c2 ON c2.doc_id = dl.doc_id
+      |JOIN c5 ON c5.doc_id = dl.doc_id
+      |ORDER BY dl.doc_id""".stripMargin
+
   // --------------------------------------------------- decontamination
   /** Benchmark decontamination: every 50th doc is the "eval set"; the
     * corpus is all docs plus planted near-copies of the eval docs (a
@@ -542,7 +601,8 @@ object PipelineQueries {
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_split" -> (pipeSplit _),
-    "txt_decontaminate" -> (txtDecontaminate _))
+    "txt_decontaminate" -> (txtDecontaminate _),
+    "txt_repetition" -> (txtRepetition _))
 
   val oracles: Map[String, String] = Map(
     "txt_tokens" -> txtTokensSql,
@@ -562,5 +622,6 @@ object PipelineQueries {
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
-    "txt_decontaminate" -> txtDecontaminateSql)
+    "txt_decontaminate" -> txtDecontaminateSql,
+    "txt_repetition" -> txtRepetitionSql)
 }

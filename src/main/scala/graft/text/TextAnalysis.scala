@@ -25,6 +25,17 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Gopher-style repetition metrics (one-pass codegen'd kernels — no
+    * per-gram shuffle): character share of the most repeated word 2-gram,
+    * and of all word 5-grams occurring more than once. Boilerplate-looped
+    * text scores high on both; threshold to filter.
+    */
+  def topNgramCharFrac(text: Column): Column =
+    GraftFunctions.topNgramFrac(tokens(text))
+
+  def dupNgramCharFrac(text: Column): Column =
+    GraftFunctions.dupNgramFrac(tokens(text))
+
   /** English stopword ratio among whitespace tokens. */
   val englishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")

@@ -244,6 +244,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(split.select("id", "split").except(again.select("id", "split")).count() === 0)
   }
 
+  test("repetition kernels: boilerplate scores high, varied text low") {
+    import spark.implicits._
+    val rows = Seq(
+      ("looped", "spam ham spam ham spam ham spam ham"),
+      ("varied", "one two three four five six seven eight"),
+      ("empty", ""),
+      ("short", "hi")).toDF("name", "text")
+    val m = rows.select(col("name"),
+      TextAnalysis.topNgramCharFrac(col("text")).as("top2"),
+      TextAnalysis.dupNgramCharFrac(col("text")).as("dup5"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "spam ham" occurs 4x of 7 2-gram slots; every 5-gram repeats
+    assert(m("looped")._1 > 0.9, s"looped top2 ${m("looped")._1}")
+    assert(m("looped")._2 > 0.9, s"looped dup5 ${m("looped")._2}")
+    // all grams unique: top2 = one 2-gram's share, nothing duplicated
+    assert(m("varied")._1 < 0.3 && m("varied")._2 === 0.0)
+    assert(m("empty") === ((0.0, 0.0)))
+    assert(m("short")._2 === 0.0)
+  }
+
   test("decontamination: flags eval overlaps, clean corpus survives") {
     import spark.implicits._
     val bench = docs.filter(col("doc_id") < 10)

@@ -427,6 +427,97 @@ object PipelineQueries {
       |FROM s, (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // --------------------------------------------- training-data pipeline
+  /** The whole training-data preparation chain as one gate — the 100 TB
+    * shape end-to-end: scan-local quality + repetition filters → one
+    * exact-dedup hash shuffle → broadcast decontamination semi-join →
+    * scan-local split assignment → final small aggregate. Planted rows
+    * make every stage do visible work: boilerplate (ids +4,000,000) dies
+    * at the repetition filter, exact copies (ids +1,000,000) die at
+    * dedup, and eval-set members (every 100th doc) die at
+    * decontamination. The oracle re-derives the full composition.
+    */
+  def pipeTrainingData(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+        .withColumn("text", concat(col("text"), lit(" "), col("text"))))
+      .unionByName(docs.filter(col("doc_id") >= 10 && col("doc_id") < 35)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val filtered = corpus
+      .filter(TextAnalysis.tokenCount(col("text")) >= 5)
+      .filter(round(TextAnalysis.dupNgramCharFrac(col("text")), 6) < 0.2)
+    val deduped = Dedup.exact(filtered, Seq("text"), Seq(col("doc_id")))
+    val clean = Decontamination.decontaminate(deduped, bench,
+      "doc_id", "text", "text", n = 5, minHits = 1)
+    Sampling.withSplit(clean, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = 13L)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("bigint").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
+  private val pipeTrainingDataSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS doc_id, text || ' ' || text AS text
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id >= 10 AND doc_id < 35
+       |), dl AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t,
+       |    len(array_to_string(string_split_regex(trim(text), '\\s+'), ' ')) AS dlen
+       |  FROM corpus
+       |), rep AS (
+       |  SELECT doc_id,
+       |    COALESCE(SUM(CASE WHEN c >= 2 THEN c * gl END), 0) AS dupw
+       |  FROM (
+       |    SELECT doc_id, g, COUNT(*) AS c, len(g) AS gl
+       |    FROM (SELECT doc_id, array_to_string(t[i : i + 4], ' ') AS g
+       |          FROM (SELECT doc_id, t,
+       |                  unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+       |                FROM dl))
+       |    GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |), filtered AS (
+       |  SELECT dl.doc_id, dl.text, len(dl.t) AS n_tokens
+       |  FROM dl JOIN rep ON rep.doc_id = dl.doc_id
+       |  WHERE len(dl.t) >= 5
+       |    AND (dlen = 0 OR round(CAST(dupw AS DOUBLE) / dlen, 6) < 0.2)
+       |), deduped AS (
+       |  SELECT * FROM filtered
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       |), bsh AS (
+       |  SELECT DISTINCT array_to_string(t[i : i + 4], ' ') AS g
+       |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+       |        FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+       |              FROM documents WHERE doc_id % 100 = 0))
+       |), csh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 4], ' ') AS g
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+       |          unnest(range(1,
+       |            greatest(len(string_split_regex(trim(text), '\\s+')) - 4, 1) + 1)) AS i
+       |        FROM deduped)
+       |), clean AS (
+       |  SELECT d.* FROM deduped d
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM csh JOIN bsh USING (g) WHERE csh.doc_id = d.doc_id)
+       |)
+       |SELECT CASE WHEN ${bucketSql("doc_id", 13L)} < ${Sampling.threshold(0.8)} THEN 'train'
+       |            WHEN ${bucketSql("doc_id", 13L)} < ${Sampling.threshold(0.9)} THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc
+       |FROM clean GROUP BY 1 ORDER BY split""".stripMargin
+
   // ----------------------------------------------------- repetition
   /** Gopher-style repetition metrics over the corpus plus planted
     * boilerplate (each of docs 0-9 self-concatenated, ids +4,000,000 —
@@ -602,7 +693,8 @@ object PipelineQueries {
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_split" -> (pipeSplit _),
     "txt_decontaminate" -> (txtDecontaminate _),
-    "txt_repetition" -> (txtRepetition _))
+    "txt_repetition" -> (txtRepetition _),
+    "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
     "txt_tokens" -> txtTokensSql,
@@ -623,5 +715,6 @@ object PipelineQueries {
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
     "txt_decontaminate" -> txtDecontaminateSql,
-    "txt_repetition" -> txtRepetitionSql)
+    "txt_repetition" -> txtRepetitionSql,
+    "pipe_training_data" -> pipeTrainingDataSql)
 }

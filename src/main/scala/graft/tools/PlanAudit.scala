@@ -56,6 +56,21 @@ object PlanAudit {
     println("=== q04 filter/projection pushdown ===")
     graft.queries.RelationalQueries.q04FilterProject(spark, dir).explain()
 
+    // Training-data pipeline: the only wide exchanges should be the exact-
+    // dedup hash shuffle and the final split aggregate; the benchmark gram
+    // side must broadcast, and the filters/split must be scan-local.
+    // Executed (final adaptive) plan: the dedup subtree appears twice in
+    // the logical DAG (clean side + contamination-flag side), so the thing
+    // to verify is that AQE ReuseExchange collapses the second dedup
+    // shuffle at runtime rather than recomputing the corpus pass.
+    println("=== pipe_training_data (want ReusedExchange on the dedup shuffle) ===")
+    val ptd = graft.queries.PipelineQueries.pipeTrainingData(spark, dir)
+    ptd.collect()
+    val ptdPlan = ptd.queryExecution.executedPlan.toString
+    println(ptdPlan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("BroadcastHashJoin"))
+      .mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

@@ -88,33 +88,41 @@ object Dedup {
     *
     * Scale shape: content identity is a scan-local 128-bit hash pair
     * (collision odds ~n²/2¹²⁹ — vanishing even at 10¹¹ docs), so the group
-    * aggregation shuffles (hash, id) — never the content — and is map-side
-    * combined: a 100M-copy group reaches the reducer as O(partitions)
-    * partial rows. The one content-carrying join is against the DUP groups
-    * only, which a mostly-unique corpus keeps broadcast-small; when dups
-    * dominate it degrades to a shuffled equi-join, which AQE skew-split
-    * handles — unlike a window, which would sort the whole hot group in one
-    * task. The member cap uses the same bounded two-phase trick as
+    * aggregation is map-side combined: a 100M-copy group reaches the
+    * reducer as O(partitions) partial rows, each partial carrying ONE copy
+    * of the content (via first() — all members are identical by
+    * construction). Each distinct content therefore crosses the wire
+    * exactly once, and `reps` is a plain agg output — a single exchange
+    * that ReuseExchange shares across every downstream pass
+    * (signature + verify), instead of a join subtree each pass would
+    * re-evaluate. The membership join carries ids + 16-byte hash keys
+    * only, against the DUP groups (one row per duplicated content), which
+    * a mostly-unique corpus keeps broadcast-small; when dups dominate it
+    * degrades to a shuffled equi-join, which AQE skew-split handles —
+    * unlike a window, which would sort the whole hot group in one task.
+    * The member cap uses the same bounded two-phase trick as
     * [[capBuckets]]: hash-mod oversized groups to ~4·max expected
     * survivors, then an exact row_number cap over the bounded input.
     */
+  /** Output of [[collapseGroups]]: `reps` (id, content) one row per
+    * distinct content; `members` (id, __rep) dup-group membership, capped;
+    * `dupReps` (__rep) one row per dup group — the seed for identity
+    * self-pairs in [[fanOut]], derived off the same shared agg exchange.
+    */
+  private[dedup] final case class Collapsed(
+      reps: DataFrame, members: DataFrame, dupReps: DataFrame)
+
   private[dedup] def collapseGroups(docs: DataFrame, idCol: String,
-      contentCol: String, maxGroupSize: Int): (DataFrame, DataFrame) = {
+      contentCol: String, maxGroupSize: Int): Collapsed = {
     val keyed = docs.select(col(idCol).as("id"), col(contentCol).as("__c"),
       xxhash64(col(contentCol)).as("__h1"),
       xxhash64(lit(7), col(contentCol)).as("__h2"))
-    // One map-side-combined aggregation carries the content through first()
-    // (all group members are identical by construction), so `reps` is a
-    // plain agg output — a single reusable exchange, not a join subtree
-    // that downstream shingle/signature passes would re-evaluate.
     val groups = keyed.groupBy("__h1", "__h2")
       .agg(min(col("id")).as("__rep"), count(lit(1)).as("__n"),
         first(col("__c")).as("__c"))
     val reps = groups.select(col("__rep").as("id"), col("__c").as(contentCol))
     val dupGroups = groups.filter(col("__n") > 1)
       .select("__h1", "__h2", "__rep", "__n")
-    // Membership carries ids + 16-byte hash keys only — content never rides
-    // this join, and a mostly-unique corpus keeps dupGroups broadcast-small.
     val bounded = keyed.select("id", "__h1", "__h2")
       .join(dupGroups, Seq("__h1", "__h2"))
       .filter(col("__n") <= maxGroupSize || col("id") === col("__rep") ||
@@ -125,37 +133,36 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxGroupSize)
       .select(col("id"), col("__rep"))
-    (reps, members)
+    Collapsed(reps, members, dupGroups.select(col("__rep")))
   }
 
-  /** Fan representative-level near-dup pairs back out to member ids:
-    *   - cross-group: every (member of rep_a) × (member of rep_b) pair
+  /** Fan representative-level near-dup pairs back out to member ids. The
+    * caller appends one IDENTITY pair (rep, rep, selfScore) per dup group
+    * to `repPairs` (a tiny union — one row per duplicated content, not per
+    * result pair), and a single pass of two left joins expands both kinds:
+    *   - cross-group pairs: every (member of rep_a) × (member of rep_b)
     *     inherits the rep pair's score (identical content ⇒ identical
     *     measure), normalized to id_a < id_b. `members` holds dup groups
     *     only, so the joins are left with the rep id itself as fallback —
     *     a singleton rep is its own single member.
-    *   - within-group: every member pair of a dup group scores as the
-    *     identical-content pair it is, via `selfScore` over the group's
-    *     (id_a, id_b, __rep) rows
+    *   - within-group pairs: the identity pair expands to the group's
+    *     member × member square; the `__ma < __mb` guard keeps each
+    *     unordered pair exactly once (members of distinct groups are
+    *     disjoint, so the guard never touches cross pairs).
     */
-  private def fanOut(repPairs: DataFrame, members: DataFrame,
-      selfScore: DataFrame => DataFrame): DataFrame = {
+  private def fanOut(repPairs: DataFrame, members: DataFrame): DataFrame = {
     val mA = members.select(col("__rep").as("id_a"), col("id").as("__ma"))
     val mB = members.select(col("__rep").as("id_b"), col("id").as("__mb"))
     val scoreCols = repPairs.columns.filterNot(Set("id_a", "id_b")).toSeq
-    val cross = repPairs
+    repPairs
       .join(mA, Seq("id_a"), "left")
       .join(mB, Seq("id_b"), "left")
       .withColumn("__ma", coalesce(col("__ma"), col("id_a")))
       .withColumn("__mb", coalesce(col("__mb"), col("id_b")))
+      .filter(col("id_a") =!= col("id_b") || col("__ma") < col("__mb"))
       .select(least(col("__ma"), col("__mb")).as("id_a") +:
         greatest(col("__ma"), col("__mb")).as("id_b") +:
         scoreCols.map(col): _*)
-    val within = selfScore(
-      members.select(col("__rep"), col("id").as("id_a"))
-        .join(members.select(col("__rep"), col("id").as("id_b")), "__rep")
-        .filter(col("id_a") < col("id_b")))
-    cross.unionByName(within.select(cross.columns.map(col).toSeq: _*))
   }
 
   /** Exact dedup: keep one row per duplicate group, chosen by `tieBreak`
@@ -278,13 +285,14 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val (reps, members) = collapseGroups(docs, idCol, textCol, cfg.maxBucketSize)
-    val sigs = minhashSignatures(reps, "id", textCol, cfg)
+    val c = collapseGroups(docs, idCol, textCol, cfg.maxBucketSize)
+    val sigs = minhashSignatures(c.reps, "id", textCol, cfg)
     val candidates = bucketJoinPairs(bandedSignatures(sigs, cfg), cfg.maxBucketSize)
-    val repPairs = verifyJaccard(reps, "id", textCol, cfg.shingleSize, candidates)
+    val repPairs = verifyJaccard(c.reps, "id", textCol, cfg.shingleSize, candidates)
       .filter(col("jaccard") >= cfg.threshold)
-    fanOut(repPairs, members,
-      within => within.select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
+      .unionByName(c.dupReps.select(col("__rep").as("id_a"),
+        col("__rep").as("id_b"), lit(1.0).as("jaccard")))
+    fanOut(repPairs, c.members)
   }
 
   // ------------------------------------------------------------ SimHash
@@ -295,8 +303,8 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val (reps, members) = collapseGroups(docs, idCol, textCol, maxBucketSize)
-    val sigs = reps.select(col("id"),
+    val c = collapseGroups(docs, idCol, textCol, maxBucketSize)
+    val sigs = c.reps.select(col("id"),
       GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
     val banded = capBuckets(bandRows(sigs, bands = 4, bandBits = 16), maxBucketSize)
       .select("id", "sig", "band_idx", "band_hash")
@@ -309,8 +317,9 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
-    fanOut(repPairs, members, within =>
-      within.select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming")))
+      .unionByName(c.dupReps.select(col("__rep").as("id_a"),
+        col("__rep").as("id_b"), lit(0).cast("int").as("hamming")))
+    fanOut(repPairs, c.members)
   }
 
   // ------------------------------------------------------------ n-gram Jaccard
@@ -325,8 +334,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
-    val (reps, members) = collapseGroups(docs, idCol, textCol, maxBucketSize)
-    val sh = shingleRows(reps, "id", textCol, n)
+    val c = collapseGroups(docs, idCol, textCol, maxBucketSize)
+    val sh = shingleRows(c.reps, "id", textCol, n)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
     // One window pass: the ordered spec with an unbounded frame yields both
     // the per-doc rank and the per-doc size off a single partition+sort.
@@ -350,10 +359,11 @@ object Dedup {
         col("sz_a") >= lit(threshold) * col("sz_b") &&
         col("sz_b") >= lit(threshold) * col("sz_a"))
       .select("id_a", "id_b").distinct()
-    val repPairs = verifyJaccard(reps, "id", textCol, n, candidates)
+    val repPairs = verifyJaccard(c.reps, "id", textCol, n, candidates)
       .filter(col("jaccard") >= threshold)
-    fanOut(repPairs, members,
-      within => within.select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
+      .unionByName(c.dupReps.select(col("__rep").as("id_a"),
+        col("__rep").as("id_b"), lit(1.0).as("jaccard")))
+    fanOut(repPairs, c.members)
   }
 
   // ------------------------------------------------------------ Embeddings
@@ -364,8 +374,8 @@ object Dedup {
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, maxBucketSize: Int = 10000): DataFrame = {
-    val (reps, members) = collapseGroups(vectors, idCol, vecCol, maxBucketSize)
-    val sigs = reps.select(col("id"), col(vecCol).as("vec"),
+    val c = collapseGroups(vectors, idCol, vecCol, maxBucketSize)
+    val sigs = c.reps.select(col("id"), col(vecCol).as("vec"),
       GraftFunctions.signProjection(col(vecCol)).as("sig"))
     // Band rows carry ids only — no vector rides the bucket exchange; the
     // vectors are joined back after the candidate distinct.
@@ -384,14 +394,14 @@ object Dedup {
       .withColumn("cosine", GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    // Within-group score = the identical-vector cosine computed by the SAME
-    // kernel over the rep's own vector — bit-identical to what the uncollapsed
-    // pair would have produced (not a synthesized 1.0, which could differ in
-    // the last ulp).
-    fanOut(repPairs, members, within =>
-      within.join(vecs.toDF("__rep", "vec"), "__rep")
-        .select(col("id_a"), col("id_b"),
+      // Identity-pair score = the identical-vector cosine computed by the
+      // SAME kernel over the rep's own vector — bit-identical to what the
+      // uncollapsed pair would have produced (not a synthesized 1.0, which
+      // could differ in the last ulp).
+      .unionByName(c.dupReps.join(vecs.toDF("__rep", "vec"), "__rep")
+        .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
           GraftFunctions.cosineSim(col("vec"), col("vec")).as("cosine"))
         .filter(col("cosine") >= threshold))
+    fanOut(repPairs, c.members)
   }
 }

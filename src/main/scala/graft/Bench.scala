@@ -20,6 +20,23 @@ object Bench {
     """"sf":\s*"?([0-9.]+)"?""".r.findFirstMatchIn(text.replace("\\", ""))
       .map(_.group(1))
 
+  /** Recorded BENCH_r*.json files at the repo root — resolved by walking up
+    * from the cwd to the first directory that contains one (or a .git dir),
+    * so the guard fires from any working directory — sorted by PARSED round
+    * number (lexicographic sort breaks at r100 and would silently compare
+    * against the wrong round).
+    */
+  private def recordedBenches(): Seq[java.io.File] = {
+    def benches(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val start = new java.io.File(".").getCanonicalFile
+    Iterator.iterate(start)(_.getParentFile).takeWhile(_ != null)
+      .find(d => benches(d).nonEmpty || new java.io.File(d, ".git").isDirectory)
+      .toSeq.flatMap(benches)
+      .sortBy(f => """\d+""".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,29 +65,38 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // Regression guard: per-query ratio vs the most recent recorded round
-    // bench (or SPARK_GRAFT_BASELINE), flagged in-run rather than only at
-    // judge time. Only comparable when this run used the baseline's scale
+    // Regression guard: per-query ratio vs BOTH the first recorded round
+    // bench (the defended baseline — catches slow multi-round drift) and
+    // the most recent one (catches fresh regressions), or an explicit
+    // SPARK_GRAFT_BASELINE file; flagged in-run rather than only at judge
+    // time. Only comparable when this run used the baseline's scale
     // factor; sub-noise queries (absolute drift < 0.3 s) are not flagged.
-    val baselineFile = sys.env.get("SPARK_GRAFT_BASELINE").orElse {
-      Option(new java.io.File(".").listFiles())
-        .flatMap(_.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption)
-        .map(_.getPath)
+    val baselineFiles: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_BASELINE") match {
+        case Some(p) => Seq("env" -> p)
+        case None =>
+          val rec = recordedBenches()
+          (rec.headOption.toSeq ++ rec.lastOption.toSeq).distinct
+            .map(f => f.getName.replaceAll("^BENCH_|\\.json$", "") -> f.getPath)
+      }
+    val baselines: Seq[(String, Map[String, Double])] = baselineFiles.flatMap {
+      case (label, p) =>
+        val text =
+          try Some(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p))))
+          catch { case _: Throwable => None }
+        text.filter(t => baselineSf(t)
+            .exists(s => sfDir.stripSuffix("/").endsWith(s"sf$s")))
+          .map(t => label -> baselineQueries(t))
     }
-    val baselineText = baselineFile.flatMap { p =>
-      try Some(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(p))))
-      catch { case _: Throwable => None }
-    }
-    val comparable = baselineText.flatMap(baselineSf)
-      .exists(s => sfDir.stripSuffix("/").endsWith(s"sf$s"))
-    val base =
-      if (comparable) baselineText.map(baselineQueries).getOrElse(Map.empty)
-      else Map.empty[String, Double]
     val regressions = results.collect {
-      case (k, v, true) if base.get(k).exists(b => v > b * 1.5 && v - b > 0.3) =>
-        f""""$k x${v / base(k)}%.2f""" + "\""
+      case (k, v, true) if baselines.exists {
+            case (_, base) => base.get(k).exists(b => v > b * 1.5 && v - b > 0.3)
+          } =>
+        val (label, ratio) = baselines.flatMap { case (l, base) =>
+          base.get(k).map(b => l -> v / b)
+        }.maxBy(_._2)
+        f""""$k x$ratio%.2f vs $label""" + "\""
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

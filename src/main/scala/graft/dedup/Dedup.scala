@@ -75,25 +75,30 @@ object Dedup {
       .select(banded.columns.map(col).toSeq: _*)
   }
 
-  /** Exact-duplicate pre-routing: collapse rows with identical `content` to
-    * one representative (the min id), so LSH/banding sees each distinct
-    * content ONCE. Returns (reps, members):
-    *   - reps: (id, content) — one row per distinct content, the group's
-    *     min-id row (singletons pass through untouched)
-    *   - members: (id, __rep) — membership of DUP GROUPS ONLY (size > 1),
-    *     down-sampled to at most `maxGroupSize` members per group
-    *     (representative always kept, then first-by-id among deterministic
-    *     hash-mod survivors). Singletons are implicit — [[fanOut]] falls
-    *     back to the rep id itself.
+  /** Output of [[collapseKeyed]]: `reps` (id, payload…) one row per
+    * distinct content; `members` (id, __rep) dup-group membership, capped;
+    * `dupReps` (__rep) one row per dup group — the seed for identity
+    * self-pairs in [[fanOut]], derived off the same shared agg exchange.
+    */
+  private[dedup] final case class Collapsed(
+      reps: DataFrame, members: DataFrame, dupReps: DataFrame)
+
+  /** Exact-duplicate pre-routing core: collapse rows with an identical
+    * content-hash pair to one representative (the min id), so LSH/banding
+    * sees each distinct content ONCE. `keyed` must carry (id, __h1, __h2)
+    * plus any payload columns — values derived from the content, identical
+    * within a group by construction (e.g. the content itself, or its
+    * scan-locally precomputed signature), carried by first().
     *
     * Scale shape: content identity is a scan-local 128-bit hash pair
     * (collision odds ~n²/2¹²⁹ — vanishing even at 10¹¹ docs), so the group
     * aggregation is map-side combined: a 100M-copy group reaches the
     * reducer as O(partitions) partial rows, each partial carrying ONE copy
-    * of the content (via first() — all members are identical by
-    * construction). Each distinct content therefore crosses the wire
-    * exactly once, and `reps` is a plain agg output — a single exchange
-    * that ReuseExchange shares across every downstream pass
+    * of the payload. Each distinct payload therefore crosses the wire
+    * exactly once — callers that only need a fixed-width signature
+    * downstream pass THAT as the payload and keep the full text/vector off
+    * the exchange entirely — and `reps` is a plain agg output: a single
+    * exchange that ReuseExchange shares across every downstream pass
     * (signature + verify), instead of a join subtree each pass would
     * re-evaluate. The membership join carries ids + 16-byte hash keys
     * only, against the DUP groups (one row per duplicated content), which
@@ -104,23 +109,12 @@ object Dedup {
     * [[capBuckets]]: hash-mod oversized groups to ~4·max expected
     * survivors, then an exact row_number cap over the bounded input.
     */
-  /** Output of [[collapseGroups]]: `reps` (id, content) one row per
-    * distinct content; `members` (id, __rep) dup-group membership, capped;
-    * `dupReps` (__rep) one row per dup group — the seed for identity
-    * self-pairs in [[fanOut]], derived off the same shared agg exchange.
-    */
-  private[dedup] final case class Collapsed(
-      reps: DataFrame, members: DataFrame, dupReps: DataFrame)
-
-  private[dedup] def collapseGroups(docs: DataFrame, idCol: String,
-      contentCol: String, maxGroupSize: Int): Collapsed = {
-    val keyed = docs.select(col(idCol).as("id"), col(contentCol).as("__c"),
-      xxhash64(col(contentCol)).as("__h1"),
-      xxhash64(lit(7), col(contentCol)).as("__h2"))
-    val groups = keyed.groupBy("__h1", "__h2")
-      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__n"),
-        first(col("__c")).as("__c"))
-    val reps = groups.select(col("__rep").as("id"), col("__c").as(contentCol))
+  private[dedup] def collapseKeyed(keyed: DataFrame, maxGroupSize: Int): Collapsed = {
+    val payload = keyed.columns.filterNot(Set("id", "__h1", "__h2")).toSeq
+    val aggs = min(col("id")).as("__rep") +: count(lit(1)).as("__n") +:
+      payload.map(c => first(col(c)).as(c))
+    val groups = keyed.groupBy("__h1", "__h2").agg(aggs.head, aggs.tail: _*)
+    val reps = groups.select(col("__rep").as("id") +: payload.map(col): _*)
     val dupGroups = groups.filter(col("__n") > 1)
       .select("__h1", "__h2", "__rep", "__n")
     val bounded = keyed.select("id", "__h1", "__h2")
@@ -135,6 +129,24 @@ object Dedup {
       .select(col("id"), col("__rep"))
     Collapsed(reps, members, dupGroups.select(col("__rep")))
   }
+
+  /** The 128-bit content-hash key pair over `content` — scan-local, the
+    * group identity for [[collapseKeyed]] and [[exact]].
+    */
+  private def hashKeys(content: Seq[Column]): Seq[Column] = Seq(
+    xxhash64(content: _*).as("__h1"),
+    xxhash64(lit(7) +: content: _*).as("__h2"))
+
+  /** [[collapseKeyed]] with the content itself as the payload — for
+    * callers that still need the representative's text downstream
+    * (shingling / exact-Jaccard verify).
+    */
+  private[dedup] def collapseGroups(docs: DataFrame, idCol: String,
+      contentCol: String, maxGroupSize: Int): Collapsed =
+    collapseKeyed(
+      docs.select(col(idCol).as("id") +: hashKeys(Seq(col(contentCol))) :+
+        col(contentCol): _*),
+      maxGroupSize)
 
   /** Fan representative-level near-dup pairs back out to member ids. The
     * caller appends one IDENTITY pair (rep, rep, selfScore) per dup group
@@ -166,14 +178,24 @@ object Dedup {
   }
 
   /** Exact dedup: keep one row per duplicate group, chosen by `tieBreak`
-    * (first row in that order wins — deterministic, unlike dropDuplicates).
-    * Single hash shuffle on the dup key.
+    * (ascending struct comparison — the lexicographically-first row wins;
+    * pass a total order, e.g. a unique id, for a deterministic winner —
+    * unlike dropDuplicates).
+    *
+    * Group identity is the 128-bit content-hash pair over `dupCols`
+    * (collision odds ~n²/2¹²⁹ — vanishing even at 10¹¹ rows), so the
+    * whole operator is ONE map-side-combined hash aggregation: a
+    * 100M-copy boilerplate group reaches the reducer as O(partitions)
+    * min_by partials, each carrying a single candidate row — never the
+    * single-task sort a window partitioned by the raw dup key would
+    * funnel the entire group through.
     */
   def exact(df: DataFrame, dupCols: Seq[String], tieBreak: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(dupCols.map(col): _*).orderBy(tieBreak: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val keys = hashKeys(dupCols.map(col))
+    val winner = min_by(struct(df.columns.map(col): _*), struct(tieBreak: _*))
+    df.groupBy(keys: _*)
+      .agg(winner.as("__row"))
+      .select(col("__row.*"))
   }
 
   /** Distinct word shingles (n-grams) — the Jaccard universe of a doc. */
@@ -300,13 +322,19 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature per doc; banding the signature
     * into 4 × 16-bit chunks guarantees (pigeonhole) that any pair within
     * Hamming distance 3 shares a chunk. Returns (id_a, id_b, hamming ≤ maxDist).
+    *
+    * The signature is computed scan-locally BEFORE the exact-dup collapse
+    * and passed as its payload (identical text ⇒ identical signature), so
+    * only (id, 2×8-byte key, 8-byte sig) rides the collapse exchange — the
+    * full text never shuffles anywhere in this operator.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val c = collapseGroups(docs, idCol, textCol, maxBucketSize)
-    val sigs = c.reps.select(col("id"),
-      GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
-    val banded = capBuckets(bandRows(sigs, bands = 4, bandBits = 16), maxBucketSize)
+    val c = collapseKeyed(
+      docs.select(col(idCol).as("id") +: hashKeys(Seq(col(textCol))) :+
+        GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"): _*),
+      maxBucketSize)
+    val banded = capBuckets(bandRows(c.reps, bands = 4, bandBits = 16), maxBucketSize)
       .select("id", "sig", "band_idx", "band_hash")
     val a = banded.toDF("id_a", "sig_a", "band_idx", "band_hash")
     val b = banded.toDF("id_b", "sig_b", "band_idx", "band_hash")
@@ -371,23 +399,32 @@ object Dedup {
   /** Embedding near-dup pairs: sign-random-projection LSH (64 deterministic
     * hyperplanes) → 4 × 16-bit band buckets → exact cosine on candidates.
     * Returns (id_a, id_b, cosine ≥ threshold).
+    *
+    * Every pair — including the within-group pairs of an exact-duplicate
+    * cluster — is subject to the cosine ≥ threshold filter, so groups of
+    * degenerate (zero/NaN-norm) vectors are absent from the pair report,
+    * exactly as they would be without the collapse.
+    *
+    * The projection signature is computed scan-locally BEFORE the collapse
+    * and passed as its payload (identical vector ⇒ identical signature), so
+    * no vector rides the collapse OR bucket exchange — vectors are joined
+    * back from the input only for the candidate pairs that survive the
+    * distinct.
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, maxBucketSize: Int = 10000): DataFrame = {
-    val c = collapseGroups(vectors, idCol, vecCol, maxBucketSize)
-    val sigs = c.reps.select(col("id"), col(vecCol).as("vec"),
-      GraftFunctions.signProjection(col(vecCol)).as("sig"))
-    // Band rows carry ids only — no vector rides the bucket exchange; the
-    // vectors are joined back after the candidate distinct.
-    val banded = capBuckets(
-      bandRows(sigs.select("id", "sig"), bands = 4, bandBits = 16), maxBucketSize)
+    val c = collapseKeyed(
+      vectors.select(col(idCol).as("id") +: hashKeys(Seq(col(vecCol))) :+
+        GraftFunctions.signProjection(col(vecCol)).as("sig"): _*),
+      maxBucketSize)
+    val banded = capBuckets(bandRows(c.reps, bands = 4, bandBits = 16), maxBucketSize)
       .select("id", "band_idx", "band_hash")
     val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = sigs.select(col("id"), col("vec"))
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val repPairs = candidates
       .join(vecs.toDF("id_a", "vec_a"), "id_a")
       .join(vecs.toDF("id_b", "vec_b"), "id_b")

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * recomputable by the DuckDB oracle (xxhash64 would be ~2× cheaper per
   * row but exists only on the Spark side; the md5 cost is scan-local and
   * codegen'd either way).
+  *
+  * Null-key contract (uniform across all three operators): a null key has
+  * no bucket, so the row is never a member of any sample or split —
+  * [[hashSample]] and [[mixture]] exclude the row, and [[withSplit]]
+  * assigns a NULL split label (it must not drop rows, and silently filing
+  * null-keyed rows under the last label would leak them into the eval
+  * split). Filter or repair null keys upstream if they carry data.
   */
 object Sampling {
   /** Bucket space: first 8 hex chars of the md5 = 32 bits. */
@@ -66,7 +73,8 @@ object Sampling {
     * split (cumulative bucket ranges), so membership never leaks between
     * splits across runs or engine versions. `fractions` are (label, share)
     * in order; shares must sum to ≤ 1 — rows past the last boundary get the
-    * final label (so (train .8)(valid .1)(test .1) is exhaustive).
+    * final label (so (train .8)(valid .1)(test .1) is exhaustive). A null
+    * key gets a NULL split label (see the null-key contract above).
     */
   def withSplit(df: DataFrame, keyCol: String,
       fractions: Seq[(String, Double)], salt: Long = 0L,
@@ -78,6 +86,6 @@ object Sampling {
       lit(fractions.last._1): Column) { case (((label, _), hi), acc) =>
         when(bucket < lit(threshold(hi)), lit(label)).otherwise(acc)
       }
-    df.withColumn(splitCol, expr)
+    df.withColumn(splitCol, when(bucket.isNotNull, expr))
   }
 }

@@ -111,15 +111,17 @@ object Knn {
     // Train the coarse quantizer on a bounded REPRESENTATIVE sample (the
     // standard IVF recipe: ~100s of points per centroid suffice); the full
     // corpus is only ASSIGNED, one scan-local transform. Training cost stays
-    // flat as the corpus grows. A seeded sample() — not limit(), which takes
-    // whatever partitions arrive first and on clustered/sorted corpora would
-    // train the quantizer on one region of the space, skewing the inverted
-    // lists. The count() is parquet-metadata cheap relative to the KMeans.
-    val trainTarget = nlist * 256
-    val fraction = math.min(1.0,
-      trainTarget * 4.0 / math.max(corpus.count(), 1L))
-    val train = assignedInput.select("fvec")
-      .sample(withReplacement = false, fraction, seed)
+    // flat as the corpus grows. Membership is the deterministic hash-order
+    // prefix ([[trainingSample]]): a pure function of ids, so the SAME
+    // training set — and therefore the same centroids and recall — on any
+    // physical layout (partition count, AQE re-plan, task retry), unlike
+    // per-partition Bernoulli sample(); the hash order is uncorrelated with
+    // any clustering/sort of the corpus, so the prefix is representative
+    // where a bare limit() would train on one region of the space; and
+    // TakeOrdered needs no corpus.count() pre-pass (which for derived
+    // inputs is a full scan, not a metadata read).
+    val train = trainingSample(assignedInput, "neighbor_id", nlist * 256 * 4, seed)
+      .select("fvec")
     // Random init (seeded): a coarse quantizer doesn't need k-means||'s
     // extra initialization passes or full convergence.
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
@@ -161,6 +163,15 @@ object Knn {
         GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
     topK(scored, k)
   }
+
+  /** Deterministic, layout-independent bounded sample: the first `n` rows
+    * in (xxhash64(seed, id), id) order — membership is a pure function of
+    * the id column, so the same rows are selected on any partitioning, and
+    * the TakeOrdered top-n needs no count() pre-pass over the input.
+    */
+  private[graft] def trainingSample(df: DataFrame, idCol: String, n: Int,
+      seed: Long): DataFrame =
+    df.orderBy(xxhash64(lit(seed), col(idCol)), col(idCol)).limit(n)
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

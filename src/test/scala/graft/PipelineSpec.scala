@@ -125,6 +125,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.filter(col("doc_id") >= 10000).count() === 0)
   }
 
+  test("exact dedup: 100k identical docs through the training-pipeline shape, no window funnel") {
+    // VERDICT r4 item 1: the composed pipelines' exact dedup must never
+    // window-partition by raw text — a 100k-copy boilerplate group has to
+    // reach the reducer as map-side-combined partials, not sort in one task.
+    val boiler = "a varied sentence with plenty of distinct tokens for the quality filters"
+    val clones = spark.range(100000)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val extras = spark.range(5)
+      .select((col("id") + 500000L).as("doc_id"),
+        concat(lit("unique document number "), col("id"),
+          lit(" carrying its own tail of words")).as("text"))
+    // pipe_training_data's stage order: scan-local filters → exact dedup
+    val filtered = clones.unionByName(extras)
+      .filter(TextAnalysis.tokenCount(col("text")) >= 5)
+      .filter(round(TextAnalysis.dupNgramCharFrac(col("text")), 6) < 0.2)
+    val deduped = Dedup.exact(filtered, Seq("text"), Seq(col("doc_id")))
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in exact-dedup plan:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected an aggregate plan:\n$plan")
+    val kept = deduped.collect()
+    assert(kept.length === 6)
+    val ids = kept.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === (500000L until 500005L).toSet + 0L) // min-id winner per group
+  }
+
   test("minhash LSH finds planted near-duplicates with high jaccard") {
     val planted = docs.unionByName(
       docs.filter(col("doc_id") < 10)
@@ -284,6 +309,36 @@ class PipelineSpec extends AnyFunSuite {
     // the benchmark gram side must broadcast — the corpus never shuffles
     val plan = flagged.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("sampling: null keys are in no sample and get a null split") {
+    import spark.implicits._
+    val base = Seq(Some(1L), Some(2L), Some(3L), None)
+      .toDF("id").withColumn("grp", lit("g"))
+    // hashSample / mixture: a null key has no bucket → row excluded
+    assert(Sampling.hashSample(base, "id", 1.0).filter(col("id").isNull).count() === 0)
+    assert(Sampling.hashSample(base, "id", 1.0).count() === 3)
+    assert(Sampling.mixture(base, "id", "grp", Map.empty, 1.0)
+      .filter(col("id").isNull).count() === 0)
+    // withSplit keeps the row but assigns a NULL label — never a split
+    val split = Sampling.withSplit(base, "id",
+      Seq("train" -> 0.5, "test" -> 0.5), salt = 3L)
+    assert(split.count() === 4)
+    assert(split.filter(col("id").isNull && col("split").isNotNull).count() === 0)
+    assert(split.filter(col("id").isNotNull && col("split").isNull).count() === 0)
+  }
+
+  test("IVF training-sample membership is a pure function of ids (layout-independent)") {
+    val base = spark.range(5000).toDF("nid")
+    def members(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Knn.trainingSample(df, "nid", 1000, seed = 42L)
+        .collect().map(_.getLong(0)).toSet
+    val a = members(base)
+    val b = members(base.repartition(13))
+    val c = members(base.sort(col("nid").desc))
+    assert(a.size === 1000)
+    assert(a === b)
+    assert(a === c)
   }
 
   test("sampling: mixture applies per-group rates in one scan") {

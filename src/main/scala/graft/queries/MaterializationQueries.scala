@@ -190,6 +190,37 @@ object MaterializationQueries {
       |  CASE WHEN o_orderkey <= 500 THEN 'STALE' ELSE o_orderpriority END AS o_orderpriority
       |FROM orders WHERE o_orderkey <= 1500 ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- O3′ idem
+  /** Merge idempotency (reference tests/functional/adapter/test_basic.py:
+    * 279-328 semantics): re-running the SAME batch through the merge
+    * strategy must be a no-op — re-delivered keys update in place, never
+    * duplicate. The gate merges one batch twice and returns per-key row
+    * counts plus final values; the oracle recomputes the state from a
+    * single logical application of the batch, so any duplicate row or
+    * double-applied update hash-mismatches.
+    */
+  def incMergeIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.orders_inc_merge_idem"
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderkey") <= 1000)
+    val batch = o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1500)
+      .withColumn("o_orderpriority", lit("BATCH"))
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("o_orderkey"))
+    IncrementalMaterialization.run(spark, t, target, cfg)
+    IncrementalMaterialization.run(spark, t, batch, cfg)
+    IncrementalMaterialization.run(spark, t, batch, cfg) // identical re-run
+    spark.table(t)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"), max(col("o_orderpriority")).as("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val incMergeIdempotentSql =
+    """SELECT o_orderkey, CAST(1 AS BIGINT) AS n_rows,
+      |  CASE WHEN o_orderkey > 500 THEN 'BATCH' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey <= 1500 ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- O3′ b
   /** merge_update_columns: only the listed columns take source values on
     * match; everything else keeps the target value (strategies.sql:61-66).
@@ -768,6 +799,7 @@ object MaterializationQueries {
     "inc_append" -> (incAppend _),
     "inc_insert_overwrite" -> (incInsertOverwrite _),
     "inc_merge" -> (incMerge _),
+    "inc_merge_idempotent" -> (incMergeIdempotent _),
     "inc_merge_update_cols" -> (incMergeUpdateCols _),
     "inc_merge_scoped" -> (incMergeScoped _),
     "inc_merge_predicate" -> (incMergePredicate _),
@@ -797,6 +829,7 @@ object MaterializationQueries {
     "inc_append" -> incAppendSql,
     "inc_insert_overwrite" -> incInsertOverwriteSql,
     "inc_merge" -> incMergeSql,
+    "inc_merge_idempotent" -> incMergeIdempotentSql,
     "inc_merge_update_cols" -> incMergeUpdateColsSql,
     "inc_merge_scoped" -> incMergeScopedSql,
     "inc_merge_predicate" -> incMergePredicateSql,

@@ -143,6 +143,115 @@ object PipelineQueries {
        |  MIN(doc_id) AS first_doc
        |FROM deduped""".stripMargin
 
+  /** URL/boilerplate normalization over the corpus plus planted noisy rows
+    * (every 7th doc gets an upper-cased URL + email + ragged-whitespace
+    * tail): casing folds, URLs/emails collapse to placeholder tokens,
+    * whitespace runs collapse — the canonicalization that makes
+    * trivially-different copies hash identically for dedup.
+    */
+  def txtNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val noisy = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"),
+          lit("  Visit HTTPS://Example.COM/a?b=1&utm=x   or mail Bob.Smith+x@Example.org  now")))
+        .otherwise(col("text")))
+    noisy.select(col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtNormalizeSql =
+    """WITH noisy AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || '  Visit HTTPS://Example.COM/a?b=1&utm=x   or mail Bob.Smith+x@Example.org  now'
+      |         ELSE text END AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    'https?://\S+', '<url>', 'g'),
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+      |    '\s+', ' ', 'g')) AS norm_text
+      |FROM noisy ORDER BY doc_id""".stripMargin
+
+  /** Stopword ratio (the classic quality-filter signal) over the corpus,
+    * rounded to 6 dp on both sides (double-division precedent).
+    */
+  def txtStopwordRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val txtStopwordRatioSql = {
+    val words = TextAnalysis.englishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |            x -> x IN ($words))) AS DOUBLE)
+       |    / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Normalization wired AHEAD of exact dedup — the composition that makes
+    * casing/URL/whitespace variants of the same document collapse: planted
+    * noisy copies (ids +6,000,000 — upper-cased, ragged whitespace, a
+    * tracking URL swapped for another) must dedup against their originals
+    * once both carry the same `<url>`-normalized form. Scan-local
+    * normalize + one content-hash agg; the oracle re-derives the chain.
+    */
+  def pipeNormalizeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withUrl = docs.withColumn("text",
+      concat(col("text"), lit(" see https://src.example/"), col("doc_id")))
+    val noisy = withUrl.filter(col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + 6000000L)
+      .withColumn("text",
+        concat(lit("  "), upper(col("text")), lit("   extra  ")))
+      .withColumn("text",
+        regexp_replace(col("text"), "HTTPS://\\S+", "https://other.example/tracked?z=1"))
+    val corpus = withUrl.unionByName(noisy)
+      .withColumn("norm_text", TextAnalysis.normalize(col("text")))
+    // noisy copies end as "<original normalized> see <url> extra" — append
+    // " extra" to nothing: they differ from originals ONLY by the literal
+    // trailing token, so strip it for the dedup key to isolate the
+    // normalization effect end-to-end.
+    val keyed = corpus.withColumn("dedup_key",
+      regexp_replace(col("norm_text"), " extra$", ""))
+    val deduped = Dedup.exact(keyed, Seq("dedup_key"), Seq(col("doc_id")))
+    deduped.agg(count(lit(1)).as("n_docs"),
+      count(when(col("doc_id") >= 6000000L, 1)).as("n_noisy_survivors"))
+  }
+
+  private val pipeNormalizeDedupSql =
+    """WITH with_url AS (
+      |  SELECT doc_id, text || ' see https://src.example/' || doc_id AS text
+      |  FROM documents
+      |), noisy AS (
+      |  SELECT doc_id + 6000000 AS doc_id,
+      |    regexp_replace('  ' || upper(text) || '   extra  ',
+      |      'HTTPS://\S+', 'https://other.example/tracked?z=1', 'g') AS text
+      |  FROM with_url WHERE doc_id < 40
+      |), corpus AS (
+      |  SELECT doc_id, text FROM with_url UNION ALL SELECT doc_id, text FROM noisy
+      |), keyed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |        'https?://\S+', '<url>', 'g'),
+      |        '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+      |        '\s+', ' ', 'g')),
+      |      ' extra$', '') AS dedup_key
+      |  FROM corpus
+      |), deduped AS (
+      |  SELECT doc_id FROM keyed
+      |  QUALIFY row_number() OVER (PARTITION BY dedup_key ORDER BY doc_id) = 1
+      |)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(COUNT(CASE WHEN doc_id >= 6000000 THEN 1 END) AS BIGINT) AS n_noisy_survivors
+      |FROM deduped""".stripMargin
+
   /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -676,6 +785,9 @@ object PipelineQueries {
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_normalize" -> (txtNormalize _),
+    "txt_stopword_ratio" -> (txtStopwordRatio _),
+    "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_exact" -> (ddExact _),
     "dd_minhash" -> (ddMinhash _),
@@ -700,6 +812,9 @@ object PipelineQueries {
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
+    "txt_normalize" -> txtNormalizeSql,
+    "txt_stopword_ratio" -> txtStopwordRatioSql,
+    "pipe_normalize_dedup" -> pipeNormalizeDedupSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,

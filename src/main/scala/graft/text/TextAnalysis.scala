@@ -88,4 +88,19 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column = GraftFunctions.fingerprint(text)
+
+  /** URL/boilerplate normalization — the canonicalization pass that runs
+    * BEFORE dedup/decontamination so trivially-different copies (casing,
+    * tracking URLs, mailto noise, ragged whitespace) hash identically:
+    * lowercase, URLs → `<url>`, emails → `<email>`, whitespace runs
+    * collapsed to one space, trimmed. Scan-local codegen'd regexes; the
+    * patterns avoid Java-only regex features so any engine (and the DuckDB
+    * oracle) reproduces the same bytes.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "https?://\\S+", "<url>"),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
+      "\\s+", " "))
 }

@@ -341,6 +341,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === c)
   }
 
+  test("normalization folds casing/URL/whitespace variants to identical bytes") {
+    import spark.implicits._
+    val df = Seq(
+      "Hello   World visit https://a.com/x?q=1&utm=2 or Bob@ex.org now",
+      "hello world visit HTTP://b.org/other   or carol.j@ex2.io  now ").toDF("text")
+    val got = df.select(TextAnalysis.normalize(col("text"))).as[String].collect()
+    assert(got(0) === "hello world visit <url> or <email> now")
+    assert(got(0) === got(1))
+  }
+
   test("sampling: mixture applies per-group rates in one scan") {
     val mixed = Sampling.mixture(docs, "doc_id", "lang",
       rates = Map("en" -> 0.0), defaultRate = 1.0, salt = 2L)

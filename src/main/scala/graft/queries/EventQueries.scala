@@ -97,13 +97,58 @@ object EventQueries {
       |  FROM events GROUP BY user_id
       |) ORDER BY user_id""".stripMargin
 
+  /** Backward as-of join (graft.operators.AsofJoin): for every click, the
+    * most recent view by the same user at or before the click, within a
+    * 1-day attribution window — the point-in-time lookup shape. One
+    * union-merge window pass (a single user_id shuffle), no range join;
+    * ties at equal ts break to the greatest view event_id on both sides.
+    */
+  def evtAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"), col("ts"))
+    graft.operators.AsofJoin.asof(clicks, views, Seq("user_id"),
+      leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("view_event_id"), tieBreak = Seq("view_event_id"),
+      toleranceSec = Some(86400L))
+      .select(col("user_id"), col("event_id"), col("view_event_id_asof"),
+        (col("ts").cast("long") - col("ts_asof").cast("long")).as("age_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val evtAsofSql =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+      |), views AS (
+      |  SELECT user_id, event_id AS view_event_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'
+      |), best AS (
+      |  SELECT c.user_id, c.event_id, c.ts, v.view_event_id, v.view_ts
+      |  FROM clicks c LEFT JOIN views v
+      |    ON v.user_id = c.user_id AND v.view_ts <= c.ts
+      |  QUALIFY row_number() OVER (PARTITION BY c.user_id, c.event_id
+      |    ORDER BY v.view_ts DESC NULLS LAST, v.view_event_id DESC) = 1
+      |), aged AS (
+      |  SELECT *, CAST(floor(epoch(ts)) AS BIGINT)
+      |         - CAST(floor(epoch(view_ts)) AS BIGINT) AS age
+      |  FROM best
+      |)
+      |SELECT user_id, event_id,
+      |  CASE WHEN age <= 86400 THEN view_event_id END AS view_event_id_asof,
+      |  CASE WHEN age <= 86400 THEN age END AS age_sec
+      |FROM aged ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
-    "evt_funnel" -> (evtFunnel _))
+    "evt_funnel" -> (evtFunnel _),
+    "evt_asof" -> (evtAsof _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
-    "evt_funnel" -> evtFunnelSql)
+    "evt_funnel" -> evtFunnelSql,
+    "evt_asof" -> evtAsofSql)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
@@ -251,6 +251,108 @@ object PipelineQueries {
       |SELECT COUNT(*) AS n_docs,
       |  CAST(COUNT(CASE WHEN doc_id >= 6000000 THEN 1 END) AS BIGINT) AS n_noisy_survivors
       |FROM deduped""".stripMargin
+
+  /** PII detection + redaction over the corpus plus planted PII rows (every
+    * 11th doc gets an email + phone + IPv4 appended): staged counts (emails
+    * on raw text, IPs on email-redacted, phones on email+IP-redacted — no
+    * double counting) and the fully scrubbed text. Scan-local regex chains;
+    * the oracle replays the identical patterns in RE2.
+    */
+  def txtPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val noisy = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"),
+          lit(" Contact J.Doe+spam@Corp.example, call +1 (415) 555-0134, host 192.168.10.42.")))
+        .otherwise(col("text")))
+    noisy.select(col("doc_id"),
+      TextAnalysis.piiEmails(col("text")).as("n_emails"),
+      TextAnalysis.piiIps(col("text")).as("n_ips"),
+      TextAnalysis.piiPhones(col("text")).as("n_phones"),
+      TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtPiiSql = {
+    val (email, ip, phone) =
+      (TextAnalysis.emailRe, TextAnalysis.ipv4Re, TextAnalysis.phoneRe)
+    s"""WITH noisy AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN text || ' Contact J.Doe+spam@Corp.example, call +1 (415) 555-0134, host 192.168.10.42.'
+       |         ELSE text END AS text
+       |  FROM documents
+       |), staged AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(text, '$email', '<email>', 'g') AS t1
+       |  FROM noisy
+       |), staged2 AS (
+       |  SELECT *, regexp_replace(t1, '$ip', '<ip>', 'g') AS t2 FROM staged
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$ip')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t2, '$phone')) AS INT) AS n_phones,
+       |  regexp_replace(t2, '$phone', '<phone>', 'g') AS scrubbed
+       |FROM staged2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Near-dup pairs → duplicate CLUSTERS via distributed min-label
+    * propagation (graft.dedup.Clusters): the transitive closure pairwise
+    * dedup can't see (a~b, b~c ⇒ {a,b,c} one cluster). Edges are the
+    * exact-verified n-gram Jaccard pairs, so the oracle can rebuild the
+    * same graph brute-force and chase connectivity with a recursive CTE —
+    * the ITERATIVE distributed algorithm is checked against a declarative
+    * ground truth.
+    */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedDocs(Tables.documents(spark, dir))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b")
+    Clusters.connectedComponents(pairs)
+      .orderBy(col("id"))
+  }
+
+  // lazy: bruteJaccardSql reads plantedDocsSql, a val defined further down
+  // this object — eager init here would interpolate null.
+  private lazy val ddClusterSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (${bruteJaccardSql(0.8)})
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS s, id_a AS d FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+       |)
+       |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Per-language corpus length statistics with EXACT interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
+    * percentile buffers each group's values on the agg task — fine for
+    * bounded-cardinality groups like languages; per-doc-scale groups at
+    * 100 TB use `approx_percentile` (same plan shape, mergeable sketch),
+    * which no external oracle can replay — this gate pins the exact path.
+    */
+  def txtLengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"),
+        round(percentile(col("n_chars"), lit(0.99)), 6).as("p99_chars"))
+      .orderBy(col("lang"))
+
+  private val txtLengthStatsSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  round(avg(n_chars), 6) AS mean_chars,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+      |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -785,6 +887,9 @@ object PipelineQueries {
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_pii" -> (txtPii _),
+    "txt_length_stats" -> (txtLengthStats _),
+    "dd_cluster" -> (ddCluster _),
     "txt_normalize" -> (txtNormalize _),
     "txt_stopword_ratio" -> (txtStopwordRatio _),
     "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
@@ -812,6 +917,9 @@ object PipelineQueries {
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
+    "txt_pii" -> txtPiiSql,
+    "txt_length_stats" -> txtLengthStatsSql,
+    "dd_cluster" -> ddClusterSql,
     "txt_normalize" -> txtNormalizeSql,
     "txt_stopword_ratio" -> txtStopwordRatioSql,
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,

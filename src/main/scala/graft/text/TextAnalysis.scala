@@ -103,4 +103,39 @@ object TextAnalysis {
         regexp_replace(lower(text), "https?://\\S+", "<url>"),
         "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
       "\\s+", " "))
+
+  /** PII detection/redaction — the scrub pass a training corpus runs before
+    * anything else sees the text. Heuristic regexes (that is the operator's
+    * nature); patterns use only features Java regex and RE2 share, so the
+    * DuckDB oracle replays them byte-for-byte. Scan-local codegen'd
+    * `regexp_replace` chains — a pure map stage at any scale.
+    *
+    * Detection is STAGED so counts partition the text instead of
+    * double-counting: emails are found on the raw text, IPs on the
+    * email-redacted text (an IP can't hide in `<email>`), phones on the
+    * email+IP-redacted text (otherwise an email's digit run or an IP's
+    * octets would also count as a phone). [[scrubPii]] applies the same
+    * three stages in the same order.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  private def afterEmails(text: Column): Column =
+    regexp_replace(text, emailRe, "<email>")
+  private def afterIps(text: Column): Column =
+    regexp_replace(afterEmails(text), ipv4Re, "<ip>")
+
+  def piiEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0)))
+
+  def piiIps(text: Column): Column =
+    size(regexp_extract_all(afterEmails(text), lit(ipv4Re), lit(0)))
+
+  def piiPhones(text: Column): Column =
+    size(regexp_extract_all(afterIps(text), lit(phoneRe), lit(0)))
+
+  /** Redact emails → IPs → phones (same staging as the counters). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(afterIps(text), phoneRe, "<phone>")
 }

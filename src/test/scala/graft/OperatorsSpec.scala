@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Clusters
+import graft.operators.AsofJoin
+import graft.text.TextAnalysis
+
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join: backward match, <= visibility, tolerance, no-match null") {
+    val trades = Seq(
+      ("A", 1L, ts("2024-01-01 10:00:05")),
+      ("A", 2L, ts("2024-01-01 10:00:10")), // equal-ts quote visible (<=)
+      ("A", 3L, ts("2024-01-01 12:00:00")), // only stale quotes → tolerance nulls
+      ("B", 4L, ts("2024-01-01 09:00:00")) // no quote at or before → null
+    ).toDF("sym", "trade_id", "ts")
+    val quotes = Seq(
+      ("A", 10L, ts("2024-01-01 10:00:00"), 99.0),
+      ("A", 11L, ts("2024-01-01 10:00:10"), 101.0),
+      ("B", 12L, ts("2024-01-01 09:30:00"), 50.0)
+    ).toDF("sym", "quote_id", "ts", "price")
+
+    val got = AsofJoin.asof(trades, quotes, Seq("sym"),
+      leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("quote_id", "price"), tieBreak = Seq("quote_id"),
+      toleranceSec = Some(3600L))
+      .select("trade_id", "quote_id_asof", "price_asof")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+
+    assert(got === Set(
+      (1L, 10L, 99.0), // last quote at or before 10:00:05
+      (2L, 11L, 101.0), // equal timestamp is visible
+      (3L, -1L, -1.0), // 10:00:10 quote is >1h old at 12:00
+      (4L, -1L, -1.0))) // B has no quote before 09:00
+  }
+
+  test("asof join: greatest tieBreak wins among right rows tied on (key, ts)") {
+    val l = Seq(("k", ts("2024-01-01 00:00:01"))).toDF("k", "ts")
+    val r = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 7L),
+      ("k", ts("2024-01-01 00:00:00"), 9L),
+      ("k", ts("2024-01-01 00:00:00"), 8L)).toDF("k", "ts", "rid")
+    val got = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rid"),
+      tieBreak = Seq("rid")).select("rid_asof").head().getLong(0)
+    assert(got === 9L)
+  }
+
+  test("connected components: transitive chains merge, components stay apart") {
+    // chain 1-2, 2-3, 3-4 plus separate pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val surv = Clusters.survivors(pairs).as[Long].collect().toSet
+    assert(surv === Set(1L, 10L))
+  }
+
+  test("connected components: long path converges (diameter > 2)") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs).collect()
+    assert(got.length === 20)
+    assert(got.forall(_.getLong(1) === 1L))
+  }
+
+  test("connected components: empty edge set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(empty).isEmpty)
+  }
+
+  test("pii: staged counts do not double-count emails/IPs as phones") {
+    val df = Seq(
+      "mail me at a.b+c@example.com or 12345678@qq.com",
+      "server 10.0.0.1 and 192.168.1.255 up",
+      "call +1 (415) 555-0134 today",
+      "mixed a@b.co 1.2.3.4 555-123-4567",
+      "no pii here at all").toDF("text")
+    val got = df.select(
+      TextAnalysis.piiEmails(col("text")).as("e"),
+      TextAnalysis.piiIps(col("text")).as("i"),
+      TextAnalysis.piiPhones(col("text")).as("p"),
+      TextAnalysis.scrubPii(col("text")).as("s")).collect()
+
+    assert(got(0).getInt(0) === 2 && got(0).getInt(1) === 0 && got(0).getInt(2) === 0)
+    assert(got(1).getInt(0) === 0 && got(1).getInt(1) === 2 && got(1).getInt(2) === 0)
+    assert(got(2).getInt(0) === 0 && got(2).getInt(1) === 0 && got(2).getInt(2) === 1)
+    assert(got(3).getInt(0) === 1 && got(3).getInt(1) === 1 && got(3).getInt(2) === 1)
+    assert(got(4).getInt(0) === 0 && got(4).getInt(1) === 0 && got(4).getInt(2) === 0)
+    assert(got(3).getString(3) === "mixed <email> <ip> <phone>")
+    assert(!got.map(_.getString(3)).mkString.contains("@"))
+  }
+}

@@ -8,11 +8,12 @@ import graft.functions.{GraftFunctions, Kernels}
 
 /** Deduplication operators for training-data pipelines, designed around one
   * invariant: never materialize the O(n²) pair space. Every near-dup
-  * algorithm is CANDIDATES (LSH bucket self-join, each bucket capped at
-  * `maxBucketSize` members via [[capBuckets]] so a hot bucket contributes at
-  * most max² pairs, never quadratic in bucket size) → VERIFY (exact measure
-  * on candidate pairs only). At 100 TB the only shuffles are a groupBy(doc)
-  * for signatures and the bucket join; both partial-aggregate map-side.
+  * algorithm is CANDIDATES (bucket pair generation, each bucket capped at
+  * `maxBucketSize` members via [[bucketPairs]] so a hot bucket contributes
+  * at most max² pairs, never quadratic in bucket size) → VERIFY (exact
+  * measure on candidate pairs only). At 100 TB the only shuffles are a
+  * groupBy(doc) for signatures and the bucket aggregation; both
+  * partial-aggregate map-side.
   *
   * Exact duplicates are PRE-ROUTED inside every near-dup entry point
   * ([[collapseGroups]]): identical content collapses to one representative
@@ -20,13 +21,14 @@ import graft.functions.{GraftFunctions, Kernels}
   * boilerplate doc reach the reducer as O(partitions) rows, never as a
   * 100M-row bucket — LSH runs over distinct content only, and results fan
   * back out to member ids ([[fanOut]]). Dup groups larger than
-  * `maxBucketSize` are down-sampled for pair REPORTING (the same ≤max²
-  * contract as an LSH bucket); the representative always survives, so the
-  * group still links to its near-dup neighbors.
+  * `maxBucketSize` are capped to their maxBucketSize smallest ids for pair
+  * REPORTING (the same ≤max² contract as an LSH bucket); the representative
+  * (the min id) always survives, so the group still links to its near-dup
+  * neighbors.
   *
-  * The residual cap in [[capBuckets]] then only fires for *near*-identical
+  * The residual cap in [[bucketPairs]] then only fires for *near*-identical
   * clusters (distinct texts landing in one bucket); it trades recall only
-  * there, and any `maxBucketSize` sample of such a cluster still links it.
+  * there, and any `maxBucketSize` prefix of such a cluster still links it.
   */
 object Dedup {
 
@@ -43,36 +45,43 @@ object Dedup {
         expr(s"shiftright(sig, band_idx * $bandBits) & $mask"))
   }
 
-  /** Within each (band_idx, band_hash) bucket keep only the first
-    * `max` members (ordered by id — deterministic). Bounds downstream pair
-    * generation at max² per bucket.
+  /** Candidate pairs within each (band_idx, band_hash) bucket, the bucket
+    * capped to its first `max` members by id. Input: (id, band_idx,
+    * band_hash, payload…); output: (id_a, id_b, payload_a…, payload_b…)
+    * with id_a < id_b, one row per ordered member pair per bucket.
     *
-    * Enforcement is two-phase so a pathological bucket never funnels through
-    * one task: (1) a map-side-combined count finds buckets over 4·max, and a
-    * deterministic hash-mod filter (broadcast of the rare oversized keys —
-    * ≤ rows/4max of them by construction) down-samples them scan-locally to
-    * ~4·max expected members; (2) the row_number window — whose per-bucket
-    * input is now bounded — applies the exact first-max-by-id cap. Buckets
-    * ≤ 4·max skip phase 1 entirely and keep the exact deterministic-prefix
-    * semantics. (Windows get no AQE skew mitigation, so the bound must exist
-    * BEFORE the sort — that is what phase 1 provides.)
+    * ONE aggregation does the whole bucket phase: a bounded
+    * first-max-by-id collector ([[graft.functions.CollectMinK]] over
+    * struct(id, payload…) — lexicographic order = id order, ids unique)
+    * gathers each bucket's capped member list on the bucket's single
+    * exchange, and pairs are then generated SCAN-LOCALLY from the sorted
+    * array (posexplode × suffix-slice — each pair streams through the two
+    * Generates, never a max²-sized in-memory array). This replaces the
+    * previous count-agg + hot-bucket broadcast + row_number window +
+    * bucket self-join pipeline — four exchanges and two evaluations of the
+    * banded subtree — with one exchange and no joins.
+    *
+    * Scale bounds are unchanged-or-better: per-bucket agg state is O(max)
+    * (map-side combined; a bucket spanning P partitions ships ≤ P·max
+    * members to its reducer, independent of bucket size), and a hot bucket
+    * still contributes at most max·(max-1)/2 pairs — now the exact
+    * first-max-by-id members rather than a hash-sampled subset.
     */
-  private def capBuckets(banded: DataFrame, max: Int): DataFrame = {
-    val counts = banded.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("__cnt"))
-    val hot = counts.filter(col("__cnt") > 4L * max)
-    val bounded = banded
-      .join(broadcast(hot), Seq("band_idx", "band_hash"), "left")
-      .filter(col("__cnt").isNull ||
-        pmod(xxhash64(col("id")),
-          ceil(col("__cnt") / lit(4 * max)).cast("long")) === 0)
-      .drop("__cnt")
-    val w = Window.partitionBy("band_idx", "band_hash").orderBy(col("id"))
-    bounded.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= max)
-      // the USING-join moved the band keys first; callers rename
-      // positionally, so restore the input column order
-      .select(banded.columns.map(col).toSeq: _*)
+  private[dedup] def bucketPairs(banded: DataFrame, max: Int): DataFrame = {
+    GraftFunctions.register(banded.sparkSession)
+    val payload = banded.columns.filterNot(Set("id", "band_idx", "band_hash")).toSeq
+    val member = struct(col("id") +: payload.map(col): _*)
+    val buckets = banded.groupBy("band_idx", "band_hash")
+      .agg(GraftFunctions.collectMinK(member, max).as("__ms"))
+    buckets
+      .select(col("__ms"), posexplode(col("__ms")).as(Seq("__i", "__a")))
+      // pos is 0-based, slice start is 1-based: the suffix strictly after
+      // __a starts at __i + 2; slice clamps past the array end.
+      .select(col("__a"),
+        explode(slice(col("__ms"), col("__i") + lit(2), lit(max))).as("__b"))
+      .select(col("__a.id").as("id_a") +: col("__b.id").as("id_b") +:
+        payload.flatMap(c =>
+          Seq(col(s"__a.$c").as(s"${c}_a"), col(s"__b.$c").as(s"${c}_b"))): _*)
   }
 
   /** Output of [[collapseKeyed]]: `reps` (id, payload…) one row per
@@ -100,33 +109,32 @@ object Dedup {
     * the exchange entirely — and `reps` is a plain agg output: a single
     * exchange that ReuseExchange shares across every downstream pass
     * (signature + verify), instead of a join subtree each pass would
-    * re-evaluate. The membership join carries ids + 16-byte hash keys
-    * only, against the DUP groups (one row per duplicated content), which
-    * a mostly-unique corpus keeps broadcast-small; when dups dominate it
-    * degrades to a shuffled equi-join, which AQE skew-split handles —
-    * unlike a window, which would sort the whole hot group in one task.
-    * The member cap uses the same bounded two-phase trick as
-    * [[capBuckets]]: hash-mod oversized groups to ~4·max expected
-    * survivors, then an exact row_number cap over the bounded input.
+    * re-evaluate.
+    *
+    * Dup-group MEMBERSHIP comes from the SAME aggregation: a bounded
+    * first-maxGroupSize-by-id collector ([[graft.functions.CollectMinK]])
+    * rides the existing exchange, so reps, dupReps, and capped members all
+    * derive from one corpus scan and one shuffle — no membership join-back
+    * (which would re-scan and re-hash the corpus) and no row_number window
+    * (another exchange, and a sort funnel for hot groups). The collector's
+    * state is a size-k heap: map-side partials are O(k) regardless of group
+    * size, and a group spanning P partitions ships ≤ P·k ids to its
+    * reducer — bounded, never the whole group. The cap semantics are the
+    * exact k smallest member ids (the representative, as min, is always
+    * among them).
     */
   private[dedup] def collapseKeyed(keyed: DataFrame, maxGroupSize: Int): Collapsed = {
+    GraftFunctions.register(keyed.sparkSession)
     val payload = keyed.columns.filterNot(Set("id", "__h1", "__h2")).toSeq
     val aggs = min(col("id")).as("__rep") +: count(lit(1)).as("__n") +:
+      GraftFunctions.collectMinK(col("id"), maxGroupSize).as("__ids") +:
       payload.map(c => first(col(c)).as(c))
     val groups = keyed.groupBy("__h1", "__h2").agg(aggs.head, aggs.tail: _*)
     val reps = groups.select(col("__rep").as("id") +: payload.map(col): _*)
-    val dupGroups = groups.filter(col("__n") > 1)
-      .select("__h1", "__h2", "__rep", "__n")
-    val bounded = keyed.select("id", "__h1", "__h2")
-      .join(dupGroups, Seq("__h1", "__h2"))
-      .filter(col("__n") <= maxGroupSize || col("id") === col("__rep") ||
-        pmod(xxhash64(col("id")),
-          ceil(col("__n") / lit(4 * maxGroupSize)).cast("long")) === 0)
-    val w = Window.partitionBy("__rep").orderBy(col("id"))
-    val members = bounded
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxGroupSize)
-      .select(col("id"), col("__rep"))
+    val dupGroups = groups.filter(col("__n") > 1).select("__rep", "__ids")
+    val members = dupGroups
+      .select(col("__rep"), explode(col("__ids")).as("id"))
+      .select("id", "__rep")
     Collapsed(reps, members, dupGroups.select(col("__rep")))
   }
 
@@ -256,15 +264,10 @@ object Dedup {
     sigs.select(col("id"), posexplode(array(bands: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  private def bucketJoinPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val capped = capBuckets(banded, maxBucketSize)
-    val a = capped.toDF("id_a", "band_idx", "band_hash")
-    val b = capped.toDF("id_b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+  private def bucketJoinPairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketPairs(banded, maxBucketSize)
       .select("id_a", "id_b")
       .distinct()
-  }
 
   /** Exact Jaccard for candidate pairs via shingle co-occurrence — touches
     * only candidate docs' shingles, never the corpus square.
@@ -334,13 +337,9 @@ object Dedup {
       docs.select(col(idCol).as("id") +: hashKeys(Seq(col(textCol))) :+
         GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig"): _*),
       maxBucketSize)
-    val banded = capBuckets(bandRows(c.reps, bands = 4, bandBits = 16), maxBucketSize)
+    val banded = bandRows(c.reps, bands = 4, bandBits = 16)
       .select("id", "sig", "band_idx", "band_hash")
-    val a = banded.toDF("id_a", "sig_a", "band_idx", "band_hash")
-    val b = banded.toDF("id_b", "sig_b", "band_idx", "band_hash")
-    val repPairs = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+    val repPairs = bucketPairs(banded, maxBucketSize)
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
@@ -375,16 +374,13 @@ object Dedup {
     val prefix = sized
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
       .select(col("id"), col("sh"), col("sz"))
-    // Cap per-shingle groups like LSH buckets (band_idx is constant: the
-    // prefix join has a single logical band).
-    val capped = capBuckets(
+    // Per-shingle groups are LSH buckets with a constant band_idx (the
+    // prefix join has a single logical band); size-ratio pruning applies
+    // scan-locally to the generated pairs.
+    val candidates = bucketPairs(
       prefix.withColumn("band_idx", lit(0)).withColumnRenamed("sh", "band_hash"),
       maxBucketSize)
-      .withColumnRenamed("band_hash", "sh").drop("band_idx")
-    val candidates = capped.toDF("id_a", "sh", "sz_a")
-      .join(capped.toDF("id_b", "sh", "sz_b"), Seq("sh"))
-      .filter(col("id_a") < col("id_b") &&
-        col("sz_a") >= lit(threshold) * col("sz_b") &&
+      .filter(col("sz_a") >= lit(threshold) * col("sz_b") &&
         col("sz_b") >= lit(threshold) * col("sz_a"))
       .select("id_a", "id_b").distinct()
     val repPairs = verifyJaccard(c.reps, "id", textCol, n, candidates)
@@ -417,12 +413,9 @@ object Dedup {
       vectors.select(col(idCol).as("id") +: hashKeys(Seq(col(vecCol))) :+
         GraftFunctions.signProjection(col(vecCol)).as("sig"): _*),
       maxBucketSize)
-    val banded = capBuckets(bandRows(c.reps, bands = 4, bandBits = 16), maxBucketSize)
+    val banded = bandRows(c.reps, bands = 4, bandBits = 16)
       .select("id", "band_idx", "band_hash")
-    val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
-    val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    val candidates = bucketPairs(banded, maxBucketSize)
       .select("id_a", "id_b").distinct()
     val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val repPairs = candidates

@@ -110,6 +110,10 @@ object GraftFunctions {
       es => TopNgramCharFraction(es(0), 2), "built-in")
     reg.createOrReplaceTempFunction("graft_dup_ngram_frac",
       es => DupNgramCharFraction(es(0), 5), "built-in")
+    // Aggregate builders return the bare AggregateFunction; the analyzer
+    // wraps it in an AggregateExpression at resolution.
+    reg.createOrReplaceTempFunction("graft_collect_min_k",
+      es => CollectMinK(es(0), CollectMinK.expressionToK(es(1))), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -118,4 +122,8 @@ object GraftFunctions {
   def signProjection(vec: Column): Column = call_function("graft_sign_projection", vec)
   def topNgramFrac(tokens: Column): Column = call_function("graft_top_ngram_frac", tokens)
   def dupNgramFrac(tokens: Column): Column = call_function("graft_dup_ngram_frac", tokens)
+
+  /** Bounded first-k-ascending collector ([[CollectMinK]]) — aggregate. */
+  def collectMinK(e: Column, k: Int): Column =
+    call_function("graft_collect_min_k", e, org.apache.spark.sql.functions.lit(k))
 }

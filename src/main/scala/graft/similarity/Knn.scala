@@ -53,28 +53,30 @@ object Knn {
     // the O(planes×dim) projection kernel runs once per row, not per band
     // (Catalyst would collapse an inlined kernel into the Generate).
     def banded(df: DataFrame, role: String) = {
-      df.select(col(idCol).as(s"${role}_id"),
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
           GraftFunctions.signProjection(col(vecCol)).as("sig"))
         .withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
         .withColumn("band_hash", expr(s"shiftright(sig, band_idx * $bandBits) & $mask"))
         .drop("sig")
     }
-    // Candidate generation carries ids only: the distinct dedups (query_id,
-    // neighbor_id) without shuffling any vector through the exchange; the
-    // vectors are joined back afterwards (same pattern as
-    // Dedup.embeddingNearDupPairs).
+    // The query side is BROADCAST, so carrying its vector through the band
+    // join is free (no exchange); the corpus vector stays scan-local in the
+    // same stage. Cosine is therefore computed INSIDE the band-join stage,
+    // and only (query_id, neighbor_id, cosine) rides the band-dedup
+    // exchange — no vector ever shuffles, and the corpus is scanned exactly
+    // once (the old candidates→distinct→join-vectors-back shape re-scanned
+    // it). A pair matching in b bands evaluates cosine b ≤ bands times —
+    // scan-local compute traded for a whole corpus re-scan + two joins; the
+    // map-side-combined max() then dedups band collisions exactly where the
+    // distinct used to.
     val q = broadcast(banded(queries, "query"))
-    val c = banded(corpus, "neighbor")
-    val candidates = c.join(q, Seq("band_idx", "band_hash"))
+    val scored = banded(corpus, "neighbor")
+      .join(q, Seq("band_idx", "band_hash"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
-    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
-    val scored = candidates
-      .join(cv, "neighbor_id")
-      .join(qv, "query_id")
-      .withColumn("cosine", GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")).as("cosine"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cosine")).as("cosine"))
     topK(scored, k)
   }
 

@@ -45,7 +45,8 @@ object PlanAudit {
       .join(batch.select("o_orderstatus").distinct(), Seq("o_orderstatus"), "left_semi")
       .explain()
 
-    // LSH top-k: no embedding array may ride the candidate-distinct exchange.
+    // LSH top-k: no embedding array may ride the band-dedup exchange (only
+    // ids + the scalar cosine computed inside the broadcast band join).
     val vecs = Tables.embeddings(spark, dir)
     val probes = vecs.filter(col("vec_id") < 5)
       .withColumn("vec_id", col("vec_id") + 5000000L)

@@ -52,7 +52,9 @@ object TableMaterialization {
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       location: Option[String] = None,
-      properties: Map[String, String] = Map.empty): Unit = {
+      properties: Map[String, String] = Map.empty,
+      comment: Option[String] = None,
+      columnComments: Map[String, String] = Map.empty): Unit = {
     val rel = Relation.parse(table)
     spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
     spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
@@ -72,15 +74,81 @@ object TableMaterialization {
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     bucketBy.foreach { case (n, cols) => w = w.bucketBy(n, cols.head, cols.tail: _*) }
     location.foreach(p => w = w.option("path", p))
-    properties.foreach { case (k, v) => w = w.option(k, v) }
     w.saveAsTable(rel.quoted)
+    // TBLPROPERTIES are catalog metadata, not writer options (the reference
+    // CTAS emits a TBLPROPERTIES clause — adapters.sql:183-186,312-325);
+    // the DataFrameWriter API has no properties channel, so they land via
+    // ALTER TABLE after the catalog entry exists. Keys/values are caller
+    // data and enter the DDL only as escaped literals.
+    if (properties.nonEmpty) {
+      val clause = properties
+        .map { case (k, v) => s"${Relation.sqlLiteral(k)} = ${Relation.sqlLiteral(v)}" }
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES ($clause)")
+    }
+    PersistDocs(spark, table, comment, columnComments)
+  }
+}
+
+/** persist_docs: table + column descriptions written to the catalog after
+  * materialization (reference table.sql:37 / snapshot.sql:213 calling
+  * dbt-spark's default persist_docs — CTAS `comment` clause,
+  * adapters.sql:187/403, plus per-column comment ALTERs). Metadata-scale
+  * DDL only; comments are caller data and enter the statements as escaped
+  * literals.
+  */
+object PersistDocs {
+  def apply(spark: SparkSession, table: String,
+      comment: Option[String],
+      columnComments: Map[String, String] = Map.empty): Unit = {
+    val rel = Relation.parse(table)
+    comment.foreach { c =>
+      spark.sql(s"COMMENT ON TABLE ${rel.quoted} IS ${Relation.sqlLiteral(c)}")
+    }
+    columnComments.foreach { case (name, c) =>
+      spark.sql(s"ALTER TABLE ${rel.quoted} ALTER COLUMN `${name.replace("`", "``")}` " +
+        s"COMMENT ${Relation.sqlLiteral(c)}")
+    }
+  }
+
+  /** Read back (comment, column comments) — the docs snapshot a catalog
+    * crawler / dbt docs generate would see.
+    */
+  def describe(spark: SparkSession, table: String): (Option[String], Map[String, String]) = {
+    val rel = Relation.parse(table)
+    val tableComment = spark.sql(s"DESCRIBE TABLE EXTENDED ${rel.quoted}")
+      .collect()
+      .find(_.getString(0) == "Comment")
+      .map(_.getString(1))
+    val colComments = spark.table(rel.quoted).schema.fields
+      .flatMap(f => f.getComment().map(f.name -> _))
+      .toMap
+    (tableComment, colComments)
   }
 }
 
 object ViewMaterialization {
-  /** `create or replace view` from SQL text (reference adapters.sql:253-299). */
-  def run(spark: SparkSession, view: String, selectSql: String): Unit =
-    spark.sql(s"CREATE OR REPLACE VIEW ${Relation.parse(view).quoted} AS $selectSql")
+  /** `create or replace view` from SQL text (reference adapters.sql:253-299),
+    * with optional persist_docs: a view-level `COMMENT` clause
+    * (adapters.sql:403) and per-column comments via an explicit column list
+    * (a view's columns cannot be ALTERed afterwards, so the list is derived
+    * from the resolved SELECT schema — resolution only, nothing executes).
+    */
+  def run(spark: SparkSession, view: String, selectSql: String,
+      comment: Option[String] = None,
+      columnComments: Map[String, String] = Map.empty): Unit = {
+    val colList =
+      if (columnComments.isEmpty) ""
+      else spark.sql(selectSql).schema.fieldNames.map { f =>
+        val c = columnComments.get(f)
+          .map(t => s" COMMENT ${Relation.sqlLiteral(t)}").getOrElse("")
+        s"`${f.replace("`", "``")}`$c"
+      }.mkString(" (", ", ", ")")
+    val commentClause =
+      comment.map(c => s" COMMENT ${Relation.sqlLiteral(c)}").getOrElse("")
+    spark.sql(s"CREATE OR REPLACE VIEW ${Relation.parse(view).quoted}" +
+      s"$colList$commentClause AS $selectSql")
+  }
 
   /** Temp view from a DataFrame (reference adapters.sql:121-135 — the
     * staging relation used by incremental/snapshot). */

@@ -68,11 +68,16 @@ object Governance {
         s"ALTER TABLE ${Relation.parse(table).quoted} UNSET TBLPROPERTIES IF EXISTS ($props)")
     }
 
-  /** C6: read back the tags on a relation. */
-  def tags(spark: SparkSession, table: String): Map[String, String] =
+  /** All raw TBLPROPERTIES on a relation (metadata-scale read). */
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] =
     spark.sql(s"SHOW TBLPROPERTIES ${Relation.parse(table).quoted}")
       .collect()
       .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+
+  /** C6: read back the tags on a relation. */
+  def tags(spark: SparkSession, table: String): Map[String, String] =
+    tableProperties(spark, table)
       .collect { case (k, v) if k.startsWith(TagPrefix) =>
         k.stripPrefix(TagPrefix) -> v
       }.toMap

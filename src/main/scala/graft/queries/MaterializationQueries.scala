@@ -588,6 +588,56 @@ object MaterializationQueries {
       |  ('v2',          'view',    CAST(5 AS BIGINT))
       |) AS t(identifier, table_type, n_rows) ORDER BY identifier""".stripMargin
 
+  // ---------------------------------------------------------------- S1 docs
+  /** persist_docs + TBLPROPERTIES round-trip (reference table.sql:37,
+    * adapters.sql:183-187,403): CTAS with a table comment, column comments,
+    * and a custom table property; a view with its own comment + column
+    * comment. Everything is read back from the CATALOG (DESCRIBE EXTENDED /
+    * schema metadata / SHOW TBLPROPERTIES), so the gate proves the DDL
+    * actually persisted the docs, not that the inputs echo.
+    */
+  def matPersistDocs(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.nation_doc"
+    TableMaterialization.run(spark, t, Tables.nation(spark, dir),
+      properties = Map("team" -> "data-eng", "tier" -> "gold"),
+      comment = Some("nation dimension, O'Brien's copy"),
+      columnComments = Map(
+        "n_name" -> "nation name",
+        "n_regionkey" -> "FK to region"))
+    ViewMaterialization.run(spark, s"$db.nation_doc_v",
+      s"SELECT n_nationkey, n_name FROM $t WHERE n_regionkey = 0",
+      comment = Some("region-0 nations"),
+      columnComments = Map("n_name" -> "nation name (view)"))
+    val (tComment, tCols) = PersistDocs.describe(spark, t)
+    val (vComment, vCols) = PersistDocs.describe(spark, s"$db.nation_doc_v")
+    val props = Governance.tableProperties(spark, t)
+    import spark.implicits._
+    Seq(
+      "table_comment" -> tComment.getOrElse(""),
+      "table_col_n_name" -> tCols.getOrElse("n_name", ""),
+      "table_col_n_regionkey" -> tCols.getOrElse("n_regionkey", ""),
+      "prop_team" -> props.getOrElse("team", ""),
+      "prop_tier" -> props.getOrElse("tier", ""),
+      "view_comment" -> vComment.getOrElse(""),
+      "view_col_n_name" -> vCols.getOrElse("n_name", ""),
+      "n_rows" -> spark.table(t).count().toString)
+      .toDF("item", "value")
+      .orderBy(col("item"))
+  }
+
+  private val matPersistDocsSql =
+    """SELECT * FROM (VALUES
+      |  ('n_rows',                CAST((SELECT COUNT(*) FROM nation) AS VARCHAR)),
+      |  ('prop_team',             'data-eng'),
+      |  ('prop_tier',             'gold'),
+      |  ('table_col_n_name',      'nation name'),
+      |  ('table_col_n_regionkey', 'FK to region'),
+      |  ('table_comment',         'nation dimension, O''Brien''s copy'),
+      |  ('view_col_n_name',       'nation name (view)'),
+      |  ('view_comment',          'region-0 nations')
+      |) AS t(item, value) ORDER BY item""".stripMargin
+
   // ---------------------------------------------------------------- O7
   /** Partition-spec evolution (reference python_utils.sql:197-230, iceberg
     * metadata evolution; parquet analog = one-time staged relayout): CTAS
@@ -809,6 +859,7 @@ object MaterializationQueries {
     "pipe_dbt_lifecycle" -> (pipeDbtLifecycle _),
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
+    "mat_persist_docs" -> (matPersistDocs _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
@@ -839,6 +890,7 @@ object MaterializationQueries {
     "pipe_dbt_lifecycle" -> pipeDbtLifecycleSql,
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,
+    "mat_persist_docs" -> matPersistDocsSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,

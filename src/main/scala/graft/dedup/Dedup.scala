@@ -106,10 +106,33 @@ object Dedup {
     * of the payload. Each distinct payload therefore crosses the wire
     * exactly once — callers that only need a fixed-width signature
     * downstream pass THAT as the payload and keep the full text/vector off
-    * the exchange entirely — and `reps` is a plain agg output: a single
-    * exchange that ReuseExchange shares across every downstream pass
-    * (signature + verify), instead of a join subtree each pass would
-    * re-evaluate.
+    * the exchange entirely.
+    *
+    * Multi-pass sharing: every near-dup algorithm consumes the collapse
+    * output several times (signature banding + exact verify + membership
+    * fan-out), and Catalyst plans are trees, not DAGs — each pass clones
+    * the agg subtree, and per-branch column pruning makes the clones
+    * non-identical, so ReuseExchange never unifies them (measured: 4 full
+    * corpus re-scans in the simhash plan, ~6 in minhash). Two persists
+    * close that, each scoped to where re-evaluation is genuinely expensive
+    * (measured at sf0.1 — blanket caching of everything was a net LOSS,
+    * columnar encode + block pressure outweighing slim re-scans):
+    *   - the MEMBERSHIP (`__rep`, capped id list; dup groups only — no
+    *     payload, usually a tiny fraction of groups) is always persisted:
+    *     it is consumed three times ([[fanOut]]'s two joins + the identity
+    *     union) and caching it removes two corpus re-aggregations at
+    *     near-zero footprint;
+    *   - the full `reps` (with payload) is persisted only when
+    *     `persistReps` — set by [[collapseGroups]], whose TEXT payload
+    *     callers (minhash / ngram) re-aggregate the corpus text per verify
+    *     pass; fixed-width-payload callers (simhash / embedding) consume
+    *     `reps` once and skip the cache cost. The cached footprint is the
+    *     DEDUPED corpus — bounded by the corpus and usually far smaller.
+    * `MEMORY_AND_DISK` spills, lineage is kept (an executor loss recomputes
+    * partitions instead of failing the job, unlike a localCheckpoint), and
+    * the ContextCleaner drops blocks when the frames are garbage-collected
+    * — the standard Spark multi-pass idiom (Spark ML's MinHashLSH caches
+    * its input the same way).
     *
     * Dup-group MEMBERSHIP comes from the SAME aggregation: a bounded
     * first-maxGroupSize-by-id collector ([[graft.functions.CollectMinK]])
@@ -123,15 +146,19 @@ object Dedup {
     * exact k smallest member ids (the representative, as min, is always
     * among them).
     */
-  private[dedup] def collapseKeyed(keyed: DataFrame, maxGroupSize: Int): Collapsed = {
+  private[dedup] def collapseKeyed(keyed: DataFrame, maxGroupSize: Int,
+      persistReps: Boolean = false): Collapsed = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     GraftFunctions.register(keyed.sparkSession)
     val payload = keyed.columns.filterNot(Set("id", "__h1", "__h2")).toSeq
     val aggs = min(col("id")).as("__rep") +: count(lit(1)).as("__n") +:
       GraftFunctions.collectMinK(col("id"), maxGroupSize).as("__ids") +:
       payload.map(c => first(col(c)).as(c))
     val groups = keyed.groupBy("__h1", "__h2").agg(aggs.head, aggs.tail: _*)
-    val reps = groups.select(col("__rep").as("id") +: payload.map(col): _*)
+    val reps0 = groups.select(col("__rep").as("id") +: payload.map(col): _*)
+    val reps = if (persistReps) reps0.persist(MEMORY_AND_DISK) else reps0
     val dupGroups = groups.filter(col("__n") > 1).select("__rep", "__ids")
+      .persist(MEMORY_AND_DISK)
     val members = dupGroups
       .select(col("__rep"), explode(col("__ids")).as("id"))
       .select("id", "__rep")
@@ -154,7 +181,7 @@ object Dedup {
     collapseKeyed(
       docs.select(col(idCol).as("id") +: hashKeys(Seq(col(contentCol))) :+
         col(contentCol): _*),
-      maxGroupSize)
+      maxGroupSize, persistReps = true)
 
   /** Fan representative-level near-dup pairs back out to member ids. The
     * caller appends one IDENTITY pair (rep, rep, selfScore) per dup group
@@ -271,12 +298,43 @@ object Dedup {
 
   /** Exact Jaccard for candidate pairs via shingle co-occurrence — touches
     * only candidate docs' shingles, never the corpus square.
+    *
+    * The shingle table is first restricted to ids that appear in a
+    * candidate pair (semi-join): candidates are bounded by the bucket caps,
+    * so the id set broadcasts and the whole verify phase — the per-doc size
+    * aggregation AND both intersection joins — runs over candidate docs'
+    * shingles only, scan-local, instead of shuffling the full corpus
+    * shingle table (O(docs × shingles) rows) three times. If the candidate
+    * set ever outgrows the broadcast threshold, AQE falls back to a
+    * shuffled semi-join — no worse than the unfiltered aggregation was.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, candidates: DataFrame): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+      shingleSize: Int, candidates: DataFrame): DataFrame =
+    verifyJaccardImpl(docs, idCol, textCol, shingleSize, candidates,
+      restrict = true)
+
+  private def verifyJaccardImpl(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, candidates: DataFrame, restrict: Boolean): DataFrame = {
+    // restrict=true (the LSH/prefix pipelines): the candidate pair list is
+    // consumed three times below (id set + both intersection joins) and its
+    // generation pipeline (banding + bucket aggregation) is the expensive
+    // part — persist it (bounded by the bucket caps, so the footprint is
+    // pairs, not corpus). restrict=false ([[allPairsJaccard]], where every
+    // doc is a candidate): the id semi-join would filter nothing and the
+    // persist boundary hides size stats from the join planner — measured
+    // 3× slower — so both are skipped and the verify stays one fused plan.
+    val cand = if (restrict) {
+      candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } else candidates
+    val shAll = shingleRows(docs, idCol, textCol, shingleSize)
+    val sh = if (restrict) {
+      val candIds = cand
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct()
+      shAll.join(candIds, Seq("id"), "left_semi")
+    } else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
+    val inter = cand
       .join(sh.toDF("id_a", "sh"), "id_a")
       .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
@@ -300,7 +358,8 @@ object Dedup {
       .join(sh.toDF("id_b", "sh"), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(docs, idCol, textCol, shingleSize, candidates)
+    verifyJaccardImpl(docs, idCol, textCol, shingleSize, candidates,
+      restrict = false)
   }
 
   /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold).
@@ -362,14 +421,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
     val c = collapseGroups(docs, idCol, textCol, maxBucketSize)
-    val sh = shingleRows(c.reps, "id", textCol, n)
+    // Per-doc set size is the shingle-array length — computed scan-local at
+    // explode time, so the window below only has to produce the rank (one
+    // fewer window function over the same partition+sort).
+    val sh = c.reps.select(col("id"), col(textCol))
+      .withColumn("__sha", shingles(col(textCol), n))
+      .select(col("id"), size(col("__sha")).as("sz"),
+        explode(col("__sha")).as("sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-    // One window pass: the ordered spec with an unbounded frame yields both
-    // the per-doc rank and the per-doc size off a single partition+sort.
     val wOrd = Window.partitionBy("id").orderBy(col("freq"), col("sh"))
     val sized = sh.join(freq, "sh")
-      .withColumn("sz", count(lit(1)).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(wOrd))
     val prefix = sized
       .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)

@@ -23,7 +23,7 @@ object PipelineQueries {
     * deterministic ones: exact copies of docs 0-24 (ids +1,000,000) and
     * two-token-appended copies of docs 25-49 (ids +2,000,000).
     */
-  private def plantedDocs(docs: DataFrame): DataFrame = {
+  private[graft] def plantedDocs(docs: DataFrame): DataFrame = {
     val copies = docs.filter(col("doc_id") < 25)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val perturbed = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)

@@ -78,6 +78,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Clusters.connectedComponents(empty).isEmpty)
   }
 
+  test("connected components: 1000-node path converges in <= 2*log2(n) rounds") {
+    // The adversarial case for plain min-label propagation (diameter 999
+    // would need 999 rounds); pointer jumping must square the diameter
+    // away. maxRounds is a convergence ASSERTION — the call throws if the
+    // fixed point isn't reached within the bound. 2*ceil(log2(1000)) = 20.
+    val n = 1000L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, maxRounds = 20).collect()
+    assert(got.length === n)
+    assert(got.forall(_.getLong(1) === 0L))
+  }
+
   test("pii: staged counts do not double-count emails/IPs as phones") {
     val df = Seq(
       "mail me at a.b+c@example.com or 12345678@qq.com",

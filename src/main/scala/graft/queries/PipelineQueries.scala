@@ -329,6 +329,61 @@ object PipelineQueries {
        |)
        |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The whole transitive-dedup story END-TO-END: MinHash-LSH near-dup
+    * pairs → connected components → survivor filter over the corpus. A doc
+    * is dropped iff it appears in the near-dup graph and is NOT its
+    * cluster's canonical (minimum) id — the `id == cluster` slice of the
+    * labels IS [[graft.dedup.Clusters.survivors]], read off one components
+    * run instead of two. The output pins the surviving corpus both by
+    * COUNT and by id-sum, so the oracle verifies WHICH docs survive, not
+    * just how many.
+    *
+    * Oracle-checkable because LSH here is candidates-then-verify with
+    * exact-Jaccard verification: found pairs ⊆ true pairs always, and on
+    * this corpus recall is exactly 100% (the deterministic sketch finds
+    * every pair ≥ 0.7 — independently pinned by `dd_minhash_recall`), so
+    * DuckDB can rebuild the same graph brute-force and chase connectivity
+    * with a recursive CTE.
+    */
+  def pipeNeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedDocs(Tables.documents(spark, dir))
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val cc = Clusters.connectedComponents(pairs)
+    val nonSurvivors = cc.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val kept = docs.join(nonSurvivors, Seq("doc_id"), "left_anti")
+    kept.agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      .crossJoin(cc.agg(countDistinct(col("cluster")).as("n_clusters")))
+      .select("n_kept", "n_clusters", "kept_id_sum")
+  }
+
+  private lazy val pipeNeardupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (${bruteJaccardSql(0.7)})
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS s, id_a AS d FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+       |), cc AS (
+       |  SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id
+       |), base AS (
+       |  SELECT doc_id, text FROM documents
+       |), docs AS (
+       |  $plantedDocsSql
+       |), kept AS (
+       |  SELECT d.doc_id FROM docs d
+       |  LEFT JOIN cc ON cc.id = d.doc_id
+       |  WHERE cc.id IS NULL OR cc.cluster = d.doc_id
+       |)
+       |SELECT (SELECT COUNT(*) FROM kept) AS n_kept,
+       |  (SELECT COUNT(DISTINCT cluster) FROM cc) AS n_clusters,
+       |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept) AS kept_id_sum""".stripMargin
+
   /** Per-language corpus length statistics with EXACT interpolated
     * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact
     * percentile buffers each group's values on the agg task — fine for
@@ -537,9 +592,14 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
+  // The cosine is recomputed by DuckDB over the same vectors (identical
+  // float arrays accumulated in double round to 1.0 at 6 dp on both
+  // engines) rather than pinned as a literal.
   private val simKnnLshSql =
     """SELECT vec_id + 5000000 AS query_id, vec_id AS neighbor_id,
-      |  1.0 AS cosine, 1 AS rank
+      |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |        CAST(embedding AS DOUBLE[])), 6) AS cosine,
+      |  1 AS rank
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
   /** IVF ANN in the same near-duplicate-retrieval harness as the LSH path:
@@ -555,13 +615,16 @@ object PipelineQueries {
       .withColumn("vec_id", col("vec_id") + 5000000L)
     Knn.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3)
       .filter(col("rank") === 1)
-      .agg(count(lit(1)).as("n_queries"),
-        (count(when(col("neighbor_id") === col("query_id") - 5000000L, 1))
-          === count(lit(1))).as("top1_ok"))
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
   }
 
+  // The oracle derives the expected rank-1 mapping itself (each probe must
+  // retrieve its source vector), so a routing or ranking bug hash-mismatches
+  // row-by-row — no aggregate TRUE-literal involved.
   private val simKnnIvfSql =
-    "SELECT COUNT(*) AS n_queries, TRUE AS top1_ok FROM embeddings WHERE vec_id < 20"
+    """SELECT vec_id + 5000000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
 
   /** IVF recall against brute-force ground truth (the FAISS recall@1
     * protocol, mirroring dd_minhash_recall): probes are deterministic
@@ -890,6 +953,7 @@ object PipelineQueries {
     "txt_pii" -> (txtPii _),
     "txt_length_stats" -> (txtLengthStats _),
     "dd_cluster" -> (ddCluster _),
+    "pipe_neardup_clusters" -> (pipeNeardupClusters _),
     "txt_normalize" -> (txtNormalize _),
     "txt_stopword_ratio" -> (txtStopwordRatio _),
     "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
@@ -920,6 +984,7 @@ object PipelineQueries {
     "txt_pii" -> txtPiiSql,
     "txt_length_stats" -> txtLengthStatsSql,
     "dd_cluster" -> ddClusterSql,
+    "pipe_neardup_clusters" -> pipeNeardupClustersSql,
     "txt_normalize" -> txtNormalizeSql,
     "txt_stopword_ratio" -> txtStopwordRatioSql,
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,

@@ -92,7 +92,8 @@ object Knn {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxIter: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -125,8 +126,11 @@ object Knn {
     val train = trainingSample(assignedInput, "neighbor_id", nlist * 256 * 4, seed)
       .select("fvec")
     // Random init (seeded): a coarse quantizer doesn't need k-means||'s
-    // extra initialization passes or full convergence.
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+    // extra initialization passes or full convergence — recall depends on
+    // probing the same lists the assignment used, not on centroid polish,
+    // so a few Lloyd iterations suffice (recall@1 at maxIter=4 measured
+    // equal to maxIter=8 on the recall gate).
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random")
       .setFeaturesCol("fvec").setPredictionCol("list_id")
       .fit(train)

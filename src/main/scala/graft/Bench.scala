@@ -71,24 +71,27 @@ object Bench {
     // SPARK_GRAFT_BASELINE file; flagged in-run rather than only at judge
     // time. Only comparable when this run used the baseline's scale
     // factor; sub-noise queries (absolute drift < 0.3 s) are not flagged.
-    val baselineFiles: Seq[(String, String)] =
-      sys.env.get("SPARK_GRAFT_BASELINE") match {
-        case Some(p) => Seq("env" -> p)
-        case None =>
-          val rec = recordedBenches()
-          (rec.headOption.toSeq ++ rec.lastOption.toSeq).distinct
-            .map(f => f.getName.replaceAll("^BENCH_|\\.json$", "") -> f.getPath)
-      }
-    val baselines: Seq[(String, Map[String, Double])] = baselineFiles.flatMap {
-      case (label, p) =>
-        val text =
-          try Some(new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(p))))
-          catch { case _: Throwable => None }
-        text.filter(t => baselineSf(t)
-            .exists(s => sfDir.stripSuffix("/").endsWith(s"sf$s")))
-          .map(t => label -> baselineQueries(t))
-    }
+    // A recorded bench whose tail was truncated mid-JSON (the driver caps
+    // the stdout excerpt) parses to an empty query map — treat it as
+    // absent and fall back to the NEWEST parsable round, otherwise the
+    // "latest" comparison silently degrades to first-round-only (observed:
+    // the round-5 tail lost its "queries":{...} opening and the round-5
+    // guard compared against round 1 alone).
+    val parsed: Seq[(String, Map[String, Double])] =
+      sys.env.get("SPARK_GRAFT_BASELINE").map(p => Seq("env" -> p))
+        .getOrElse(recordedBenches()
+          .map(f => f.getName.replaceAll("^BENCH_|\\.json$", "") -> f.getPath))
+        .flatMap { case (label, p) =>
+          val text =
+            try Some(new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p))))
+            catch { case _: Throwable => None }
+          text.filter(t => baselineSf(t)
+              .exists(s => sfDir.stripSuffix("/").endsWith(s"sf$s")))
+            .map(t => label -> baselineQueries(t))
+            .filter(_._2.nonEmpty)
+        }
+    val baselines = (parsed.headOption.toSeq ++ parsed.lastOption.toSeq).distinct
     val regressions = results.collect {
       case (k, v, true) if baselines.exists {
             case (_, base) => base.get(k).exists(b => v > b * 1.5 && v - b > 0.3)
@@ -98,7 +101,10 @@ object Bench {
         }.maxBy(_._2)
         f""""$k x$ratio%.2f vs $label""" + "\""
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact: the driver records a
+    // bounded stdout excerpt, and a long line risks losing the trailing
+    // queries map that future rounds' guards parse as their baseline.
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum

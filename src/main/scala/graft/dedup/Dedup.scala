@@ -166,9 +166,11 @@ object Dedup {
   }
 
   /** The 128-bit content-hash key pair over `content` — scan-local, the
-    * group identity for [[collapseKeyed]] and [[exact]].
+    * group identity for [[collapseKeyed]] and [[exact]], and shared by the
+    * streaming twin ([[graft.streaming.StreamingDedup]]) so batch and
+    * stream agree on what "identical" means.
     */
-  private def hashKeys(content: Seq[Column]): Seq[Column] = Seq(
+  private[graft] def hashKeys(content: Seq[Column]): Seq[Column] = Seq(
     xxhash64(content: _*).as("__h1"),
     xxhash64(lit(7) +: content: _*).as("__h2"))
 

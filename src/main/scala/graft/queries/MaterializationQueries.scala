@@ -638,6 +638,42 @@ object MaterializationQueries {
       |  ('view_comment',          'region-0 nations')
       |) AS t(item, value) ORDER BY item""".stripMargin
 
+  // ---------------------------------------------------------------- S1 c
+  /** The `file_format` knob (reference adapters.sql `USING <fmt>` /
+    * table_options): the same relation materialized as ORC, JSON, and CSV
+    * must round-trip identical contents through the catalog. Reads go back
+    * through the CATALOG, so the table schema — not the self-describing
+    * file — types the text formats; doubles survive because Spark writes
+    * round-trippable representations. Avro is NOT covered: the spark-avro
+    * datasource jar is absent from this sandbox (same class as
+    * delta/hudi/iceberg — environmental, re-check per round). Small
+    * dimension input keeps the gate cheap.
+    */
+  def matFileFormats(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val src = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    Seq("csv", "json", "orc").map { fmt =>
+      val t = s"$db.supplier_$fmt"
+      TableMaterialization.run(spark, t, src, format = fmt)
+      spark.table(t)
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_suppkey")).as("key_sum"),
+          sum(col("s_acctbal").cast(D2)).cast(DoubleType).as("bal_total"))
+        .select(lit(fmt).as("fmt"), col("n"), col("key_sum"), col("bal_total"))
+    }.reduce(_.unionByName(_)).orderBy(col("fmt"))
+  }
+
+  private val matFileFormatsSql =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+      |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+      |  FROM supplier
+      |)
+      |SELECT fmt, n, key_sum, bal_total
+      |FROM s, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+      |ORDER BY fmt""".stripMargin
+
   // ---------------------------------------------------------------- O7
   /** Partition-spec evolution (reference python_utils.sql:197-230, iceberg
     * metadata evolution; parquet analog = one-time staged relayout): CTAS
@@ -860,6 +896,7 @@ object MaterializationQueries {
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
     "mat_persist_docs" -> (matPersistDocs _),
+    "mat_file_formats" -> (matFileFormats _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
@@ -891,6 +928,7 @@ object MaterializationQueries {
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,
     "mat_persist_docs" -> matPersistDocsSql,
+    "mat_file_formats" -> matFileFormatsSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,

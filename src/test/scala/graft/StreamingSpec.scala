@@ -79,4 +79,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("user_id", "session_start", "session_end", "n_events")
       .except(batch).count() === 0)
   }
+
+  test("streaming exact dedup keeps one row per distinct content, same set as batch") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    // Documents plus planted exact duplicates under fresh ids: the stream
+    // must admit each distinct text once and drop every duplicate, leaving
+    // the same CONTENT SET as the batch operator (the representative ROW
+    // may differ — batch picks min-by-tiebreak, the stream keeps the
+    // first arrival; that contract difference is documented on the op).
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 25).withColumn("doc_id", col("doc_id") + 900000L))
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id % 1000)"))
+    planted.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val transform: DataFrame => DataFrame = df =>
+      graft.streaming.StreamingDedup.dropExactDuplicates(
+        df.withWatermark("ts", "10 minutes"), Seq("text"))
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "dedup_sink")
+
+    val batchKept = graft.dedup.Dedup.exact(
+      planted, Seq("text"), Seq(col("doc_id")))
+    assert(streamed.count() === batchKept.count())
+    // One row per distinct text, and exactly the batch's distinct contents.
+    assert(streamed.groupBy("text").count().filter(col("count") > 1).count() === 0)
+    assert(streamed.select("text").except(batchKept.select("text")).count() === 0)
+  }
 }

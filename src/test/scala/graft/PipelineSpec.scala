@@ -358,4 +358,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.filter(col("lang") === "en").count() === 0)
     assert(mixed.count() === docs.filter(col("lang") =!= "en").count())
   }
+
+  test("near-dup operators: empty and singleton corpora yield empty pair sets") {
+    // Degenerate inputs drive every internal path — the collapse
+    // aggregation, its persisted membership, banding, bucket aggregation,
+    // verification, fan-out — over zero and one rows; all must produce an
+    // empty pair report without erroring (no head() on empty, no required
+    // shuffle key).
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "a single document with several distinct words")).toDF("doc_id", "text")
+    for (corpus <- Seq(empty, one)) {
+      assert(Dedup.minhashNearDupPairs(corpus, "doc_id", "text").count() === 0)
+      assert(Dedup.simhashNearDupPairs(corpus, "doc_id", "text").count() === 0)
+      assert(Dedup.ngramJaccardPairs(corpus, "doc_id", "text").count() === 0)
+      assert(Dedup.exact(corpus, Seq("text"), Seq(col("doc_id"))).count() === corpus.count())
+    }
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairs(emptyVec, "vec_id", "embedding").count() === 0)
+  }
 }

@@ -87,7 +87,9 @@ object Dedup {
   /** Output of [[collapseKeyed]]: `reps` (id, payload…) one row per
     * distinct content; `members` (id, __rep) dup-group membership, capped;
     * `dupReps` (__rep) one row per dup group — the seed for identity
-    * self-pairs in [[fanOut]], derived off the same shared agg exchange.
+    * self-pairs in [[fanOut]]. `members` and `dupReps` are projections of
+    * one persisted membership frame, so their consumers share a single
+    * materialization.
     */
   private[dedup] final case class Collapsed(
       reps: DataFrame, members: DataFrame, dupReps: DataFrame)
@@ -136,10 +138,9 @@ object Dedup {
     *
     * Dup-group MEMBERSHIP comes from the SAME aggregation: a bounded
     * first-maxGroupSize-by-id collector ([[graft.functions.CollectMinK]])
-    * rides the existing exchange, so reps, dupReps, and capped members all
-    * derive from one corpus scan and one shuffle — no membership join-back
-    * (which would re-scan and re-hash the corpus) and no row_number window
-    * (another exchange, and a sort funnel for hot groups). The collector's
+    * rides the group exchange — no membership join-back (which would
+    * re-scan and re-hash the corpus) and no row_number window (another
+    * exchange, and a sort funnel for hot groups). The collector's
     * state is a size-k heap: map-side partials are O(k) regardless of group
     * size, and a group spanning P partitions ships ≤ P·k ids to its
     * reducer — bounded, never the whole group. The cap semantics are the

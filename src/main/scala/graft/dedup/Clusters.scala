@@ -79,8 +79,13 @@ object Clusters {
         .agg(min(col("cluster")).as("__nbr"))
       // Every node has ≥1 neighbor (it came from an edge), so the join is
       // inner; least() keeps the node's own label when it is the minimum.
+      // Lazily checkpointed because the jump below consumes it TWICE (both
+      // sides of a self-join) — Catalyst would re-evaluate the
+      // join+agg+join subtree per side; the checkpoint shares one
+      // materialization.
       val stepped = labels.join(fromNbrs, "id")
         .select(col("id"), least(col("cluster"), col("__nbr")).as("cluster"))
+        .localCheckpoint(false)
       // Pointer jump: label(u) ← label(label(u)). Every label value is a
       // node id of the same component (labels start as ids and only adopt
       // other members' labels), so the self-join is inner and total; the

@@ -72,6 +72,26 @@ object PlanAudit {
       .filter(l => l.contains("Exchange") || l.contains("BroadcastHashJoin"))
       .mkString("\n"))
 
+    // Near-dup collapse sharing: after the scoped persists, the simhash
+    // pair plan must read the membership from ONE InMemoryRelation (not
+    // re-aggregate the corpus per fan-out branch) — count the parquet
+    // scans: 2 collapse evaluations × the 3-way planted union = 6, where
+    // the unshared plan had 24.
+    println("=== simhashNearDupPairs (want InMemoryTableScan; few parquet scans) ===")
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.dedup.Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+    val pairsPlan = pairs.queryExecution.executedPlan.toString
+    val nScans = pairsPlan.linesIterator.count(_.contains("Scan parquet"))
+    val nMem = pairsPlan.linesIterator.count(_.contains("InMemoryTableScan"))
+    println(s"parquet scans: $nScans, in-memory scans: $nMem")
+
+    // Decontamination: the benchmark-gram side must broadcast; the corpus
+    // side must stay scan-local (no corpus shuffle by gram).
+    println("=== decontaminate (want BroadcastHashJoin, no corpus exchange by gram) ===")
+    graft.text.Decontamination.decontaminate(
+      docs, docs.filter(col("doc_id") < 50).select(col("text").as("bench_text")),
+      "doc_id", "text", "bench_text", n = 8).explain()
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

@@ -69,6 +69,41 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < thr)
   }
 
+  /** Exact-count per-group sampling (eval-set construction: "k docs per
+    * language"): keeps, per group, the k rows with the SMALLEST
+    * content-addressed bucket — deterministic, repartition-stable, and
+    * engine-recomputable (the same md5 ordering as every operator here; an
+    * external engine reproduces the selection as
+    * `row_number() OVER (PARTITION BY group ORDER BY bucket, key) <= k`),
+    * and statistically uniform within the group because the md5 order is
+    * uncorrelated with any data order.
+    *
+    * Scale shape: that row_number window is exactly what this does NOT
+    * run — a window partitioned by group funnels each group through one
+    * task's sort, and "k per language" over a 100 TB corpus means
+    * corpus-sized partitions. Instead a bounded first-k-by-(bucket, key)
+    * collector ([[graft.functions.CollectMinK]] — size-k heap state,
+    * map-side combined, a group spanning P partitions ships ≤ P·k entries)
+    * picks the winning keys on one aggregation, and a semi-join (tiny
+    * build side: k × groups keys, broadcastable) pulls the full rows back
+    * scan-locally. Ties are impossible: (bucket, key) falls back to the
+    * key, a total order. Rows with a null key are never selected (see the
+    * null-key contract above); keys are assumed unique per row, as
+    * everywhere in this module.
+    */
+  def stratified(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+      salt: Long = 0L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val selected = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        struct(hashBucket(col(keyCol), salt).as("b"), col(keyCol).as("k")).as("__m"))
+      .groupBy("__g")
+      .agg(graft.functions.GraftFunctions.collectMinK(col("__m"), k).as("__ks"))
+      .select(explode(col("__ks").getField("k")).as(keyCol))
+    df.join(selected, Seq(keyCol), "left_semi")
+  }
+
   /** Disjoint train/valid/test assignment: each key lands in exactly one
     * split (cumulative bucket ranges), so membership never leaks between
     * splits across runs or engine versions. `fractions` are (label, share)

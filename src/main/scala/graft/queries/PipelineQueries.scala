@@ -930,6 +930,28 @@ object PipelineQueries {
        |       ELSE ${Sampling.threshold(0.9)} END
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Exact-count stratified sample: 10 docs per language, selected by
+    * content-addressed hash order. The oracle reproduces the selection as
+    * the row_number window the Spark side deliberately does NOT run (the
+    * operator uses a bounded-heap aggregation + semi-join — see
+    * Sampling.stratified scaladoc for why the window shape dies at scale).
+    */
+  def pipeStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(Tables.documents(spark, dir), "doc_id", "lang",
+      k = 10, salt = 5L)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val pipeStratifiedSql =
+    s"""WITH ranked AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${bucketSql("doc_id", 5L)}, doc_id) AS rn
+       |  FROM documents
+       |)
+       |SELECT lang, doc_id FROM ranked WHERE rn <= 10
+       |ORDER BY lang, doc_id""".stripMargin
+
   /** Disjoint 80/10/10 train/valid/test split — every doc in exactly one. */
   def pipeSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.withSplit(Tables.documents(spark, dir), "doc_id",
@@ -971,6 +993,7 @@ object PipelineQueries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "pipe_hash_sample" -> (pipeHashSample _),
+    "pipe_stratified" -> (pipeStratified _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_split" -> (pipeSplit _),
     "txt_decontaminate" -> (txtDecontaminate _),
@@ -1000,6 +1023,7 @@ object PipelineQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
+    "pipe_stratified" -> pipeStratifiedSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
     "txt_decontaminate" -> txtDecontaminateSql,

@@ -359,6 +359,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.count() === docs.filter(col("lang") =!= "en").count())
   }
 
+  test("stratified sampling: exact per-group counts, deterministic, no window funnel") {
+    val sampled = Sampling.stratified(docs, "doc_id", "lang", k = 7, salt = 3L)
+    // Exactly min(k, group size) per group.
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === sizes.map { case (g, n) => g -> math.min(7L, n) })
+    // Deterministic and repartition-stable: same keys on a different layout.
+    val again = Sampling.stratified(docs.repartition(17), "doc_id", "lang",
+      k = 7, salt = 3L)
+    assert(sampled.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").except(sampled.select("doc_id")).count() === 0)
+    // The scale contract: selection must be the bounded-heap aggregation,
+    // never a window sort partitioned by group.
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in stratified plan:\n$plan")
+    // Null keys are never selected.
+    val withNulls = docs.withColumn("doc_id",
+      when(col("doc_id") % 2 === 0, col("doc_id")))
+    val nn = Sampling.stratified(withNulls, "doc_id", "lang", k = 5, salt = 3L)
+    assert(nn.filter(col("doc_id").isNull).count() === 0)
+  }
+
   test("near-dup operators: empty and singleton corpora yield empty pair sets") {
     // Degenerate inputs drive every internal path — the collapse
     // aggregation, its persisted membership, banding, bucket aggregation,

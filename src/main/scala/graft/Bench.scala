@@ -37,6 +37,14 @@ object Bench {
       .sortBy(f => """\d+""".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
   }
 
+  /** Locale-independent decimal rendering: the line is machine-parsed
+    * JSON, and the `f` interpolator follows the JVM default locale — a
+    * comma-decimal locale would corrupt the record and silently disarm
+    * every future round's regression guard.
+    */
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,12 +112,12 @@ object Bench {
         val (label, ratio) = baselines.flatMap { case (l, base) =>
           base.get(k).map(b => l -> v / b)
         }.maxBy(_._2)
-        f""""$k x$ratio%.2f vs $label""" + "\""
+        s""""$k x${num(ratio, 2)} vs $label""" + "\""
     }
     // Millisecond precision keeps the line compact: the driver records a
     // bounded stdout excerpt, and a long line risks losing the trailing
     // queries map that future rounds' guards parse as their baseline.
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * large-star/small-star rewrite (Kiveris et al., "Connected Components in
   * MapReduce and Beyond"), with one self-equi-join per round instead of the
   * two star phases. A 1000-node path graph converges in ~11 rounds
-  * (asserted by ClustersSpec); dedup-shaped graphs (short diameter by
+  * (asserted by OperatorsSpec); dedup-shaped graphs (short diameter by
   * construction) converge in 2-3.
   *
   * At a fixed point adjacent nodes must hold equal labels (each is ≤ the

@@ -139,11 +139,21 @@ object ViewMaterialization {
       columnComments: Map[String, String] = Map.empty): Unit = {
     val colList =
       if (columnComments.isEmpty) ""
-      else spark.sql(selectSql).schema.fieldNames.map { f =>
+      else {
+        // Fail loudly on a comment keyed to no output column (typo / stale
+        // name) — the table path throws from ALTER COLUMN for the same
+        // mistake, and a silently dropped doc never surfaces again.
+        val known = spark.sql(selectSql).schema.fieldNames.toSet
+        val unknown = columnComments.keys.filterNot(known)
+        require(unknown.isEmpty,
+          s"columnComments reference no output column: ${unknown.mkString(", ")} " +
+            s"(view columns: ${known.mkString(", ")})")
+        spark.sql(selectSql).schema.fieldNames.map { f =>
         val c = columnComments.get(f)
           .map(t => s" COMMENT ${Relation.sqlLiteral(t)}").getOrElse("")
         s"`${f.replace("`", "``")}`$c"
       }.mkString(" (", ", ", ")")
+      }
     val commentClause =
       comment.map(c => s" COMMENT ${Relation.sqlLiteral(c)}").getOrElse("")
     spark.sql(s"CREATE OR REPLACE VIEW ${Relation.parse(view).quoted}" +

@@ -637,16 +637,26 @@ object PipelineQueries {
     * would measure the corpus, not the index. Bounded 500-vector sample,
     * sf-stable.
     */
-  def simKnnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+  /** The recall-gate probe set: deterministic 95/5 blends of neighboring
+    * corpus vectors under fresh ids (+7,000,000) — close to their source
+    * but NOT byte-identical. Shared with the dev probe tool
+    * (graft.tools.ProbeIvfRecall) so the maxIter justification measures
+    * the exact workload the gate runs.
+    */
+  private[graft] def ivfRecallProbes(corpus: DataFrame): DataFrame = {
     val a = corpus.select(col("vec_id").as("pid"), col("embedding").as("va"))
     val b = corpus.select(col("vec_id").as("nid"), col("embedding").as("vb"))
-    val probes = a.join(b, col("nid") === (col("pid") + 1) % 500)
+    a.join(b, col("nid") === (col("pid") + 1) % 500)
       .select((col("pid") + 7000000L).as("vec_id"),
         transform(zip_with(col("va"), col("vb"),
           (x, y) => x.cast("double") * 0.95 + y.cast("double") * 0.05),
           v => v.cast("float")).as("embedding"))
+  }
+
+  def simKnnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val probes = ivfRecallProbes(corpus)
     val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
       .select(col("query_id"), col("neighbor_id"))
     val found = Knn.ivfTopK(probes, corpus, "vec_id", "embedding", k = 1,

@@ -4,9 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.queries.PipelineQueries
 import graft.similarity.Knn
 
-/** Test-scope probe: IVF recall@1 fraction vs KMeans maxIter. */
+/** Test-scope probe: IVF recall@1 fraction vs KMeans maxIter, over the
+  * EXACT workload the recall gate runs (probe construction shared with
+  * PipelineQueries.simKnnIvfRecall — this tool's output justifies the
+  * operator's maxIter default, so it must not drift from the gate).
+  */
 object ProbeIvfRecall {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -20,14 +25,7 @@ object ProbeIvfRecall {
     GraftFunctions.register(spark)
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 500)
-    val a = corpus.select(col("vec_id").as("pid"), col("embedding").as("va"))
-    val b = corpus.select(col("vec_id").as("nid"), col("embedding").as("vb"))
-    val probes = a.join(b, col("nid") === (col("pid") + 1) % 500)
-      .select((col("pid") + 7000000L).as("vec_id"),
-        transform(zip_with(col("va"), col("vb"),
-          (x, y) => x.cast("double") * 0.95 + y.cast("double") * 0.05),
-          v => v.cast("float")).as("embedding"))
-      .localCheckpoint()
+    val probes = PipelineQueries.ivfRecallProbes(corpus).localCheckpoint()
     val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val nq = truth.count()

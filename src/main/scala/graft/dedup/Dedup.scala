@@ -236,6 +236,32 @@ object Dedup {
       .select(col("__row.*"))
   }
 
+  /** Cross-corpus exact dedup: drop corpus rows whose `corpusCols` content
+    * appears ANYWHERE in `reference` — scrub a training corpus of rows
+    * byte-identical to an eval/benchmark set, or dedup a fresh crawl
+    * against an already-ingested corpus (the exact-match complement of
+    * [[graft.text.Decontamination]]'s n-gram overlap).
+    *
+    * Scale shape: the reference side reduces to DISTINCT 128-bit
+    * content-hash pairs — fixed-width regardless of content size, so a
+    * multi-TB reference corpus becomes 16 bytes per distinct content and
+    * usually broadcasts; the corpus side is then a scan-local anti-join
+    * probe (the corpus never shuffles), degrading to a shuffled anti-join
+    * only when the reference hash set outgrows the broadcast threshold.
+    */
+  def exactAgainst(corpus: DataFrame, corpusCols: Seq[String],
+      reference: DataFrame, referenceCols: Seq[String]): DataFrame = {
+    require(corpusCols.length == referenceCols.length,
+      "corpusCols and referenceCols must align")
+    val Seq(h1, h2) = hashKeys(corpusCols.map(col))
+    val keyed = corpus.withColumn("__h1", h1).withColumn("__h2", h2)
+    val refKeys = reference
+      .select(hashKeys(referenceCols.map(col)): _*)
+      .distinct()
+    keyed.join(refKeys, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
+  }
+
   /** Distinct word shingles (n-grams) — the Jaccard universe of a doc. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")

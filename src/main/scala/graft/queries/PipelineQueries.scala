@@ -940,6 +940,24 @@ object PipelineQueries {
        |       ELSE ${Sampling.threshold(0.9)} END
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Cross-corpus exact dedup: scrub the corpus of rows byte-identical to
+    * a reference slice (here: docs 0-99 stand in for an eval set). The
+    * reference side travels as distinct 128-bit content hashes (broadcast
+    * anti-join probe — the corpus never shuffles); the oracle replays the
+    * same semantics as NOT IN over raw text.
+    */
+  def pipeCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reference = docs.filter(col("doc_id") < 100).select(col("text"))
+    val kept = Dedup.exactAgainst(docs, Seq("text"), reference, Seq("text"))
+    kept.agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+  }
+
+  private val pipeCrossDedupSql =
+    """SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+      |FROM documents
+      |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 100)""".stripMargin
+
   /** Exact-count stratified sample: 10 docs per language, selected by
     * content-addressed hash order. The oracle reproduces the selection as
     * the row_number window the Spark side deliberately does NOT run (the
@@ -1004,6 +1022,7 @@ object PipelineQueries {
     "mm_frames" -> (mmFrames _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
+    "pipe_cross_dedup" -> (pipeCrossDedup _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_split" -> (pipeSplit _),
     "txt_decontaminate" -> (txtDecontaminate _),
@@ -1034,6 +1053,7 @@ object PipelineQueries {
     "mm_frames" -> mmFramesSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
+    "pipe_cross_dedup" -> pipeCrossDedupSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
     "txt_decontaminate" -> txtDecontaminateSql,

@@ -383,6 +383,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(nn.filter(col("doc_id").isNull).count() === 0)
   }
 
+  test("cross-corpus exact dedup drops reference-identical rows only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val reference = Seq("alpha beta", "unseen text").toDF("ref_text")
+    val kept = Dedup.exactAgainst(corpus, Seq("text"), reference, Seq("ref_text"))
+    // Both copies of the reference-identical text go; the rest survive
+    // untouched (within-corpus duplicates are exact()'s job, not this op's).
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(2L, 3L))
+    // Empty reference keeps everything.
+    val none = Seq.empty[String].toDF("ref_text")
+    assert(Dedup.exactAgainst(corpus, Seq("text"), none, Seq("ref_text"))
+      .count() === 4)
+  }
+
   test("near-dup operators: empty and singleton corpora yield empty pair sets") {
     // Degenerate inputs drive every internal path — the collapse
     // aggregation, its persisted membership, banding, bucket aggregation,

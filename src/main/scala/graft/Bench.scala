@@ -71,7 +71,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Off the clock: drop caches the query's operators persisted (the
+      // dedup collapse, candidate lists, …). Left in place they accumulate
+      // across the 90-odd sequential gates, pressure the storage pool, and
+      // inflate LATER queries' times — every query should start from the
+      // same cold-cache state the recorded baselines measured.
+      spark.sharedState.cacheManager.clearCache()
+      (name, elapsed, ok)
     }
     // Regression guard: per-query ratio vs BOTH the first recorded round
     // bench (the defended baseline — catches slow multi-round drift) and

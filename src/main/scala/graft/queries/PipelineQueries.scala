@@ -485,11 +485,18 @@ object PipelineQueries {
   def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = plantedDocs(
       Tables.documents(spark, dir).filter(col("doc_id") < 500))
+    // Both pair lists are consumed twice (the count aggregate + the
+    // except), and each is the output of an expensive pipeline (quadratic
+    // ground truth; the full LSH stack) — materialize them once. They are
+    // bounded pair lists over the 500-doc sample, so the checkpoint
+    // footprint is trivial.
     val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 3)
       .filter(col("jaccard") >= 0.7)
       .select("id_a", "id_b")
+      .localCheckpoint()
     val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .select("id_a", "id_b")
+      .localCheckpoint()
     val missed = truth.except(found)
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(missed.agg(count(lit(1)).as("__n_missed")))

@@ -515,6 +515,26 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The deterministic slice of the simhash output (the same pattern as
+    * sim_knn_lsh's rank-1 contract): an exact copy shares every signature
+    * bit with its original, so each planted copy pair (doc, doc+1,000,000)
+    * MUST appear at hamming 0 — a missing or nonzero row hash-mismatches.
+    * The full pair set stays sketch-dependent (dd_simhash, rows-only); this
+    * gate pins the part an oracle CAN derive.
+    */
+  def ddSimhashPlanted(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = plantedDocs(Tables.documents(spark, dir))
+    Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"))
+  }
+
+  private val ddSimhashPlantedSql =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+      |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin
+
   /** Prefix filtering is lossless, so this one is EXACT: the DuckDB
     * brute-force pair set is a full oracle, not just a recall floor. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -1019,6 +1039,7 @@ object PipelineQueries {
     "dd_minhash" -> (ddMinhash _),
     "dd_minhash_recall" -> (ddMinhashRecall _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_simhash_planted" -> (ddSimhashPlanted _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding" -> (ddEmbedding _),
     "sim_knn_brute" -> (simKnnBrute _),
@@ -1050,6 +1071,7 @@ object PipelineQueries {
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,
+    "dd_simhash_planted" -> ddSimhashPlantedSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_knn_brute" -> simKnnBruteSql,

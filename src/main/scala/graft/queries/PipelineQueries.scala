@@ -409,6 +409,31 @@ object PipelineQueries {
       |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Context-length chunking: 64-token windows with 16-token overlap, one
+    * output row per (doc, window). Scan-local explode — the oracle replays
+    * the exact window arithmetic (starts, clipping, 1-based slices) over
+    * the same whitespace tokenization.
+    */
+  def txtChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunkTokens(col("text"), maxTokens = 64,
+          overlap = 16)).as(Seq("chunk_idx", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val txtChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS st
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST((st - 1) / 48 AS INT) AS chunk_idx,
+      |  array_to_string(toks[st : st + 63], ' ') AS chunk
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -1027,6 +1052,7 @@ object PipelineQueries {
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_chunk" -> (txtChunk _),
     "txt_pii" -> (txtPii _),
     "txt_length_stats" -> (txtLengthStats _),
     "dd_cluster" -> (ddCluster _),
@@ -1063,6 +1089,7 @@ object PipelineQueries {
     "txt_langid" -> txtLangIdSql,
     "txt_pii" -> txtPiiSql,
     "txt_length_stats" -> txtLengthStatsSql,
+    "txt_chunk" -> txtChunkSql,
     "dd_cluster" -> ddClusterSql,
     "pipe_neardup_clusters" -> pipeNeardupClustersSql,
     "txt_normalize" -> txtNormalizeSql,

@@ -89,6 +89,28 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column = GraftFunctions.fingerprint(text)
 
+  /** Fixed-size token windows with overlap — the standard context-length
+    * chunking step of a training-data pipeline (long documents become
+    * several training sequences; the overlap preserves cross-boundary
+    * context). Returns an array of chunk strings, scan-local (one explode
+    * downstream, no shuffle).
+    *
+    * Window i starts at token 1 + i·(maxTokens − overlap) and takes
+    * `maxTokens` tokens; starts run while ≤ max(n − overlap, 1), which
+    * covers every token, always emits ≥ 1 chunk, and never emits a tail
+    * window wholly contained in its predecessor. A doc whose trimmed text
+    * is empty yields one empty chunk (`split` semantics, same tokenizer as
+    * [[tokens]]).
+    */
+  def chunkTokens(text: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val toks = tokens(text)
+    val step = maxTokens - overlap
+    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
+    transform(starts, s => concat_ws(" ", slice(toks, s, lit(maxTokens))))
+  }
+
   /** URL/boilerplate normalization — the canonicalization pass that runs
     * BEFORE dedup/decontamination so trivially-different copies (casing,
     * tracking URLs, mailto noise, ragged whitespace) hash identically:

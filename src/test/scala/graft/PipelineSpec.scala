@@ -383,6 +383,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(nn.filter(col("doc_id").isNull).count() === 0)
   }
 
+  test("token chunking: full coverage, overlap preserved, no redundant tail") {
+    import spark.implicits._
+    // 10 tokens, window 8, overlap 4 -> starts {1, 5}: chunk0 = t1..t8,
+    // chunk1 = t5..t10 (clipped). 8 tokens -> exactly one chunk (a second
+    // window would be wholly contained). Empty text -> one empty chunk.
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        posexplode(TextAnalysis.chunkTokens(col("text"), 8, 4))
+          .as(Seq("idx", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSet === Set(
+      (1L, 0, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (3L, 0, "")))
+  }
+
   test("cross-corpus exact dedup drops reference-identical rows only") {
     import spark.implicits._
     val corpus = Seq(

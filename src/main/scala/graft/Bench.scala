@@ -77,7 +77,7 @@ object Bench {
       // across the 90-odd sequential gates, pressure the storage pool, and
       // inflate LATER queries' times — every query should start from the
       // same cold-cache state the recorded baselines measured.
-      spark.sharedState.cacheManager.clearCache()
+      spark.catalog.clearCache()
       (name, elapsed, ok)
     }
     // Regression guard: per-query ratio vs BOTH the first recorded round

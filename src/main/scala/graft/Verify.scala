@@ -23,7 +23,7 @@ object Verify {
       }
       // Operator-persisted caches are per-query working state; freed here
       // so 90 sequential queries don't accumulate storage-pool pressure.
-      spark.sharedState.cacheManager.clearCache()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -167,13 +167,24 @@ object Dedup {
   }
 
   /** The 128-bit content-hash key pair over `content` — scan-local, the
-    * group identity for [[collapseKeyed]] and [[exact]], and shared by the
-    * streaming twin ([[graft.streaming.StreamingDedup]]) so batch and
-    * stream agree on what "identical" means.
+    * group identity for [[collapseKeyed]], [[exact]], and [[exactAgainst]],
+    * and shared by the streaming twin ([[graft.streaming.StreamingDedup]])
+    * so batch and stream agree on what "identical" means.
+    *
+    * Null semantics: Spark's hash expressions SKIP null children, which
+    * would make multi-column keys conflate transposed nulls — (NULL, "x")
+    * and ("x", NULL) hash identically — so per-column null flags are mixed
+    * into the hash. Identity treats NULL as equal to NULL (grouping
+    * semantics, like GROUP BY — not SQL three-valued equality): two rows
+    * are "identical" iff every column matches byte-for-byte including
+    * null positions.
     */
-  private[graft] def hashKeys(content: Seq[Column]): Seq[Column] = Seq(
-    xxhash64(content: _*).as("__h1"),
-    xxhash64(lit(7) +: content: _*).as("__h2"))
+  private[graft] def hashKeys(content: Seq[Column]): Seq[Column] = {
+    val withNullFlags = content ++ content.map(c => isnull(c).cast("int"))
+    Seq(
+      xxhash64(withNullFlags: _*).as("__h1"),
+      xxhash64(lit(7) +: withNullFlags: _*).as("__h2"))
+  }
 
   /** [[collapseKeyed]] with the content itself as the payload — for
     * callers that still need the representative's text downstream

@@ -403,6 +403,26 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 0, "")))
   }
 
+  test("content identity: transposed nulls are distinct, null matches null") {
+    import spark.implicits._
+    // Spark hash expressions skip null children; without the per-column
+    // null flags in hashKeys, (NULL,"x") and ("x",NULL) would collapse to
+    // one group and cross-corpus dedup would wrongly drop non-identical
+    // rows.
+    val corpus = Seq(
+      (1L, Option("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option("x")),
+      (3L, Option.empty[String], Option.empty[String])).toDF("id", "a", "b")
+    val kept = Dedup.exact(corpus, Seq("a", "b"), Seq(col("id")))
+    assert(kept.count() === 3) // three distinct null patterns, no conflation
+    // NULL == NULL under identity semantics: a reference row with the same
+    // null pattern removes the corpus row.
+    val ref = Seq((Option.empty[String], Option("x"))).toDF("ra", "rb")
+    val survivors = Dedup.exactAgainst(corpus, Seq("a", "b"), ref, Seq("ra", "rb"))
+      .select("id").as[Long].collect().sorted
+    assert(survivors === Array(1L, 3L))
+  }
+
   test("cross-corpus exact dedup drops reference-identical rows only") {
     import spark.implicits._
     val corpus = Seq(

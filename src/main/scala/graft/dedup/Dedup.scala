@@ -349,30 +349,18 @@ object Dedup {
     * shuffled semi-join — no worse than the unfiltered aggregation was.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, candidates: DataFrame): DataFrame =
-    verifyJaccardImpl(docs, idCol, textCol, shingleSize, candidates,
-      restrict = true)
-
-  private def verifyJaccardImpl(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, candidates: DataFrame, restrict: Boolean): DataFrame = {
-    // restrict=true (the LSH/prefix pipelines): the candidate pair list is
-    // consumed three times below (id set + both intersection joins) and its
-    // generation pipeline (banding + bucket aggregation) is the expensive
-    // part — persist it (bounded by the bucket caps, so the footprint is
-    // pairs, not corpus). restrict=false ([[allPairsJaccard]], where every
-    // doc is a candidate): the id semi-join would filter nothing and the
-    // persist boundary hides size stats from the join planner — measured
-    // 3× slower — so both are skipped and the verify stays one fused plan.
-    val cand = if (restrict) {
-      candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    } else candidates
-    val shAll = shingleRows(docs, idCol, textCol, shingleSize)
-    val sh = if (restrict) {
-      val candIds = cand
-        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-        .distinct()
-      shAll.join(candIds, Seq("id"), "left_semi")
-    } else shAll
+      shingleSize: Int, candidates: DataFrame): DataFrame = {
+    // The candidate pair list is consumed three times below (id set + both
+    // intersection joins) and its generation pipeline (banding + bucket
+    // aggregation) is the expensive part — persist it (bounded by the
+    // bucket caps, so the footprint is pairs, not corpus).
+    val cand = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+      .join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.toDF("id_a", "sh"), "id_a")
@@ -390,16 +378,27 @@ object Dedup {
     * least one shingle. Quadratic in per-shingle frequency — a recall oracle
     * for small corpora, NOT a production path (use [[minhashNearDupPairs]] /
     * [[ngramJaccardPairs]] at scale).
+    *
+    * One self-join: each co-occurring shingle IS one unit of pair
+    * intersection, so `n_inter` falls directly out of
+    * count-per-(id_a, id_b) over the join — no candidates→distinct→rejoin
+    * detour (which evaluated the pair space twice and the shingle table
+    * five times).
     */
   def allPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
-    val candidates = sh.toDF("id_a", "sh")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("id_a", "sh")
       .join(sh.toDF("id_b", "sh"), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccardImpl(docs, idCol, textCol, shingleSize, candidates,
-      restrict = false)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
   /** MinHash-LSH near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold).

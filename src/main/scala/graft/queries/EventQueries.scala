@@ -71,6 +71,28 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Hopping (sliding) 1-hour windows every 15 minutes — each event lands
+    * in exactly 4 overlapping windows (size/slide). Spark epoch-aligns
+    * window starts to the slide; the oracle replays that alignment with
+    * epoch arithmetic (floor(epoch/900s) − g for g in 0..3).
+    */
+  def evtHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val evtHoppingSql =
+    """SELECT CAST(to_timestamp((floor(epoch(ts) / 900) - g.g) * 900) AS TIMESTAMP)
+      |    AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events, (SELECT unnest(range(0, 4)) AS g) g
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** Funnel: per user, did a 'click' ever follow a 'view'? Conditional
     * windowed min-timestamps, then a flag — no self-join needed.
     */
@@ -143,12 +165,14 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
+    "evt_hopping" -> (evtHopping _),
     "evt_funnel" -> (evtFunnel _),
     "evt_asof" -> (evtAsof _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
+    "evt_hopping" -> evtHoppingSql,
     "evt_funnel" -> evtFunnelSql,
     "evt_asof" -> evtAsofSql)
 }

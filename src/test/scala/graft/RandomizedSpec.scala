@@ -1,0 +1,103 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.operators.Sampling
+import graft.text.TextAnalysis
+
+/** Seeded randomized properties: each operator checked against a plain-Scala
+  * reference implementation over many generated inputs (fixed seed —
+  * deterministic, no flaky CI). Complements the example-based specs with
+  * coverage of parameter corners no example test enumerates.
+  */
+class RandomizedSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("chunkTokens: covers every token in order for random (n, max, overlap)") {
+    val rnd = new Random(42)
+    (1 to 12).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val maxT = 1 + rnd.nextInt(50)
+      val ov = rnd.nextInt(maxT) // 0 <= ov < maxT
+      val toks = (1 to n).map(i => s"t$i")
+      val text = toks.mkString(" ")
+      val chunks = Seq(text).toDF("text")
+        .select(TextAnalysis.chunkTokens(col("text"), maxT, ov))
+        .as[Seq[String]].head()
+      // Reference: starts 1, 1+step, ... while <= max(n - ov, 1).
+      val step = maxT - ov
+      val expected = Iterator.iterate(1)(_ + step)
+        .takeWhile(_ <= math.max(n - ov, 1)).toSeq
+        .map(s => toks.slice(s - 1, s - 1 + maxT).mkString(" "))
+      val want = if (n == 0) Seq("") else expected
+      assert(chunks === want, s"n=$n maxT=$maxT ov=$ov")
+      // Coverage + order: concatenating chunks with overlap removed
+      // reconstructs the token sequence exactly.
+      if (n > 0) {
+        val rebuilt = chunks.head.split(" ").toSeq ++
+          chunks.tail.flatMap(_.split(" ").toSeq.drop(ov))
+        assert(rebuilt === toks, s"coverage n=$n maxT=$maxT ov=$ov")
+      }
+    }
+  }
+
+  test("withSplit: exhaustive, deterministic, salt-sensitive for random fractions") {
+    val rnd = new Random(7)
+    (1 to 5).foreach { _ =>
+      val k = 2 + rnd.nextInt(3)
+      val raw = Seq.fill(k)(0.05 + rnd.nextDouble())
+      val fracs = raw.map(_ / raw.sum).zipWithIndex
+        .map { case (f, i) => s"s$i" -> f }
+      val keys = Seq.fill(300)(rnd.nextLong()).distinct.toDF("id")
+      val a = Sampling.withSplit(keys, "id", fracs, salt = 1L)
+      // Every non-null key gets exactly one label from the label set.
+      assert(a.filter(col("split").isNull).count() === 0)
+      assert(a.select("split").distinct().as[String].collect().toSet
+        .subsetOf(fracs.map(_._1).toSet))
+      // Deterministic: identical salt → identical assignment.
+      val b = Sampling.withSplit(keys, "id", fracs, salt = 1L)
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+      // Salt-sensitive: a different salt moves at least one key (300 keys,
+      // ≥2 splits — a fixed assignment across salts would be a hash bug).
+      val c = Sampling.withSplit(keys, "id", fracs, salt = 2L)
+      assert(a.except(c).count() > 0)
+    }
+  }
+
+  test("exact dedup: equals brute-force group-min over random dup-heavy data") {
+    val rnd = new Random(13)
+    (1 to 4).foreach { _ =>
+      val rows = (1 to 200).map { i =>
+        val a = if (rnd.nextInt(5) == 0) null else s"a${rnd.nextInt(8)}"
+        val b = if (rnd.nextInt(5) == 0) null else s"b${rnd.nextInt(4)}"
+        (i.toLong, a, b)
+      }
+      val df = rows.toDF("id", "a", "b")
+      val got = Dedup.exact(df, Seq("a", "b"), Seq(col("id")))
+        .select("id").as[Long].collect().toSet
+      // Reference: group by the (a, b) VALUE pair (nulls included — the
+      // documented grouping semantics), keep the min id.
+      val want = rows.groupBy(r => (r._2, r._3)).values.map(_.map(_._1).min).toSet
+      assert(got === want)
+    }
+  }
+
+  test("collectMinK: equals sort-take for random values and k") {
+    GraftFunctions.register(spark)
+    val rnd = new Random(99)
+    (1 to 5).foreach { _ =>
+      val k = 1 + rnd.nextInt(10)
+      val values = Seq.fill(500)(rnd.nextInt(100).toLong)
+      val got = values.toDF("v")
+        .agg(GraftFunctions.collectMinK(col("v"), k))
+        .as[Seq[Long]].head()
+      assert(got === values.sorted.take(k), s"k=$k")
+    }
+  }
+}

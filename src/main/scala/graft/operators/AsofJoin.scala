@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   * given age, after the merge — equivalent to joining within
   * [ts - tolerance, ts], since only the newest candidate can win either way.
   *
-  * Skew note: one hot key funnels its rows through one sort task — inherent
-  * to per-key ordered semantics (same as sessionization); when a key's
-  * history exceeds a task, pre-bucket by (key, coarse time range) with
-  * boundary carry-over upstream.
+  * Skew: with no tolerance, one hot key funnels its rows through one sort
+  * task — inherent to per-key ordered semantics (same as sessionization).
+  * With `toleranceSec` set, the window is partitioned by (key, time bucket)
+  * instead: buckets are `tolerance` wide, every candidate for a left row in
+  * bucket b (right ts ∈ [ts − tol, ts]) lies in bucket b−1 or b, so right
+  * rows are duplicated into their next bucket (one extra copy of the
+  * fixed-width payload) and each partition's sort is bounded by the key's
+  * rows per tolerance window, not its whole history. The result is
+  * EXACTLY the unbucketed output: a cross-bucket "winner" a partition
+  * misses is necessarily older than the tolerance, so the age filter
+  * would null it anyway.
   */
 object AsofJoin {
 
@@ -58,16 +65,30 @@ object AsofJoin {
     val lrType = left.select(lPayload.as("__lr")).schema("__lr").dataType
 
     val keyC = keyCols.map(col)
-    val r = right.select(keyC :+ col(rightTsCol).as("__ts") :+
+    val r0 = right.select(keyC :+ col(rightTsCol).as("__ts") :+
       lit(0).as("__side") :+ rTie.as("__tie") :+
       rPayload.as("__rv") :+ lit(null).cast(lrType).as("__lr"): _*)
-    val l = left.select(keyC :+ col(leftTsCol).as("__ts") :+
+    val l0 = left.select(keyC :+ col(leftTsCol).as("__ts") :+
       lit(1).as("__side") :+ lit(null).cast(tieType).as("__tie") :+
       lit(null).cast(rvType).as("__rv") :+ lPayload.as("__lr"): _*)
 
+    // Tolerance-bounded: partition by (key, tolerance-wide time bucket) —
+    // see the skew note. floor() keeps bucketing monotone for pre-epoch
+    // timestamps too.
+    val (r, l, partKeys) = toleranceSec match {
+      case Some(tol) =>
+        def bucket(c: Column) =
+          floor(c.cast("long").cast("double") / lit(tol)).cast("long")
+        val rb = r0.withColumn("__bkt", bucket(col("__ts")))
+        (rb.unionByName(rb.withColumn("__bkt", col("__bkt") + 1)),
+          l0.withColumn("__bkt", bucket(col("__ts"))),
+          keyC :+ col("__bkt"))
+      case None => (r0, l0, keyC)
+    }
+
     // Right (0) sorts before left (1) at equal ts ⇒ "≤" visibility; among
     // tied right rows the greatest __tie sorts last, so last() picks it.
-    val w = Window.partitionBy(keyC: _*)
+    val w = Window.partitionBy(partKeys: _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     val merged = r.unionByName(l)

@@ -88,6 +88,38 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("asof with tolerance: bucketed window equals brute force across boundaries") {
+    // The tolerance path partitions by (key, tolerance-wide time bucket)
+    // with right rows carried into the next bucket; over random timestamps
+    // (including matches that straddle bucket boundaries and matches older
+    // than the tolerance) the output must equal the brute-force reference.
+    val rnd = new Random(21)
+    val tol = 100L
+    val leftRows = (1 to 150).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}",
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(2000) * 1000L)))
+    val rightRows = (1 to 150).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}",
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(2000) * 1000L)))
+    val l = leftRows.toDF("lid", "k", "ts")
+    val r = rightRows.toDF("rid", "k", "ts")
+    val got = graft.operators.AsofJoin.asof(l, r, Seq("k"),
+      leftTsCol = "ts", rightTsCol = "ts", rightValCols = Seq("rid"),
+      tieBreak = Seq("rid"), toleranceSec = Some(tol))
+      .select("lid", "rid_asof")
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    val want = leftRows.map { case (lid, lk, lts) =>
+      val candidates = rightRows.filter { case (_, rk, rts) =>
+        rk == lk && !rts.after(lts) &&
+          (lts.getTime - rts.getTime) / 1000L <= tol
+      }
+      lid -> (if (candidates.isEmpty) -1L
+      else candidates.maxBy(c => (c._3.getTime, c._1))._1)
+    }.toMap
+    assert(got === want)
+  }
+
   test("collectMinK: equals sort-take for random values and k") {
     GraftFunctions.register(spark)
     val rnd = new Random(99)

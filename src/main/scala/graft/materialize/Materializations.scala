@@ -143,16 +143,16 @@ object ViewMaterialization {
         // Fail loudly on a comment keyed to no output column (typo / stale
         // name) — the table path throws from ALTER COLUMN for the same
         // mistake, and a silently dropped doc never surfaces again.
-        val known = spark.sql(selectSql).schema.fieldNames.toSet
-        val unknown = columnComments.keys.filterNot(known)
+        val fields = spark.sql(selectSql).schema.fieldNames
+        val unknown = columnComments.keys.filterNot(fields.toSet)
         require(unknown.isEmpty,
           s"columnComments reference no output column: ${unknown.mkString(", ")} " +
-            s"(view columns: ${known.mkString(", ")})")
-        spark.sql(selectSql).schema.fieldNames.map { f =>
-        val c = columnComments.get(f)
-          .map(t => s" COMMENT ${Relation.sqlLiteral(t)}").getOrElse("")
-        s"`${f.replace("`", "``")}`$c"
-      }.mkString(" (", ", ", ")")
+            s"(view columns: ${fields.mkString(", ")})")
+        fields.map { f =>
+          val c = columnComments.get(f)
+            .map(t => s" COMMENT ${Relation.sqlLiteral(t)}").getOrElse("")
+          s"`${f.replace("`", "``")}`$c"
+        }.mkString(" (", ", ", ")")
       }
     val commentClause =
       comment.map(c => s" COMMENT ${Relation.sqlLiteral(c)}").getOrElse("")

@@ -55,6 +55,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === 9L)
   }
 
+  test("asof with tolerance: window partitions by (key, time bucket)") {
+    // The scale contract: a tolerance-bounded as-of must not funnel a hot
+    // key's whole history through one sort — the window partition spec has
+    // to include the tolerance-wide time bucket alongside the key.
+    val l = Seq(("k", ts("2024-01-01 00:00:01"))).toDF("k", "ts")
+    val r = Seq(("k", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "ts", "rid")
+    val bounded = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rid"),
+      toleranceSec = Some(3600L))
+    val plan = bounded.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bkt"), s"no time bucket in bounded asof plan:\n$plan")
+    val unbounded = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+    assert(!unbounded.queryExecution.optimizedPlan.toString.contains("__bkt"))
+    // Hot-key smoke: 100k left rows on ONE key complete through the
+    // bucketed path (each bucket's sort sees only its tolerance window).
+    val spark2 = spark
+    import spark2.implicits._
+    val hotL = spark.range(100000).select(lit("k").as("k"),
+      expr("timestamp_seconds(1700000000 + id)").as("ts"), col("id"))
+    val hotR = spark.range(1000).select(lit("k").as("k"),
+      expr("timestamp_seconds(1700000000 + id * 100)").as("ts"),
+      col("id").as("rid"))
+    val n = AsofJoin.asof(hotL, hotR, Seq("k"), "ts", "ts", Seq("rid"),
+      tieBreak = Seq("rid"), toleranceSec = Some(60L)).count()
+    assert(n === 100000L)
+  }
+
   test("connected components: transitive chains merge, components stay apart") {
     // chain 1-2, 2-3, 3-4 plus separate pair 10-11
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")

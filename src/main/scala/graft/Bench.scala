@@ -85,12 +85,14 @@ object Bench {
     // the most recent one (catches fresh regressions), or an explicit
     // SPARK_GRAFT_BASELINE file; flagged in-run rather than only at judge
     // time. Only comparable when this run used the baseline's scale
-    // factor; sub-noise queries (absolute drift < 0.6 s) are not flagged —
-    // the floor matches the measured run-to-run variance of a single query
-    // on this host (identical code measured ±0.5 s across runs; both
-    // round-5 flags and a trial 2× flag on a 0.5 s query were all
-    // variance, while every REAL structural regression observed drifted
-    // well past 0.6 s).
+    // factor; sub-noise queries (absolute drift below the floor) are not
+    // flagged. The 0.6 s default floor matches the measured run-to-run
+    // variance of a single query on this host (identical code measured
+    // ±0.5 s across runs; every REAL structural regression observed
+    // drifted well past 0.6 s); a quieter host can tighten it via
+    // SPARK_GRAFT_NOISE_FLOOR without a code change.
+    val noiseFloor =
+      sys.env.get("SPARK_GRAFT_NOISE_FLOOR").map(_.toDouble).getOrElse(0.6)
     // A recorded bench whose tail was truncated mid-JSON (the driver caps
     // the stdout excerpt) parses to an empty query map — treat it as
     // absent and fall back to the NEWEST parsable round, otherwise the
@@ -114,7 +116,8 @@ object Bench {
     val baselines = (parsed.headOption.toSeq ++ parsed.lastOption.toSeq).distinct
     val regressions = results.collect {
       case (k, v, true) if baselines.exists {
-            case (_, base) => base.get(k).exists(b => v > b * 1.5 && v - b > 0.6)
+            case (_, base) =>
+              base.get(k).exists(b => v > b * 1.5 && v - b > noiseFloor)
           } =>
         val (label, ratio) = baselines.flatMap { case (l, base) =>
           base.get(k).map(b => l -> v / b)
@@ -128,7 +131,25 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // The driver records only a bounded tail of stdout, which has eaten the
+    // HEAD of this (long) line in past rounds — losing the "total" field and
+    // the alphabetically-first queries. Two mitigations: (1) persist the
+    // complete record to a file the judge can read directly; (2) print a
+    // short trailing summary line (total + slowest-10 + file pointer) that a
+    // tail capture always retains in full.
+    val benchFile = java.nio.file.Paths.get("target", "bench.json")
+    try {
+      java.nio.file.Files.createDirectories(benchFile.getParent)
+      java.nio.file.Files.write(benchFile,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}")
+    }
+    println(line)
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"bench_summary","total":${num(total, 3)},"n":${results.size},"slowest10":$slowest,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir","full_record":"${benchFile.toString}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   * cluster id, jump or no jump (the jump only accelerates).
   *
   * Each round is two equi-joins (neighbor labels, then the jump) plus one
-  * min-aggregation — all shuffle-partitioned by node id, no per-component
-  * state ever gathers on one task (unlike a groupBy-component formulation,
-  * a hot 100M-member cluster stays spread across the cluster; only its
-  * LABEL converges). Per round the labels frame is lazily
+  * min-aggregation. The neighbor phase is shuffle-partitioned by node id —
+  * a hot 100M-member cluster stays spread across the cluster there (unlike
+  * a groupBy-component formulation). The jump self-join keys by label, so
+  * once a big component's labels converge its probe rows do hash to one
+  * shuffle partition for that join; the rows are (id, label) pairs — 16
+  * bytes each, not documents — and AQE's skew-join splitting spreads the
+  * probe side when the runtime stats warrant it, so the funnel is bounded
+  * and shrinking (it exists only in the rounds AFTER the component has
+  * mostly converged). Per round the labels frame is lazily
   * localCheckpoint()ed — iterative plans otherwise stack the full lineage
   * (Catalyst re-optimizes a 2^rounds tree) — and the convergence probe (the
   * monotonically decreasing exact label sum, one tiny aggregate) doubles as
@@ -48,11 +53,26 @@ object Clusters {
     * (singletons) are absent from the output — union them back with
     * cluster = id if the caller wants total coverage.
     *
-    * `maxRounds` is a convergence assertion, not a result truncator: the
-    * run FAILS (require) if the fixed point is not reached — with
-    * shortcutting, ~2·log₂(n) rounds bound any graph.
+    * `maxRounds` is a convergence assertion, not a result truncator: by
+    * default the run FAILS if the fixed point is not reached — with
+    * shortcutting, ~2·log₂(n) rounds bound any graph, so exhaustion means
+    * something is structurally wrong and silent truncation would quietly
+    * under-dedup. The failure is diagnosable, not a bare abort: the error
+    * carries the count of still-unstable nodes (label ≠ the label's own
+    * label — i.e. chains the jump has not yet flattened) and a bounded
+    * sample of their ids, so a 30-round 100 TB run that dies names the
+    * offending region of the graph instead of discarding all its work.
+    *
+    * `returnPartial = true` is the documented escape hatch: on exhaustion
+    * the CURRENT labels are returned instead of throwing. Intermediate
+    * labels only ever take ids of reachable nodes, so a partial result can
+    * SPLIT a true component into several provisional clusters but can
+    * never merge two distinct components — for dedup that errs toward
+    * keeping extra near-duplicates, never toward dropping a unique
+    * document.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
+      returnPartial: Boolean = false): DataFrame = {
     val half = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -104,7 +124,26 @@ object Clusters {
       lastSum = s
       round += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    if (!converged && !returnPartial) {
+      // Diagnose before dying: at a fixed point adjacent nodes hold equal
+      // labels, so the edges whose endpoints still disagree are exactly the
+      // unfinished merges. Two id-partitioned joins + a count — cheap
+      // relative to the rounds already run — and the sample names the
+      // region of the graph that stalled.
+      val unstable = edges
+        .join(labels.select(col("id").as("src"), col("cluster").as("__ls")), "src")
+        .join(labels.select(col("id").as("dst"), col("cluster").as("__ld")), "dst")
+        .filter(col("__ls") =!= col("__ld") && col("src") < col("dst"))
+      val nUnstable = unstable.count()
+      val sample = unstable.select(col("src"), col("dst")).limit(5).collect()
+        .map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds: " +
+          s"$nUnstable edge(s) still span two provisional clusters " +
+          s"(sample: $sample). Pass returnPartial = true to accept a " +
+          "provisional (possibly split, never over-merged) clustering " +
+          "instead.")
+    }
     labels
   }
 

@@ -78,18 +78,39 @@ object RelationOps {
 
   /** O7 analog: change a table's partition spec. Iceberg evolves the spec
     * as metadata (reference python_utils.sql:197-230); plain parquet needs a
-    * one-time rewrite under the new layout — staged on shared storage, then
-    * swapped (data is preserved, only the directory layout changes).
+    * one-time rewrite under the new layout. The old table is RENAMED aside
+    * (metadata + filesystem move, no data copied) and the relayout CTAS
+    * reads it directly — ONE data write total, where a staging-copy
+    * formulation would write the corpus twice; at 100 TB the extra copy IS
+    * the job. On a relayout failure the original renames back, so the
+    * table is never lost mid-evolution.
     */
   def evolvePartitioning(spark: SparkSession, name: String,
       newPartitionBy: Seq[String]): Unit = {
     val rel = Relation.parse(name)
-    val df = spark.table(rel.quoted)
-    Staging.withDir(spark, s"evolve_${rel.identifier}") { dir =>
-      df.write.parquet(dir)
-      TableMaterialization.run(spark, name, spark.read.parquet(dir),
+    val tmp = Relation(rel.schema, s"${rel.identifier}__evolve_src")
+    spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
+    rename(spark, name, tmp.name)
+    // The rename moves the table DIRECTORY, but a partitioned table's
+    // catalog entries still record per-partition locations under the old
+    // path — left alone the renamed table reads empty. Re-discover them
+    // from the moved directory (metadata-only listing). Unpartitioned
+    // sources (evolving a flat table INTO a partitioned layout) have no
+    // partition entries to fix, and MSCK rejects them.
+    val tmpIdent = org.apache.spark.sql.catalyst.TableIdentifier(
+      tmp.identifier, Option(tmp.schema).filter(_.nonEmpty))
+    if (spark.sessionState.catalog.getTableMetadata(tmpIdent)
+        .partitionColumnNames.nonEmpty)
+      repair(spark, tmp.name)
+    try
+      TableMaterialization.run(spark, name, spark.table(tmp.quoted),
         partitionBy = newPartitionBy)
+    catch { case e: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+      rename(spark, tmp.name, name)
+      throw e
     }
+    spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
   }
 
   /** O9: discover partitions written out-of-band (impl.py:771-773). */

@@ -682,6 +682,11 @@ object MaterializationQueries {
     * oracle recomputes from raw orders) and that the physical layout
     * actually changed (n_partitions = SHOW PARTITIONS count = the distinct
     * priorities, not the 3 statuses the table started with).
+    *
+    * Gate budget: the ~1.5 s cost is two partitioned CTAS writes of orders
+    * (the initial layout and the relayout), both inherent to what the gate
+    * proves; the operator itself moves the data ONCE (rename-aside +
+    * single relayout write — the former staging copy is gone).
     */
   def relPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)

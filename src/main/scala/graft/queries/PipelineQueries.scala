@@ -300,14 +300,21 @@ object PipelineQueries {
   /** Near-dup pairs → duplicate CLUSTERS via distributed min-label
     * propagation (graft.dedup.Clusters): the transitive closure pairwise
     * dedup can't see (a~b, b~c ⇒ {a,b,c} one cluster). Edges are the
-    * exact-verified n-gram Jaccard pairs, so the oracle can rebuild the
-    * same graph brute-force and chase connectivity with a recursive CTE —
-    * the ITERATIVE distributed algorithm is checked against a declarative
+    * exact-verified MinHash-LSH pairs — the SAME upstream the end-to-end
+    * `pipe_neardup_clusters` gate builds (the two gates assert different
+    * surfaces of one computation: this one the full per-id label mapping
+    * row-by-row, that one the survivor slice), so the operator's bench
+    * budget isn't spent evaluating two distinct pair pipelines; the n-gram
+    * pipeline keeps its own dedicated gate (`dd_ngram_jaccard`). Verified
+    * pairs are exact (candidates-then-verify; recall independently pinned
+    * by `dd_minhash_recall`), so the oracle can rebuild the same graph
+    * brute-force and chase connectivity with a recursive CTE — the
+    * ITERATIVE distributed algorithm is checked against a declarative
     * ground truth.
     */
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = plantedDocs(Tables.documents(spark, dir))
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .select("id_a", "id_b")
     Clusters.connectedComponents(pairs)
       .orderBy(col("id"))
@@ -317,7 +324,7 @@ object PipelineQueries {
   // this object — eager init here would interpolate null.
   private lazy val ddClusterSql =
     s"""WITH RECURSIVE pairs AS (
-       |  SELECT id_a, id_b FROM (${bruteJaccardSql(0.8)})
+       |  SELECT id_a, id_b FROM (${bruteJaccardSql(0.7)})
        |), edges AS (
        |  SELECT id_a AS s, id_b AS d FROM pairs
        |  UNION ALL

@@ -116,6 +116,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) === 0L))
   }
 
+  test("connected components: exhaustion diagnoses unstable edges; returnPartial never over-merges") {
+    // A 16-node path cannot converge in one round; the failure must name
+    // the still-spanning edges rather than aborting bare, and the partial
+    // escape must return a clustering that splits but never merges across
+    // true components.
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge in 1 rounds"))
+    assert("""(\d+) edge\(s\) still span""".r.findFirstMatchIn(ex.getMessage)
+      .exists(_.group(1).toLong > 0), s"no unstable-edge count in: ${ex.getMessage}")
+    assert(ex.getMessage.contains("sample:"))
+
+    // Two true components: path 0..15 and pair 100-101. Partial labels may
+    // split the path into several provisional clusters but every label must
+    // stay inside the node's own true component.
+    val twoComp = pairs.unionByName(Seq((100L, 101L)).toDF("id_a", "id_b"))
+    val partial = Clusters.connectedComponents(twoComp, maxRounds = 1,
+      returnPartial = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(partial.length === 18)
+    partial.foreach { case (id, cluster) =>
+      val sameSide = (id <= 15L) === (cluster <= 15L)
+      assert(sameSide, s"label $cluster crossed components for node $id")
+      assert(cluster <= id)
+    }
+  }
+
   test("pii: staged counts do not double-count emails/IPs as phones") {
     val df = Seq(
       "mail me at a.b+c@example.com or 12345678@qq.com",

@@ -162,17 +162,108 @@ object EventQueries {
       |  CASE WHEN age <= 86400 THEN age END AS age_sec
       |FROM aged ORDER BY user_id, event_id""".stripMargin
 
+  /** Forward as-of join: for every view, the NEXT click by the same user at
+    * or after the view within 1 day — the "what happened next" lookup
+    * (label generation: did this impression convert, and when). Same
+    * union-merge single-shuffle shape as the backward gate, walked in
+    * descending time order.
+    */
+  def evtAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"), col("ts"))
+    graft.operators.AsofJoin.asof(views, clicks, Seq("user_id"),
+      leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("click_event_id"), tieBreak = Seq("click_event_id"),
+      toleranceSec = Some(86400L), direction = "forward")
+      .select(col("user_id"), col("event_id"), col("click_event_id_asof"),
+        (col("ts_asof").cast("long") - col("ts").cast("long")).as("wait_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val evtAsofFwdSql =
+    """WITH views AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+      |), clicks AS (
+      |  SELECT user_id, event_id AS click_event_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), best AS (
+      |  SELECT v.user_id, v.event_id, v.ts, c.click_event_id, c.click_ts
+      |  FROM views v LEFT JOIN clicks c
+      |    ON c.user_id = v.user_id AND c.click_ts >= v.ts
+      |  QUALIFY row_number() OVER (PARTITION BY v.user_id, v.event_id
+      |    ORDER BY c.click_ts ASC NULLS LAST, c.click_event_id DESC) = 1
+      |), aged AS (
+      |  SELECT *, CAST(floor(epoch(click_ts)) AS BIGINT)
+      |         - CAST(floor(epoch(ts)) AS BIGINT) AS wait
+      |  FROM best
+      |)
+      |SELECT user_id, event_id,
+      |  CASE WHEN wait <= 86400 THEN click_event_id END AS click_event_id_asof,
+      |  CASE WHEN wait <= 86400 THEN wait END AS wait_sec
+      |FROM aged ORDER BY user_id, event_id""".stripMargin
+
+  /** Nearest as-of join: for every click, the closest view by the same user
+    * in EITHER direction within 1 hour (equidistant ties resolve to the
+    * earlier view) — the sensor-alignment shape. Both direction passes run
+    * over one exchange; the per-row winner is the closer candidate.
+    */
+  def evtAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"), col("ts"))
+    graft.operators.AsofJoin.asof(clicks, views, Seq("user_id"),
+      leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("view_event_id"), tieBreak = Seq("view_event_id"),
+      toleranceSec = Some(3600L), direction = "nearest")
+      .select(col("user_id"), col("event_id"), col("view_event_id_asof"),
+        (col("ts_asof").cast("long") - col("ts").cast("long")).as("delta_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val evtAsofNearestSql =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+      |), views AS (
+      |  SELECT user_id, event_id AS view_event_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'
+      |), best AS (
+      |  SELECT c.user_id, c.event_id, c.ts, v.view_event_id, v.view_ts,
+      |    abs(CAST(floor(epoch(v.view_ts)) AS BIGINT)
+      |      - CAST(floor(epoch(c.ts)) AS BIGINT)) AS dist
+      |  FROM clicks c LEFT JOIN views v
+      |    ON v.user_id = c.user_id
+      |   AND abs(CAST(floor(epoch(v.view_ts)) AS BIGINT)
+      |         - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 3600
+      |  QUALIFY row_number() OVER (PARTITION BY c.user_id, c.event_id
+      |    ORDER BY dist ASC NULLS LAST,
+      |      (v.view_ts <= c.ts) DESC,
+      |      v.view_event_id DESC) = 1
+      |)
+      |SELECT user_id, event_id, view_event_id AS view_event_id_asof,
+      |  CAST(floor(epoch(view_ts)) AS BIGINT)
+      |    - CAST(floor(epoch(ts)) AS BIGINT) AS delta_sec
+      |FROM best ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
     "evt_funnel" -> (evtFunnel _),
-    "evt_asof" -> (evtAsof _))
+    "evt_asof" -> (evtAsof _),
+    "evt_asof_fwd" -> (evtAsofFwd _),
+    "evt_asof_nearest" -> (evtAsofNearest _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,
     "evt_funnel" -> evtFunnelSql,
-    "evt_asof" -> evtAsofSql)
+    "evt_asof" -> evtAsofSql,
+    "evt_asof_fwd" -> evtAsofFwdSql,
+    "evt_asof_nearest" -> evtAsofNearestSql)
 }

@@ -88,11 +88,12 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
-  test("asof with tolerance: bucketed window equals brute force across boundaries") {
+  test("asof with tolerance: bucketed window equals brute force across boundaries, all directions") {
     // The tolerance path partitions by (key, tolerance-wide time bucket)
-    // with right rows carried into the next bucket; over random timestamps
-    // (including matches that straddle bucket boundaries and matches older
-    // than the tolerance) the output must equal the brute-force reference.
+    // with right rows replicated into the adjacent bucket(s) the direction
+    // consults; over random timestamps (including matches that straddle
+    // bucket boundaries and matches farther than the tolerance) every
+    // direction's output must equal its brute-force reference.
     val rnd = new Random(21)
     val tol = 100L
     val leftRows = (1 to 150).map(i =>
@@ -103,21 +104,74 @@ class RandomizedSpec extends AnyFunSuite {
         new java.sql.Timestamp(1700000000000L + rnd.nextInt(2000) * 1000L)))
     val l = leftRows.toDF("lid", "k", "ts")
     val r = rightRows.toDF("rid", "k", "ts")
-    val got = graft.operators.AsofJoin.asof(l, r, Seq("k"),
-      leftTsCol = "ts", rightTsCol = "ts", rightValCols = Seq("rid"),
-      tieBreak = Seq("rid"), toleranceSec = Some(tol))
-      .select("lid", "rid_asof")
-      .collect().map(row => row.getLong(0) ->
-        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
-    val want = leftRows.map { case (lid, lk, lts) =>
-      val candidates = rightRows.filter { case (_, rk, rts) =>
-        rk == lk && !rts.after(lts) &&
-          (lts.getTime - rts.getTime) / 1000L <= tol
-      }
-      lid -> (if (candidates.isEmpty) -1L
-      else candidates.maxBy(c => (c._3.getTime, c._1))._1)
+
+    // Brute-force winner per direction: filter candidates, then pick.
+    // Backward: latest ≤; forward: earliest ≥; ties on ts → greatest rid.
+    def brute(direction: String): Map[Long, Long] = leftRows.map {
+      case (lid, lk, lts) =>
+        def within(rts: java.sql.Timestamp) =
+          math.abs(lts.getTime - rts.getTime) / 1000L <= tol
+        val sameKey = rightRows.filter { case (_, rk, rts) =>
+          rk == lk && within(rts)
+        }
+        val back = sameKey.filter(!_._3.after(lts))
+          .sortBy(c => (c._3.getTime, c._1)).lastOption
+        val fwd = sameKey.filter(!_._3.before(lts))
+          .sortBy(c => (-c._3.getTime, c._1)).lastOption
+        val winner = direction match {
+          case "backward" => back
+          case "forward"  => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              val db = lts.getTime - b._3.getTime
+              val df = f._3.getTime - lts.getTime
+              if (df < db) Some(f) else Some(b) // tie → backward
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> winner.map(_._1).getOrElse(-1L)
     }.toMap
-    assert(got === want)
+
+    for (direction <- Seq("backward", "forward", "nearest")) {
+      val got = graft.operators.AsofJoin.asof(l, r, Seq("k"),
+        leftTsCol = "ts", rightTsCol = "ts", rightValCols = Seq("rid"),
+        tieBreak = Seq("rid"), toleranceSec = Some(tol),
+        direction = direction)
+        .select("lid", "rid_asof")
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      assert(got === brute(direction), s"direction=$direction (bucketed)")
+      // Unbounded (no tolerance) path: same winners ignoring the age cut.
+      val gotU = graft.operators.AsofJoin.asof(l, r, Seq("k"),
+        leftTsCol = "ts", rightTsCol = "ts", rightValCols = Seq("rid"),
+        tieBreak = Seq("rid"), direction = direction)
+        .select("lid", "rid_asof")
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      val bruteU = {
+        // Reuse brute with an effectively-infinite tolerance by inlining:
+        leftRows.map { case (lid, lk, lts) =>
+          val sameKey = rightRows.filter { case (_, rk, _) => rk == lk }
+          val back = sameKey.filter(!_._3.after(lts))
+            .sortBy(c => (c._3.getTime, c._1)).lastOption
+          val fwd = sameKey.filter(!_._3.before(lts))
+            .sortBy(c => (-c._3.getTime, c._1)).lastOption
+          val winner = direction match {
+            case "backward" => back
+            case "forward"  => fwd
+            case "nearest" => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (f._3.getTime - lts.getTime < lts.getTime - b._3.getTime)
+                  Some(f)
+                else Some(b)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          lid -> winner.map(_._1).getOrElse(-1L)
+        }.toMap
+      }
+      assert(gotU === bruteU, s"direction=$direction (unbounded)")
+    }
   }
 
   test("collectMinK: equals sort-take for random values and k") {

@@ -29,8 +29,55 @@ import graft.functions.{GraftFunctions, Kernels}
   * The residual cap in [[bucketPairs]] then only fires for *near*-identical
   * clusters (distinct texts landing in one bucket); it trades recall only
   * there, and any `maxBucketSize` prefix of such a cluster still links it.
+  *
+  * Cache lifecycle: the near-dup entry points persist a few scoped frames
+  * (the collapse membership/reps, the verify shingle sizes — see
+  * [[collapseKeyed]]) so multi-pass plans share one materialization. The
+  * frames stay cached until garbage-collected (ContextCleaner) — fine for
+  * run-to-completion jobs, nondeterministic for a long-lived application
+  * issuing many dedup calls. Such callers should invoke [[releaseCaches]]
+  * once they have materialized (collected / written) the returned pairs;
+  * batch harnesses that already `spark.catalog.clearCache()` between
+  * queries need nothing extra.
   */
 object Dedup {
+
+  // Scoped-persist registry drained by releaseCaches(). SOFT references:
+  // strong refs would pin frames a caller never releases forever (today
+  // they are at least eventually GC'd), while weak refs are often cleared
+  // by the first GC after the operator returns — before the caller can
+  // release deterministically. Soft refs survive until memory pressure;
+  // anything collected earlier is already queued for ContextCleaner
+  // cleanup, which remains the backstop either way.
+  private val scopedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.SoftReference[DataFrame]]()
+
+  private[dedup] def scopedPersist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scopedCaches.add(new java.lang.ref.SoftReference(df))
+    df
+  }
+
+  /** Unpersist every scoped cache dedup operators have registered since the
+    * last call (blocking = false — eviction is asynchronous). Call after
+    * materializing an operator's result; safe any time (dropped caches
+    * recompute from lineage if a plan is re-executed). Returns the number
+    * of frames released.
+    */
+  def releaseCaches(): Int = {
+    var released = 0
+    var ref = scopedCaches.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) {
+        df.unpersist(blocking = false)
+        released += 1
+      }
+      ref = scopedCaches.poll()
+    }
+    released
+  }
 
   /** Split a 64-bit signature column into per-band bucket rows. The band
     * hash is computed AFTER the explode from the materialized `sig` column:
@@ -149,7 +196,6 @@ object Dedup {
     */
   private[dedup] def collapseKeyed(keyed: DataFrame, maxGroupSize: Int,
       persistReps: Boolean = false): Collapsed = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     GraftFunctions.register(keyed.sparkSession)
     val payload = keyed.columns.filterNot(Set("id", "__h1", "__h2")).toSeq
     val aggs = min(col("id")).as("__rep") +: count(lit(1)).as("__n") +:
@@ -157,9 +203,9 @@ object Dedup {
       payload.map(c => first(col(c)).as(c))
     val groups = keyed.groupBy("__h1", "__h2").agg(aggs.head, aggs.tail: _*)
     val reps0 = groups.select(col("__rep").as("id") +: payload.map(col): _*)
-    val reps = if (persistReps) reps0.persist(MEMORY_AND_DISK) else reps0
-    val dupGroups = groups.filter(col("__n") > 1).select("__rep", "__ids")
-      .persist(MEMORY_AND_DISK)
+    val reps = if (persistReps) scopedPersist(reps0) else reps0
+    val dupGroups = scopedPersist(
+      groups.filter(col("__n") > 1).select("__rep", "__ids"))
     val members = dupGroups
       .select(col("__rep"), explode(col("__ids")).as("id"))
       .select("id", "__rep")
@@ -353,9 +399,9 @@ object Dedup {
     // The candidate pair list is consumed three times below (id set + both
     // intersection joins) and its generation pipeline (banding + bucket
     // aggregation) is the expensive part — persist it (bounded by the
-    // bucket caps, so the footprint is pairs, not corpus).
-    val cand = candidates
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket caps, so the footprint is pairs, not corpus; scoped — see
+    // releaseCaches).
+    val cand = scopedPersist(candidates)
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()

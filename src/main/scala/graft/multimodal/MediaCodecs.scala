@@ -1,0 +1,190 @@
+package graft.multimodal
+
+/** Pure-JVM decoders for the uncompressed media formats a sandboxed
+  * environment can parse without native codec libraries: PPM (P6) and BMP
+  * (24-bit BI_RGB) images, and WAV (16-bit PCM) audio. Each decoder is a
+  * plain static-forwardable JVM kernel invoked from the per-partition batch
+  * loop in [[Multimodal.decode]] — no Spark types in the signatures, so the
+  * hot loop stays allocation-light and the kernels are unit-testable
+  * against hand-built byte fixtures.
+  *
+  * Features are format-appropriate but schema-uniform: a 16-bin normalized
+  * histogram (image → luminance bins, audio → amplitude bins, unknown →
+  * raw byte bins), plus the dimensions the container declares. Compressed
+  * codecs (JPEG/PNG/MP3/H.264) are NOT parseable without native libraries
+  * in this environment; they take the `raw` fallback path, which is the
+  * honest boundary of what pure JVM code can decode here.
+  */
+object MediaCodecs {
+
+  /** Decoded media record. `width`/`height` are -1 for audio/raw;
+    * `nSamples` is -1 for images/raw. `histogram` always has 16 bins
+    * summing to 1 (or all zeros for an empty payload).
+    */
+  final case class Decoded(
+      format: String,
+      width: Int,
+      height: Int,
+      nSamples: Long,
+      histogram: Array[Double])
+
+  /** Dispatch on magic bytes; unknown formats fall back to the raw byte
+    * histogram (the only remaining "stub" behavior — and still a real,
+    * deterministic feature for opaque payloads).
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    val d =
+      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else if (bytes.length >= 12 && hasAscii(bytes, 0, "RIFF") &&
+        hasAscii(bytes, 8, "WAVE")) decodeWav(bytes)
+      else None
+    d.getOrElse(rawHistogram(bytes))
+  }
+
+  private def hasAscii(bytes: Array[Byte], off: Int, s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (bytes(off + i) != s.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  private def normalize(hist: Array[Double], n: Long): Array[Double] = {
+    if (n > 0) {
+      var i = 0
+      while (i < hist.length) { hist(i) /= n; i += 1 }
+    }
+    hist
+  }
+
+  /** Raw fallback: high-nibble byte histogram (16 bins). */
+  def rawHistogram(bytes: Array[Byte]): Decoded = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    Decoded("raw", -1, -1, -1L, normalize(hist, bytes.length.toLong))
+  }
+
+  // ------------------------------------------------------------------ PPM
+  /** PPM "P6": ASCII header `P6 <width> <height> <maxval>` (whitespace
+    * separated, `#` comments allowed) followed by ONE whitespace byte and
+    * the binary RGB raster, 1 byte per channel (maxval ≤ 255 supported).
+    * Luminance = (r+g+b)/3 scaled by maxval into 16 bins.
+    */
+  def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
+    var pos = 2
+    def skipSpaceAndComments(): Unit = {
+      var going = true
+      while (going && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else going = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpaceAndComments()
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    pos += 1 // the single whitespace byte after maxval
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    val need = w.toLong * h * 3
+    if (pos + need > bytes.length) return None
+    val hist = new Array[Double](16)
+    var i = 0
+    var p = pos
+    val n = w * h
+    while (i < n) {
+      val lum = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
+      hist(lum * 16 / (maxval + 1)) += 1
+      p += 3; i += 1
+    }
+    Some(Decoded("ppm", w, h, -1L, normalize(hist, n.toLong)))
+  }
+
+  // ------------------------------------------------------------------ BMP
+  /** BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER; only the
+    * uncompressed (BI_RGB) 24-bit variant is supported — rows padded to
+    * 4-byte boundaries, BGR order, |height| rows (sign only flips row
+    * order, which a histogram ignores).
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 54) return None
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val dataOffset = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val h = math.abs(hRaw)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    // dataOffset is attacker/garbage-controlled (any text starting "BM"
+    // reaches this parser): reject anything before the headers end.
+    if (dataOffset < 54) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + stride.toLong * h > bytes.length) return None
+    val hist = new Array[Double](16)
+    var row = 0
+    while (row < h) {
+      var x = 0
+      var p = dataOffset + row * stride
+      while (x < w) {
+        val lum = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
+        hist(lum >> 4) += 1
+        p += 3; x += 1
+      }
+      row += 1
+    }
+    Some(Decoded("bmp", w, h, -1L, normalize(hist, w.toLong * h)))
+  }
+
+  // ------------------------------------------------------------------ WAV
+  /** WAV: RIFF container, `fmt ` chunk (PCM format 1, 16-bit), `data`
+    * chunk of little-endian signed 16-bit samples (channels interleaved —
+    * every sample feeds the histogram). Amplitude bins: (sample + 32768)
+    * >> 12, i.e. 16 equal bins over the full signed range.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    var pos = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val idOff = pos
+      val size = i32(pos + 4)
+      if (size < 0) return None
+      if (hasAscii(bytes, idOff, "fmt ") && pos + 8 + 16 <= bytes.length) {
+        val audioFormat = u16(pos + 8)
+        val bits = u16(pos + 8 + 14)
+        fmtOk = audioFormat == 1 && bits == 16
+      } else if (hasAscii(bytes, idOff, "data")) {
+        dataOff = pos + 8
+        dataLen = math.min(size.toLong, (bytes.length - dataOff).toLong).toInt
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = dataLen / 2
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < n) {
+      val s = (u16(dataOff + i * 2) << 16) >> 16 // sign-extend
+      hist((s + 32768) >> 12) += 1
+      i += 1
+    }
+    Some(Decoded("wav", -1, -1, n.toLong, normalize(hist, n.toLong)))
+  }
+}

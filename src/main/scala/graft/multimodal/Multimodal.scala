@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The DECODE step is a clearly-marked STUB (this container has no image or
-  * audio codecs): `decodeStub` derives deterministic fake features from the
-  * raw bytes. Everything around it — the (media, meta) schema, the
-  * mapPartitions batch shape (the Scala analog of `mapInPandas`), the
-  * fixed-width feature output, partition-parallel execution — is the real
-  * production plumbing a 100 TB media pipeline needs: features compute
-  * scan-local with no shuffle.
+  * The DECODE step is REAL for the formats pure JVM code can parse without
+  * native codec libraries — PPM (P6) and BMP (24-bit) images, WAV (16-bit
+  * PCM) audio ([[MediaCodecs]]) — producing genuine luminance/amplitude
+  * histograms and container dimensions. Formats that require native codecs
+  * (JPEG/PNG/MP3/H.264 — unavailable in this environment) take a clearly
+  * marked `raw` byte-histogram fallback. The surrounding plumbing — the
+  * (media, meta) schema, the mapPartitions batch shape (the Scala analog
+  * of `mapInPandas`), the fixed-width feature output, partition-parallel
+  * execution — is the production shape a 100 TB media pipeline needs:
+  * features compute scan-local with no shuffle.
   */
 object Multimodal {
 
@@ -40,29 +43,104 @@ object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
     StructField("histogram", ArrayType(DoubleType), nullable = false)))
 
-  /** ??? REAL DECODER GOES HERE ??? — stub: a real implementation would
-    * decode the codec (JPEG/PNG/WAV...) inside this per-partition loop.
-    * The deterministic fake emits a 16-bin byte histogram as the "feature
-    * vector" so downstream plumbing is testable.
+  /** Per-partition batch decode ([[MediaCodecs.decode]]): PPM/BMP payloads
+    * → 16-bin luminance histogram + container dimensions; WAV → 16-bin
+    * amplitude histogram + sample count; anything else → the `raw`
+    * byte-histogram fallback (dimensions null). One iterator per partition
+    * — decoder state initializes once per partition, not once per row (the
+    * mapInPandas contract).
     */
-  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+  def decode(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("media_id", "media").mapPartitions { rows =>
-      // Batch shape: one iterator per partition — codecs get initialized
-      // once per partition, not once per row (the mapInPandas contract).
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
-        val n = math.max(bytes.length, 1)
-        Row(id, bytes.length, hist.map(_ / n).toSeq)
+        val d = MediaCodecs.decode(bytes)
+        Row(id, d.format, bytes.length,
+          if (d.width < 0) null else Int.box(d.width),
+          if (d.height < 0) null else Int.box(d.height),
+          if (d.nSamples < 0) null else Long.box(d.nSamples),
+          d.histogram.toSeq)
       }
     }(enc)
+  }
+
+  /** Deterministic media fixtures with hand-computable features — used by
+    * the `mm_decode` driver gate and the codec specs so a DuckDB oracle
+    * (which cannot run the decoders) can still pin every decoded value.
+    */
+  object Fixtures {
+    /** 16×16 P6 PPM; pixel i (row-major) is gray level i (0..255, each
+      * exactly once) → luminance histogram uniform: 1/16 per bin.
+      */
+    def ppmGradient16: Array[Byte] = {
+      val header = "P6\n16 16\n255\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](16 * 16 * 3)
+      var i = 0
+      while (i < 256) {
+        raster(i * 3) = i.toByte
+        raster(i * 3 + 1) = i.toByte
+        raster(i * 3 + 2) = i.toByte
+        i += 1
+      }
+      header ++ raster
+    }
+
+    /** 4×4 24-bit uncompressed BMP, every pixel gray 128 → histogram
+      * bin 8 = 1.0. Rows are 12 bytes (already 4-byte aligned).
+      */
+    def bmpGray4: Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(54 + 4 * 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(54 + 48) // file size
+      buf.putInt(0)       // reserved
+      buf.putInt(54)      // pixel data offset
+      buf.putInt(40)      // BITMAPINFOHEADER size
+      buf.putInt(4)       // width
+      buf.putInt(4)       // height (bottom-up)
+      buf.putShort(1)     // planes
+      buf.putShort(24)    // bpp
+      buf.putInt(0)       // BI_RGB
+      buf.putInt(48)      // image size
+      buf.putInt(2835).putInt(2835) // 72 dpi
+      buf.putInt(0).putInt(0)       // palette
+      var i = 0
+      while (i < 48) { buf.put(128.toByte); i += 1 }
+      buf.array()
+    }
+
+    /** 8-sample mono 16-bit PCM WAV alternating +16384 / −16384 →
+      * amplitude bins 12 and 4 at 0.5 each.
+      */
+    def wavAlternating8: Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 16)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1)      // PCM
+      buf.putShort(1)      // mono
+      buf.putInt(8000)     // sample rate
+      buf.putInt(16000)    // byte rate
+      buf.putShort(2)      // block align
+      buf.putShort(16)     // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(16)
+      var i = 0
+      while (i < 8) {
+        buf.putShort(if (i % 2 == 0) 16384.toShort else (-16384).toShort)
+        i += 1
+      }
+      buf.array()
+    }
   }
 
   /** Frame sampling stub: slice `n` evenly-spaced byte windows out of the

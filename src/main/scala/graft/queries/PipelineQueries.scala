@@ -449,6 +449,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The deterministic slice of the fingerprint (the dd_simhash_planted
+    * recipe): identical text MUST fingerprint identically (planted exact
+    * copies, ids +1,000,000 — row-by-row), and the fingerprint must VARY
+    * across the corpus (fp_varies — a constant kernel would satisfy the
+    * copy half vacuously). NOT asserted: injectivity or sensitivity to
+    * small appends — the fingerprint is a rolling MIN-hash (one-permutation
+    * minhash), so two distinct docs sharing their globally-minimal window
+    * legitimately collide, and suffix edits usually leave the min intact;
+    * the full value set stays sketch-dependent (rows-only
+    * txt_fingerprint).
+    */
+  def txtFingerprintPlanted(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = Tables.documents(spark, dir)
+    val fps = plantedDocs(base)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val copies = fps.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("fp").as("fp_copy"))
+    fps.join(copies, Seq("doc_id"))
+      .select(col("doc_id"), (col("fp") === col("fp_copy")).as("fp_same"))
+      .crossJoin(base
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg((countDistinct(col("fp")) > 1).as("fp_varies")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtFingerprintPlantedSql =
+    """SELECT doc_id, TRUE AS fp_same, TRUE AS fp_varies
+      |FROM documents WHERE doc_id < 25
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup
   def ddExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -568,14 +599,37 @@ object PipelineQueries {
   def ddSimhashPlanted(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = plantedDocs(Tables.documents(spark, dir))
+    // id_a < 25 pins the slice to the PLANTED copy range: at a larger scale
+    // factor a natural pair could sit exactly 1,000,000 ids apart (or real
+    // ids could reach the planted range) and add rows the fixed oracle
+    // cannot predict.
     Dedup.simhashNearDupPairs(docs, "doc_id", "text")
-      .filter(col("id_b") === col("id_a") + 1000000L)
+      .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"))
   }
 
   private val ddSimhashPlantedSql =
     """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+      |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin
+
+  /** The deterministic slice of the minhash output (the dd_simhash_planted
+    * recipe): an exact copy collapses with its original in the exact-dup
+    * pre-route, so each planted pair (doc, doc+1,000,000) MUST appear at
+    * jaccard exactly 1.0 — complementing the statistical recall gate with a
+    * row-by-row oracle over the part DuckDB CAN derive.
+    */
+  def ddMinhashPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedDocs(Tables.documents(spark, dir))
+    Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  private val ddMinhashPlantedSql =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS jaccard
       |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin
 
   /** Prefix filtering is lossless, so this one is EXACT: the DuckDB
@@ -745,18 +799,65 @@ object PipelineQueries {
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packDocuments(Tables.documents(spark, dir))
-    val features = Multimodal.decodeStub(spark, media)
+    val features = Multimodal.decode(spark, media)
     val frames = Multimodal.frameSample(media, n = 4)
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
     features.join(frames, "media_id")
-      .select(col("media_id"), col("n_bytes"), col("n_frames").cast("int").as("n_frames"))
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("n_frames").cast("int").as("n_frames"))
       .orderBy(col("media_id"))
   }
 
   private val mmFeaturesSql =
-    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+    """SELECT doc_id AS media_id, 'raw' AS format,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
       |  4 AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The REAL decoders ([[graft.multimodal.MediaCodecs]]) against planted
+    * fixtures whose features are hand-computable: a 16×16 PPM gray
+    * gradient (uniform luminance histogram), a 4×4 all-gray-128 BMP
+    * (single luminance bin), an 8-sample ±16384 WAV (two amplitude bins),
+    * and a 16-byte raw payload exercising the unknown-format fallback
+    * (one byte per high nibble — uniform byte histogram). Every decoded
+    * value — format, dimensions, sample count, and each histogram bin —
+    * is pinned row-by-row; the oracle derives them from the fixture
+    * DEFINITIONS, not from running any decoder.
+    */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq[(Long, Array[Byte])](
+      (1L, Multimodal.Fixtures.ppmGradient16),
+      (2L, Multimodal.Fixtures.bmpGray4),
+      (3L, Multimodal.Fixtures.wavAlternating8),
+      (4L, (0 until 16).map(n => (n << 4).toByte).toArray))
+      .toDF("media_id", "media")
+    Multimodal.decode(spark, fixtures)
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("width"), col("height"), col("n_samples"), col("histogram"))
+      .orderBy(col("media_id"))
+  }
+
+  private val mmDecodeSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'ppm', CAST(13 + 768 AS INT), CAST(16 AS INT),
+      |   CAST(16 AS INT), CAST(NULL AS BIGINT),
+      |   CAST([0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625,
+      |    0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625] AS DOUBLE[])),
+      |  (CAST(2 AS BIGINT), 'bmp', CAST(54 + 48 AS INT), CAST(4 AS INT),
+      |   CAST(4 AS INT), CAST(NULL AS BIGINT),
+      |   CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+      |    1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[])),
+      |  (CAST(3 AS BIGINT), 'wav', CAST(44 + 16 AS INT), CAST(NULL AS INT),
+      |   CAST(NULL AS INT), CAST(8 AS BIGINT),
+      |   CAST([0.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0,
+      |    0.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0] AS DOUBLE[])),
+      |  (CAST(4 AS BIGINT), 'raw', CAST(16 AS INT), CAST(NULL AS INT),
+      |   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |   CAST([0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625,
+      |    0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625] AS DOUBLE[]))
+      |) AS t(media_id, format, n_bytes, width, height, n_samples, histogram)
+      |ORDER BY media_id""".stripMargin
 
   /** Frame sampling at the byte level: the oracle recomputes each sampled
     * window's offset arithmetic and length (DuckDB has no blob substring,
@@ -1070,6 +1171,7 @@ object PipelineQueries {
     "txt_quality" -> (txtQuality _),
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_fingerprint_planted" -> (txtFingerprintPlanted _),
     "txt_chunk" -> (txtChunk _),
     "txt_pii" -> (txtPii _),
     "txt_length_stats" -> (txtLengthStats _),
@@ -1081,6 +1183,7 @@ object PipelineQueries {
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_exact" -> (ddExact _),
     "dd_minhash" -> (ddMinhash _),
+    "dd_minhash_planted" -> (ddMinhashPlanted _),
     "dd_minhash_recall" -> (ddMinhashRecall _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_planted" -> (ddSimhashPlanted _),
@@ -1092,6 +1195,7 @@ object PipelineQueries {
     "sim_knn_ivf_recall" -> (simKnnIvfRecall _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
+    "mm_decode" -> (mmDecode _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_cross_dedup" -> (pipeCrossDedup _),
@@ -1115,7 +1219,9 @@ object PipelineQueries {
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,
+    "dd_minhash_planted" -> ddMinhashPlantedSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,
+    "txt_fingerprint_planted" -> txtFingerprintPlantedSql,
     "dd_simhash_planted" -> ddSimhashPlantedSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embedding" -> ddEmbeddingSql,
@@ -1125,6 +1231,7 @@ object PipelineQueries {
     "sim_knn_ivf_recall" -> simKnnIvfRecallSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
+    "mm_decode" -> mmDecodeSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
     "pipe_cross_dedup" -> pipeCrossDedupSql,

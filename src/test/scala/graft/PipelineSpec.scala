@@ -118,6 +118,19 @@ class PipelineSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("releaseCaches drains the scoped persists a near-dup run registered") {
+    // A minhash run scopes ≥2 persists (collapse membership + text reps +
+    // the verify candidate list); after the caller materializes the pairs,
+    // releaseCaches must free them all and report doing so — and a second
+    // call must find nothing left to free.
+    graft.dedup.Dedup.releaseCaches() // drain anything earlier tests scoped
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    pairs.count()
+    val released = graft.dedup.Dedup.releaseCaches()
+    assert(released >= 2, s"expected >=2 scoped caches, released $released")
+    assert(graft.dedup.Dedup.releaseCaches() === 0)
+  }
+
   test("exact dedup keeps exactly one row per text, lowest id") {
     val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
     val kept = Dedup.exact(doubled, Seq("text"), Seq(col("doc_id")))
@@ -217,14 +230,64 @@ class PipelineSpec extends AnyFunSuite {
 
   test("multimodal: features are partition-parallel and byte-exact") {
     val media = Multimodal.packDocuments(docs.limit(100)).repartition(7)
-    val feats = Multimodal.decodeStub(spark, media)
+    val feats = Multimodal.decode(spark, media)
     assert(feats.count() === 100)
     val joined = feats.join(docs, col("media_id") === col("doc_id"))
       .filter(col("n_bytes") =!= length(col("text")))
     assert(joined.count() === 0) // ascii corpus: bytes == chars
+    // Text payloads carry no media magic: every row takes the raw fallback.
+    assert(feats.filter(col("format") =!= "raw").count() === 0)
     val hist = feats.select(col("histogram")).head.getSeq[Double](0)
     assert(hist.length === 16)
     assert(math.abs(hist.sum - 1.0) < 1e-9)
+  }
+
+  test("media codecs: PPM/BMP/WAV decode hand-computed fixtures exactly") {
+    import graft.multimodal.MediaCodecs
+
+    // PPM 16×16 gray gradient: every gray level 0..255 exactly once →
+    // uniform 16-bin luminance histogram.
+    val ppm = MediaCodecs.decode(Multimodal.Fixtures.ppmGradient16)
+    assert(ppm.format === "ppm")
+    assert(ppm.width === 16 && ppm.height === 16 && ppm.nSamples === -1L)
+    assert(ppm.histogram.toSeq === Seq.fill(16)(1.0 / 16))
+
+    // BMP 4×4 all-gray-128: luminance 128 → bin 8 gets everything.
+    val bmp = MediaCodecs.decode(Multimodal.Fixtures.bmpGray4)
+    assert(bmp.format === "bmp")
+    assert(bmp.width === 4 && bmp.height === 4)
+    assert(bmp.histogram.toSeq === (0 until 16).map(i => if (i == 8) 1.0 else 0.0))
+
+    // WAV 8 samples alternating ±16384: bins (±16384 + 32768) >> 12 =
+    // 12 and 4, half each.
+    val wav = MediaCodecs.decode(Multimodal.Fixtures.wavAlternating8)
+    assert(wav.format === "wav")
+    assert(wav.nSamples === 8L && wav.width === -1)
+    assert(wav.histogram.toSeq ===
+      (0 until 16).map(i => if (i == 4 || i == 12) 0.5 else 0.0))
+
+    // A hand-built BMP with non-uniform pixels: 2×1, pixels gray 0x10 and
+    // 0xFF → bins 1 and 15, half each (checks stride/padding handling:
+    // row stride is 8 with 2 padding bytes that must NOT be counted).
+    val buf = java.nio.ByteBuffer.allocate(54 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(1).putShort(1).putShort(24)
+    buf.putInt(0).putInt(8).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(0x10.toByte).put(0x10.toByte).put(0x10.toByte)
+    buf.put(0xff.toByte).put(0xff.toByte).put(0xff.toByte)
+    buf.put(0.toByte).put(0.toByte) // row padding
+    val bmp2 = MediaCodecs.decode(buf.array())
+    assert(bmp2.format === "bmp" && bmp2.width === 2 && bmp2.height === 1)
+    assert(bmp2.histogram.toSeq ===
+      (0 until 16).map(i => if (i == 1 || i == 15) 0.5 else 0.0))
+
+    // Corrupt payloads that START like media must fall back, not throw:
+    // a "BM" text, a truncated PPM header, a RIFF/WAVE with no data chunk.
+    assert(MediaCodecs.decode("BM just some text that is long enough to pass the 54-byte minimum check".getBytes("US-ASCII")).format === "raw")
+    assert(MediaCodecs.decode("P6\n999 999\n255\n".getBytes("US-ASCII")).format === "raw")
+    assert(MediaCodecs.decode(("RIFF1234WAVE" + "x" * 20).getBytes("US-ASCII")).format === "raw")
+    assert(MediaCodecs.decode(Array.empty[Byte]).format === "raw")
   }
 
   test("multimodal: frame sampling emits n frames per media row") {

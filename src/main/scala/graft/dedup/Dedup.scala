@@ -464,6 +464,117 @@ object Dedup {
     fanOut(repPairs, c.members)
   }
 
+  /** Cross-corpus NEAR-dup pairs: corpus docs whose text is near-identical
+    * (Jaccard ≥ cfg.threshold) to ANY reference doc — the fuzzy complement
+    * of [[exactAgainst]] (byte identity) and
+    * [[graft.text.Decontamination]] (n-gram overlap hits): dedup a fresh
+    * crawl against an already-ingested corpus, or scrub eval-set
+    * NEAR-copies a byte-exact check misses. Returns (id, ref_id, jaccard)
+    * — one row per (corpus doc, distinct-content reference
+    * representative) pair; drop matched ids from the corpus for the
+    * filter use-case.
+    *
+    * Scale shape mirrors [[minhashNearDupPairs]], two-sided: the corpus
+    * collapses to distinct content ([[collapseGroups]] — a boilerplate doc
+    * with 100M copies is signed once and its match fans back out to
+    * members), the reference collapses via [[exact]] (min ref id per
+    * distinct content); byte-identical cross matches are pre-routed
+    * through a 128-bit hash equi-join at jaccard 1.0 — a recall guarantee
+    * the LSH bucket caps cannot erode. The band join is
+    * per-bucket capped on BOTH sides (≤ max² candidate pairs per bucket,
+    * never |corpus bucket| × |ref bucket|), and verification touches only
+    * candidate docs' shingles. Nothing anywhere is quadratic in either
+    * corpus.
+    */
+  def minhashNearDupPairsAgainst(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val c = collapseGroups(corpus, idCol, textCol, cfg.maxBucketSize)
+    val refReps = exact(
+      reference.select(col(refIdCol).as("ref_id"), col(refTextCol).as("__rtext")),
+      Seq("__rtext"), Seq(col("ref_id")))
+    // Byte-identical pre-route: 16-byte hash pairs on both sides, equi-join
+    // — these matches are GUARANTEED found (immune to the LSH bucket caps)
+    // regardless of how byte-dup-heavy the crawl is.
+    val repKeyed = c.reps.select(
+      col("id") +: col(textCol) +: hashKeys(Seq(col(textCol))): _*)
+    val refKeyed = scopedPersist(refReps.select(
+      col("ref_id") +: col("__rtext") +:
+        hashKeys(Seq(col("__rtext"))): _*))
+    val exactPairs = repKeyed.join(refKeyed, Seq("__h1", "__h2"))
+      .select(col("id"), col("ref_id"), lit(1.0).as("jaccard"))
+    // LSH over ALL corpus reps (an exactly-matched doc can still NEAR-match
+    // a different ref); exact pairs rediscovered by verification compute
+    // jaccard = 1.0 exactly, so the max-merge below collapses duplicates.
+    val corpusReps = repKeyed.select("id", textCol)
+    val candidates = bucketPairsBetween(
+      bandedSignatures(minhashSignatures(corpusReps, "id", textCol, cfg), cfg),
+      bandedSignatures(
+        minhashSignatures(refKeyed, "ref_id", "__rtext", cfg), cfg)
+        .withColumnRenamed("id", "ref_id"),
+      cfg.maxBucketSize)
+    val nearPairs = verifyJaccardBetween(corpusReps, textCol,
+      refKeyed.select(col("ref_id"), col("__rtext")), "__rtext",
+      cfg.shingleSize, candidates)
+      .filter(col("jaccard") >= cfg.threshold)
+    // Fan rep-level matches out to corpus members (identical content ⇒
+    // identical jaccard); `members` holds dup groups only, so left join
+    // with the rep itself as fallback.
+    val repPairs = exactPairs.unionByName(nearPairs)
+      .groupBy("id", "ref_id").agg(max(col("jaccard")).as("jaccard"))
+    repPairs
+      .join(c.members.select(col("__rep").as("id"), col("id").as("__m")),
+        Seq("id"), "left")
+      .select(coalesce(col("__m"), col("id")).as("id"),
+        col("ref_id"), col("jaccard"))
+  }
+
+  /** Two-sided capped bucket join: candidate (id, ref_id) pairs sharing any
+    * (band_idx, band_hash) bucket, each side's bucket membership capped to
+    * its first `max` members by id ([[graft.functions.CollectMinK]] on each
+    * side's single bucket exchange) — a hot bucket contributes ≤ max²
+    * pairs, never |bucket_A| × |bucket_B|, and pairs are generated
+    * scan-locally from the two capped arrays.
+    */
+  private def bucketPairsBetween(bandedA: DataFrame, bandedB: DataFrame,
+      max: Int): DataFrame = {
+    GraftFunctions.register(bandedA.sparkSession)
+    def capped(banded: DataFrame, idName: String) =
+      banded.groupBy("band_idx", "band_hash")
+        .agg(GraftFunctions.collectMinK(col(idName), max).as(s"__${idName}s"))
+    capped(bandedA, "id").join(capped(bandedB, "ref_id"),
+        Seq("band_idx", "band_hash"))
+      .select(explode(col("__ids")).as("id"), col("__ref_ids"))
+      .select(col("id"), explode(col("__ref_ids")).as("ref_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard between candidate cross pairs — the two-sided analog of
+    * [[verifyJaccard]]: both shingle tables are semi-join-restricted to
+    * candidate ids before the size aggregation and the intersection join.
+    */
+  private def verifyJaccardBetween(corpusDocs: DataFrame, corpusText: String,
+      refDocs: DataFrame, refText: String, shingleSize: Int,
+      candidates: DataFrame): DataFrame = {
+    val cand = scopedPersist(candidates)
+    val shC = shingleRows(corpusDocs, "id", corpusText, shingleSize)
+      .join(cand.select("id").distinct(), Seq("id"), "left_semi")
+    val shR = refDocs
+      .select(col("ref_id"), explode(shingles(col(refText), shingleSize)).as("sh"))
+      .join(cand.select("ref_id").distinct(), Seq("ref_id"), "left_semi")
+    val sizeC = shC.groupBy("id").agg(count(lit(1)).as("n_c"))
+    val sizeR = shR.groupBy("ref_id").agg(count(lit(1)).as("n_r"))
+    cand
+      .join(shC, "id")
+      .join(shR, Seq("ref_id", "sh"))
+      .groupBy("id", "ref_id").agg(count(lit(1)).as("n_inter"))
+      .join(sizeC, "id")
+      .join(sizeR, "ref_id")
+      .select(col("id"), col("ref_id"),
+        (col("n_inter").cast("double") /
+          (col("n_c") + col("n_r") - col("n_inter"))).as("jaccard"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** SimHash near-dup pairs: 64-bit signature per doc; banding the signature

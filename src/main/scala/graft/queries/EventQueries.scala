@@ -249,6 +249,45 @@ object EventQueries {
       |    - CAST(floor(epoch(ts)) AS BIGINT) AS delta_sec
       |FROM best ORDER BY user_id, event_id""".stripMargin
 
+  /** Bucketed interval-containment join ([[graft.operators.RangeJoin]]):
+    * each view opens a 1-hour attribution window [ts, ts+3600]; every
+    * click by the same user inside the window matches — the
+    * events-in-window lookup a nested-loop non-equi join cannot do at
+    * scale. Aggregated per window so the output is compact; the oracle
+    * replays containment declaratively with BETWEEN.
+    */
+  def evtRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    graft.operators.RangeJoin.rangeJoin(clicks, windows, Seq("user_id"),
+      pointCol = "ts", startCol = "w_start", endCol = "w_end",
+      bucketWidthSec = 3600L)
+      .groupBy(col("user_id"), col("view_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("click_id")).as("click_id_sum"))
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
+  private val evtRangeJoinSql =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id AS click_id, ts FROM events
+      |  WHERE event_type = 'click'
+      |), windows AS (
+      |  SELECT user_id, event_id AS view_id, ts AS w_start,
+      |    ts + INTERVAL 1 HOUR AS w_end
+      |  FROM events WHERE event_type = 'view'
+      |)
+      |SELECT w.user_id, w.view_id, COUNT(*) AS n_clicks,
+      |  CAST(SUM(c.click_id) AS BIGINT) AS click_id_sum
+      |FROM windows w JOIN clicks c
+      |  ON c.user_id = w.user_id AND c.ts BETWEEN w.w_start AND w.w_end
+      |GROUP BY w.user_id, w.view_id
+      |ORDER BY w.user_id, w.view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
@@ -256,7 +295,8 @@ object EventQueries {
     "evt_funnel" -> (evtFunnel _),
     "evt_asof" -> (evtAsof _),
     "evt_asof_fwd" -> (evtAsofFwd _),
-    "evt_asof_nearest" -> (evtAsofNearest _))
+    "evt_asof_nearest" -> (evtAsofNearest _),
+    "evt_range_join" -> (evtRangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "evt_sessionize" -> evtSessionizeSql,
@@ -265,5 +305,6 @@ object EventQueries {
     "evt_funnel" -> evtFunnelSql,
     "evt_asof" -> evtAsofSql,
     "evt_asof_fwd" -> evtAsofFwdSql,
-    "evt_asof_nearest" -> evtAsofNearestSql)
+    "evt_asof_nearest" -> evtAsofNearestSql,
+    "evt_range_join" -> evtRangeJoinSql)
 }

@@ -617,10 +617,17 @@ object PipelineQueries {
     * recipe): an exact copy collapses with its original in the exact-dup
     * pre-route, so each planted pair (doc, doc+1,000,000) MUST appear at
     * jaccard exactly 1.0 — complementing the statistical recall gate with a
-    * row-by-row oracle over the part DuckDB CAN derive.
+    * row-by-row oracle over the part DuckDB CAN derive. Runs over a
+    * bounded corpus prefix (all 25 planted originals plus surrounding
+    * docs): the planted-pair contract is corpus-size independent (the pair
+    * comes from the exact collapse, and no natural doc can satisfy
+    * id_b = id_a + 1,000,000 with id_a < 25), so gate budget is not spent
+    * re-running the full pipeline a third time — dd_minhash and the
+    * composed gates already cover the full corpus.
     */
   def ddMinhashPlanted(spark: SparkSession, dir: String): DataFrame = {
-    val docs = plantedDocs(Tables.documents(spark, dir))
+    val docs = plantedDocs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 100))
     Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -631,6 +638,68 @@ object PipelineQueries {
     """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
       |  CAST(1.0 AS DOUBLE) AS jaccard
       |FROM documents WHERE doc_id < 25 ORDER BY id_a""".stripMargin
+
+  /** Cross-corpus NEAR-dup ([[Dedup.minhashNearDupPairsAgainst]]): the
+    * corpus is scrubbed against a reference built from its own head —
+    * docs 0-24 verbatim (byte-identical: the hash pre-route must find
+    * them at jaccard exactly 1.0) and docs 25-49 with ' zq zq' appended
+    * (near-identical: LSH + exact verify must find them at the Jaccard
+    * the oracle recomputes brute-force) — plus whatever natural cross
+    * matches exist, which the oracle's full cross-product Jaccard also
+    * derives. Recall on this corpus is exactly 100% (the same
+    * deterministic sketch contract dd_minhash_recall pins), so found ≡
+    * true and the brute-force SQL is a complete row-by-row oracle.
+    */
+  def ddCrossNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reference = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 7000000L).as("ref_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .select((col("doc_id") + 8000000L).as("ref_id"),
+          concat(col("text"), lit(" zq zq")).as("text")))
+    Dedup.minhashNearDupPairsAgainst(docs, "doc_id", "text",
+      reference, "ref_id", "text")
+      .select(col("id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id"), col("ref_id"))
+  }
+
+  private val ddCrossNeardupSql =
+    """WITH refs AS (
+      |  SELECT doc_id + 7000000 AS ref_id, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 8000000 AS ref_id, text || ' zq zq' AS text
+      |  FROM documents WHERE doc_id >= 25 AND doc_id < 50
+      |), ref_reps AS (
+      |  SELECT ref_id, text FROM refs
+      |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY ref_id) = 1
+      |), csh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+      |          unnest(range(1,
+      |            greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1)) AS i
+      |        FROM documents)
+      |), rsh AS (
+      |  SELECT DISTINCT ref_id, array_to_string(t[i : i + 2], ' ') AS sh
+      |  FROM (SELECT ref_id, string_split_regex(trim(text), '\s+') AS t,
+      |          unnest(range(1,
+      |            greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1)) AS i
+      |        FROM ref_reps)
+      |), csizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id
+      |), rsizes AS (
+      |  SELECT ref_id, COUNT(*) AS n FROM rsh GROUP BY ref_id
+      |), inter AS (
+      |  SELECT c.doc_id, r.ref_id, COUNT(*) AS n_inter
+      |  FROM csh c JOIN rsh r ON c.sh = r.sh
+      |  GROUP BY 1, 2
+      |)
+      |SELECT inter.doc_id AS id, inter.ref_id,
+      |  round(CAST(n_inter AS DOUBLE) / (cs.n + rs.n - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN csizes cs ON cs.doc_id = inter.doc_id
+      |JOIN rsizes rs ON rs.ref_id = inter.ref_id
+      |WHERE CAST(n_inter AS DOUBLE) / (cs.n + rs.n - n_inter) >= 0.7
+      |ORDER BY id, inter.ref_id""".stripMargin
 
   /** Prefix filtering is lossless, so this one is EXACT: the DuckDB
     * brute-force pair set is a full oracle, not just a recall floor. */
@@ -1199,6 +1268,7 @@ object PipelineQueries {
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_cross_dedup" -> (pipeCrossDedup _),
+    "dd_cross_neardup" -> (ddCrossNeardup _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_split" -> (pipeSplit _),
     "txt_decontaminate" -> (txtDecontaminate _),
@@ -1224,6 +1294,7 @@ object PipelineQueries {
     "txt_fingerprint_planted" -> txtFingerprintPlantedSql,
     "dd_simhash_planted" -> ddSimhashPlantedSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_cross_neardup" -> ddCrossNeardupSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,

@@ -131,6 +131,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.releaseCaches() === 0)
   }
 
+  test("cross-corpus near-dup: exact pre-route, near verify, member fan-out, ref collapse") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpus = Seq(
+      (1L, base),             // byte-identical to ref 100
+      (2L, base),             // dup of 1 — must inherit the match via fan-out
+      (3L, base + "lambda"),  // near ref 100 (and ref 102, its exact twin)
+      (4L, "completely different text with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, base),
+      (101L, base),           // identical ref content → collapses to 100
+      (102L, base + "lambda"))
+      .toDF("ref_id", "text")
+    val got = Dedup.minhashNearDupPairsAgainst(corpus, "doc_id", "text",
+      reference, "ref_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Byte-identical matches at exactly 1.0, for BOTH members of the dup
+    // group; the identical ref pair collapsed to its min id (100, not 101).
+    assert(got((1L, 100L)) === 1.0)
+    assert(got((2L, 100L)) === 1.0)
+    assert(!got.keySet.exists(_._2 == 101L))
+    // The near-match doc matches both distinct ref contents; its exact
+    // twin (ref 102) merges to a single 1.0 row (max over exact + LSH).
+    assert(got((3L, 102L)) === 1.0)
+    assert(got.contains((3L, 100L)) && got((3L, 100L)) < 1.0 && got((3L, 100L)) >= 0.7)
+    // And docs 1/2 near-match ref 102 symmetrically.
+    assert(got.contains((1L, 102L)) && got.contains((2L, 102L)))
+    // The unrelated doc matches nothing.
+    assert(!got.keySet.exists(_._1 == 4L))
+  }
+
   test("exact dedup keeps exactly one row per text, lowest id") {
     val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
     val kept = Dedup.exact(doubled, Seq("text"), Seq(col("doc_id")))

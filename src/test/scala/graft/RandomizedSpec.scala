@@ -174,6 +174,53 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("range join: bucketed containment equals brute force, inner and left") {
+    // Random points and intervals (spans from sub-bucket to several
+    // buckets wide, some inverted/empty, boundary hits included): the
+    // bucketed equi-join must equal the brute-force containment join
+    // exactly — each matching pair exactly once, inclusive boundaries,
+    // inverted intervals dropped.
+    val rnd = new Random(37)
+    val width = 50L
+    val points = (1 to 120).map(i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", (rnd.nextInt(1000) * 1L)))
+    val intervals = (1 to 80).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      // ~1/8 inverted (end < start) — must produce no matches
+      val e = if (rnd.nextInt(8) == 0) s - 1 - rnd.nextInt(50)
+        else s + rnd.nextInt(200)
+      (i.toLong + 1000, s"k${rnd.nextInt(3)}", s, e)
+    }
+    val l = points.toDF("pid", "k", "p")
+    val r = intervals.toDF("iid", "k", "s", "e")
+    val want = (for {
+      (pid, pk, p) <- points
+      (iid, ik, s, e) <- intervals
+      if pk == ik && p >= s && p <= e
+    } yield (pid, iid)).toSet
+    val gotInner = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
+      "p", "s", "e", bucketWidthSec = width)
+      .select("pid", "iid")
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(gotInner.length === gotInner.distinct.length, "duplicate pairs")
+    assert(gotInner.toSet === want)
+    // The whole point of bucketing: the physical plan must be an EQUI-join
+    // (hash/sort-merge on (key, bucket)), never a nested-loop.
+    val plan = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
+      "p", "s", "e", bucketWidthSec = width)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join shape:\n$plan")
+    // Left join: every point appears; unmatched points carry null iid.
+    val gotLeft = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
+      "p", "s", "e", bucketWidthSec = width, joinType = "left")
+      .select("pid", "iid").collect()
+    val matchedPids = want.map(_._1)
+    assert(gotLeft.count(_.isNullAt(1)) === points.size - matchedPids.size)
+    assert(gotLeft.filterNot(_.isNullAt(1))
+      .map(row => (row.getLong(0), row.getLong(1))).toSet === want)
+  }
+
   test("collectMinK: equals sort-take for random values and k") {
     GraftFunctions.register(spark)
     val rnd = new Random(99)

@@ -73,9 +73,15 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
       returnPartial: Boolean = false): DataFrame = {
-    val half = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = half
-      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+    // Checkpoint the PAIR LIST before doubling it: the union's two branches
+    // are separate Catalyst subtrees, so checkpointing only the union would
+    // evaluate the caller's (possibly expensive — a whole LSH pipeline)
+    // pair upstream twice. Checkpointing pairs first makes the doubled
+    // edge list a cheap projection of one materialization.
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
     var labels = edges.select(col("src").as("id")).distinct()

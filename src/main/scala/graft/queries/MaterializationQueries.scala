@@ -5,11 +5,12 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructType}
 
 import graft.core.{Catalog, Tables}
 import graft.materialize._
 import graft.quality.{Governance, QualityChecks}
+import graft.sources.Jsonl
 
 /** Driver-gate queries exercising the five materialization state machines
   * (SURVEY §2.1, §2.5) end-to-end: each builds real tables in a scratch
@@ -674,6 +675,42 @@ object MaterializationQueries {
       |FROM s, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
       |ORDER BY fmt""".stripMargin
 
+  // ---------------------------------------------------------------- sources
+  /** JSONL corpus round-trip ([[graft.sources.Jsonl]]): documents → gzip
+    * JSON-Lines shards → read back under an EXPLICIT schema, with one
+    * planted corrupt shard proving the quarantine contract (the broken
+    * line surfaces in `_corrupt_record` — counted, never silently dropped
+    * and never fatal). The aggregate pins row fidelity (count, id sum,
+    * char sum) against the parquet originals the oracle reads.
+    */
+  def srcJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    Staging.withDir(spark, "jsonl") { d =>
+      Jsonl.write(docs, s"$d/corpus", codec = Some("gzip"))
+      val corrupt = new org.apache.hadoop.fs.Path(s"$d/corpus/zz_corrupt.json")
+      val fs = corrupt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(corrupt)
+      out.write("{ \"doc_id\": 999, truncated...\n".getBytes("UTF-8"))
+      out.close()
+      val schema = new StructType()
+        .add("doc_id", "long").add("lang", "string").add("text", "string")
+      val back = Jsonl.read(spark, schema, s"$d/corpus")
+      val result = back.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(Jsonl.CorruptCol)).as("n_corrupt"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text"))).as("chars_sum")).cache()
+      result.count() // materialize before the staging dir vanishes
+      result
+    }
+  }
+
+  private val srcJsonlRoundtripSql =
+    """SELECT COUNT(*) + 1 AS n_rows, CAST(1 AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(length(text)) AS BIGINT) AS chars_sum
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- O7
   /** Partition-spec evolution (reference python_utils.sql:197-230, iceberg
     * metadata evolution; parquet analog = one-time staged relayout): CTAS
@@ -903,6 +940,7 @@ object MaterializationQueries {
     "mat_persist_docs" -> (matPersistDocs _),
     "mat_file_formats" -> (matFileFormats _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
+    "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
@@ -935,6 +973,7 @@ object MaterializationQueries {
     "mat_persist_docs" -> matPersistDocsSql,
     "mat_file_formats" -> matFileFormatsSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
+    "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design

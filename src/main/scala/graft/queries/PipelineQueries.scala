@@ -9,7 +9,7 @@ import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.{Decontamination, TextAnalysis}
+import graft.text.{Decontamination, TextAnalysis, TfIdf}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
@@ -440,6 +440,42 @@ object PipelineQueries {
       |SELECT doc_id, CAST((st - 1) / 48 AS INT) AS chunk_idx,
       |  array_to_string(toks[st : st + 63], ' ') AS chunk
       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Corpus TF-IDF keyword extraction ([[graft.text.TfIdf]]): smoothed IDF
+    * over the WHOLE corpus, per-doc top-3 salient terms for the doc_id<50
+    * slice. Scores are bit-replayable (same IEEE double ops on both
+    * engines), so the oracle checks term, score, and rank row-by-row.
+    */
+  def txtTfidf(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val txtTfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), dfs AS (
+      |  SELECT term, COUNT(*) AS df FROM pairs GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), scored AS (
+      |  SELECT p.doc_id, p.term,
+      |    p.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df + 1)) + 1) AS score
+      |  FROM pairs p JOIN dfs USING (term) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, term, round(score, 6) AS score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term ASC) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, score, rank FROM ranked
+      |WHERE rank <= 3 AND doc_id < 50
+      |ORDER BY doc_id, rank""".stripMargin
 
   /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -1241,6 +1277,7 @@ object PipelineQueries {
     "txt_langid" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_fingerprint_planted" -> (txtFingerprintPlanted _),
+    "txt_tfidf" -> (txtTfidf _),
     "txt_chunk" -> (txtChunk _),
     "txt_pii" -> (txtPii _),
     "txt_length_stats" -> (txtLengthStats _),
@@ -1292,6 +1329,7 @@ object PipelineQueries {
     "dd_minhash_planted" -> ddMinhashPlantedSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,
     "txt_fingerprint_planted" -> txtFingerprintPlantedSql,
+    "txt_tfidf" -> txtTfidfSql,
     "dd_simhash_planted" -> ddSimhashPlantedSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_cross_neardup" -> ddCrossNeardupSql,

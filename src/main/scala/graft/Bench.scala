@@ -48,6 +48,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Parsed BEFORE the (multi-minute) queries run: a malformed value must
+    // fall back loudly up front, not throw after the whole bench executed
+    // and discard its record.
+    val noiseFloor = sys.env.get("SPARK_GRAFT_NOISE_FLOOR")
+      .flatMap { s =>
+        val v = scala.util.Try(s.toDouble).toOption
+        if (v.isEmpty)
+          System.err.println(
+            s"[bench] ignoring invalid SPARK_GRAFT_NOISE_FLOOR '$s'; using 0.6")
+        v
+      }
+      .getOrElse(0.6)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,9 +102,7 @@ object Bench {
     // variance of a single query on this host (identical code measured
     // ±0.5 s across runs; every REAL structural regression observed
     // drifted well past 0.6 s); a quieter host can tighten it via
-    // SPARK_GRAFT_NOISE_FLOOR without a code change.
-    val noiseFloor =
-      sys.env.get("SPARK_GRAFT_NOISE_FLOOR").map(_.toDouble).getOrElse(0.6)
+    // SPARK_GRAFT_NOISE_FLOOR (parsed at startup), without a code change.
     // A recorded bench whose tail was truncated mid-JSON (the driver caps
     // the stdout excerpt) parses to an empty query map — treat it as
     // absent and fall back to the NEWEST parsable round, otherwise the

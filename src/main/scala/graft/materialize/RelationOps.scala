@@ -97,17 +97,16 @@ object RelationOps {
     // from the moved directory (metadata-only listing). Unpartitioned
     // sources (evolving a flat table INTO a partitioned layout) have no
     // partition entries to fix, and MSCK rejects them.
-    val tmpIdent = org.apache.spark.sql.catalyst.TableIdentifier(
-      tmp.identifier, Option(tmp.schema).filter(_.nonEmpty))
-    if (spark.sessionState.catalog.getTableMetadata(tmpIdent)
-        .partitionColumnNames.nonEmpty)
-      repair(spark, tmp.name)
+    repairIfPartitioned(spark, tmp)
     try
       TableMaterialization.run(spark, name, spark.table(tmp.quoted),
         partitionBy = newPartitionBy)
     catch { case e: Throwable =>
       spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
       rename(spark, tmp.name, name)
+      // The rollback rename breaks partition locations exactly like the
+      // forward one did — repair again or the "restored" table reads empty.
+      repairIfPartitioned(spark, rel)
       throw e
     }
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
@@ -116,6 +115,14 @@ object RelationOps {
   /** O9: discover partitions written out-of-band (impl.py:771-773). */
   def repair(spark: SparkSession, name: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE ${Relation.parse(name).quoted}")
+
+  private def repairIfPartitioned(spark: SparkSession, rel: Relation): Unit = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      rel.identifier, Option(rel.schema).filter(_.nonEmpty))
+    if (spark.sessionState.catalog.getTableMetadata(ident)
+        .partitionColumnNames.nonEmpty)
+      repair(spark, rel.name)
+  }
 
   /** O11: post-write verification select (impl.py:209,707,1039). */
   def verifyReadable(spark: SparkSession, name: String): Boolean =

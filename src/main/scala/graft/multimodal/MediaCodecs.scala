@@ -104,7 +104,9 @@ object MediaCodecs {
     val n = w * h
     while (i < n) {
       val lum = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
-      hist(lum * 16 / (maxval + 1)) += 1
+      // Clamp: garbage payloads can carry pixel bytes above the declared
+      // maxval, and an unclamped bin index would throw out of a Spark task.
+      hist(math.min(lum * 16 / (maxval + 1), 15)) += 1
       p += 3; i += 1
     }
     Some(Decoded("ppm", w, h, -1L, normalize(hist, n.toLong)))
@@ -128,11 +130,15 @@ object MediaCodecs {
     val bpp = u16(28)
     val compression = i32(30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    // dataOffset is attacker/garbage-controlled (any text starting "BM"
-    // reaches this parser): reject anything before the headers end.
+    // dataOffset and the dimensions are attacker/garbage-controlled (any
+    // text starting "BM" reaches this parser): reject offsets before the
+    // headers end, and compute the stride in LONG — w*3 in int arithmetic
+    // would wrap negative for a huge declared width and defeat the bounds
+    // check below.
     if (dataOffset < 54) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOffset.toLong + stride.toLong * h > bytes.length) return None
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + strideL * h > bytes.length) return None
+    val stride = strideL.toInt // fits: the whole raster fits in the array
     val hist = new Array[Double](16)
     var row = 0
     while (row < h) {
@@ -158,23 +164,26 @@ object MediaCodecs {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
-    var pos = 12
+    // pos advances by attacker/garbage-controlled chunk sizes: walk in LONG
+    // so a huge declared size cannot wrap pos negative and index the array
+    // below zero.
+    var pos = 12L
     var fmtOk = false
     var dataOff = -1
     var dataLen = -1
     while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
-      val idOff = pos
-      val size = i32(pos + 4)
+      val idOff = pos.toInt
+      val size = i32(idOff + 4)
       if (size < 0) return None
       if (hasAscii(bytes, idOff, "fmt ") && pos + 8 + 16 <= bytes.length) {
-        val audioFormat = u16(pos + 8)
-        val bits = u16(pos + 8 + 14)
+        val audioFormat = u16(idOff + 8)
+        val bits = u16(idOff + 8 + 14)
         fmtOk = audioFormat == 1 && bits == 16
       } else if (hasAscii(bytes, idOff, "data")) {
-        dataOff = pos + 8
+        dataOff = idOff + 8
         dataLen = math.min(size.toLong, (bytes.length - dataOff).toLong).toInt
       }
-      pos += 8 + size + (size & 1) // chunks are word-aligned
+      pos += 8L + size + (size & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return None
     val n = dataLen / 2

@@ -129,9 +129,13 @@ object AsofJoin {
       .filter(col("__side") === 1)
 
     // Per-direction age validity, then pick. Nearest compares the two valid
-    // distances; the equidistant tie resolves backward.
+    // distances; the equidistant tie resolves backward. Distances are
+    // computed on DOUBLE seconds (exact sub-second), not truncated longs —
+    // candidates are selected by full-precision ordering, and a truncated
+    // distance could attach the farther of the two or mis-cut a tolerance
+    // boundary by up to a second.
     def dist(m: Column) =
-      abs(col("__ts").cast("long") - m.getField(rightTsCol).cast("long"))
+      abs(col("__ts").cast("double") - m.getField(rightTsCol).cast("double"))
     def valid(m: Column) = toleranceSec match {
       case Some(tol) => when(dist(m) <= tol, m)
       case None      => m

@@ -38,21 +38,36 @@ object RangeJoin {
     * @param joinType       "inner" (default) or "left" (left rows with no
     *                       containing interval survive with null right
     *                       columns)
+    * @param maxBucketsPerInterval fail-fast guard: an interval spanning
+    *                       more buckets than this (an open-ended SCD
+    *                       sentinel like end = 9999-12-31, or a width
+    *                       picked far too small) raises a clear error
+    *                       instead of exploding one row into millions and
+    *                       OOMing the job — silent truncation would
+    *                       silently lose matches, so the guard throws
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       pointCol: String, startCol: String, endCol: String,
-      bucketWidthSec: Long, joinType: String = "inner"): DataFrame = {
+      bucketWidthSec: Long, joinType: String = "inner",
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidthSec > 0, "bucketWidthSec must be positive")
     require(Set("inner", "left")(joinType),
       s"joinType must be inner|left, got '$joinType'")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     // floor() keeps bucketing monotone for pre-epoch values too.
     def bucket(c: Column): Column =
       floor(c.cast("long").cast("double") / lit(bucketWidthSec)).cast("long")
     val l = left.withColumn("__bkt", bucket(col(pointCol)))
+    val errMsg = s"rangeJoin: interval wider than $maxBucketsPerInterval " +
+      s"buckets of ${bucketWidthSec}s - raise bucketWidthSec, cap the " +
+      "interval end, or raise maxBucketsPerInterval"
     val r = right
       .filter(col(endCol) >= col(startCol))
-      .withColumn("__bkt",
-        explode(sequence(bucket(col(startCol)), bucket(col(endCol)))))
+      .withColumn("__bkt", explode(
+        when(bucket(col(endCol)) - bucket(col(startCol))
+            < lit(maxBucketsPerInterval.toLong),
+          sequence(bucket(col(startCol)), bucket(col(endCol))))
+          .otherwise(raise_error(lit(errMsg)).cast("array<bigint>"))))
     l.join(r,
         keyCols.map(k => l(k) === r(k))
           .reduce(_ && _) && l("__bkt") === r("__bkt") &&

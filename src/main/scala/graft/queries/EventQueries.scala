@@ -154,12 +154,13 @@ object EventQueries {
       |    ORDER BY v.view_ts DESC NULLS LAST, v.view_event_id DESC) = 1
       |), aged AS (
       |  SELECT *, CAST(floor(epoch(ts)) AS BIGINT)
-      |         - CAST(floor(epoch(view_ts)) AS BIGINT) AS age
+      |         - CAST(floor(epoch(view_ts)) AS BIGINT) AS age,
+      |    epoch(ts) - epoch(view_ts) AS age_x
       |  FROM best
       |)
       |SELECT user_id, event_id,
-      |  CASE WHEN age <= 86400 THEN view_event_id END AS view_event_id_asof,
-      |  CASE WHEN age <= 86400 THEN age END AS age_sec
+      |  CASE WHEN age_x <= 86400 THEN view_event_id END AS view_event_id_asof,
+      |  CASE WHEN age_x <= 86400 THEN age END AS age_sec
       |FROM aged ORDER BY user_id, event_id""".stripMargin
 
   /** Forward as-of join: for every view, the NEXT click by the same user at
@@ -197,12 +198,13 @@ object EventQueries {
       |    ORDER BY c.click_ts ASC NULLS LAST, c.click_event_id DESC) = 1
       |), aged AS (
       |  SELECT *, CAST(floor(epoch(click_ts)) AS BIGINT)
-      |         - CAST(floor(epoch(ts)) AS BIGINT) AS wait
+      |         - CAST(floor(epoch(ts)) AS BIGINT) AS wait,
+      |    epoch(click_ts) - epoch(ts) AS wait_x
       |  FROM best
       |)
       |SELECT user_id, event_id,
-      |  CASE WHEN wait <= 86400 THEN click_event_id END AS click_event_id_asof,
-      |  CASE WHEN wait <= 86400 THEN wait END AS wait_sec
+      |  CASE WHEN wait_x <= 86400 THEN click_event_id END AS click_event_id_asof,
+      |  CASE WHEN wait_x <= 86400 THEN wait END AS wait_sec
       |FROM aged ORDER BY user_id, event_id""".stripMargin
 
   /** Nearest as-of join: for every click, the closest view by the same user
@@ -233,12 +235,10 @@ object EventQueries {
       |  FROM events WHERE event_type = 'view'
       |), best AS (
       |  SELECT c.user_id, c.event_id, c.ts, v.view_event_id, v.view_ts,
-      |    abs(CAST(floor(epoch(v.view_ts)) AS BIGINT)
-      |      - CAST(floor(epoch(c.ts)) AS BIGINT)) AS dist
+      |    abs(epoch(v.view_ts) - epoch(c.ts)) AS dist
       |  FROM clicks c LEFT JOIN views v
       |    ON v.user_id = c.user_id
-      |   AND abs(CAST(floor(epoch(v.view_ts)) AS BIGINT)
-      |         - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 3600
+      |   AND abs(epoch(v.view_ts) - epoch(c.ts)) <= 3600
       |  QUALIFY row_number() OVER (PARTITION BY c.user_id, c.event_id
       |    ORDER BY dist ASC NULLS LAST,
       |      (v.view_ts <= c.ts) DESC,

@@ -321,6 +321,22 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 25)
   }
 
+  test("partition evolution rollback restores a readable partitioned table") {
+    // A failed relayout (nonexistent partition column) must leave the
+    // original table intact AND readable — the rollback rename breaks
+    // partition locations exactly like the forward rename, so the repair
+    // must run on the rollback path too.
+    val db = freshDb()
+    val t = s"$db.evolve_rb"
+    TableMaterialization.run(spark, t, nation, partitionBy = Seq("n_regionkey"))
+    intercept[Exception] {
+      RelationOps.evolvePartitioning(spark, t, Seq("no_such_column"))
+    }
+    assert(spark.catalog.tableExists(t))
+    assert(spark.table(t).count() === 25)
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() === 5)
+  }
+
   test("engine: job group cancel API is safe when idle (X5)") {
     graft.core.Engine.withJobGroup(spark, "gspec", "noop") {
       assert(spark.range(10).count() === 10)

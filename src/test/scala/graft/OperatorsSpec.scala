@@ -81,6 +81,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n === 100000L)
   }
 
+  test("asof nearest: sub-second distances compared exactly, not truncated") {
+    // Left at 10.9s: backward candidate at 10.0s (0.9 away), forward at
+    // 11.0s (0.1 away) — truncated-long distances would call them 0 and 1
+    // and wrongly pick the backward row.
+    val l = Seq(("k", new java.sql.Timestamp(10900L))).toDF("k", "ts")
+    val r = Seq(("k", new java.sql.Timestamp(10000L), 1L),
+      ("k", new java.sql.Timestamp(11000L), 2L)).toDF("k", "ts", "rid")
+    val picked = AsofJoin.asof(l, r, Seq("k"), "ts", "ts", Seq("rid"),
+      tieBreak = Seq("rid"), direction = "nearest")
+      .select("rid_asof").head().getLong(0)
+    assert(picked === 2L)
+    // Tolerance is exact too: the 0.9s-away backward row must NOT pass a
+    // 0-second... use 0.5s? tolerance is whole seconds; 0.9s > 0 requires
+    // tol >= 1 — with tol = 1 both pass; with the forward row excluded the
+    // backward 0.9s match must survive tol = 1 (0.9 <= 1).
+    val backOnly = AsofJoin.asof(l,
+      Seq(("k", new java.sql.Timestamp(10000L), 1L)).toDF("k", "ts", "rid"),
+      Seq("k"), "ts", "ts", Seq("rid"), tieBreak = Seq("rid"),
+      toleranceSec = Some(1L), direction = "nearest")
+      .select("rid_asof").head()
+    assert(!backOnly.isNullAt(0) && backOnly.getLong(0) === 1L)
+  }
+
+  test("range join: sentinel-wide interval fails fast with a clear error") {
+    val l = Seq((1L, "k", 100L)).toDF("pid", "k", "p")
+    val r = Seq((9L, "k", 0L, 253402300799L)).toDF("iid", "k", "s", "e")
+    val ex = intercept[Exception] {
+      graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"), "p", "s", "e",
+        bucketWidthSec = 3600L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("rangeJoin")),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("connected components: transitive chains merge, components stay apart") {
     // chain 1-2, 2-3, 3-4 plus separate pair 10-11
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -320,6 +320,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodecs.decode("P6\n999 999\n255\n".getBytes("US-ASCII")).format === "raw")
     assert(MediaCodecs.decode(("RIFF1234WAVE" + "x" * 20).getBytes("US-ASCII")).format === "raw")
     assert(MediaCodecs.decode(Array.empty[Byte]).format === "raw")
+
+    // Adversarial headers must not throw out of a Spark task:
+    // (a) PPM pixel bytes above the declared maxval — clamped, not AIOOBE;
+    val dirtyPpm = MediaCodecs.decode(
+      ("P6\n2 2\n1\n" + "a" * 12).getBytes("US-ASCII"))
+    assert(dirtyPpm.format === "ppm")
+    assert(dirtyPpm.histogram(15) === 1.0) // all pixels clamp to the top bin
+    // (b) BMP width that overflows int in w*3 — bounds check must hold;
+    val hugeBmp = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hugeBmp.put('B'.toByte).put('M'.toByte).putInt(100).putInt(0).putInt(54)
+    hugeBmp.putInt(40).putInt(0x30000000).putInt(1).putShort(1).putShort(24)
+    hugeBmp.putInt(0)
+    assert(MediaCodecs.decode(hugeBmp.array()).format === "raw")
+    // (c) WAV chunk size that wraps the walker position negative.
+    val hugeWav = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hugeWav.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    hugeWav.put("WAVE".getBytes("US-ASCII"))
+    hugeWav.put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff0)
+    assert(MediaCodecs.decode(hugeWav.array()).format === "raw")
   }
 
   test("multimodal: frame sampling emits n frames per media row") {

@@ -89,6 +89,34 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch range
+    * join ([[graft.operators.RangeJoin]], `evt_range_join`): clicks
+    * matched to view-anchored attribution windows [view ts, view ts +
+    * span]. Structured Streaming executes the equality-plus-time-range
+    * condition natively as a watermarked stream-stream join; the time
+    * bound is what lets it EVICT state — each side's store holds only
+    * rows within watermark + span, so state is bounded by stream rate ×
+    * window, never by history. (The batch operator solves the same
+    * containment problem with bucketing; the streaming runtime solves it
+    * with watermarked state — one semantics, two runtimes.)
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+      windowSpan: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("c_user") === col("v_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowSpan"))
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Run a streaming query over a bounded parquet source into an in-memory
     * sink, synchronously (the local-smoke pattern for streaming jobs:
     * processAllAvailable drains the source, then we read the sink table).

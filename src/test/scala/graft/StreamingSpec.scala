@@ -80,6 +80,43 @@ class StreamingSpec extends AnyFunSuite {
       .except(batch).count() === 0)
   }
 
+  test("streaming interval join emits exactly the batch containment pairs") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_ij")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    // Two branches of ONE streaming source (a supported self-join shape):
+    // clicks joined to view-anchored 1-hour windows.
+    val transform: DataFrame => DataFrame = df => {
+      val ev = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+    }
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "interval_sink")
+
+    // Batch truth through the bucketed range-join operator — the two
+    // runtimes must produce the identical pair set.
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val batch = graft.operators.RangeJoin.rangeJoin(clicks, windows,
+      Seq("user_id"), "ts", "w_start", "w_end", bucketWidthSec = 3600L)
+      .select("user_id", "view_id", "click_id")
+
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.select("user_id", "view_id", "click_id")
+      .except(batch).count() === 0)
+  }
+
   test("streaming exact dedup keeps one row per distinct content, same set as batch") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
     // Documents plus planted exact duplicates under fresh ids: the stream

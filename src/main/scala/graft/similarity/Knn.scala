@@ -80,6 +80,17 @@ object Knn {
     topK(scored, k)
   }
 
+  /** A built IVF index: `centroids` (list_id, centroid, cnorm2 — tiny,
+    * broadcastable) and the corpus `assigned` to inverted lists
+    * (neighbor_id, neighbor_vec, list_id). Build ONCE per corpus version
+    * ([[buildIvf]]) and search many times ([[searchIvf]]) — at 100 TB the
+    * assignment scan dwarfs any single query batch, so a long-lived
+    * pipeline persists `assigned` (ideally written out partitioned or
+    * bucketed by list_id, which makes every later candidate join
+    * partition-pruned / shuffle-free) and reattaches it here.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame, nlist: Int)
+
   /** IVF-style ANN (the FAISS IVF-Flat shape on DataFrames): a seeded
     * KMeans coarse quantizer over L2-normalized vectors partitions the
     * corpus into `nlist` inverted lists; each query probes its `nprobe`
@@ -88,24 +99,25 @@ object Knn {
     * Scale shape: corpus assignment is one scan-local ML transform; the
     * centroid table is tiny and broadcast; the candidate join is an
     * equi-join on list id, so the corpus never shuffles by query. Recall
-    * grows with nprobe (nprobe = nlist ⇒ exact brute force).
+    * grows with nprobe (nprobe = nlist ⇒ exact brute force). One-shot
+    * convenience for build-then-search — reuse [[buildIvf]] +
+    * [[searchIvf]] when more than one query batch hits the same corpus.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      maxIter: Int = 4): DataFrame = {
+      maxIter: Int = 4): DataFrame =
+    searchIvf(buildIvf(corpus, idCol, vecCol, nlist, seed, maxIter),
+      queries, idCol, vecCol, k, nprobe)
+
+  /** Train the coarse quantizer and assign the corpus to inverted lists —
+    * the expensive, corpus-sized half of IVF search, done once per corpus
+    * version. See [[ivfTopK]] for the training/assignment design notes.
+    */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 4): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    // Euclidean k-means on the unit sphere ≈ cosine geometry. The norm is
-    // materialized once per row (a lambda-inlined norm would recompute the
-    // O(d) aggregate per ELEMENT — O(d²) per row).
-    def l2norm(c: Column): Column =
-      sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x))
-    def withNormed(df: DataFrame, vec: String): DataFrame =
-      df.withColumn("__l2", l2norm(col(vec)))
-        .withColumn("nvec", transform(col(vec), x => x.cast("double") / col("__l2")))
-        .drop("__l2")
 
     val corpusN = withNormed(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
@@ -144,7 +156,16 @@ object Knn {
         val arr = v.toArray
         (i, arr, arr.map(x => x * x).sum)
       }.toSeq.toDF("list_id", "centroid", "cnorm2")
+    IvfIndex(cents, assigned, nlist)
+  }
 
+  /** Probe a built index: each query ranks the broadcast centroid table,
+    * takes its `nprobe` nearest lists, and exact cosine re-ranks only
+    * those lists' members — the per-query-batch half of IVF search, cheap
+    * relative to [[buildIvf]] and repeatable against one index.
+    */
+  def searchIvf(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     // Probe ranking must mirror the quantizer's metric: for unit-norm q,
@@ -157,18 +178,28 @@ object Knn {
         queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
         "query_vec")
       .withColumnRenamed("nvec", "qn")
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("cdist", dot(col("qn"), col("centroid")) * 2 - col("cnorm2"))
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= nprobe)
       .select("query_id", "query_vec", "list_id")
 
-    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+    val scored = index.assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
     topK(scored, k)
   }
+
+  // Euclidean k-means on the unit sphere ≈ cosine geometry. The norm is
+  // materialized once per row (a lambda-inlined norm would recompute the
+  // O(d) aggregate per ELEMENT — O(d²) per row).
+  private def l2norm(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x))
+  private def withNormed(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("__l2", l2norm(col(vec)))
+      .withColumn("nvec", transform(col(vec), x => x.cast("double") / col("__l2")))
+      .drop("__l2")
 
   /** Deterministic, layout-independent bounded sample: the first `n` rows
     * in (xxhash64(seed, id), id) order — membership is a pure function of

@@ -70,6 +70,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.except(ivfFull).count() === 0)
   }
 
+  test("IVF index built once serves multiple query batches identically") {
+    // The build/search split: one buildIvf, two independent searches —
+    // each must equal the one-shot ivfTopK with the same parameters (the
+    // quantizer is seeded, so results are deterministic).
+    val index = Knn.buildIvf(vecs, "vec_id", "embedding")
+    for (lo <- Seq(0L, 5L)) {
+      val probes = vecs.filter(col("vec_id") >= lo && col("vec_id") < lo + 5)
+        .withColumn("vec_id", col("vec_id") + 5000000L)
+      val viaIndex = Knn.searchIvf(index, probes, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank")
+      val oneShot = Knn.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank")
+      assert(viaIndex.except(oneShot).count() === 0)
+      assert(oneShot.except(viaIndex).count() === 0)
+    }
+  }
+
   test("LSH bucket cap bounds candidate pairs for a pathological hot bucket") {
     import spark.implicits._
     // 1,000 identical docs — uncapped, every band bucket would generate

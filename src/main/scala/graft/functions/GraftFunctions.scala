@@ -91,6 +91,18 @@ case class DupNgramCharFraction(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** deflate_ratio(string) → double; see Kernels.deflateRatio. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.deflateRatio(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   /** Register the functions in a session's registry so both `spark.sql` and
@@ -110,6 +122,8 @@ object GraftFunctions {
       es => TopNgramCharFraction(es(0), 2), "built-in")
     reg.createOrReplaceTempFunction("graft_dup_ngram_frac",
       es => DupNgramCharFraction(es(0), 5), "built-in")
+    reg.createOrReplaceTempFunction("graft_deflate_ratio",
+      es => DeflateRatio(es.head), "built-in")
     // Aggregate builders return the bare AggregateFunction; the analyzer
     // wraps it in an AggregateExpression at resolution.
     reg.createOrReplaceTempFunction("graft_collect_min_k",
@@ -122,6 +136,7 @@ object GraftFunctions {
   def signProjection(vec: Column): Column = call_function("graft_sign_projection", vec)
   def topNgramFrac(tokens: Column): Column = call_function("graft_top_ngram_frac", tokens)
   def dupNgramFrac(tokens: Column): Column = call_function("graft_dup_ngram_frac", tokens)
+  def deflateRatio(text: Column): Column = call_function("graft_deflate_ratio", text)
 
   /** Bounded first-k-ascending collector ([[CollectMinK]]) — aggregate. */
   def collectMinK(e: Column, k: Int): Column =

@@ -189,6 +189,36 @@ object Kernels {
     dup.toDouble / docLen
   }
 
+  // One Deflater + output buffer per executor thread: Deflater wraps native
+  // zlib state whose per-row allocation would dominate the kernel; reset()
+  // between rows reuses it. The output buffer is only a drain — compressed
+  // bytes are counted, never kept.
+  private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+  private val deflateBufTL = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  /** Deflate compression ratio (compressed bytes / raw bytes) of a
+    * string's UTF-8 — the Gopher-style entropy signal: looped boilerplate
+    * compresses far below natural prose, random noise barely compresses.
+    * Deterministic for a fixed zlib level; 1.0 for the empty string.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaterTL.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = deflateBufTL.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

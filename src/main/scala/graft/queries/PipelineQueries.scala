@@ -477,6 +477,49 @@ object PipelineQueries {
       |WHERE rank <= 3 AND doc_id < 50
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Compression-ratio quality signal ([[TextAnalysis.compressionRatio]]):
+    * the ratio itself is zlib-algorithmic (no SQL oracle can recompute
+    * it), so the gate pins the PROPERTIES that make it a usable quality
+    * signal, each as a boolean the oracle expects TRUE: looped
+    * boilerplate compresses an order of magnitude below varied text,
+    * self-concatenation strictly improves every document's ratio, and the
+    * whole corpus stays in the sane (0, 1.1] band.
+    */
+  def txtCompression(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.select(
+      TextAnalysis.compressionRatio(col("text")).as("r"),
+      TextAnalysis.compressionRatio(concat(col("text"), lit(" "), col("text")))
+        .as("r2"))
+      .agg(min(col("r")).as("mn"), max(col("r")).as("mx"),
+        max(col("r2") - col("r")).as("worst_gain"))
+    // Deterministic probes: pure repetition vs varied (hash-hex) text.
+    val repetitive = "spam ham " * 500
+    val varied = (0 until 500)
+      .map(i => java.lang.Long.toHexString(i * 2654435761L + 11)).mkString(" ")
+    val probes = Seq((repetitive, varied)).toDF("rep", "var")
+      .select(TextAnalysis.compressionRatio(col("rep")).as("pr"),
+        TextAnalysis.compressionRatio(col("var")).as("pv"))
+    corpus.crossJoin(probes).select(expr(
+      """stack(4,
+        |  'corpus_in_range', mn > 0.0 AND mx <= 1.1,
+        |  'repetitive_low', pr < 0.05,
+        |  'selfconcat_compresses', worst_gain < 0.0,
+        |  'varied_higher', pv > pr * 4
+        |) AS (item, ok)""".stripMargin))
+      .orderBy(col("item"))
+  }
+
+  private val txtCompressionSql =
+    """SELECT * FROM (VALUES
+      |  ('corpus_in_range', TRUE),
+      |  ('repetitive_low', TRUE),
+      |  ('selfconcat_compresses', TRUE),
+      |  ('varied_higher', TRUE)
+      |) AS t(item, ok) ORDER BY item""".stripMargin
+
   /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -1278,6 +1321,7 @@ object PipelineQueries {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_fingerprint_planted" -> (txtFingerprintPlanted _),
     "txt_tfidf" -> (txtTfidf _),
+    "txt_compression" -> (txtCompression _),
     "txt_chunk" -> (txtChunk _),
     "txt_pii" -> (txtPii _),
     "txt_length_stats" -> (txtLengthStats _),
@@ -1330,6 +1374,7 @@ object PipelineQueries {
     "dd_minhash_recall" -> ddMinhashRecallSql,
     "txt_fingerprint_planted" -> txtFingerprintPlantedSql,
     "txt_tfidf" -> txtTfidfSql,
+    "txt_compression" -> txtCompressionSql,
     "dd_simhash_planted" -> ddSimhashPlantedSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_cross_neardup" -> ddCrossNeardupSql,

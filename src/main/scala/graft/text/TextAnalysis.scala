@@ -89,6 +89,13 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(text: Column): Column = GraftFunctions.fingerprint(text)
 
+  /** Deflate compression ratio (compressed/raw bytes) — the Gopher-style
+    * entropy quality signal: looped boilerplate compresses far below
+    * natural prose, noise barely compresses. Codegen'd JVM kernel with a
+    * per-thread zlib state; scan-local like every other scorer here.
+    */
+  def compressionRatio(text: Column): Column = GraftFunctions.deflateRatio(text)
+
   /** Fixed-size token windows with overlap — the standard context-length
     * chunking step of a training-data pipeline (long documents become
     * several training sequences; the overlap preserves cross-boundary

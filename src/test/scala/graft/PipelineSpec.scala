@@ -148,6 +148,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.releaseCaches() === 0)
   }
 
+  test("compression ratio: boilerplate low, noise high, empty defined, codegen path") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      "spam ham " * 500,
+      (0 until 500).map(i => java.lang.Long.toHexString(i * 2654435761L + 11)).mkString(" "),
+      "").toDF("text")
+    val got = df.select(graft.text.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) < 0.05, s"repetitive ratio ${got(0)}")
+    assert(got(1) > got(0) * 4, s"varied ${got(1)} vs repetitive ${got(0)}")
+    assert(got(1) <= 1.1)
+    assert(got(2) === 1.0) // empty string: defined, not NaN/div-by-zero
+    // Deterministic across repeated evaluation (thread-local zlib reset).
+    val again = df.select(graft.text.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("cross-corpus near-dup: exact pre-route, near verify, member fan-out, ref collapse") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3

@@ -221,6 +221,51 @@ class RandomizedSpec extends AnyFunSuite {
       .map(row => (row.getLong(0), row.getLong(1))).toSet === want)
   }
 
+  test("cross-corpus near-dup: equals brute-force cross Jaccard on random corpora") {
+    // Random word-soup corpora with planted exact and near copies across
+    // the corpus/reference boundary: the operator's pair set (corpus doc,
+    // distinct-content reference rep) must equal the brute-force cross
+    // Jaccard at the default threshold.
+    val rnd = new Random(53)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    def doc(): String =
+      Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusRows = (1 to 60).map(i => (i.toLong, doc()))
+    val refRows =
+      // 10 exact copies of corpus docs, 10 near copies, 10 fresh docs —
+      // plus one duplicated reference content (collapse check).
+      corpusRows.take(10).zipWithIndex.map { case ((_, t), j) => (100L + j, t) } ++
+      corpusRows.slice(10, 20).zipWithIndex.map { case ((_, t), j) =>
+        (200L + j, t + " omega") } ++
+      (0 until 10).map(j => (300L + j, doc())) :+
+      (400L, corpusRows.head._2)
+
+    def shingles3(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      (if (toks.length <= 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq).toSet
+    }
+    // Reference reps: min ref id per distinct text (the operator contract).
+    val reps = refRows.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+    val want = (for {
+      (cid, ct) <- corpusRows
+      (rid, rt) <- reps
+      inter = (shingles3(ct) & shingles3(rt)).size
+      union = (shingles3(ct) ++ shingles3(rt)).size
+      if union > 0 && inter.toDouble / union >= 0.7
+    } yield (cid, rid)).toSet
+
+    val got = Dedup.minhashNearDupPairsAgainst(
+      corpusRows.toDF("doc_id", "text"), "doc_id", "text",
+      refRows.toDF("ref_id", "text"), "ref_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Candidates-then-verify: found ⊆ true always; on this corpus shape
+    // the sketch's recall is complete, so the sets must be EQUAL.
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("collectMinK: equals sort-take for random values and k") {
     GraftFunctions.register(spark)
     val rnd = new Random(99)

@@ -620,6 +620,12 @@ object Dedup {
     // Per-doc set size is the shingle-array length — computed scan-local at
     // explode time, so the window below only has to produce the rank (one
     // fewer window function over the same partition+sort).
+    // The shingle table feeds BOTH the global-frequency aggregation and the
+    // rank join below; the branches re-run the explode, which was MEASURED
+    // cheaper than materializing the O(docs × shingles) table (a trial
+    // localCheckpoint here more than doubled the gate: the explode is
+    // codegen'd over the cached reps, while the checkpoint pays a full
+    // write + read of the widest frame in the pipeline).
     val sh = c.reps.select(col("id"), col(textCol))
       .withColumn("__sha", shingles(col(textCol), n))
       .select(col("id"), size(col("__sha")).as("sz"),

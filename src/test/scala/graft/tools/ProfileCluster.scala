@@ -8,6 +8,7 @@ import graft.queries.PipelineQueries
 
 /** Test-scope breakdown of dd_cluster cost: edge-pipeline evaluation vs
   * label-propagation loop (`sbt "Test/runMain graft.tools.ProfileCluster"`).
+  * Uses the SAME upstream the gate uses (MinHash-LSH pairs).
   */
 object ProfileCluster {
   def main(args: Array[String]): Unit = {
@@ -22,10 +23,11 @@ object ProfileCluster {
     spark.read.parquet(s"$dir/nation.parquet").count()
 
     (1 to 2).foreach { rep =>
+      spark.catalog.clearCache()
       val docs = PipelineQueries.plantedDocs(
         graft.core.Tables.documents(spark, dir))
       var t0 = System.nanoTime()
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
         .select("id_a", "id_b").localCheckpoint()
       println(f"rep$rep edges: ${(System.nanoTime() - t0) / 1e9}%.3f s (${pairs.count()} pairs)")
       t0 = System.nanoTime()

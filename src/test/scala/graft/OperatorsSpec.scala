@@ -181,6 +181,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("operators tolerate empty and degenerate inputs") {
+    import graft.dedup.Dedup
+    import graft.text.TfIdf
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+    // Cross near-dup: empty reference → no pairs; empty corpus → no pairs.
+    assert(Dedup.minhashNearDupPairsAgainst(someDocs, "doc_id", "text",
+      emptyDocs.withColumnRenamed("doc_id", "ref_id"), "ref_id", "text")
+      .count() === 0)
+    assert(Dedup.minhashNearDupPairsAgainst(emptyDocs, "doc_id", "text",
+      someDocs.withColumnRenamed("doc_id", "ref_id"), "ref_id", "text")
+      .count() === 0)
+
+    // Range join: empty right side — inner empty, left keeps all points.
+    val pts = Seq((1L, "k", 5L)).toDF("pid", "k", "p")
+    val noIv = Seq.empty[(Long, String, Long, Long)].toDF("iid", "k", "s", "e")
+    assert(graft.operators.RangeJoin.rangeJoin(pts, noIv, Seq("k"),
+      "p", "s", "e", 10L).count() === 0)
+    assert(graft.operators.RangeJoin.rangeJoin(pts, noIv, Seq("k"),
+      "p", "s", "e", 10L, joinType = "left").count() === 1)
+
+    // As-of: empty right side — every direction yields null matches.
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val out = AsofJoin.asof(
+        Seq(("k", ts("2024-01-01 00:00:00"))).toDF("k", "ts"),
+        Seq.empty[(String, Timestamp, Long)].toDF("k", "ts", "rid"),
+        Seq("k"), "ts", "ts", Seq("rid"), direction = d)
+      assert(out.count() === 1 && out.select("rid_asof").head().isNullAt(0), d)
+    }
+
+    // TF-IDF: single doc — every term df=1, idf = ln(2/2)+1 = 1, ranks by
+    // (count desc, term asc); empty corpus → empty output.
+    val single = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(single, "doc_id", "text", k = 2)
+      .orderBy(col("rank")).collect()
+    assert(top.map(r => (r.getString(1), r.getDouble(2))).toSeq ===
+      Seq(("x", 2.0), ("y", 1.0)))
+    assert(TfIdf.topTerms(emptyDocs, "doc_id", "text", k = 3).count() === 0)
+  }
+
   test("pii: staged counts do not double-count emails/IPs as phones") {
     val df = Seq(
       "mail me at a.b+c@example.com or 12345678@qq.com",

@@ -104,6 +104,38 @@ object Sampling {
     df.join(selected, Seq(keyCol), "left_semi")
   }
 
+  /** Token-budget mixture (data mixing by VOLUME, not row count): keep
+    * ~`budgets(source)` tokens per source — the way training mixtures are
+    * actually specified ("300B tokens of web, 50B of code"). Two passes:
+    * (1) per-source token totals — one map-side-combined aggregation whose
+    * result is source-cardinality-sized and broadcasts; (2) a scan-local
+    * filter at rate min(1, budget/total) with the same content-addressed
+    * membership as [[mixture]]. The realized token count concentrates
+    * tightly around the budget (hash membership is independent of token
+    * length up to the doc-length distribution), which is the scalable
+    * contract — an EXACT running-sum cutoff would need a per-source
+    * ordered window, a single-task sort funnel at corpus scale. Sources
+    * absent from `budgets` keep everything; rows with a null group or a
+    * null key are excluded (the module's null-key contract).
+    */
+  def tokenBudgetMixture(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      salt: Long = 0L): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast("long"): Column) { case (acc, (g, b)) =>
+        when(col("__g") === g, lit(b)).otherwise(acc)
+      }
+    val rates = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(tokenCol)).as("__tot"))
+      .select(col("__g"),
+        when(budgetCol.isNull || col("__tot") <= budgetCol, lit(Space))
+          .otherwise(round(budgetCol.cast("double") / col("__tot") * Space)
+            .cast("long")).as("__thr"))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .filter(hashBucket(col(keyCol), salt) < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Disjoint train/valid/test assignment: each key lands in exactly one
     * split (cumulative bucket ranges), so membership never leaks between
     * splits across runs or engine versions. `fractions` are (label, share)

@@ -1259,6 +1259,44 @@ object PipelineQueries {
        |       ELSE ${Sampling.threshold(0.9)} END
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Token-budget mixture ([[Sampling.tokenBudgetMixture]]): 'en' capped
+    * at 40% of its total characters, every other language uncapped. The
+    * oracle recomputes the per-source totals, the derived threshold, and
+    * the exact md5-bucket membership — per-language kept counts AND kept
+    * character volumes must match row-for-row-derived aggregates.
+    */
+  def pipeTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enBudget = {
+      // 40% of en's total characters, rounded down — the oracle derives
+      // the same number from the raw table.
+      val t = docs.filter(col("lang") === "en")
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      t * 2 / 5
+    }
+    Sampling.tokenBudgetMixture(docs, "doc_id", "lang", "n_chars",
+      budgets = Map("en" -> enBudget), salt = 7L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val pipeTokenBudgetSql =
+    s"""WITH totals AS (
+       |  SELECT lang, SUM(n_chars) AS tot FROM documents GROUP BY lang
+       |), thr AS (
+       |  SELECT lang,
+       |    CASE WHEN lang <> 'en' OR tot <= tot * 2 // 5 THEN ${Sampling.Space}
+       |         ELSE CAST(round((tot * 2 // 5) / CAST(tot AS DOUBLE)
+       |                    * ${Sampling.Space}) AS BIGINT) END AS thr
+       |  FROM totals
+       |)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+       |FROM documents d JOIN thr ON thr.lang = d.lang
+       |WHERE ${bucketSql("d.doc_id", 7L)} < thr.thr
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Cross-corpus exact dedup: scrub the corpus of rows byte-identical to
     * a reference slice (here: docs 0-99 stand in for an eval set). The
     * reference side travels as distinct 128-bit content hashes (broadcast
@@ -1351,6 +1389,7 @@ object PipelineQueries {
     "pipe_cross_dedup" -> (pipeCrossDedup _),
     "dd_cross_neardup" -> (ddCrossNeardup _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
+    "pipe_token_budget" -> (pipeTokenBudget _),
     "pipe_split" -> (pipeSplit _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
@@ -1378,6 +1417,7 @@ object PipelineQueries {
     "dd_simhash_planted" -> ddSimhashPlantedSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_cross_neardup" -> ddCrossNeardupSql,
+    "pipe_token_budget" -> pipeTokenBudgetSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,

@@ -221,6 +221,32 @@ class RandomizedSpec extends AnyFunSuite {
       .map(row => (row.getLong(0), row.getLong(1))).toSet === want)
   }
 
+  test("token-budget mixture: budget respected in expectation, uncapped groups kept whole") {
+    val rnd = new Random(71)
+    val rows = (1 to 4000).map(i =>
+      (i.toLong, if (rnd.nextInt(3) == 0) "code" else "web",
+        50L + rnd.nextInt(200)))
+    val df = rows.toDF("id", "src", "tok")
+    val webTotal = rows.filter(_._2 == "web").map(_._3).sum
+    val budget = webTotal / 4
+    val kept = Sampling.tokenBudgetMixture(df, "id", "src", "tok",
+      budgets = Map("web" -> budget), salt = 9L)
+    // Uncapped source: every row survives.
+    assert(kept.filter(col("src") === "code").count() ===
+      rows.count(_._2 == "code"))
+    // Capped source: realized volume concentrates around the budget
+    // (hash membership is independent; ±20% is many sigma at this n).
+    val keptWeb = kept.filter(col("src") === "web")
+      .agg(sum(col("tok"))).head().getLong(0)
+    assert(math.abs(keptWeb - budget).toDouble / budget < 0.2,
+      s"kept $keptWeb vs budget $budget")
+    // Deterministic and repartition-stable.
+    val again = Sampling.tokenBudgetMixture(df.repartition(7), "id", "src",
+      "tok", budgets = Map("web" -> budget), salt = 9L)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
   test("cross-corpus near-dup: equals brute-force cross Jaccard on random corpora") {
     // Random word-soup corpora with planted exact and near copies across
     // the corpus/reference boundary: the operator's pair set (corpus doc,

@@ -125,8 +125,12 @@ object Sampling {
       lit(null).cast("long"): Column) { case (acc, (g, b)) =>
         when(col("__g") === g, lit(b)).otherwise(acc)
       }
+    // sum() over an all-NULL token column is NULL; left alone that would
+    // null the threshold and silently drop the whole source — coalesce to
+    // 0, which is <= any budget, so a source with no measurable volume is
+    // kept whole (consistent with the uncapped path).
     val rates = df.groupBy(col(groupCol).as("__g"))
-      .agg(sum(col(tokenCol)).as("__tot"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("__tot"))
       .select(col("__g"),
         when(budgetCol.isNull || col("__tot") <= budgetCol, lit(Space))
           .otherwise(round(budgetCol.cast("double") / col("__tot") * Space)

@@ -245,6 +245,13 @@ class RandomizedSpec extends AnyFunSuite {
       "tok", budgets = Map("web" -> budget), salt = 9L)
       .select("id").as[Long].collect().toSet
     assert(again === kept.select("id").as[Long].collect().toSet)
+    // A budgeted source whose token column is entirely NULL has zero
+    // measurable volume — it must be kept whole, not silently dropped.
+    val nullTok = Seq((1L, "web", null.asInstanceOf[java.lang.Long]),
+      (2L, "web", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "src", "tok")
+    assert(Sampling.tokenBudgetMixture(nullTok, "id", "src", "tok",
+      budgets = Map("web" -> 100L)).count() === 2)
   }
 
   test("cross-corpus near-dup: equals brute-force cross Jaccard on random corpora") {

@@ -529,6 +529,21 @@ object Dedup {
         col("ref_id"), col("jaccard"))
   }
 
+  /** The filter use-case of [[minhashNearDupPairsAgainst]]: the corpus with
+    * every row near-identical to ANY reference doc removed — scrub a crawl
+    * against an ingested corpus / eval set in one call. The matched-id set
+    * is bounded by the corpus, and the anti-join probe is scan-local when
+    * it broadcasts.
+    */
+  def dropNearDupsAgainst(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val matched = minhashNearDupPairsAgainst(corpus, idCol, textCol,
+      reference, refIdCol, refTextCol, cfg)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Two-sided capped bucket join: candidate (id, ref_id) pairs sharing any
     * (band_idx, band_hash) bucket, each side's bucket membership capped to
     * its first `max` members by id ([[graft.functions.CollectMinK]] on each

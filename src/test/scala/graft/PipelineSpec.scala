@@ -197,6 +197,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.contains((1L, 102L)) && got.contains((2L, 102L)))
     // The unrelated doc matches nothing.
     assert(!got.keySet.exists(_._1 == 4L))
+    // The filter wrapper keeps exactly the unmatched corpus rows.
+    val survivors = Dedup.dropNearDupsAgainst(corpus, "doc_id", "text",
+      reference, "ref_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(4L))
   }
 
   test("exact dedup keeps exactly one row per text, lowest id") {

@@ -128,6 +128,8 @@ object GraftFunctions {
     // wraps it in an AggregateExpression at resolution.
     reg.createOrReplaceTempFunction("graft_collect_min_k",
       es => CollectMinK(es(0), CollectMinK.expressionToK(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_vec_mean",
+      es => VecMean(es.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -141,4 +143,7 @@ object GraftFunctions {
   /** Bounded first-k-ascending collector ([[CollectMinK]]) — aggregate. */
   def collectMinK(e: Column, k: Int): Column =
     call_function("graft_collect_min_k", e, org.apache.spark.sql.functions.lit(k))
+
+  /** Element-wise vector mean ([[VecMean]]) — embedding pooling aggregate. */
+  def vecMean(e: Column): Column = call_function("graft_vec_mean", e)
 }

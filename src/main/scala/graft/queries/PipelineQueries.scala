@@ -817,6 +817,38 @@ object PipelineQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.98
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding mean-pooling ([[GraftFunctions.vecMean]]): group the
+    * embeddings table into 10 synthetic "documents" (vec_id % 10 — stand-in
+    * for token→doc pooling) and mean-pool each group with the dim-sized
+    * aggregate. The oracle replays the element-wise mean by unnesting with
+    * positions; 6-dp rounding absorbs the last-ulp difference between the
+    * two engines' partial-sum orders (cosine-gate precedent).
+    */
+  def simMeanPool(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .groupBy(pmod(col("vec_id"), lit(10)).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        GraftFunctions.vecMean(col("embedding")).as("__m"))
+      .select(col("grp"), col("n"),
+        transform(col("__m"), x => round(x, 6)).as("mean_vec"))
+      .orderBy(col("grp"))
+  }
+
+  private val simMeanPoolSql =
+    """WITH pos AS (
+      |  SELECT vec_id % 10 AS grp, vec_id,
+      |    unnest(range(1, len(embedding) + 1)) AS i, embedding
+      |  FROM embeddings
+      |), elems AS (
+      |  SELECT grp, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM pos GROUP BY grp, i
+      |)
+      |SELECT grp,
+      |  (SELECT COUNT(*) FROM embeddings e WHERE e.vec_id % 10 = elems.grp) AS n,
+      |  list(round(m, 6) ORDER BY i) AS mean_vec
+      |FROM elems GROUP BY grp ORDER BY grp""".stripMargin
+
   // ---------------------------------------------------------------- knn
   def simKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -1377,6 +1409,7 @@ object PipelineQueries {
     "dd_simhash_planted" -> (ddSimhashPlanted _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding" -> (ddEmbedding _),
+    "sim_mean_pool" -> (simMeanPool _),
     "sim_knn_brute" -> (simKnnBrute _),
     "sim_knn_lsh" -> (simKnnLsh _),
     "sim_knn_ivf" -> (simKnnIvf _),
@@ -1419,6 +1452,7 @@ object PipelineQueries {
     "dd_cross_neardup" -> ddCrossNeardupSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
     "dd_embedding" -> ddEmbeddingSql,
+    "sim_mean_pool" -> simMeanPoolSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,

@@ -148,6 +148,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.releaseCaches() === 0)
   }
 
+  test("vecMean: exact pooling, null rows skipped, ragged dims rejected") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (1L, Array(1f, 2f, 3f)),
+      (1L, Array(3f, 4f, 5f)),
+      (2L, Array(10f, 20f, 30f)),
+      (2L, null))
+    val got = rows.toDF("g", "v").repartition(5)
+      .groupBy("g").agg(GraftFunctions.vecMean(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) === Seq(2.0, 3.0, 4.0))
+    assert(got(2L) === Seq(10.0, 20.0, 30.0)) // the null ROW is skipped
+    // All-null group → null result.
+    val allNull = Seq((1L, null: Array[Float])).toDF("g", "v")
+      .groupBy("g").agg(GraftFunctions.vecMean(col("v")).as("m")).head()
+    assert(allNull.isNullAt(1))
+    // Ragged dimensions are corrupt input — must throw, not average overlap.
+    val ex = intercept[Exception] {
+      Seq((1L, Array(1f)), (1L, Array(1f, 2f))).toDF("g", "v")
+        .groupBy("g").agg(GraftFunctions.vecMean(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("dimension mismatch")))
+  }
+
   test("compression ratio: boilerplate low, noise high, empty defined, codegen path") {
     GraftFunctions.register(spark)
     import spark.implicits._

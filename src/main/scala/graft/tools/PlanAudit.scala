@@ -92,6 +92,46 @@ object PlanAudit {
       docs, docs.filter(col("doc_id") < 50).select(col("text").as("bench_text")),
       "doc_id", "text", "bench_text", n = 8).explain()
 
+    // Range join: the bucketed formulation must plan as an EQUI-join
+    // (hash/sort-merge on (key, bucket)) — a BroadcastNestedLoopJoin or
+    // CartesianProduct here means the bucket equality was lost.
+    println("=== rangeJoin (want equi-join, no nested loop) ===")
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val rj = graft.operators.RangeJoin.rangeJoin(clicks, windows,
+      Seq("user_id"), "ts", "w_start", "w_end", 3600L)
+    val rjPlan = rj.queryExecution.executedPlan.toString
+    println(rjPlan.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange")).mkString("\n"))
+
+    // Cross-corpus near-dedup: the reference's distinct-hash side and the
+    // probe/centroid-like broadcast sides should broadcast; the corpus must
+    // not shuffle its text anywhere except the collapse aggregation.
+    println("=== minhashNearDupPairsAgainst (want broadcasts; corpus text only in collapse) ===")
+    val xnd = graft.dedup.Dedup.minhashNearDupPairsAgainst(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("ref_id"), col("text")), "ref_id", "text")
+    xnd.collect()
+    println(xnd.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n"))
+
+    // TF-IDF: ONE shuffle by (doc, term), one by term, a broadcast of the
+    // 1-row corpus count, and the final per-doc window — no second corpus
+    // tokenization (the pair aggregation is checkpoint-shared).
+    println("=== tfidf topTerms (want shared pair aggregation) ===")
+    val tf = graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3)
+    tf.collect()
+    println(tf.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Scan") ||
+        l.contains("Window")).mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

@@ -849,6 +849,54 @@ object PipelineQueries {
       |  list(round(m, 6) ORDER BY i) AS mean_vec
       |FROM elems GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** The embedding stack composed end-to-end (the similarity-side analog
+    * of `pipe_neardup_clusters`): token-level vectors pool into 50
+    * "document" vectors ([[GraftFunctions.vecMean]]) and each of the first
+    * 5 pooled vectors retrieves its nearest pooled neighbor by exact
+    * cosine — pool → search, the retrieval shape of a dedup-by-centroid or
+    * topic-assignment pipeline. The oracle replays the WHOLE composition
+    * declaratively (element-wise means, cosine, rank-1 with the same tie
+    * order); cosine rounds to 6 dp after ranking (dd_embedding precedent).
+    */
+  def pipePooledKnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val pooled = Tables.embeddings(spark, dir)
+      .groupBy(pmod(col("vec_id"), lit(50)).as("grp"))
+      .agg(GraftFunctions.vecMean(col("embedding")).as("__mv"))
+      // the cosine kernel reads float vectors; pooled means are double
+      .select(col("grp"),
+        transform(col("__mv"), x => x.cast("float")).as("vec"))
+    val queries = pooled.filter(col("grp") < 5)
+    Knn.bruteForceTopK(queries, pooled, "grp", "vec", k = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"))
+  }
+
+  private val pipePooledKnnSql =
+    """WITH pos AS (
+      |  SELECT vec_id % 50 AS grp,
+      |    unnest(range(1, len(embedding) + 1)) AS i, embedding
+      |  FROM embeddings
+      |), pooled AS (
+      |  SELECT grp, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS m
+      |  FROM pos GROUP BY grp, i
+      |), pairs AS (
+      |  SELECT q.grp AS query_id, c.grp AS neighbor_id,
+      |    SUM(q.m * c.m)
+      |      / (sqrt(SUM(q.m * q.m)) * sqrt(SUM(c.m * c.m))) AS cosine
+      |  FROM pooled q JOIN pooled c ON q.i = c.i AND q.grp <> c.grp
+      |  WHERE q.grp < 5
+      |  GROUP BY 1, 2
+      |), best AS (
+      |  SELECT query_id, neighbor_id, cosine
+      |  FROM pairs
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) = 1
+      |)
+      |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+      |FROM best ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- knn
   def simKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -1410,6 +1458,7 @@ object PipelineQueries {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding" -> (ddEmbedding _),
     "sim_mean_pool" -> (simMeanPool _),
+    "pipe_pooled_knn" -> (pipePooledKnn _),
     "sim_knn_brute" -> (simKnnBrute _),
     "sim_knn_lsh" -> (simKnnLsh _),
     "sim_knn_ivf" -> (simKnnIvf _),
@@ -1453,6 +1502,7 @@ object PipelineQueries {
     "pipe_token_budget" -> pipeTokenBudgetSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_mean_pool" -> simMeanPoolSql,
+    "pipe_pooled_knn" -> pipePooledKnnSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,

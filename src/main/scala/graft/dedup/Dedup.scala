@@ -619,6 +619,69 @@ object Dedup {
     fanOut(repPairs, c.members)
   }
 
+  /** Cross-corpus SimHash near-dup: corpus docs within Hamming distance
+    * `maxDist` of ANY reference doc — the sketch-side twin of
+    * [[minhashNearDupPairsAgainst]] for the "same template, light edits"
+    * regime where a 64-bit signature suffices. Returns (id, ref_id,
+    * hamming), one row per (corpus doc, distinct-content reference rep).
+    *
+    * Scale shape mirrors the within-corpus simhash: signatures compute
+    * scan-local before any exchange (only ids + 8-byte sigs ride the band
+    * join), the corpus collapses exact dups, the reference collapses via
+    * [[exact]], byte-identical matches pre-route through the 128-bit hash
+    * equi-join (guaranteed found at hamming 0 regardless of bucket caps),
+    * and the chunk-banded join is capped on BOTH sides.
+    */
+  def simhashNearDupPairsAgainst(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // Content-hash copies ride the collapse as payload (identical within a
+    // group by construction) so the exact pre-route can join on them after
+    // the collapse drops the grouping keys. Both sides reuse hashKeys —
+    // re-aliased — so the formulas cannot drift apart.
+    val Seq(ch1, ch2) = hashKeys(Seq(col(textCol)))
+    val keyed = corpus.select(col(idCol).as("id") +:
+      hashKeys(Seq(col(textCol))) :+
+      GraftFunctions.simhash64(split(trim(col(textCol)), "\\s+")).as("sig") :+
+      ch1.as("__ch1") :+ ch2.as("__ch2"): _*)
+    val c = collapseKeyed(keyed, maxBucketSize)
+    val refReps = exact(
+      reference.select(col(refIdCol).as("ref_id"), col(refTextCol).as("__rtext")),
+      Seq("__rtext"), Seq(col("ref_id")))
+    val Seq(rh1, rh2) = hashKeys(Seq(col("__rtext")))
+    val refKeyed = scopedPersist(refReps.select(col("ref_id"),
+      GraftFunctions.simhash64(split(trim(col("__rtext")), "\\s+")).as("sig"),
+      rh1.as("__ch1"), rh2.as("__ch2")))
+    val exactPairs = c.reps.join(refKeyed.select("ref_id", "__ch1", "__ch2"),
+        Seq("__ch1", "__ch2"))
+      .select(col("id"), col("ref_id"), lit(0).cast("int").as("hamming"))
+    // Two-side-capped chunk-band join carrying (id, sig) structs so the
+    // hamming computes scan-locally from the capped arrays.
+    def capped(banded: DataFrame, idName: String, out: String) =
+      banded.groupBy("band_idx", "band_hash")
+        .agg(GraftFunctions.collectMinK(
+          struct(col(idName), col("sig")), maxBucketSize).as(out))
+    val nearPairs = capped(
+        bandRows(c.reps.select("id", "sig"), bands = 4, bandBits = 16),
+        "id", "__cs")
+      .join(capped(
+        bandRows(refKeyed.select("ref_id", "sig"), bands = 4, bandBits = 16),
+        "ref_id", "__rs"), Seq("band_idx", "band_hash"))
+      .select(explode(col("__cs")).as("__a"), col("__rs"))
+      .select(col("__a"), explode(col("__rs")).as("__b"))
+      .select(col("__a.id").as("id"), col("__b.ref_id").as("ref_id"),
+        bit_count(col("__a.sig").bitwiseXOR(col("__b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    val repPairs = exactPairs.unionByName(nearPairs)
+      .groupBy("id", "ref_id").agg(min(col("hamming")).as("hamming"))
+    repPairs
+      .join(c.members.select(col("__rep").as("id"), col("id").as("__m")),
+        Seq("id"), "left")
+      .select(coalesce(col("__m"), col("id")).as("id"),
+        col("ref_id"), col("hamming"))
+  }
+
   // ------------------------------------------------------------ n-gram Jaccard
 
   /** Set-similarity join on word n-grams with exact Jaccard ≥ threshold,

@@ -780,6 +780,28 @@ object PipelineQueries {
       |WHERE CAST(n_inter AS DOUBLE) / (cs.n + rs.n - n_inter) >= 0.7
       |ORDER BY id, inter.ref_id""".stripMargin
 
+  /** Cross-corpus SimHash ([[Dedup.simhashNearDupPairsAgainst]]),
+    * deterministic planted slice (the dd_simhash_planted recipe): each
+    * corpus doc < 25 is byte-identical to its planted reference twin
+    * (ids +7,000,000) and MUST surface at hamming exactly 0 through the
+    * cap-immune hash pre-route; the full sketch-dependent pair set stays
+    * spec-covered.
+    */
+  def ddCrossSimhashPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reference = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 7000000L).as("ref_id"), col("text"))
+    Dedup.simhashNearDupPairsAgainst(docs, "doc_id", "text",
+      reference, "ref_id", "text")
+      .filter(col("id") < 25 && col("ref_id") === col("id") + 7000000L)
+      .orderBy(col("id"))
+  }
+
+  private val ddCrossSimhashPlantedSql =
+    """SELECT doc_id AS id, doc_id + 7000000 AS ref_id,
+      |  CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id < 25 ORDER BY id""".stripMargin
+
   /** Prefix filtering is lossless, so this one is EXACT: the DuckDB
     * brute-force pair set is a full oracle, not just a recall floor. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -1470,6 +1492,7 @@ object PipelineQueries {
     "pipe_stratified" -> (pipeStratified _),
     "pipe_cross_dedup" -> (pipeCrossDedup _),
     "dd_cross_neardup" -> (ddCrossNeardup _),
+    "dd_cross_simhash_planted" -> (ddCrossSimhashPlanted _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_token_budget" -> (pipeTokenBudget _),
     "pipe_split" -> (pipeSplit _),
@@ -1500,6 +1523,7 @@ object PipelineQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_cross_neardup" -> ddCrossNeardupSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
+    "dd_cross_simhash_planted" -> ddCrossSimhashPlantedSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_mean_pool" -> simMeanPoolSql,
     "pipe_pooled_knn" -> pipePooledKnnSql,

@@ -229,6 +229,22 @@ class PipelineSpec extends AnyFunSuite {
       reference, "ref_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(survivors === Set(4L))
+
+    // SimHash twin over the same corpora: byte-identical docs (and their
+    // dup-group members) at hamming 0 via the cap-immune pre-route —
+    // including doc 3 against its exact ref twin 102; identical ref
+    // content collapses to min id; the unrelated doc matches nothing; and
+    // every reported distance respects the bound. (Whether the one-token
+    // edit (3, 100) surfaces is sketch-dependent beyond the 4-chunk
+    // pigeonhole guarantee of hamming ≤ 3 — deliberately not asserted.)
+    val sh = Dedup.simhashNearDupPairsAgainst(corpus, "doc_id", "text",
+      reference, "ref_id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sh((1L, 100L)) === 0 && sh((2L, 100L)) === 0)
+    assert(!sh.keySet.exists(_._2 == 101L))
+    assert(sh((3L, 102L)) === 0)
+    assert(!sh.keySet.exists(_._1 == 4L))
+    assert(sh.values.forall(h => h >= 0 && h <= 10))
   }
 
   test("exact dedup keeps exactly one row per text, lowest id") {

@@ -31,13 +31,12 @@ import org.apache.spark.sql.functions._
   * Each round is two equi-joins (neighbor labels, then the jump) plus one
   * min-aggregation. The neighbor phase is shuffle-partitioned by node id —
   * a hot 100M-member cluster stays spread across the cluster there (unlike
-  * a groupBy-component formulation). The jump self-join keys by label, so
-  * once a big component's labels converge its probe rows do hash to one
-  * shuffle partition for that join; the rows are (id, label) pairs — 16
-  * bytes each, not documents — and AQE's skew-join splitting spreads the
-  * probe side when the runtime stats warrant it, so the funnel is bounded
-  * and shrinking (it exists only in the rounds AFTER the component has
-  * mostly converged). Per round the labels frame is lazily
+  * a groupBy-component formulation). The jump routes through the distinct
+  * probed labels rather than a label-keyed self-join, so a converged giant
+  * component's hot label is collapsed by map-side partial aggregation
+  * before any exchange and the probe side never shuffles on it once the
+  * (per-distinct-label) parent map is broadcast-sized — see the in-loop
+  * comment for the regime analysis. Per round the labels frame is lazily
   * localCheckpoint()ed — iterative plans otherwise stack the full lineage
   * (Catalyst re-optimizes a 2^rounds tree) — and the convergence probe (the
   * monotonically decreasing exact label sum, one tiny aggregate) doubles as
@@ -114,12 +113,25 @@ object Clusters {
         .localCheckpoint(false)
       // Pointer jump: label(u) ← label(label(u)). Every label value is a
       // node id of the same component (labels start as ids and only adopt
-      // other members' labels), so the self-join is inner and total; the
+      // other members' labels), so the join is inner and total; the
       // parent's label is ≤ its own id by monotonicity, so least() is just
       // defensive clarity.
-      val jumped = stepped.join(
-          stepped.select(col("id").as("cluster"), col("cluster").as("__pp")),
+      //
+      // Skew shape: a naive self-join keyed by label would funnel a
+      // converged giant component's rows (all sharing one label) into ONE
+      // shuffle partition. Instead the jump goes through the DISTINCT
+      // probed labels: the distinct's partial aggregation collapses the
+      // hot label map-side before any exchange, and the resulting parent
+      // map (one row per distinct label, both join keys unique — no skew)
+      // SHRINKS exactly as components converge, i.e. precisely when a hot
+      // label can exist. By then it is a per-component-sized frame AQE
+      // broadcasts, so the skewed probe never shuffles on the hot key;
+      // in the in-between regime (many labels, sort-merge chosen) labels
+      // are still diverse and AQE's skew-join split remains the backstop.
+      val parentOf = stepped.select(col("cluster")).distinct()
+        .join(stepped.select(col("id").as("cluster"), col("cluster").as("__pp")),
           Seq("cluster"))
+      val jumped = stepped.join(parentOf, Seq("cluster"))
         .select(col("id"), least(col("cluster"), col("__pp")).as("cluster"))
       // Lazy checkpoint: the labelSum probe below is the single action that
       // materializes this round's labels — two jobs per round would double

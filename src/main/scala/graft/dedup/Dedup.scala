@@ -33,29 +33,36 @@ import graft.functions.{GraftFunctions, Kernels}
   * Cache lifecycle: the near-dup entry points persist a few scoped frames
   * (the collapse membership/reps, the verify shingle sizes — see
   * [[collapseKeyed]]) so multi-pass plans share one materialization. The
-  * frames stay cached until garbage-collected (ContextCleaner) — fine for
-  * run-to-completion jobs, nondeterministic for a long-lived application
-  * issuing many dedup calls. Such callers should invoke [[releaseCaches]]
-  * once they have materialized (collected / written) the returned pairs;
-  * batch harnesses that already `spark.catalog.clearCache()` between
-  * queries need nothing extra.
+  * frames stay registered until [[releaseCaches]] unpersists them (a
+  * bounded registry evicts the oldest past a cap, so a long-lived
+  * application that never releases still cannot accumulate unbounded
+  * cache). Call [[releaseCaches]] once the returned pairs are materialized
+  * (collected / written); batch harnesses that already
+  * `spark.catalog.clearCache()` between queries need nothing extra.
   */
 object Dedup {
 
-  // Scoped-persist registry drained by releaseCaches(). SOFT references:
-  // strong refs would pin frames a caller never releases forever (today
-  // they are at least eventually GC'd), while weak refs are often cleared
-  // by the first GC after the operator returns — before the caller can
-  // release deterministically. Soft refs survive until memory pressure;
-  // anything collected earlier is already queued for ContextCleaner
-  // cleanup, which remains the backstop either way.
+  // Scoped-persist registry drained by releaseCaches(). STRONG references:
+  // a soft/weak ref can be cleared under heap pressure while the persisted
+  // blocks are still pinned by downstream plan references, so a later
+  // releaseCaches() would silently skip that frame — losing exactly the
+  // deterministic unpersist this registry exists to provide. Strong refs
+  // cannot pin frames forever across calls because releaseCaches drains
+  // the whole queue; for callers that NEVER release, the queue is bounded:
+  // past `MaxScopedCaches` entries the oldest frame is unpersisted on
+  // insert (dropped caches recompute from lineage — correctness is
+  // unaffected, only a recompute is risked).
+  private val MaxScopedCaches = 256
   private val scopedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.SoftReference[DataFrame]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private[dedup] def scopedPersist(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scopedCaches.add(new java.lang.ref.SoftReference(df))
+    scopedCaches.add(df)
+    while (scopedCaches.size > MaxScopedCaches) {
+      val oldest = scopedCaches.poll()
+      if (oldest != null) oldest.unpersist(blocking = false)
+    }
     df
   }
 
@@ -67,14 +74,11 @@ object Dedup {
     */
   def releaseCaches(): Int = {
     var released = 0
-    var ref = scopedCaches.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) {
-        df.unpersist(blocking = false)
-        released += 1
-      }
-      ref = scopedCaches.poll()
+    var df = scopedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      released += 1
+      df = scopedCaches.poll()
     }
     released
   }

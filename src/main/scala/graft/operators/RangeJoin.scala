@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * across its time buckets.
   *
   * Intervals with end < start are dropped (empty by containment
-  * semantics); boundaries are inclusive on both ends.
+  * semantics); boundaries are inclusive on both ends. Right-side non-key
+  * columns whose names collide with a left column come back suffixed
+  * `_range`.
   */
 object RangeJoin {
 
@@ -58,9 +60,12 @@ object RangeJoin {
     def bucket(c: Column): Column =
       floor(c.cast("long").cast("double") / lit(bucketWidthSec)).cast("long")
     val l = left.withColumn("__bkt", bucket(col(pointCol)))
-    val errMsg = s"rangeJoin: interval wider than $maxBucketsPerInterval " +
-      s"buckets of ${bucketWidthSec}s - raise bucketWidthSec, cap the " +
-      "interval end, or raise maxBucketsPerInterval"
+    // The guard passes intervals spanning UP TO maxBucketsPerInterval
+    // buckets (bucket(end) - bucket(start) < max) and fires at max+1 —
+    // the message states the actual bound.
+    val errMsg = s"rangeJoin: interval spans more than " +
+      s"$maxBucketsPerInterval buckets of ${bucketWidthSec}s - raise " +
+      "bucketWidthSec, cap the interval end, or raise maxBucketsPerInterval"
     val r = right
       .filter(col(endCol) >= col(startCol))
       .withColumn("__bkt", explode(
@@ -68,12 +73,18 @@ object RangeJoin {
             < lit(maxBucketsPerInterval.toLong),
           sequence(bucket(col(startCol)), bucket(col(endCol))))
           .otherwise(raise_error(lit(errMsg)).cast("array<bigint>"))))
+    // Right-side non-key columns that collide with a left column name are
+    // suffixed `_range` (AsofJoin precedent) — emitting two columns with
+    // one name would make the result ambiguous to every downstream select.
+    val leftNames = left.columns.toSet
     l.join(r,
         keyCols.map(k => l(k) === r(k))
           .reduce(_ && _) && l("__bkt") === r("__bkt") &&
           l(pointCol) >= r(startCol) && l(pointCol) <= r(endCol),
         joinType)
       .select(left.columns.map(l(_)) ++
-        right.columns.filterNot(keyCols.contains).map(r(_)): _*)
+        right.columns.filterNot(keyCols.contains).map { c =>
+          if (leftNames(c)) r(c).as(c + "_range") else r(c)
+        }: _*)
   }
 }

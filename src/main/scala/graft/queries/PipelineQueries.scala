@@ -844,7 +844,10 @@ object PipelineQueries {
     * for token→doc pooling) and mean-pool each group with the dim-sized
     * aggregate. The oracle replays the element-wise mean by unnesting with
     * positions; 6-dp rounding absorbs the last-ulp difference between the
-    * two engines' partial-sum orders (cosine-gate precedent).
+    * two engines' partial-sum orders (cosine-gate precedent). The pooled
+    * vector is posexploded into one (grp, n, i, m) row per element so the
+    * gate emits only scalar columns — the driver's comparator sorts rows
+    * through pandas, which cannot order array cells (r07 lesson).
     */
   def simMeanPool(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -853,8 +856,8 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"),
         GraftFunctions.vecMean(col("embedding")).as("__m"))
       .select(col("grp"), col("n"),
-        transform(col("__m"), x => round(x, 6)).as("mean_vec"))
-      .orderBy(col("grp"))
+        posexplode(transform(col("__m"), x => round(x, 6))).as(Seq("i", "m")))
+      .orderBy(col("grp"), col("i"))
   }
 
   private val simMeanPoolSql =
@@ -865,11 +868,13 @@ object PipelineQueries {
       |), elems AS (
       |  SELECT grp, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
       |  FROM pos GROUP BY grp, i
+      |), cnt AS (
+      |  SELECT vec_id % 10 AS grp, COUNT(*) AS n FROM embeddings GROUP BY 1
       |)
-      |SELECT grp,
-      |  (SELECT COUNT(*) FROM embeddings e WHERE e.vec_id % 10 = elems.grp) AS n,
-      |  list(round(m, 6) ORDER BY i) AS mean_vec
-      |FROM elems GROUP BY grp ORDER BY grp""".stripMargin
+      |SELECT elems.grp, cnt.n, CAST(elems.i - 1 AS INT) AS i,
+      |  round(elems.m, 6) AS m
+      |FROM elems JOIN cnt ON cnt.grp = elems.grp
+      |ORDER BY elems.grp, elems.i""".stripMargin
 
   /** The embedding stack composed end-to-end (the similarity-side analog
     * of `pipe_neardup_clusters`): token-level vectors pool into 50
@@ -1072,7 +1077,10 @@ object PipelineQueries {
     * (one byte per high nibble — uniform byte histogram). Every decoded
     * value — format, dimensions, sample count, and each histogram bin —
     * is pinned row-by-row; the oracle derives them from the fixture
-    * DEFINITIONS, not from running any decoder.
+    * DEFINITIONS, not from running any decoder. The histogram is
+    * posexploded into one (media_id, …, bin, p) row per bucket so the
+    * gate emits only scalar columns — the driver's comparator sorts rows
+    * through pandas, which cannot order array cells (r07 lesson).
     */
   def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1084,12 +1092,13 @@ object PipelineQueries {
       .toDF("media_id", "media")
     Multimodal.decode(spark, fixtures)
       .select(col("media_id"), col("format"), col("n_bytes"),
-        col("width"), col("height"), col("n_samples"), col("histogram"))
-      .orderBy(col("media_id"))
+        col("width"), col("height"), col("n_samples"),
+        posexplode(col("histogram")).as(Seq("bin", "p")))
+      .orderBy(col("media_id"), col("bin"))
   }
 
   private val mmDecodeSql =
-    """SELECT * FROM (VALUES
+    """WITH t AS (SELECT * FROM (VALUES
       |  (CAST(1 AS BIGINT), 'ppm', CAST(13 + 768 AS INT), CAST(16 AS INT),
       |   CAST(16 AS INT), CAST(NULL AS BIGINT),
       |   CAST([0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625,
@@ -1106,8 +1115,15 @@ object PipelineQueries {
       |   CAST(NULL AS INT), CAST(NULL AS BIGINT),
       |   CAST([0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625,
       |    0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625, 0.0625] AS DOUBLE[]))
-      |) AS t(media_id, format, n_bytes, width, height, n_samples, histogram)
-      |ORDER BY media_id""".stripMargin
+      |) AS v(media_id, format, n_bytes, width, height, n_samples, histogram)),
+      |pos AS (
+      |  SELECT media_id, format, n_bytes, width, height, n_samples,
+      |    unnest(range(1, len(histogram) + 1)) AS i, histogram
+      |  FROM t
+      |)
+      |SELECT media_id, format, n_bytes, width, height, n_samples,
+      |  CAST(i - 1 AS INT) AS bin, histogram[i] AS p
+      |FROM pos ORDER BY media_id, bin""".stripMargin
 
   /** Frame sampling at the byte level: the oracle recomputes each sampled
     * window's offset arithmetic and length (DuckDB has no blob substring,

@@ -117,6 +117,18 @@ class OperatorsSpec extends AnyFunSuite {
       s"unexpected error: ${ex.getMessage}")
   }
 
+  test("range join: colliding right-side column names come back suffixed") {
+    // Both sides carry a non-key `ts` payload column — the right one must
+    // surface as ts_range, not as a second ambiguous `ts`.
+    val l = Seq((1L, "k", 5L, 100L)).toDF("pid", "k", "p", "ts")
+    val r = Seq((9L, "k", 0L, 10L, 200L)).toDF("iid", "k", "s", "e", "ts")
+    val out = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
+      "p", "s", "e", bucketWidthSec = 10L)
+    assert(out.columns.toSeq === Seq("pid", "k", "p", "ts", "iid", "s", "e", "ts_range"))
+    val row = out.head()
+    assert(row.getAs[Long]("ts") === 100L && row.getAs[Long]("ts_range") === 200L)
+  }
+
   test("connected components: transitive chains merge, components stay apart") {
     // chain 1-2, 2-3, 3-4 plus separate pair 10-11
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
@@ -150,6 +162,21 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Clusters.connectedComponents(pairs, maxRounds = 20).collect()
     assert(got.length === n)
     assert(got.forall(_.getLong(1) === 0L))
+  }
+
+  test("connected components: planted giant component (hot jump label) stays correct") {
+    // A 20k-leaf star converges its label immediately, so every jump round
+    // probes ONE hot label — the exact shape the distinct-labels parent
+    // map exists for (partial agg collapses the hot key map-side; the map
+    // is component-count-sized and broadcastable). Mixed with a path so
+    // extra rounds still run after the star has converged.
+    val star = (1L to 20000L).map(i => (0L, i))
+    val path = (100001L until 100020L).map(i => (i, i + 1))
+    val got = Clusters.connectedComponents((star ++ path).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 20001 + 20)
+    assert(got.filter(_._1 <= 20000L).forall(_._2 === 0L))
+    assert(got.filter(_._1 > 20000L).forall(_._2 === 100001L))
   }
 
   test("connected components: exhaustion diagnoses unstable edges; returnPartial never over-merges") {

@@ -75,7 +75,12 @@ object Bench {
     }
     // A failed query is recorded by name and fails the whole run (nonzero
     // exit) — a regression must never masquerade as a 0-second speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (driver sets no SPARK_GRAFT_ONLY): A/B one
+    // query's timing without paying the full suite per iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

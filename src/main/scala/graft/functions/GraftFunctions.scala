@@ -103,6 +103,43 @@ case class DeflateRatio(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nearest_centroid(array<double>) → int list id. The centroid table is a
+  * PLAN-TIME constant baked into the expression (shipped once per task via
+  * the codegen reference table, not per row) — scan-local IVF assignment
+  * with no join, no shuffle, inside whole-stage codegen.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Double],
+    cnorm2: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, cnorm2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val normsRef = ctx.addReferenceObj("cnorm2", cnorm2, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.nearestCentroid($c, $centsRef, $normsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NearestCentroid {
+  /** Registry builder support: the second argument arrives as a foldable
+    * array<array<double>> literal; flatten it (row-major) and precompute
+    * squared norms at plan time.
+    */
+  def fromLiteral(vec: Expression, centsLit: Expression): NearestCentroid = {
+    require(centsLit.foldable,
+      "graft_nearest_centroid: centroids must be a literal")
+    val ad = centsLit.eval().asInstanceOf[ArrayData]
+    val rows = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    val flat = rows.flatten
+    val norms = rows.map(r => { var s = 0.0; var i = 0
+      while (i < r.length) { s += r(i) * r(i); i += 1 }; s })
+    NearestCentroid(vec, flat, norms)
+  }
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   /** Register the functions in a session's registry so both `spark.sql` and
@@ -130,6 +167,8 @@ object GraftFunctions {
       es => CollectMinK(es(0), CollectMinK.expressionToK(es(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_vec_mean",
       es => VecMean(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroid",
+      es => NearestCentroid.fromLiteral(es(0), es(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -146,4 +185,11 @@ object GraftFunctions {
 
   /** Element-wise vector mean ([[VecMean]]) — embedding pooling aggregate. */
   def vecMean(e: Column): Column = call_function("graft_vec_mean", e)
+
+  /** Scan-local nearest-centroid list assignment ([[NearestCentroid]]);
+    * `centroids` is a small driver-side table baked into the plan.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    call_function("graft_nearest_centroid", vec,
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq))
 }

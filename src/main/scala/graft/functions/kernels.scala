@@ -219,6 +219,35 @@ object Kernels {
     total.toDouble / bytes.length
   }
 
+  /** Nearest-centroid assignment over FLATTENED centroids (k × dim,
+    * row-major) with precomputed squared norms: argmax(2·x·c − ||c||²)
+    * = argmin ||x − c||², ties to the lowest list id — the same ranking
+    * [[graft.similarity.Knn.searchIvf]]'s probe phase uses, so corpus
+    * assignment and query probing can never disagree on a boundary point.
+    * Reads double arrays (L2-normalized vectors). Returns -1 when there
+    * are no centroids.
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Double],
+      cnorm2: Array[Double]): Int = {
+    val k = cnorm2.length
+    if (k == 0) return -1
+    val dim = cents.length / k
+    val n = math.min(vec.numElements(), dim)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getDouble(i) * cents(off + i); i += 1 }
+      val score = 2.0 * dot - cnorm2(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

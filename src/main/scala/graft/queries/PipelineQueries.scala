@@ -610,8 +610,17 @@ object PipelineQueries {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= $threshold""".stripMargin
 
+  /** Bounded corpus prefix (1000 docs ⊇ all 50 planted ids): this row is
+    * rows-only (sketch output, no SQL oracle) — its correctness is pinned
+    * by dd_minhash_planted and dd_minhash_recall — so spending the
+    * suite's largest per-gate bench cost re-running the full corpus here
+    * bought the least verification per second (r07 verdict). The full
+    * corpus still runs through the same pipeline in the composed gates
+    * (pipe_neardup_clusters, pipe_clean_corpus).
+    */
   def ddMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = plantedDocs(Tables.documents(spark, dir))
+    val docs = plantedDocs(Tables.documents(spark, dir)
+      .filter(col("doc_id") < 1000))
     Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -989,7 +998,14 @@ object PipelineQueries {
     */
   def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val vecs = Tables.embeddings(spark, dir)
+    // Bounded corpus prefix: the contract (quantizer routes an identical
+    // copy to its original's list; rank-1 self-retrieval) is corpus-size
+    // independent, and the corpus-sized halves (normalize + assign) are
+    // plain scan-local transforms other gates already cover at full scale
+    // — so the gate doesn't pay a fresh full-corpus KMeans per bench run
+    // (the r07 verdict's IVF-training-duplication item). The recall gate
+    // (sim_knn_ivf_recall) keeps its own independent corpus + training.
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 5000)
     val probes = vecs.filter(col("vec_id") < 20)
       .withColumn("vec_id", col("vec_id") + 5000000L)
     Knn.ivfTopK(probes, vecs, "vec_id", "embedding", k = 3)

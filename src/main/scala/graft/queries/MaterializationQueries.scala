@@ -918,6 +918,51 @@ object MaterializationQueries {
       |  CAST(0 AS BIGINT) AS dq_violations
       |FROM merged""".stripMargin
 
+  /** X2 session pooling, pinned DIRECTLY (pipe_dbt_lifecycle exercises the
+    * pool incidentally; this gate makes the protocol facts driver-checked):
+    * distinct keys fork isolated sessions off the shared context (same temp
+    * view name, different contents; per-session confs don't bleed), the
+    * same key returns the SAME session with its state intact, and the base
+    * session never sees pooled temp views — the reference's
+    * one-connection-per-model-key contract (connections.py:43-84).
+    */
+  def engSessionPool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Engine
+    Engine.SessionPool.clear()
+    val a = Engine.SessionPool.forKey(spark, "gate_model_a")
+    val b = Engine.SessionPool.forKey(spark, "gate_model_b")
+    a.range(3).createOrReplaceTempView("pool_probe")
+    b.range(7).createOrReplaceTempView("pool_probe")
+    a.conf.set("graft.model.tag", "A")
+    b.conf.set("graft.model.tag", "B")
+    val aAgain = Engine.SessionPool.forKey(spark, "gate_model_a")
+    val facts = Seq(
+      ("a_view_rows", a.table("pool_probe").count()),
+      ("b_view_rows", b.table("pool_probe").count()),
+      ("same_key_same_session", if (aAgain eq a) 1L else 0L),
+      ("reused_keeps_state",
+        if (aAgain.conf.get("graft.model.tag") == "A"
+          && aAgain.table("pool_probe").count() == 3L) 1L else 0L),
+      ("conf_isolated",
+        if (b.conf.get("graft.model.tag") == "B"
+          && spark.conf.getOption("graft.model.tag").isEmpty) 1L else 0L),
+      ("base_view_isolated",
+        if (spark.catalog.tableExists("pool_probe")) 0L else 1L))
+    Engine.SessionPool.clear()
+    facts.toDF("fact", "value").orderBy("fact")
+  }
+
+  private val engSessionPoolSql =
+    """SELECT * FROM (VALUES
+      |  ('a_view_rows', CAST(3 AS BIGINT)),
+      |  ('b_view_rows', CAST(7 AS BIGINT)),
+      |  ('base_view_isolated', CAST(1 AS BIGINT)),
+      |  ('conf_isolated', CAST(1 AS BIGINT)),
+      |  ('reused_keeps_state', CAST(1 AS BIGINT)),
+      |  ('same_key_same_session', CAST(1 AS BIGINT))
+      |) AS t(fact, value) ORDER BY fact""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mat_ctas" -> (matCtas _),
@@ -935,6 +980,7 @@ object MaterializationQueries {
     "inc_schema_sync" -> (incSchemaSync _),
     "mat_user_model" -> (matUserModel _),
     "pipe_dbt_lifecycle" -> (pipeDbtLifecycle _),
+    "eng_session_pool" -> (engSessionPool _),
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
     "mat_persist_docs" -> (matPersistDocs _),
@@ -968,6 +1014,7 @@ object MaterializationQueries {
     "inc_schema_sync" -> incSchemaSyncSql,
     "mat_user_model" -> matUserModelSql,
     "pipe_dbt_lifecycle" -> pipeDbtLifecycleSql,
+    "eng_session_pool" -> engSessionPoolSql,
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,
     "mat_persist_docs" -> matPersistDocsSql,

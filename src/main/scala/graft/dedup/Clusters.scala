@@ -40,9 +40,12 @@ import org.apache.spark.sql.functions._
   * localCheckpoint()ed — iterative plans otherwise stack the full lineage
   * (Catalyst re-optimizes a 2^rounds tree) — and the convergence probe (the
   * monotonically decreasing exact label sum, one tiny aggregate) doubles as
-  * the action that materializes it: ONE job per round. On a real cluster
-  * with an HDFS checkpoint dir, `checkpoint()` adds executor-loss
-  * resilience.
+  * the action that materializes it: ONE job per round. Checkpoint blocks
+  * of superseded rounds are freed deterministically as soon as the next
+  * round materializes (the catalog cache manager never tracks checkpoint
+  * RDDs), so a k-round run holds two label copies in executor storage,
+  * not k+1. On a real cluster with an HDFS checkpoint dir, `checkpoint()`
+  * adds executor-loss resilience.
   */
 object Clusters {
 
@@ -82,6 +85,13 @@ object Clusters {
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // `edges` is materialized (eager checkpoint), so `p`'s blocks are
+    // already unreachable by any future computation — free them now.
+    // Checkpoint blocks are NOT tracked by the catalog cache manager
+    // (spark.catalog.clearCache() never frees them), so without explicit
+    // release every retained round would pin a full frame copy in
+    // executor storage for the life of the RDD.
+    freeCheckpoint(p)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -136,8 +146,17 @@ object Clusters {
       // Lazy checkpoint: the labelSum probe below is the single action that
       // materializes this round's labels — two jobs per round would double
       // the scheduling constant of every round.
+      val prev = labels
       labels = jumped.localCheckpoint(false)
       val s = labelSum(labels)
+      // This round's labels are now materialized into their own checkpoint
+      // (lineage truncated), so the previous round's labels and this
+      // round's intermediate `stepped` can never be read again — free both
+      // so a k-round run holds TWO label-frame copies in executor storage,
+      // not k+1 (at 10^9 nodes × 10 rounds the difference is the whole
+      // storage pool).
+      freeCheckpoint(prev)
+      freeCheckpoint(stepped)
       converged = s == lastSum
       lastSum = s
       round += 1
@@ -162,8 +181,25 @@ object Clusters {
           "provisional (possibly split, never over-merged) clustering " +
           "instead.")
     }
+    // The edge list is only needed by the rounds (and the diagnostic
+    // above); the returned labels read their own checkpoint blocks.
+    freeCheckpoint(edges)
     labels
   }
+
+  /** Free a locally-checkpointed frame's storage blocks. Safe ONLY once
+    * nothing can read the frame again: a local checkpoint truncates
+    * lineage, so after unpersist the data is unrecoverable by design —
+    * which is exactly the deterministic release the round loop needs
+    * (bounded storage) and the catalog cache manager cannot provide
+    * (checkpoint RDDs are persisted outside its tracking).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Pairwise near-dup output → one surviving id per duplicate cluster: the
     * cluster's canonical (minimum) id. Singleton docs never enter `pairs`

@@ -112,13 +112,22 @@ case class NearestCentroid(child: Expression, cents: Array[Double],
     cnorm2: Array[Double]) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_nearest_centroid"
+  // Both kernels L2-normalize the input internally (the lambda formulation
+  // of the same normalization would block whole-stage codegen for the
+  // whole scan stage); the dispatch only picks the element reader.
+  private def kernel: String = child.dataType match {
+    case ArrayType(FloatType, _) => "nearestCentroidF"
+    case _                       => "nearestCentroid"
+  }
   override protected def nullSafeEval(v: Any): Any =
-    Kernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, cnorm2)
+    if (kernel == "nearestCentroidF")
+      Kernels.nearestCentroidF(v.asInstanceOf[ArrayData], cents, cnorm2)
+    else Kernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, cnorm2)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
     val normsRef = ctx.addReferenceObj("cnorm2", cnorm2, "double[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Kernels.nearestCentroid($c, $centsRef, $normsRef)")
+      c => s"graft.functions.Kernels.$kernel($c, $centsRef, $normsRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -220,12 +220,19 @@ object Kernels {
   }
 
   /** Nearest-centroid assignment over FLATTENED centroids (k × dim,
-    * row-major) with precomputed squared norms: argmax(2·x·c − ||c||²)
-    * = argmin ||x − c||², ties to the lowest list id — the same ranking
-    * [[graft.similarity.Knn.searchIvf]]'s probe phase uses, so corpus
-    * assignment and query probing can never disagree on a boundary point.
-    * Reads double arrays (L2-normalized vectors). Returns -1 when there
-    * are no centroids.
+    * row-major) with precomputed squared norms. The input vector is
+    * L2-normalized INSIDE the kernel — folding the normalization in keeps
+    * IVF corpus assignment a single static call (the `transform`/
+    * `aggregate` lambda formulation of the same normalization blocks
+    * whole-stage codegen for the entire scan stage) — then assignment is
+    * argmax(2·(v·c)/‖v‖ − ||c||²) = argmin ||v/‖v‖ − c||², ties to the
+    * lowest list id — the same ranking [[graft.similarity.Knn.searchIvf]]'s
+    * probe phase uses, so corpus assignment and query probing can never
+    * disagree on a boundary point. Zero vectors assign to the
+    * smallest-norm centroid (any list is equally wrong for a
+    * direction-free point; the choice is deterministic). Returns -1 when
+    * there are no centroids. Double-array reader; [[nearestCentroidF]] is
+    * the float-array twin.
     */
   def nearestCentroid(vec: ArrayData, cents: Array[Double],
       cnorm2: Array[Double]): Int = {
@@ -233,15 +240,47 @@ object Kernels {
     if (k == 0) return -1
     val dim = cents.length / k
     val n = math.min(vec.numElements(), dim)
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getDouble(i); nrm2 += x * x; i += 1 }
+    val inv = if (nrm2 == 0.0) 0.0 else 1.0 / math.sqrt(nrm2)
     var best = 0
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < k) {
       val off = c * dim
       var dot = 0.0
-      var i = 0
+      i = 0
       while (i < n) { dot += vec.getDouble(i) * cents(off + i); i += 1 }
-      val score = 2.0 * dot - cnorm2(c)
+      val score = 2.0 * dot * inv - cnorm2(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[nearestCentroid]] over a float vector (same normalize-inside
+    * semantics, float reader).
+    */
+  def nearestCentroidF(vec: ArrayData, cents: Array[Double],
+      cnorm2: Array[Double]): Int = {
+    val k = cnorm2.length
+    if (k == 0) return -1
+    val dim = cents.length / k
+    val n = math.min(vec.numElements(), dim)
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i); nrm2 += x.toDouble * x; i += 1 }
+    val inv = if (nrm2 == 0.0) 0.0 else 1.0 / math.sqrt(nrm2)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += vec.getFloat(i).toDouble * cents(off + i); i += 1 }
+      val score = 2.0 * dot * inv - cnorm2(c)
       if (score > bestScore) { bestScore = score; best = c }
       c += 1
     }

@@ -120,42 +120,54 @@ object Knn {
     import spark.implicits._
     GraftFunctions.register(spark)
 
-    val corpusN = withNormed(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
-      "neighbor_vec")
+    val base =
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     // Train the coarse quantizer on a bounded REPRESENTATIVE sample (the
-    // FAISS recipe: ~256 points per centroid suffice), collected and run
-    // through Lloyd's ON THE DRIVER: the sample is O(nlist), independent
-    // of corpus size, so driver memory is bounded by design
-    // (nlist·256·dim doubles) and training costs one TakeOrdered job plus
-    // milliseconds of local arithmetic — no per-iteration distributed
-    // jobs for a centroid table that fits in L2 cache (a distributed
-    // KMeans fit measured ~2.5 s of fixed per-iteration scheduling at any
-    // corpus size; the full corpus is only ASSIGNED, one scan-local
-    // codegen'd transform). Sample membership is the deterministic
-    // hash-order prefix ([[trainingSample]]): a pure function of ids, so
-    // the SAME training set — and therefore the same centroids and
-    // recall — on any physical layout (partition count, AQE re-plan, task
-    // retry), unlike per-partition Bernoulli sample(); the hash order is
-    // uncorrelated with any clustering/sort of the corpus, so the prefix
-    // is representative where a bare limit() would train on one region
-    // of the space; and TakeOrdered needs no corpus.count() pre-pass
-    // (which for derived inputs is a full scan, not a metadata read).
-    val sample = trainingSample(corpusN, "neighbor_id", nlist * 256, seed)
-      .select("nvec").collect()
-      .map(_.getSeq[Double](0).toArray)
+    // FAISS recipe: ~256 points per centroid suffice), collected RAW and
+    // normalized + run through Lloyd's ON THE DRIVER: the sample is
+    // O(nlist), independent of corpus size, so driver memory is bounded
+    // by design (nlist·256·dim doubles) and training costs one
+    // TakeOrdered job plus milliseconds of local arithmetic — no
+    // per-iteration distributed jobs for a centroid table that fits in L2
+    // cache (a distributed KMeans fit measured ~2.5 s of fixed
+    // per-iteration scheduling at any corpus size; the full corpus is
+    // only ASSIGNED, one scan-local codegen'd transform). Sample
+    // membership is the deterministic hash-order prefix
+    // ([[trainingSample]]): a pure function of ids, so the SAME training
+    // set — and therefore the same centroids and recall — on any physical
+    // layout (partition count, AQE re-plan, task retry), unlike
+    // per-partition Bernoulli sample(); the hash order is uncorrelated
+    // with any clustering/sort of the corpus, so the prefix is
+    // representative where a bare limit() would train on one region of
+    // the space; and TakeOrdered needs no corpus.count() pre-pass (which
+    // for derived inputs is a full scan, not a metadata read).
+    val sample = trainingSample(base, "neighbor_id", nlist * 256, seed)
+      .select("neighbor_vec").collect()
+      .map { r =>
+        val v = r.getSeq[Number](0).map(_.doubleValue).toArray
+        var nrm2 = 0.0; var i = 0
+        while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
+        if (nrm2 > 0.0) {
+          val inv = 1.0 / math.sqrt(nrm2); i = 0
+          while (i < v.length) { v(i) *= inv; i += 1 }
+        }
+        v
+      }
     val centroids = lloyd(sample, math.min(nlist, sample.length), maxIter, seed)
     val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
       .toDF("list_id", "centroid", "cnorm2")
     // Assignment is a scan-local codegen'd argmax over the plan-constant
-    // centroid table ([[GraftFunctions.nearestCentroid]]) — the corpus
-    // never shuffles and no ML pipeline sits in the hot path. The scoring
-    // (and its lowest-list tie-break) is shared with [[searchIvf]]'s
-    // probe ranking, so a boundary vector is always probed in the list it
-    // was assigned to.
-    val assigned = corpusN
-      .withColumn("list_id", GraftFunctions.nearestCentroid(col("nvec"), centroids))
+    // centroid table ([[GraftFunctions.nearestCentroid]], which
+    // normalizes the raw vector inside the kernel — a lambda-built nvec
+    // column here measurably knocked the whole scan stage out of
+    // whole-stage codegen) — the corpus never shuffles and no ML pipeline
+    // sits in the hot path. The scoring (and its lowest-list tie-break)
+    // is shared with [[searchIvf]]'s probe ranking, so a boundary vector
+    // is always probed in the list it was assigned to.
+    val assigned = base
+      .withColumn("list_id",
+        GraftFunctions.nearestCentroid(col("neighbor_vec"), centroids))
       .select("neighbor_id", "neighbor_vec", "list_id")
     IvfIndex(cents, assigned, nlist)
   }

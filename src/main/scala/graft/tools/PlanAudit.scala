@@ -132,6 +132,22 @@ object PlanAudit {
       .filter(l => l.contains("Exchange") || l.contains("Scan") ||
         l.contains("Window")).mkString("\n"))
 
+    // IVF build: quantizer training is driver-side over a bounded sample,
+    // so the corpus ASSIGNMENT plan must be one scan-local codegen'd
+    // project — no Exchange, no join, and the nearest-centroid argmax
+    // inside a WholeStageCodegen span.
+    println("=== buildIvf assignment (want scan-local codegen, zero Exchange) ===")
+    val ivx = graft.similarity.Knn.buildIvf(vecs, "vec_id", "embedding")
+    val asgPlan = ivx.assigned.queryExecution.executedPlan.toString
+    val asgExchanges = asgPlan.linesIterator.count(_.contains("Exchange"))
+    // Codegen'd operators print with a `*(stageId)` prefix in the compact
+    // plan string (WholeStageCodegen spans).
+    val asgCodegen = asgPlan.linesIterator.count(_.trim.startsWith("*("))
+    println(s"exchanges: $asgExchanges (want 0), codegen spans: $asgCodegen (want >0)")
+    println(asgPlan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("nearest_centroid") ||
+        l.contains("Scan")).mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

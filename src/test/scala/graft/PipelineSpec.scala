@@ -37,6 +37,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got(1).getDouble(0)) < 1e-9)
   }
 
+  test("nearest-centroid expression: exact argmin, lowest-list tie-break, empty table") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 1.0))
+    val df = Seq(
+      Array(0.9, 0.1),  // nearest to centroid 0
+      Array(0.1, 0.9),  // nearest to 1 and 2 equally → lowest list id (1)
+      Array(0.0, 1.0)). // exact match on the tied pair → still list 1
+      toDF("v")
+    val got = df.select(GraftFunctions.nearestCentroid(col("v"), cents)).as[Int].collect()
+    assert(got.toSeq === Seq(0, 1, 1))
+    // Empty centroid table → -1 sentinel, not an exception.
+    val none = df.limit(1)
+      .select(GraftFunctions.nearestCentroid(col("v"), Array.empty[Array[Double]]))
+      .as[Int].head()
+    assert(none === -1)
+    // The SQL surface agrees with the Column API (registry path).
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nc_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_nearest_centroid(v, array(array(1.0d, 0.0d), array(0.0d, 1.0d))) FROM nc_probe")
+      .as[Int].collect()
+    assert(viaSql.toSeq === Seq(0, 1, 1))
+  }
+
   test("simhash: near-identical docs within small hamming distance, random docs far") {
     import spark.implicits._
     val df = Seq(

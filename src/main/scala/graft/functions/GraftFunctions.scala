@@ -149,6 +149,118 @@ object NearestCentroid {
   }
 }
 
+/** Shared plan-time unpacking of PQ literal tables. */
+private[functions] object PqTables {
+  /** Flatten a foldable array<array<double>> into a row-major array. */
+  def flat2(lit: Expression, what: String): Array[Double] = {
+    require(lit.foldable, s"$what must be a literal")
+    val ad = lit.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray()).flatten
+  }
+
+  /** Flatten a foldable array<array<array<double>>> codebook literal
+    * (m × ks × dsub) into (row-major flat, codeword norms, m, ks).
+    */
+  def books(lit: Expression): (Array[Double], Array[Double], Int, Int) = {
+    require(lit.foldable, "graft_pq: codebooks must be a literal")
+    val ad = lit.eval().asInstanceOf[ArrayData]
+    val m = ad.numElements()
+    val subs = Array.tabulate(m) { s =>
+      val sub = ad.getArray(s)
+      Array.tabulate(sub.numElements())(j => sub.getArray(j).toDoubleArray())
+    }
+    val ks = if (m == 0) 0 else subs(0).length
+    require(subs.forall(_.length == ks), "graft_pq: ragged codebooks")
+    val flat = subs.flatten.flatten
+    val norms = subs.flatten.map { w => var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i) * w(i); i += 1 }; s }
+    (flat, norms, m, ks)
+  }
+}
+
+/** pq_encode(vector, list_id) → binary (m code bytes). Coarse centroids and
+  * PQ codebooks are plan-time constants — corpus encoding is one scan-local
+  * static call inside whole-stage codegen (see [[Kernels.pqEncodeF]]).
+  */
+case class PqEncode(left: Expression, right: Expression, cents: Array[Double],
+    books: Array[Double], bnorm2: Array[Double], m: Int, ks: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pq_encode"
+  private def kernel: String = left.dataType match {
+    case ArrayType(FloatType, _) => "pqEncodeF"
+    case _                       => "pqEncodeD"
+  }
+  override protected def nullSafeEval(v: Any, lid: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]; val l = lid.asInstanceOf[Int]
+    if (kernel == "pqEncodeF") Kernels.pqEncodeF(a, l, cents, books, bnorm2, m, ks)
+    else Kernels.pqEncodeD(a, l, cents, books, bnorm2, m, ks)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val booksRef = ctx.addReferenceObj("books", books, "double[]")
+    val normsRef = ctx.addReferenceObj("bnorm2", bnorm2, "double[]")
+    defineCodeGen(ctx, ev, (v, l) =>
+      s"graft.functions.Kernels.$kernel($v, $l, $centsRef, $booksRef, $normsRef, $m, $ks)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqEncode {
+  def fromLiterals(vec: Expression, listId: Expression, centsLit: Expression,
+      booksLit: Expression): PqEncode = {
+    val cents = PqTables.flat2(centsLit, "graft_pq_encode: centroids")
+    val (flat, norms, m, ks) = PqTables.books(booksLit)
+    PqEncode(vec, listId, cents, flat, norms, m, ks)
+  }
+}
+
+/** pq_adc_table(query_vector) → array<double> of m·ks residual dots — the
+  * query half of asymmetric-distance computation (see [[Kernels.pqAdcTableF]]).
+  */
+case class PqAdcTable(child: Expression, books: Array[Double], m: Int, ks: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc_table"
+  private def kernel: String = child.dataType match {
+    case ArrayType(FloatType, _) => "pqAdcTableF"
+    case _                       => "pqAdcTableD"
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (kernel == "pqAdcTableF") Kernels.pqAdcTableF(a, books, m, ks)
+    else Kernels.pqAdcTableD(a, books, m, ks)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.$kernel($c, $booksRef, $m, $ks)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqAdcTable {
+  def fromLiteral(vec: Expression, booksLit: Expression): PqAdcTable = {
+    val (flat, _, m, ks) = PqTables.books(booksLit)
+    PqAdcTable(vec, flat, m, ks)
+  }
+}
+
+/** pq_adc_score(codes, table) → double: m table lookups per candidate. */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_score"
+  override protected def nullSafeEval(codes: Any, table: Any): Any =
+    Kernels.pqAdcScore(codes.asInstanceOf[Array[Byte]],
+      table.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.Kernels.pqAdcScore($c, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   /** Register the functions in a session's registry so both `spark.sql` and
@@ -178,6 +290,12 @@ object GraftFunctions {
       es => VecMean(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       es => NearestCentroid.fromLiteral(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      es => PqEncode.fromLiterals(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc_table",
+      es => PqAdcTable.fromLiteral(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc_score",
+      es => PqAdcScore(es(0), es(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -201,4 +319,25 @@ object GraftFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     call_function("graft_nearest_centroid", vec,
       org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq))
+
+  private def booksLit(books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.functions.typedlit(
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Scan-local PQ residual encoding ([[PqEncode]]); centroid and codebook
+    * tables are driver-side constants baked into the plan.
+    */
+  def pqEncode(vec: Column, listId: Column, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Column =
+    call_function("graft_pq_encode", vec, listId,
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq),
+      booksLit(books))
+
+  /** Per-query ADC lookup table ([[PqAdcTable]]). */
+  def pqAdcTable(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    call_function("graft_pq_adc_table", vec, booksLit(books))
+
+  /** Residual ADC score: m table lookups per candidate ([[PqAdcScore]]). */
+  def pqAdcScore(codes: Column, table: Column): Column =
+    call_function("graft_pq_adc_score", codes, table)
 }

@@ -287,6 +287,139 @@ object Kernels {
     best
   }
 
+  // ------------------------------------------------------------------ PQ
+  // Product-quantization kernels (the FAISS IVFPQ shape): a vector's
+  // residual against its coarse centroid is split into m contiguous
+  // subspaces, each encoded as the index of its nearest codeword in a
+  // 2^nbits-entry codebook. All tables (coarse centroids, codebooks,
+  // codeword norms) are PLAN-TIME constants shipped once per task via the
+  // codegen reference table, so corpus encoding and ADC scoring are
+  // scan-local static calls inside whole-stage codegen — the index itself
+  // is (id, list_id, m bytes) per row: the raw-vector memory drops by
+  // dim·4/m, which is what makes a 100 TB corpus's index RAM-resident.
+
+  /** Shared by both element readers: normalize `vec` (length `dim`,
+    * missing tail treated 0), subtract coarse centroid `listId`, and
+    * nearest-codeword-encode each of the `m` subspaces. Ties break to the
+    * lowest code (same rule as [[nearestCentroid]]); `listId` < 0 (no
+    * centroids) encodes the normalized vector itself. Returns `m` bytes.
+    */
+  private def pqEncodeImpl(read: Int => Double, nVec: Int, listId: Int,
+      cents: Array[Double], books: Array[Double], bnorm2: Array[Double],
+      m: Int, ks: Int): Array[Byte] = {
+    val codes = new Array[Byte](m)
+    if (ks == 0) return codes
+    val dsub = books.length / (m * ks)
+    val dim = m * dsub
+    val n = math.min(nVec, dim)
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) { val x = read(i); nrm2 += x * x; i += 1 }
+    val inv = if (nrm2 == 0.0) 0.0 else 1.0 / math.sqrt(nrm2)
+    val coff = if (listId >= 0) listId * dim else -1
+    val r = new Array[Double](dsub)
+    var sub = 0
+    while (sub < m) {
+      val roff = sub * dsub
+      var d = 0
+      while (d < dsub) {
+        val v = if (roff + d < n) read(roff + d) * inv else 0.0
+        r(d) = if (coff >= 0) v - cents(coff + roff + d) else v
+        d += 1
+      }
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < ks) {
+        val boff = (sub * ks + j) * dsub
+        var dot = 0.0
+        d = 0
+        while (d < dsub) { dot += r(d) * books(boff + d); d += 1 }
+        val score = 2.0 * dot - bnorm2(sub * ks + j)
+        if (score > bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      codes(sub) = best.toByte
+      sub += 1
+    }
+    codes
+  }
+
+  /** PQ-encode a float vector's coarse residual — see [[pqEncodeImpl]]. */
+  def pqEncodeF(vec: ArrayData, listId: Int, cents: Array[Double],
+      books: Array[Double], bnorm2: Array[Double], m: Int, ks: Int): Array[Byte] =
+    pqEncodeImpl(i => vec.getFloat(i).toDouble, vec.numElements(), listId,
+      cents, books, bnorm2, m, ks)
+
+  /** PQ-encode a double vector's coarse residual — see [[pqEncodeImpl]]. */
+  def pqEncodeD(vec: ArrayData, listId: Int, cents: Array[Double],
+      books: Array[Double], bnorm2: Array[Double], m: Int, ks: Int): Array[Byte] =
+    pqEncodeImpl(i => vec.getDouble(i), vec.numElements(), listId,
+      cents, books, bnorm2, m, ks)
+
+  /** The query half of asymmetric-distance computation: for normalized
+    * query q, table[sub·ks + j] = q_sub · codeword[sub][j], so a candidate
+    * with codes c scores q·v̂ = q·centroid + Σ_sub table[sub·ks + c_sub] —
+    * the residual part is m array lookups per candidate ([[pqAdcScore]]),
+    * never a dim-length dot product. O(ks·dim) once per query.
+    */
+  private def pqAdcTableImpl(read: Int => Double, nVec: Int,
+      books: Array[Double], m: Int, ks: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val table = new Array[Double](m * ks)
+    if (ks == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(table)
+    val dsub = books.length / (m * ks)
+    val dim = m * dsub
+    val n = math.min(nVec, dim)
+    var nrm2 = 0.0
+    var i = 0
+    while (i < n) { val x = read(i); nrm2 += x * x; i += 1 }
+    val inv = if (nrm2 == 0.0) 0.0 else 1.0 / math.sqrt(nrm2)
+    var sub = 0
+    while (sub < m) {
+      val roff = sub * dsub
+      var j = 0
+      while (j < ks) {
+        val boff = (sub * ks + j) * dsub
+        var dot = 0.0
+        var d = 0
+        while (d < dsub) {
+          if (roff + d < n) dot += read(roff + d) * inv * books(boff + d)
+          d += 1
+        }
+        table(sub * ks + j) = dot
+        j += 1
+      }
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(table)
+  }
+
+  /** ADC lookup table for a float query vector — see [[pqAdcTableImpl]]. */
+  def pqAdcTableF(vec: ArrayData, books: Array[Double], m: Int, ks: Int): ArrayData =
+    pqAdcTableImpl(i => vec.getFloat(i).toDouble, vec.numElements(), books, m, ks)
+
+  /** ADC lookup table for a double query vector — see [[pqAdcTableImpl]]. */
+  def pqAdcTableD(vec: ArrayData, books: Array[Double], m: Int, ks: Int): ArrayData =
+    pqAdcTableImpl(i => vec.getDouble(i), vec.numElements(), books, m, ks)
+
+  /** Residual part of the ADC score: m table lookups, one per code byte.
+    * `table` is a query's [[pqAdcTableF]] output (length m·ks).
+    */
+  def pqAdcScore(codes: Array[Byte], table: ArrayData): Double = {
+    val m = codes.length
+    if (m == 0) return 0.0
+    val ks = table.numElements() / m
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += table.getDouble(sub * ks + (codes(sub) & 0xff))
+      sub += 1
+    }
+    s
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

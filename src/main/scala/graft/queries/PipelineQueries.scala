@@ -1067,6 +1067,60 @@ object PipelineQueries {
   private val simKnnIvfRecallSql =
     "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
 
+  /** IVF-PQ in the near-duplicate-retrieval harness: probes are exact
+    * copies of corpus vectors (+6,000,000). The coarse quantizer routes an
+    * identical copy to its original's list (same kernel and tie-break as
+    * assignment); the original's ADC score is its own reconstruction
+    * similarity (≈0.9 on this corpus), far above the ≈0.3 isotropic noise
+    * floor, so it always survives the top-`refine` cut; the exact-cosine
+    * refine then ranks it first at cosine 1.0. Rank-1 retrieval of the
+    * original is therefore a deterministic contract the oracle derives
+    * itself — same as `sim_knn_ivf`, but through the compressed
+    * (id, list_id, 8 bytes) index + refine path rather than raw vectors.
+    */
+  def simKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 5000)
+    val probes = vecs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 6000000L)
+    Knn.ivfPqTopK(probes, vecs, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  private val simKnnIvfPqSql =
+    """SELECT vec_id + 6000000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
+
+  /** IVF-PQ recall against brute-force ground truth — the same FAISS
+    * recall@1 protocol and probe set as `sim_knn_ivf_recall` (95/5 blends,
+    * genuinely novel points), but retrieval runs through the compressed
+    * codes: coarse routing + ADC candidate ranking + top-32 exact refine
+    * must together keep ≥90% of true nearest neighbors at rank 1. This is
+    * the gate that would catch a lossy-compression regression (bad
+    * codebooks, mis-sliced subspaces, table/code disagreement) that the
+    * identical-copy gate can't see.
+    */
+  def simKnnIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val probes = ivfRecallProbes(corpus)
+    val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = Knn.ivfPqTopK(probes, corpus, "vec_id", "embedding", k = 1,
+      nlist = 16, m = 8, nprobe = 4, refine = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.intersect(found)
+    truth.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"),
+        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+  }
+
+  private val simKnnIvfPqRecallSql =
+    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packDocuments(Tables.documents(spark, dir))
@@ -1517,6 +1571,8 @@ object PipelineQueries {
     "sim_knn_lsh" -> (simKnnLsh _),
     "sim_knn_ivf" -> (simKnnIvf _),
     "sim_knn_ivf_recall" -> (simKnnIvfRecall _),
+    "sim_knn_ivfpq" -> (simKnnIvfPq _),
+    "sim_knn_ivfpq_recall" -> (simKnnIvfPqRecall _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
@@ -1563,6 +1619,8 @@ object PipelineQueries {
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
     "sim_knn_ivf_recall" -> simKnnIvfRecallSql,
+    "sim_knn_ivfpq" -> simKnnIvfPqSql,
+    "sim_knn_ivfpq_recall" -> simKnnIvfPqRecallSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_decode" -> mmDecodeSql,

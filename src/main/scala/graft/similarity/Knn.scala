@@ -141,18 +141,7 @@ object Knn {
     // representative where a bare limit() would train on one region of
     // the space; and TakeOrdered needs no corpus.count() pre-pass (which
     // for derived inputs is a full scan, not a metadata read).
-    val sample = trainingSample(base, "neighbor_id", nlist * 256, seed)
-      .select("neighbor_vec").collect()
-      .map { r =>
-        val v = r.getSeq[Number](0).map(_.doubleValue).toArray
-        var nrm2 = 0.0; var i = 0
-        while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
-        if (nrm2 > 0.0) {
-          val inv = 1.0 / math.sqrt(nrm2); i = 0
-          while (i < v.length) { v(i) *= inv; i += 1 }
-        }
-        v
-      }
+    val sample = collectNormalizedSample(base, nlist * 256, seed)
     val centroids = lloyd(sample, math.min(nlist, sample.length), maxIter, seed)
     val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
@@ -171,6 +160,24 @@ object Knn {
       .select("neighbor_id", "neighbor_vec", "list_id")
     IvfIndex(cents, assigned, nlist)
   }
+
+  /** Collect the bounded deterministic training prefix (see the [[buildIvf]]
+    * design note) and L2-normalize each point driver-side.
+    */
+  private def collectNormalizedSample(base: DataFrame, n: Int,
+      seed: Long): Array[Array[Double]] =
+    trainingSample(base, "neighbor_id", n, seed)
+      .select("neighbor_vec").collect()
+      .map { r =>
+        val v = r.getSeq[Number](0).map(_.doubleValue).toArray
+        var nrm2 = 0.0; var i = 0
+        while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
+        if (nrm2 > 0.0) {
+          val inv = 1.0 / math.sqrt(nrm2); i = 0
+          while (i < v.length) { v(i) *= inv; i += 1 }
+        }
+        v
+      }
 
   /** Seeded Lloyd iterations over the in-memory training sample. Init is
     * `k` distinct sample points (partial Fisher–Yates under the seed);
@@ -265,6 +272,170 @@ object Knn {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         GraftFunctions.cosineSim(col("query_vec"), col("neighbor_vec")))
+    topK(scored, k)
+  }
+
+  /** A built IVF-PQ index (the FAISS IVFPQ shape): the coarse `centroids`
+    * table as in [[IvfIndex]], plus per-subspace residual `codebooks`
+    * (m × ks × dim/m, a driver-side constant) and the corpus `encoded` as
+    * (neighbor_id, list_id, codes) — m CODE BYTES per row instead of the
+    * raw vector. That compression is the point at 100 TB: a 64-dim float
+    * corpus's index shrinks 256 B → 8 B per row (+id), so the searchable
+    * index stays RAM/SSD-resident while raw vectors remain cold storage
+    * that only the final refine join touches, for candidate sets ~refine
+    * per query.
+    */
+  final case class IvfPqIndex(centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]], encoded: DataFrame,
+      nlist: Int, m: Int)
+
+  /** One-shot IVF-PQ build + search — reuse [[buildIvfPq]] + [[searchIvfPq]]
+    * when more than one query batch hits the same corpus.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, m: Int = 8, nprobe: Int = 4, refine: Int = 32,
+      seed: Long = 42L, maxIter: Int = 4): DataFrame =
+    searchIvfPq(buildIvfPq(corpus, idCol, vecCol, nlist, m, seed, maxIter),
+      queries, corpus, idCol, vecCol, k, nprobe, refine)
+
+  /** Train coarse quantizer + product codebooks and encode the corpus.
+    *
+    * Training mirrors [[buildIvf]] — the same bounded deterministic sample
+    * and driver-side Lloyd's (identical seed ⇒ identical coarse centroids,
+    * so an IVF-Flat and IVF-PQ index over one corpus agree on routing).
+    * Codebooks train on the sample's coarse RESIDUALS, sliced into `m`
+    * contiguous subspaces of dim/m, `ks` ≤ 256 codewords each (codes must
+    * fit a byte). Corpus encoding is two scan-local codegen'd expressions
+    * (assign + encode) — the corpus never shuffles and only
+    * (id, list_id, m bytes) is retained.
+    */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, seed: Long = 42L, maxIter: Int = 4,
+      ks: Int = 256): IvfPqIndex = {
+    require(m > 0, s"m must be positive, got $m")
+    require(ks > 0 && ks <= 256, s"ks must be in 1..256, got $ks")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+
+    val base =
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val sample = collectNormalizedSample(base, nlist * 256, seed)
+    val centroids = lloyd(sample, math.min(nlist, sample.length), maxIter, seed)
+    if (sample.nonEmpty)
+      require(sample(0).length % m == 0,
+        s"PQ: dim ${sample(0).length} not divisible by m=$m")
+    // Sample residuals against the trained coarse quantizer, then one
+    // independent Lloyd's per subspace — all driver-side milliseconds on
+    // the same bounded sample (FAISS trains sub-quantizers on residual
+    // slices the same way; distinct seeds decorrelate subspace inits).
+    val residuals = sample.map { p =>
+      val c = nearestDriver(p, centroids)
+      if (c < 0) p
+      else {
+        val r = new Array[Double](p.length)
+        var i = 0
+        while (i < p.length) { r(i) = p(i) - centroids(c)(i); i += 1 }
+        r
+      }
+    }
+    val dsub = if (sample.isEmpty) 0 else sample(0).length / m
+    val codebooks = Array.tabulate(m) { sub =>
+      val slices = residuals.map(_.slice(sub * dsub, (sub + 1) * dsub))
+      lloyd(slices, math.min(ks, slices.length), maxIter, seed + 1 + sub)
+    }
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
+      .toDF("list_id", "centroid", "cnorm2")
+    val encoded = base
+      .withColumn("list_id",
+        GraftFunctions.nearestCentroid(col("neighbor_vec"), centroids))
+      .withColumn("codes",
+        GraftFunctions.pqEncode(col("neighbor_vec"), col("list_id"),
+          centroids, codebooks))
+      .select("neighbor_id", "list_id", "codes")
+    IvfPqIndex(cents, codebooks, encoded, nlist, m)
+  }
+
+  /** Driver-side twin of the [[graft.functions.Kernels.nearestCentroid]]
+    * scoring (points already normalized): argmax(2·p·c − ‖c‖²), ties to
+    * the lowest id, -1 when there are no centroids.
+    */
+  private def nearestDriver(p: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    if (cents.isEmpty) return -1
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var n2 = 0.0; var i = 0
+      val cc = cents(c)
+      while (i < cc.length) {
+        if (i < p.length) dot += p(i) * cc(i)
+        n2 += cc(i) * cc(i); i += 1
+      }
+      val score = 2.0 * dot - n2
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Probe a built IVF-PQ index: queries rank the broadcast centroid table
+    * exactly as [[searchIvf]] does, then candidates in the probed lists are
+    * scored ASYMMETRICALLY — approx cosine = q·centroid + Σ ADC table
+    * lookups, m array reads per candidate, never a dim-length dot — and the
+    * top `refine` per query are re-ranked with exact cosine against the raw
+    * corpus vectors.
+    *
+    * Scale shape: the per-query ADC table (m·ks doubles) is computed once
+    * on the broadcast query side; the candidate scoring stage carries only
+    * (query_id, neighbor_id, approx) into the top-refine exchange — code
+    * bytes stay scan-local, vectors never shuffle. The refine join
+    * broadcasts the (queries × refine)-bounded candidate list against the
+    * raw corpus, so the expensive exact cosine touches `refine` rows per
+    * query, not a list's worth.
+    */
+  def searchIvfPq(index: IvfPqIndex, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      refine: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    // Probe ranking mirrors the quantizer metric (see searchIvf); qcdot is
+    // the q·centroid part of the ADC score, shared with the ranking.
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("list_id"))
+    val probes = withNormed(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+        "query_vec")
+      .withColumnRenamed("nvec", "qn")
+      .withColumn("qtable",
+        GraftFunctions.pqAdcTable(col("query_vec"), index.codebooks))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("qcdot", dot(col("qn"), col("centroid")))
+      .withColumn("cdist", col("qcdot") * 2 - col("cnorm2"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nprobe)
+      .select("query_id", "query_vec", "qtable", "list_id", "qcdot")
+
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = index.encoded.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("neighbor_id"),
+        (col("qcdot") + GraftFunctions.pqAdcScore(col("codes"), col("qtable")))
+          .as("approx"))
+      .withColumn("ark", row_number().over(approxW))
+      .filter(col("ark") <= refine)
+      .select("query_id", "query_vec", "neighbor_id")
+
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("query_vec"), col("c_vec")))
     topK(scored, k)
   }
 

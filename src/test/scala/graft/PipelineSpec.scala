@@ -111,6 +111,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ retrieves planted originals at rank 1 through compressed codes") {
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val top1 = Knn.ivfPqTopK(probes, vecs, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1).collect()
+    assert(top1.length === 5)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 5000000L)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+  }
+
+  test("IVF-PQ index: m code bytes per row, routing agrees with IVF-Flat, " +
+      "build/search split equals one-shot") {
+    val index = Knn.buildIvfPq(vecs, "vec_id", "embedding", nlist = 8, m = 8)
+    // Compressed representation: exactly m bytes per row, no vector column.
+    assert(index.encoded.columns.toSeq === Seq("neighbor_id", "list_id", "codes"))
+    val lens = index.encoded
+      .select(length(col("codes")).as("len")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq === Seq(8))
+    // Same seed ⇒ the coarse quantizer is IDENTICAL to buildIvf's, so the
+    // two index families can never disagree on routing.
+    val flat = Knn.buildIvf(vecs, "vec_id", "embedding", nlist = 8)
+    val flatLists = flat.assigned.select("neighbor_id", "list_id")
+    assert(index.encoded.select("neighbor_id", "list_id")
+      .except(flatLists).count() === 0)
+    // Build/search split equals the one-shot path (seeded, deterministic).
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val viaIndex = Knn.searchIvfPq(index, probes, vecs, "vec_id", "embedding",
+      k = 3, nprobe = 4).select("query_id", "neighbor_id", "rank")
+    val oneShot = Knn.ivfPqTopK(probes, vecs, "vec_id", "embedding", k = 3,
+      nlist = 8).select("query_id", "neighbor_id", "rank")
+    assert(viaIndex.except(oneShot).count() === 0)
+    assert(oneShot.except(viaIndex).count() === 0)
+  }
+
+  test("IVF-PQ with full probing and refine ≥ corpus agrees with brute force") {
+    // nprobe = nlist and a refine window wider than any list degenerate
+    // ADC to a candidate-ordering detail: the exact-cosine refine must
+    // reproduce brute-force top-k exactly.
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val exact = Knn.bruteForceTopK(probes, vecs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+    val pq = Knn.ivfPqTopK(probes, vecs, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 4, refine = 1000)
+      .select("query_id", "neighbor_id", "rank")
+    assert(pq.except(exact).count() === 0)
+    assert(exact.except(pq).count() === 0)
+  }
+
   test("LSH bucket cap bounds candidate pairs for a pathological hot bucket") {
     import spark.implicits._
     // 1,000 identical docs — uncapped, every band bucket would generate

@@ -323,6 +323,50 @@ object Dedup {
       .drop("__h1", "__h2")
   }
 
+  /** [[exactAgainst]] for reference sets too large to hash-join cheaply:
+    * a Bloom filter over the reference's distinct content hashes (built by
+    * one distributed aggregation; `fpp` at `expectedDistinct` items sizes
+    * the bits) is probed SCAN-LOCALLY on the corpus side, and only the
+    * probe's positives — the true duplicates plus an `fpp`-fraction of
+    * clean rows — take the exact anti-join. The output is still EXACT:
+    * a Bloom "no" is definitive (no false negatives), and every "yes" is
+    * verified against the real hash set, so false positives cannot drop
+    * clean rows.
+    *
+    * Scale shape: where [[exactAgainst]] ships the full distinct-hash set
+    * (16 B × distinct contents) into a broadcast or shuffles the corpus
+    * into a hash join, this variant ships ~1.2 bytes per reference item at
+    * 1% fpp — a 10⁹-row reference becomes ~1.2 GB of bits instead of a
+    * 16 GB hash broadcast — and the join input shrinks from the whole
+    * corpus to `dups + fpp·corpus` rows. The trade: the corpus subtree is
+    * evaluated twice (the clean branch and the verify branch — persist it
+    * when it's a derived frame rather than a parquet scan), and the
+    * reference is scanned twice (bits, then verify keys).
+    */
+  def exactAgainstBloom(corpus: DataFrame, corpusCols: Seq[String],
+      reference: DataFrame, referenceCols: Seq[String],
+      expectedDistinct: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(corpusCols.length == referenceCols.length,
+      "corpusCols and referenceCols must align")
+    GraftFunctions.register(corpus.sparkSession)
+    val refKeys = reference
+      .select(hashKeys(referenceCols.map(col)): _*)
+      .distinct()
+    // An empty reference has nothing to scrub (and stat.bloomFilter's
+    // aggregate returns null bytes over zero rows) — short-circuit.
+    if (refKeys.isEmpty) return corpus
+    // Bits over __h1 only: the probe is a prefilter, so extra collisions
+    // just join a few more rows; exactness comes from the 128-bit verify.
+    val bloom = refKeys.stat.bloomFilter("__h1", expectedDistinct, fpp)
+    val Seq(h1, h2) = hashKeys(corpusCols.map(col))
+    val keyed = corpus.withColumn("__h1", h1).withColumn("__h2", h2)
+      .withColumn("__hit", GraftFunctions.bloomMightContain(col("__h1"), bloom))
+    val clean = keyed.filter(!col("__hit"))
+    val verified = keyed.filter(col("__hit"))
+      .join(refKeys, Seq("__h1", "__h2"), "left_anti")
+    clean.unionByName(verified).drop("__h1", "__h2", "__hit")
+  }
+
   /** Distinct word shingles (n-grams) — the Jaccard universe of a doc. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")

@@ -247,6 +247,37 @@ object PqAdcTable {
   }
 }
 
+/** bloom_might_contain(bigint) → boolean over a plan-time-constant Bloom
+  * filter (arrives as a serialized binary literal; deserialized ONCE at
+  * plan time, shipped to tasks via the codegen reference table). False ⇒
+  * definitely absent — the contract [[graft.dedup.Dedup.exactAgainstBloom]]
+  * builds on; true ⇒ verify exactly downstream.
+  */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BloomMightContain {
+  def fromLiteral(value: Expression, bytesLit: Expression): BloomMightContain = {
+    require(bytesLit.foldable,
+      "graft_bloom_might_contain: filter bytes must be a literal")
+    val bytes = bytesLit.eval().asInstanceOf[Array[Byte]]
+    BloomMightContain(value, org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes)))
+  }
+}
+
 /** pq_adc_score(codes, table) → double: m table lookups per candidate. */
 case class PqAdcScore(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -296,6 +327,8 @@ object GraftFunctions {
       es => PqAdcTable.fromLiteral(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc_score",
       es => PqAdcScore(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      es => BloomMightContain.fromLiteral(es(0), es(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -340,4 +373,15 @@ object GraftFunctions {
   /** Residual ADC score: m table lookups per candidate ([[PqAdcScore]]). */
   def pqAdcScore(codes: Column, table: Column): Column =
     call_function("graft_pq_adc_score", codes, table)
+
+  /** Scan-local Bloom membership probe ([[BloomMightContain]]); the filter
+    * ships through the plan serialized once, not per row.
+    */
+  def bloomMightContain(e: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    call_function("graft_bloom_might_contain", e,
+      org.apache.spark.sql.functions.lit(bos.toByteArray))
+  }
 }

@@ -1503,6 +1503,23 @@ object PipelineQueries {
       |FROM documents
       |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 100)""".stripMargin
 
+  /** The Bloom-prefiltered scale path of cross-corpus exact dedup, against
+    * the SAME oracle as `pipe_cross_dedup`: the filter's false-positive
+    * path (hits re-verified exactly) and false-negative contract (a Bloom
+    * "no" is definitive) must make the output byte-identical to the plain
+    * anti-join — any probe/verify disagreement changes n_kept or the id
+    * sum. A deliberately tiny expectedDistinct (≪ reference size would be
+    * wrong; here slightly under-sized at 64) drives fpp UP, exercising the
+    * verify branch with real false positives rather than a no-op.
+    */
+  def pipeCrossDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reference = docs.filter(col("doc_id") < 100).select(col("text"))
+    val kept = Dedup.exactAgainstBloom(docs, Seq("text"), reference, Seq("text"),
+      expectedDistinct = 64, fpp = 0.05)
+    kept.agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+  }
+
   /** Exact-count stratified sample: 10 docs per language, selected by
     * content-addressed hash order. The oracle reproduces the selection as
     * the row_number window the Spark side deliberately does NOT run (the
@@ -1579,6 +1596,7 @@ object PipelineQueries {
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_cross_dedup" -> (pipeCrossDedup _),
+    "pipe_cross_dedup_bloom" -> (pipeCrossDedupBloom _),
     "dd_cross_neardup" -> (ddCrossNeardup _),
     "dd_cross_simhash_planted" -> (ddCrossSimhashPlanted _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
@@ -1627,6 +1645,7 @@ object PipelineQueries {
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
     "pipe_cross_dedup" -> pipeCrossDedupSql,
+    "pipe_cross_dedup_bloom" -> pipeCrossDedupSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
     "txt_decontaminate" -> txtDecontaminateSql,

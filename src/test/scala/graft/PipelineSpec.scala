@@ -715,6 +715,35 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 4)
   }
 
+  test("bloom cross-corpus dedup equals the plain anti-join, including under heavy FPs") {
+    import spark.implicits._
+    // 500-doc corpus, 80 rows byte-identical to the 100-row reference.
+    // The filter is sized far too small (expectedDistinct=8 at fpp 0.2) so
+    // a large share of clean rows false-positive into the verify branch —
+    // the output must STILL equal exactAgainst row-for-row (a Bloom yes is
+    // only a candidacy claim; a Bloom no must be definitive).
+    val corpus = (0 until 500)
+      .map(i => (i.toLong, if (i % 6 == 0) s"shared text number ${i % 80}" else s"unique corpus doc $i"))
+      .toDF("doc_id", "text")
+    val reference = (0 until 80).map(i => s"shared text number $i").toDF("ref_text")
+    val viaBloom = Dedup.exactAgainstBloom(corpus, Seq("text"),
+      reference, Seq("ref_text"), expectedDistinct = 8, fpp = 0.2)
+    val viaJoin = Dedup.exactAgainst(corpus, Seq("text"), reference, Seq("ref_text"))
+    assert(viaBloom.except(viaJoin).count() === 0)
+    assert(viaJoin.except(viaBloom).count() === 0)
+    // Null-pattern identity flows through the same hashKeys: reference row
+    // with a null column removes only the matching null pattern.
+    val nCorpus = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option("x"))).toDF("id", "a", "b")
+    val nRef = Seq((Option.empty[String], Option("x"))).toDF("ra", "rb")
+    assert(Dedup.exactAgainstBloom(nCorpus, Seq("a", "b"), nRef, Seq("ra", "rb"))
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    // Empty reference keeps everything (bloom over zero items).
+    val none = Seq.empty[String].toDF("ref_text")
+    assert(Dedup.exactAgainstBloom(corpus, Seq("text"), none, Seq("ref_text"))
+      .count() === 500)
+  }
+
   test("near-dup operators: empty and singleton corpora yield empty pair sets") {
     // Degenerate inputs drive every internal path — the collapse
     // aggregation, its persisted membership, banding, bucket aggregation,

@@ -86,7 +86,17 @@ object RelationOps {
     * table is never lost mid-evolution.
     */
   def evolvePartitioning(spark: SparkSession, name: String,
-      newPartitionBy: Seq[String]): Unit = {
+      newPartitionBy: Seq[String]): Unit =
+    relayoutWith(spark, name, newPartitionBy, identity)
+
+  /** Shared rename-aside + single-relayout-CTAS machinery behind
+    * [[evolvePartitioning]], [[compact]] and [[optimizeLayout]]: the data
+    * moves ONCE (a staging-copy formulation would write it twice; at
+    * 100 TB the extra copy IS the job), and a relayout failure renames the
+    * original back, so the table is never lost mid-rewrite.
+    */
+  private def relayoutWith(spark: SparkSession, name: String,
+      partitionBy: Seq[String], shape: DataFrame => DataFrame): Unit = {
     val rel = Relation.parse(name)
     val tmp = Relation(rel.schema, s"${rel.identifier}__evolve_src")
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
@@ -99,8 +109,8 @@ object RelationOps {
     // partition entries to fix, and MSCK rejects them.
     repairIfPartitioned(spark, tmp)
     try
-      TableMaterialization.run(spark, name, spark.table(tmp.quoted),
-        partitionBy = newPartitionBy)
+      TableMaterialization.run(spark, name, shape(spark.table(tmp.quoted)),
+        partitionBy = partitionBy)
     catch { case e: Throwable =>
       spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
       rename(spark, tmp.name, name)
@@ -111,6 +121,83 @@ object RelationOps {
     }
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
   }
+
+  /** Small-file compaction (the OPTIMIZE/rewrite_data_files analog — the
+    * maintenance half of incremental materialization: months of per-batch
+    * appends leave thousands of KB-scale files whose open/footer overhead
+    * dominates scans long before I/O does). Unpartitioned tables rewrite
+    * into ceil(bytes / targetFileBytes) files; partitioned tables
+    * hash-repartition on their partition columns — one task per partition
+    * value, so each partition directory collapses to a single file (the
+    * Hive-compaction contract; a value's data is assumed to fit one task,
+    * which directory partitioning already assumes at write time).
+    * Contents are untouched — only the file layout changes.
+    */
+  def compact(spark: SparkSession, name: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val rel = Relation.parse(name)
+    val parts = partitionColumnNames(spark, rel)
+    if (parts.nonEmpty)
+      relayoutWith(spark, name, parts, _.repartition(parts.map(col): _*))
+    else {
+      val n = math.max(1L,
+        (dataBytes(spark, rel) + targetFileBytes - 1) / targetFileBytes).toInt
+      relayoutWith(spark, name, Nil, _.repartition(n))
+    }
+  }
+
+  /** Sort-based layout optimization (the OPTIMIZE ... SORT BY / linear
+    * Z-ORDER analog): rewrite so each file covers a DISJOINT range of
+    * `sortCols` (range repartition) and is sorted inside (row-group
+    * stats). Parquet min/max footers then let any reader skip whole files
+    * for predicates on the sort prefix — at 100 TB the difference between
+    * "scan the table" and "open 1/1000th of it". Partitioned tables keep
+    * their spec; partition columns lead the range key so directory
+    * co-location survives. Contents are untouched.
+    */
+  def optimizeLayout(spark: SparkSession, name: String, sortCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(sortCols.nonEmpty, "optimizeLayout needs at least one sort column")
+    val rel = Relation.parse(name)
+    val parts = partitionColumnNames(spark, rel)
+    val keys = (parts ++ sortCols.filterNot(parts.contains)).map(col)
+    val n = math.max(1L,
+      (dataBytes(spark, rel) + targetFileBytes - 1) / targetFileBytes).toInt
+    relayoutWith(spark, name, parts,
+      _.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
+  }
+
+  private def partitionColumnNames(spark: SparkSession, rel: Relation): Seq[String] = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      rel.identifier, Option(rel.schema).filter(_.nonEmpty))
+    spark.sessionState.catalog.getTableMetadata(ident).partitionColumnNames
+  }
+
+  /** The table's data files (path, bytes) from a recursive listing —
+    * metadata-scale; drives file-count sizing and the layout specs.
+    */
+  private[graft] def dataFiles(spark: SparkSession, name: String): Seq[(String, Long)] = {
+    val rel = Relation.parse(name)
+    tableLocation(spark, rel).toSeq.flatMap { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          val base = f.getPath.getName
+          if (!base.startsWith("_") && !base.startsWith("."))
+            buf += ((f.getPath.toString, f.getLen))
+        }
+        buf.toSeq
+      }
+    }
+  }
+
+  private def dataBytes(spark: SparkSession, rel: Relation): Long =
+    dataFiles(spark, rel.name).map(_._2).sum
 
   /** O9: discover partitions written out-of-band (impl.py:771-773). */
   def repair(spark: SparkSession, name: String): Unit =

@@ -747,6 +747,41 @@ object MaterializationQueries {
       |    AS n_partitions
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- maintenance
+  /** Small-file compaction + sort-layout rewrite, content-checked: a table
+    * deliberately fragmented into 24 files (simulating months of small
+    * incremental appends) compacts to ONE target-size file, then
+    * optimizeLayout range-rewrites it on l_shipdate — and the contents
+    * must come through BOTH rewrites byte-identical (the oracle recomputes
+    * the per-flag aggregate from raw lineitem). File counts before/after
+    * compaction ride along as proof the physical layout actually changed;
+    * per-file range disjointness is spec'd (MaterializationSpec), not
+    * gated — DuckDB can't see Spark's file boundaries.
+    */
+  def relCompact(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.lineitem_compact"
+    TableMaterialization.run(spark, t,
+      Tables.lineitem(spark, dir).repartition(24))
+    val before = RelationOps.dataFiles(spark, t).size.toLong
+    RelationOps.compact(spark, t) // well under one 128 MB target file here
+    val after = RelationOps.dataFiles(spark, t).size.toLong
+    RelationOps.optimizeLayout(spark, t, Seq("l_shipdate"))
+    spark.table(t)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D2)).cast(D2).as("sum_qty"))
+      .withColumn("n_files_before", lit(before))
+      .withColumn("n_files_after", lit(after))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val relCompactSql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(24 AS BIGINT) AS n_files_before, CAST(1 AS BIGINT) AS n_files_after
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- F2
   /** Audit-column star projection with an injected clock (reference
     * iceberg_helper.sql:1-37) — deterministic, so fully oracle-checkable. */
@@ -986,6 +1021,7 @@ object MaterializationQueries {
     "mat_persist_docs" -> (matPersistDocs _),
     "mat_file_formats" -> (matFileFormats _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
+    "rel_compact" -> (relCompact _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "aud_star" -> (audStar _),
     "snap_scd2" -> (snapScd2 _),
@@ -1020,6 +1056,7 @@ object MaterializationQueries {
     "mat_persist_docs" -> matPersistDocsSql,
     "mat_file_formats" -> matFileFormatsSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
+    "rel_compact" -> relCompactSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "aud_star" -> audStarSql,
     "snap_scd2" -> snapScd2Sql,

@@ -235,6 +235,54 @@ class MaterializationSpec extends AnyFunSuite {
     assert(TypeMapper.castType("decimal(10,2)") === "decimal(10,2)")
   }
 
+  test("compact: fragmented unpartitioned table collapses to sized files, contents intact") {
+    val t = freshTable()
+    val src = orders
+    TableMaterialization.run(spark, t, src.repartition(16))
+    assert(RelationOps.dataFiles(spark, t).size === 16)
+    RelationOps.compact(spark, t) // default 128 MB target ⇒ 1 file at spec scale
+    assert(RelationOps.dataFiles(spark, t).size === 1)
+    val after = spark.table(t)
+    assert(after.except(src).count() === 0)
+    assert(src.except(after).count() === 0)
+  }
+
+  test("compact: partitioned table collapses to one file per partition directory") {
+    val t = freshTable()
+    TableMaterialization.run(spark, t, orders.repartition(8),
+      partitionBy = Seq("o_orderstatus"))
+    val statuses = spark.table(t).select("o_orderstatus").distinct().count()
+    assert(RelationOps.dataFiles(spark, t).size > statuses)
+    RelationOps.compact(spark, t)
+    val files = RelationOps.dataFiles(spark, t)
+    assert(files.size === statuses)
+    // Still partition-pruned: each file sits under its value directory.
+    assert(files.map(_._1).forall(_.contains("o_orderstatus=")))
+    assert(spark.table(t).count() === orders.count())
+  }
+
+  test("optimizeLayout: files cover disjoint sort-key ranges for footer skipping") {
+    val t = freshTable()
+    TableMaterialization.run(spark, t, orders.repartition(16))
+    // Tiny target so the rewrite yields several range files at spec scale.
+    RelationOps.optimizeLayout(spark, t, Seq("o_orderkey"),
+      targetFileBytes = 64L << 10)
+    val files = RelationOps.dataFiles(spark, t).map(_._1)
+    assert(files.size > 1)
+    // Per-file min/max of the sort key (what a parquet footer advertises)
+    // must not overlap between files — the property file skipping needs.
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    assert(spark.table(t).count() === orders.count())
+  }
+
   test("quality checks return offending rows only") {
     assert(QualityChecks.notNull(orders, "o_orderkey").count() === 0)
     assert(QualityChecks.unique(orders, "o_orderkey").count() === 0)

@@ -140,6 +140,49 @@ object Sampling {
       .drop("__g", "__thr")
   }
 
+  /** Temperature-flattened mixture (the T5/UniMax α-sampling rule, the
+    * way multilingual/multi-source training mixes are specified when the
+    * per-source budgets aren't hand-written): target share per source
+    * q_s ∝ tot_s^α — α = 1 reproduces natural proportions, α → 0
+    * approaches uniform, 0.3–0.7 is the usual "boost the tail without
+    * drowning the head" band — realized against a `totalBudget` of tokens
+    * as keep rate min(1, q_s·budget / tot_s).
+    *
+    * Same two-pass scale shape as [[tokenBudgetMixture]]: one map-side-
+    * combined per-source total (source-cardinality-sized, broadcasts), a
+    * tiny second aggregation for the weight normalizer, then a scan-local
+    * content-addressed filter — no per-row shuffle anywhere. Single pass,
+    * no redistribution: a head source capped at rate 1 does NOT push its
+    * unused budget to the tail (the iterative water-filling refinement
+    * trades determinism for little at training scale), so realized volume
+    * is ≤ budget when any source saturates. Zero-volume sources are kept
+    * whole (nothing to cap — the [[tokenBudgetMixture]] contract); null
+    * group/key rows are excluded per the module contract.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, totalBudget: Long, alpha: Double,
+      salt: Long = 0L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(totalBudget > 0L, s"totalBudget must be positive, got $totalBudget")
+    val tots = df.groupBy(col(groupCol).as("__g"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("__tot"))
+    val weights = tots.withColumn("__w",
+      pow(col("__tot").cast("double"), lit(alpha)))
+    val wsum = weights.agg(sum(col("__w")).as("__wsum"))
+    // Threshold arithmetic is plain left-associative double math so the
+    // DuckDB oracle can replay it token-for-token:
+    //   round(w / wsum * budget / tot * Space), capped at Space.
+    val rates = weights.crossJoin(wsum)
+      .select(col("__g"),
+        when(col("__tot") === 0L, lit(Space))
+          .otherwise(least(lit(Space),
+            round(col("__w") / col("__wsum") * lit(totalBudget.toDouble)
+              / col("__tot") * lit(Space.toDouble)).cast("long"))).as("__thr"))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .filter(hashBucket(col(keyCol), salt) < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Disjoint train/valid/test assignment: each key lands in exactly one
     * split (cumulative bucket ranges), so membership never leaks between
     * splits across runs or engine versions. `fractions` are (label, share)

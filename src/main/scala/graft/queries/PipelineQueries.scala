@@ -1485,6 +1485,51 @@ object PipelineQueries {
        |WHERE ${bucketSql("d.doc_id", 7L)} < thr.thr
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Temperature mixture ([[Sampling.temperatureMixture]], α = 0.5 over a
+    * budget of half the corpus volume): per-language keep thresholds are
+    * derived from sqrt-flattened shares, so the head language is
+    * downsampled hardest and the tail rides at (or near) full rate. The
+    * oracle replays the whole derivation — totals, pow-weights, the
+    * normalizer, the exact left-associative double threshold arithmetic,
+    * and md5 membership — then checks kept counts AND kept volumes per
+    * language.
+    */
+  def pipeTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val budget = {
+      // Half the corpus's total characters — derived, so the gate is
+      // sf-stable and the oracle recomputes the same number.
+      val t = docs.agg(sum(col("n_chars"))).head().getLong(0)
+      t / 2
+    }
+    Sampling.temperatureMixture(docs, "doc_id", "lang", "n_chars",
+      totalBudget = budget, alpha = 0.5, salt = 11L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val pipeTemperatureMixSql =
+    s"""WITH totals AS (
+       |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS tot FROM documents GROUP BY lang
+       |), budget AS (
+       |  SELECT CAST(SUM(n_chars) // 2 AS DOUBLE) AS b FROM documents
+       |), weights AS (
+       |  SELECT lang, tot, POW(tot, 0.5) AS w FROM totals
+       |), thr AS (
+       |  SELECT lang,
+       |    CASE WHEN tot = 0 THEN ${Sampling.Space}
+       |         ELSE LEAST(${Sampling.Space}, CAST(round(
+       |           w / (SELECT SUM(w) FROM weights) * (SELECT b FROM budget)
+       |             / tot * ${Sampling.Space}.0) AS BIGINT)) END AS thr
+       |  FROM weights
+       |)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+       |FROM documents d JOIN thr ON thr.lang = d.lang
+       |WHERE ${bucketSql("d.doc_id", 11L)} < thr.thr
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Cross-corpus exact dedup: scrub the corpus of rows byte-identical to
     * a reference slice (here: docs 0-99 stand in for an eval set). The
     * reference side travels as distinct 128-bit content hashes (broadcast
@@ -1601,6 +1646,7 @@ object PipelineQueries {
     "dd_cross_simhash_planted" -> (ddCrossSimhashPlanted _),
     "pipe_corpus_mix" -> (pipeCorpusMix _),
     "pipe_token_budget" -> (pipeTokenBudget _),
+    "pipe_temperature_mix" -> (pipeTemperatureMix _),
     "pipe_split" -> (pipeSplit _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
@@ -1629,6 +1675,7 @@ object PipelineQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_cross_neardup" -> ddCrossNeardupSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
+    "pipe_temperature_mix" -> pipeTemperatureMixSql,
     "dd_cross_simhash_planted" -> ddCrossSimhashPlantedSql,
     "dd_embedding" -> ddEmbeddingSql,
     "sim_mean_pool" -> simMeanPoolSql,

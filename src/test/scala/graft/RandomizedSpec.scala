@@ -254,6 +254,47 @@ class RandomizedSpec extends AnyFunSuite {
       budgets = Map("web" -> 100L)).count() === 2)
   }
 
+  test("temperature mixture: alpha flattens shares toward the tail, stable and bounded") {
+    val rnd = new Random(83)
+    // Heavily skewed corpus: 'en' ~ 8× the volume of each tail language.
+    val rows = (1 to 6000).map { i =>
+      val src = rnd.nextInt(10) match {
+        case 0 => "fr"; case 1 => "de"; case _ => "en"
+      }
+      (i.toLong, src, 50L + rnd.nextInt(200))
+    }
+    val df = rows.toDF("id", "src", "tok")
+    val total = rows.map(_._3).sum
+    val kept = Sampling.temperatureMixture(df, "id", "src", "tok",
+      totalBudget = total / 2, alpha = 0.5, salt = 13L)
+    val keptBySrc = kept.groupBy("src").agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totBySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // Flattening: the head's kept SHARE of its own volume is strictly
+    // below each tail language's kept share (sqrt weights boost the tail).
+    val keepRate = (s: String) => keptBySrc(s).toDouble / totBySrc(s)
+    assert(keepRate("en") < keepRate("fr"), s"en ${keepRate("en")} fr ${keepRate("fr")}")
+    assert(keepRate("en") < keepRate("de"))
+    // Single-pass contract: realized volume never exceeds the budget by
+    // more than sampling noise (and is below it whenever a source caps).
+    assert(keptBySrc.values.sum < total / 2 * 1.1)
+    // α = 1 reproduces natural proportions: every source keeps ~budget
+    // share uniformly.
+    val natural = Sampling.temperatureMixture(df, "id", "src", "tok",
+      totalBudget = total / 2, alpha = 1.0, salt = 13L)
+    val natBySrc = natural.groupBy("src").agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("en", "fr", "de")) {
+      val r = natBySrc(s).toDouble / totBySrc(s)
+      assert(math.abs(r - 0.5) < 0.1, s"alpha=1 rate for $s was $r")
+    }
+    // Deterministic and repartition-stable.
+    val again = Sampling.temperatureMixture(df.repartition(7), "id", "src",
+      "tok", totalBudget = total / 2, alpha = 0.5, salt = 13L)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
   test("cross-corpus near-dup: equals brute-force cross Jaccard on random corpora") {
     // Random word-soup corpora with planted exact and near copies across
     // the corpus/reference boundary: the operator's pair set (corpus doc,

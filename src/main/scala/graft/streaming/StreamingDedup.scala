@@ -39,4 +39,33 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__h1", "__h2")
       .drop("__h1", "__h2")
   }
+
+  /** Streaming twin of [[graft.dedup.Dedup.exactAgainst]]: drop stream rows
+    * byte-identical to a STATIC reference corpus (live decontamination at
+    * ingest — scrub a crawl stream against an eval set as it arrives).
+    * The reference reduces once to distinct 128-bit content hashes (16 B
+    * per distinct content, the same [[Dedup.hashKeys]] identity as batch)
+    * and the stream side is a stateless stream-static left-anti join —
+    * no watermark, no state store: every micro-batch probes the static
+    * (usually broadcast) hash relation scan-locally, so the stream twin
+    * keeps exactly the rows the batch operator would keep, row-for-row
+    * (StreamingSpec asserts it).
+    */
+  def dropExactAgainst(stream: DataFrame, streamCols: Seq[String],
+      reference: DataFrame, referenceCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(streamCols.length == referenceCols.length,
+      "streamCols and referenceCols must align")
+    require(!reference.isStreaming,
+      "reference must be a static DataFrame (stream-static anti-join)")
+    val Seq(h1, h2) = Dedup.hashKeys(streamCols.map(col))
+    val refKeys = reference
+      .select(Dedup.hashKeys(referenceCols.map(col)): _*)
+      .distinct()
+    stream
+      .withColumn("__h1", h1)
+      .withColumn("__h2", h2)
+      .join(refKeys, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
+  }
 }

@@ -143,4 +143,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.groupBy("text").count().filter(col("count") > 1).count() === 0)
     assert(streamed.select("text").except(batchKept.select("text")).count() === 0)
   }
+
+  test("streaming cross-corpus dedup keeps exactly the batch survivor rows") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_xdedup")
+    // Stream = the documents corpus; static reference = docs 0-99's text
+    // (an eval set being scrubbed at ingest). Stateless stream-static
+    // anti-join ⇒ the stream must keep EXACTLY the rows the batch operator
+    // keeps, row-for-row — no arrival-order caveat applies here.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(srcDir.toString)
+    val reference = docs.filter(col("doc_id") < 100).select(col("text"))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val transform: DataFrame => DataFrame = df =>
+      graft.streaming.StreamingDedup.dropExactAgainst(
+        df, Seq("text"), reference, Seq("text"))
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "xdedup_sink")
+
+    val batchKept = graft.dedup.Dedup.exactAgainst(
+      docs, Seq("text"), reference, Seq("text"))
+    assert(streamed.count() === batchKept.count())
+    assert(streamed.select("doc_id", "text")
+      .except(batchKept.select("doc_id", "text")).count() === 0)
+    assert(batchKept.select("doc_id", "text")
+      .except(streamed.select("doc_id", "text")).count() === 0)
+  }
 }

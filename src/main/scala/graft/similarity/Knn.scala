@@ -421,16 +421,22 @@ object Knn {
       .filter(col("prk") <= nprobe)
       .select("query_id", "query_vec", "qtable", "list_id", "qcdot")
 
+    // Only (query_id, neighbor_id, approx) rides the top-refine exchange —
+    // the query vector re-attaches AFTER the cut from the broadcastable
+    // query set (carrying it per candidate would ship dim floats ×
+    // candidates through the shuffle for nothing).
     val approxW = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = index.encoded.join(broadcast(probes), Seq("list_id"))
+    val cand = index.encoded.join(broadcast(probes.drop("query_vec")), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_vec"), col("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"),
         (col("qcdot") + GraftFunctions.pqAdcScore(col("codes"), col("qtable")))
           .as("approx"))
       .withColumn("ark", row_number().over(approxW))
       .filter(col("ark") <= refine)
-      .select("query_id", "query_vec", "neighbor_id")
+      .select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+        Seq("query_id"))
 
     val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = cvec.join(broadcast(cand), Seq("neighbor_id"))

@@ -148,6 +148,32 @@ object PlanAudit {
       .filter(l => l.contains("Exchange") || l.contains("nearest_centroid") ||
         l.contains("Scan")).mkString("\n"))
 
+    // IVF-PQ: corpus encoding must be scan-local codegen (assign + encode
+    // in one project, zero Exchange); the search side's only corpus-wide
+    // exchange is the top-refine window — codes and vectors stay out of it.
+    println("=== buildIvfPq encoding (want scan-local codegen, zero Exchange) ===")
+    val pqx = graft.similarity.Knn.buildIvfPq(vecs, "vec_id", "embedding")
+    val encPlan = pqx.encoded.queryExecution.executedPlan.toString
+    val encExchanges = encPlan.linesIterator.count(_.contains("Exchange"))
+    val encCodegen = encPlan.linesIterator.count(_.trim.startsWith("*("))
+    println(s"exchanges: $encExchanges (want 0), codegen spans: $encCodegen (want >0)")
+    println("=== searchIvfPq (want ids+approx only in the refine exchange) ===")
+    val pqTop = graft.similarity.Knn.searchIvfPq(pqx, probes, vecs,
+      "vec_id", "embedding", k = 3)
+    println(pqTop.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n"))
+
+    // Bloom cross-corpus dedup: the clean branch must be a scan-local
+    // filter (bloom probe inside the scan stage, no join), and only the
+    // hit branch may join.
+    println("=== exactAgainstBloom (want scan-local bloom filter + hit-only join) ===")
+    val bl = graft.dedup.Dedup.exactAgainstBloom(docs, Seq("text"),
+      docs.filter(col("doc_id") < 50).select(col("text")), Seq("text"))
+    println(bl.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("bloom_might_contain")).mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -443,6 +443,66 @@ object Knn {
       .withColumn("cosine",
         GraftFunctions.cosineSim(col("query_vec"), col("c_vec")))
     topK(scored, k)
+  }
+
+  // ------------------------------------------------------------ persistence
+  // An index is built once per corpus version and searched for months; at
+  // 100 TB the encoded/assigned corpus must live in tables, not an
+  // in-memory frame. The corpus-sized half is written PARTITIONED BY
+  // list_id, so a later search's candidate join dynamic-partition-prunes
+  // the scan to the probed lists (nprobe/nlist of the index — the I/O
+  // analog of FAISS only walking probed inverted lists; spec-asserted).
+
+  /** Persist a built IVF-Flat index as `<prefix>_centroids` +
+    * `<prefix>_assigned` (partitioned by list id).
+    */
+  def saveIvf(index: IvfIndex, prefix: String): Unit = {
+    index.centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    index.assigned.write.mode("overwrite").partitionBy("list_id")
+      .saveAsTable(s"${prefix}_assigned")
+  }
+
+  /** Reattach a persisted IVF-Flat index. */
+  def loadIvf(spark: SparkSession, prefix: String): IvfIndex = {
+    val cents = spark.table(s"${prefix}_centroids")
+    IvfIndex(cents,
+      spark.table(s"${prefix}_assigned")
+        .select("neighbor_id", "neighbor_vec", "list_id"),
+      cents.count().toInt)
+  }
+
+  /** Persist a built IVF-PQ index as `<prefix>_centroids`,
+    * `<prefix>_codebooks` (one row per (subspace, code) — m·ks rows,
+    * metadata-scale) and `<prefix>_encoded` (partitioned by list id).
+    */
+  def saveIvfPq(index: IvfPqIndex, prefix: String): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    index.centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    index.codebooks.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (w, j) => (s, j, w.toSeq) }
+    }.toSeq.toDF("sub", "code", "codeword")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_codebooks")
+    index.encoded.write.mode("overwrite").partitionBy("list_id")
+      .saveAsTable(s"${prefix}_encoded")
+  }
+
+  /** Reattach a persisted IVF-PQ index (codebooks collect driver-side —
+    * m·ks rows, the same bounded footprint training had).
+    */
+  def loadIvfPq(spark: SparkSession, prefix: String): IvfPqIndex = {
+    val cents = spark.table(s"${prefix}_centroids")
+    val bookRows = spark.table(s"${prefix}_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Number](2).map(_.doubleValue).toArray))
+    val codebooks =
+      if (bookRows.isEmpty) Array.empty[Array[Array[Double]]]
+      else Array.tabulate(bookRows.map(_._1).max + 1) { s =>
+        bookRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+      }
+    IvfPqIndex(cents, codebooks,
+      spark.table(s"${prefix}_encoded").select("neighbor_id", "list_id", "codes"),
+      cents.count().toInt, codebooks.length)
   }
 
   // Euclidean k-means on the unit sphere ≈ cosine geometry. The norm is

@@ -148,6 +148,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(oneShot.except(viaIndex).count() === 0)
   }
 
+  test("persisted IVF indexes reload identically and partition-prune probed lists") {
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    // IVF-PQ round-trip: saved tables → loaded index → identical results.
+    val pq = Knn.buildIvfPq(vecs, "vec_id", "embedding", nlist = 8, m = 8)
+    Knn.saveIvfPq(pq, "default.ivfpq_spec")
+    val pqLoaded = Knn.loadIvfPq(spark, "default.ivfpq_spec")
+    assert(pqLoaded.nlist === pq.nlist && pqLoaded.m === pq.m)
+    assert(pqLoaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val mem = Knn.searchIvfPq(pq, probes, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val disk = Knn.searchIvfPq(pqLoaded, probes, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(disk.except(mem).count() === 0)
+    assert(mem.except(disk).count() === 0)
+    // The candidate join over the list_id-partitioned table must
+    // dynamic-partition-prune the scan to the probed lists — the I/O analog
+    // of only walking probed inverted lists.
+    val plan = disk.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the encoded scan:\n$plan")
+    // IVF-Flat round-trip through the same persistence contract.
+    val flat = Knn.buildIvf(vecs, "vec_id", "embedding", nlist = 8)
+    Knn.saveIvf(flat, "default.ivf_spec")
+    val flatLoaded = Knn.loadIvf(spark, "default.ivf_spec")
+    assert(flatLoaded.nlist === flat.nlist)
+    val memF = Knn.searchIvf(flat, probes, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val diskF = Knn.searchIvf(flatLoaded, probes, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(diskF.except(memF).count() === 0)
+    assert(memF.except(diskF).count() === 0)
+    Seq("ivfpq_spec_centroids", "ivfpq_spec_codebooks", "ivfpq_spec_encoded",
+      "ivf_spec_centroids", "ivf_spec_assigned")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS default.$t"))
+  }
+
   test("IVF-PQ with full probing and refine ≥ corpus agrees with brute force") {
     // nprobe = nlist and a refine window wider than any list degenerate
     // ADC to a candidate-ordering detail: the exact-cosine refine must

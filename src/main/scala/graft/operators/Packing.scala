@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data pipelines: lay documents out as
+  * one contiguous token stream per shard and derive which fixed-length
+  * training sequences each document occupies (the GPT-style "concatenate
+  * and chunk" packing contract — a document may straddle a sequence
+  * boundary and then spans consecutive sequence ids).
+  *
+  * Determinism is the whole point: the layout must be identical on every
+  * run, every cluster shape, and every engine, or a resumed/sharded
+  * training job reads different data than the one it resumed from. Both
+  * the shard assignment and the within-shard order derive from the same
+  * content-addressed md5 bucket as [[Sampling]] (never from input order,
+  * which changes under AQE re-plans and task retries), so the layout IS
+  * ALSO the deterministic global shuffle training pipelines need —
+  * documents land in hash-random order, decorrelated from any crawl /
+  * source / time order in the input.
+  *
+  * Scale shape: one hash-partitioned window per shard — the only shuffle —
+  * whose partition sizes the caller controls directly with `nShards`
+  * (corpus_tokens / nShards tokens per sort partition; at 100 TB pick
+  * nShards in the tens of thousands and each shard sorts a few GB). No
+  * global sort, no single-task funnel, no driver-side state. An EXACT
+  * greedy bin-packer ("close the pack when the next doc would overflow")
+  * is deliberately not offered: its pack ids are a sequential recurrence
+  * over the shard (each boundary depends on every prior row), which
+  * serializes at scale and wastes the tail of every pack; the contiguous
+  * layout wastes nothing and is what sequence-packed pretraining actually
+  * consumes.
+  */
+object Packing {
+  /** Assign each row its position in the packed layout. Adds:
+    *   - `shard`  — which of `nShards` independent streams the doc joins
+    *   - `off`    — the doc's first token offset within its shard stream
+    *   - `seq_first` / `seq_last` — the range of `seqLen`-sized training
+    *     sequences the doc's tokens land in (inclusive; equal when the doc
+    *     fits inside one sequence)
+    *
+    * `tokenCol` is the doc's token count; null counts as 0 (the doc is a
+    * zero-width marker at its offset, `seq_last` = `seq_first`). Null keys
+    * are excluded per the [[Sampling]] module contract — a null key has no
+    * bucket, so it has no deterministic place in any layout.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
+      seqLen: Long, nShards: Int, salt: Long = 0L): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val bucket = Sampling.hashBucket(col(keyCol), salt)
+    val toks = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__bkt"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__bkt", bucket)
+      .withColumn("shard", pmod(col("__bkt"), lit(nShards.toLong)).cast("int"))
+      .withColumn("off", coalesce(sum(toks).over(w), lit(0L)))
+      .withColumn("seq_first", floor(col("off") / lit(seqLen)).cast("long"))
+      .withColumn("seq_last",
+        floor((col("off") + greatest(toks, lit(1L)) - lit(1L)) / lit(seqLen))
+          .cast("long"))
+      .drop("__bkt")
+  }
+}

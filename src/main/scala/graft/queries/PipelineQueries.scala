@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.dedup.{Clusters, Dedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling}
 import graft.similarity.Knn
 import graft.text.{Decontamination, TextAnalysis, TfIdf}
 
@@ -1601,6 +1601,39 @@ object PipelineQueries {
        |  COUNT(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Sequence packing ([[Packing.packSequences]]): documents laid out as 8
+    * contiguous per-shard streams in content-addressed order, `n_chars` as
+    * the token count, 4096-token training sequences. The oracle replays
+    * the ENTIRE layout — shard assignment, within-shard order, running
+    * offsets, and first/last sequence ids — as the window query the
+    * operator's sharded form distributes, so any drift in hashing, ordering
+    * or offset arithmetic breaks the row hash.
+    */
+  def pipePack(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables.documents(spark, dir), "doc_id", "n_chars",
+      seqLen = 4096L, nShards = 8, salt = 13L)
+      .select(col("doc_id"), col("shard"), col("off"),
+        col("seq_first"), col("seq_last"))
+      .orderBy(col("doc_id"))
+
+  private val pipePackSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, COALESCE(n_chars, 0) AS toks,
+       |    ${bucketSql("doc_id", 13L)} AS bkt
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |), laid AS (
+       |  SELECT doc_id, toks, CAST(bkt % 8 AS INT) AS shard,
+       |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY bkt % 8
+       |      ORDER BY bkt, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS off
+       |  FROM b
+       |)
+       |SELECT doc_id, shard, off,
+       |  off // 4096 AS seq_first,
+       |  (off + greatest(toks, 1) - 1) // 4096 AS seq_last
+       |FROM laid ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -1648,6 +1681,7 @@ object PipelineQueries {
     "pipe_token_budget" -> (pipeTokenBudget _),
     "pipe_temperature_mix" -> (pipeTemperatureMix _),
     "pipe_split" -> (pipeSplit _),
+    "pipe_pack" -> (pipePack _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
     "pipe_training_data" -> (pipeTrainingData _))
@@ -1695,6 +1729,7 @@ object PipelineQueries {
     "pipe_cross_dedup_bloom" -> pipeCrossDedupSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
+    "pipe_pack" -> pipePackSql,
     "txt_decontaminate" -> txtDecontaminateSql,
     "txt_repetition" -> txtRepetitionSql,
     "pipe_training_data" -> pipeTrainingDataSql)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Clusters
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Packing}
 import graft.text.TextAnalysis
 
 class OperatorsSpec extends AnyFunSuite {
@@ -270,5 +270,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4).getInt(0) === 0 && got(4).getInt(1) === 0 && got(4).getInt(2) === 0)
     assert(got(3).getString(3) === "mixed <email> <ip> <phone>")
     assert(!got.map(_.getString(3)).mkString.contains("@"))
+  }
+
+  test("packing: contiguous per-shard layout, seq bounds, null/zero contracts") {
+    val df = Seq[(java.lang.Long, Long)](
+      (1L, 10L), (2L, 0L), (3L, 7L), (4L, 25L), (5L, 3L), (6L, 12L),
+      (7L, 9L), (8L, 1L), (null, 99L))
+      .toDF("id", "toks")
+    val got = Packing.packSequences(df, "id", "toks",
+      seqLen = 8L, nShards = 2, salt = 3L)
+      .select("id", "toks", "shard", "off", "seq_first", "seq_last")
+      .collect()
+
+    assert(got.length === 8) // null key excluded
+    // Within each shard, sorting by off must reproduce a contiguous
+    // stream: each doc starts exactly where the previous one ended.
+    got.groupBy(_.getInt(2)).foreach { case (_, rows) =>
+      val laid = rows.sortBy(_.getLong(3))
+      assert(laid.head.getLong(3) === 0L)
+      laid.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) === a.getLong(3) + a.getLong(1))
+        case _ =>
+      }
+    }
+    got.foreach { r =>
+      val (toks, off, f, l) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(f === off / 8)
+      assert(l === (off + math.max(toks, 1L) - 1) / 8)
+      assert(l >= f)
+      if (toks == 0L) assert(l === f) // zero-width marker
+    }
+  }
+
+  test("packing: layout is identical under repartition (determinism)") {
+    val df = (1L to 60L).map(i => (i, i % 13)).toDF("id", "toks")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(d, "id", "toks", seqLen = 16L, nShards = 4,
+        salt = 9L)
+        .select("id", "shard", "off", "seq_first", "seq_last")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(run(df) === run(df.repartition(7)))
   }
 }

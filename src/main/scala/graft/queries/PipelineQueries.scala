@@ -9,7 +9,7 @@ import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Sampling}
 import graft.similarity.Knn
-import graft.text.{Decontamination, TextAnalysis, TfIdf}
+import graft.text.{Decontamination, DupSpans, TextAnalysis, TfIdf}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
@@ -440,6 +440,63 @@ object PipelineQueries {
       |SELECT doc_id, CAST((st - 1) / 48 AS INT) AS chunk_idx,
       |  array_to_string(toks[st : st + 63], ' ') AS chunk
       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Duplicated-span statistics ([[DupSpans.duplicatedSpanStats]], word
+    * 3-grams): fraction of each doc's gram occurrences that occur in ≥2
+    * distinct documents — the distributed substring-dedup signal. The
+    * Spark side runs the production path (grams carried as xxhash64 keys
+    * through both aggregations); the oracle recomputes the identical
+    * counts from the gram STRINGS, so the gate also proves the hashed
+    * shuffle is count-preserving on this corpus.
+    */
+  def txtDupSpans(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.duplicatedSpanStats(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  private val txtDupSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3
+      |), per_doc AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g
+      |), dup AS (
+      |  SELECT g FROM per_doc GROUP BY g HAVING COUNT(*) >= 2
+      |)
+      |SELECT p.doc_id,
+      |  CAST(SUM(p.c) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(SUM(p.c) FILTER (WHERE d.g IS NOT NULL), 0) AS BIGINT)
+      |    AS n_dup,
+      |  round(COALESCE(SUM(p.c) FILTER (WHERE d.g IS NOT NULL), 0)
+      |    / CAST(SUM(p.c) AS DOUBLE), 6) AS dup_frac
+      |FROM per_doc p LEFT JOIN dup d USING (g)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  /** The corpus's most-duplicated spans ([[DupSpans.topDuplicatedSpans]]):
+    * top-10 3-grams by distinct-document frequency — the boilerplate
+    * detector. Total-ordered tie-break (n_docs desc, gram asc) keeps the
+    * limit boundary deterministic on both engines.
+    */
+  def txtTopSpans(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.topDuplicatedSpans(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, k = 10, minDocs = 2)
+
+  private val txtTopSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3
+      |)
+      |SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_docs DESC, gram LIMIT 10""".stripMargin
 
   /** Corpus TF-IDF keyword extraction ([[graft.text.TfIdf]]): smoothed IDF
     * over the WHOLE corpus, per-doc top-3 salient terms for the doc_id<50
@@ -1684,6 +1741,8 @@ object PipelineQueries {
     "pipe_pack" -> (pipePack _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
+    "txt_dup_spans" -> (txtDupSpans _),
+    "txt_top_spans" -> (txtTopSpans _),
     "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
@@ -1732,5 +1791,7 @@ object PipelineQueries {
     "pipe_pack" -> pipePackSql,
     "txt_decontaminate" -> txtDecontaminateSql,
     "txt_repetition" -> txtRepetitionSql,
+    "txt_dup_spans" -> txtDupSpansSql,
+    "txt_top_spans" -> txtTopSpansSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

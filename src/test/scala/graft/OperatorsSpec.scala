@@ -272,6 +272,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.map(_.getString(3)).mkString.contains("@"))
   }
 
+  test("dup spans: hand-computed fractions, hashed == string path, short docs omitted") {
+    import graft.text.DupSpans
+    // 2-grams: doc 1 = [a b, b c, c d]; doc 2 = [a b, b c]; doc 3 = [x y];
+    // doc 4 = [a b, a b] (within-doc repeat of a cross-doc gram);
+    // doc 5 has 1 token -> no grams -> omitted.
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "x y"),
+      (4L, "a b a b"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      DupSpans.duplicatedSpanStats(df, "doc_id", "text", n = 2,
+        minDocs = 2, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+
+    val got = run(hashed = true)
+    // doc 4's grams: [a b, b a, a b] -> "a b" in docs 1,2,4; "b a" only in 4.
+    assert(got === Seq(
+      (1L, 3L, 2L, 0.666667), // a b, b c shared; c d unique
+      (2L, 2L, 2L, 1.0),
+      (3L, 1L, 0L, 0.0),
+      (4L, 3L, 2L, 0.666667)))
+    assert(run(hashed = false) === got)
+
+    val top = DupSpans.topDuplicatedSpans(df, "doc_id", "text", n = 2,
+      k = 5, minDocs = 2).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq === Seq(("a b", 3L), ("b c", 2L)))
+  }
+
   test("packing: contiguous per-shard layout, seq bounds, null/zero contracts") {
     val df = Seq[(java.lang.Long, Long)](
       (1L, 10L), (2L, 0L), (3L, 7L), (4L, 25L), (5L, 3L), (6L, 12L),

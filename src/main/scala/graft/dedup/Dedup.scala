@@ -823,4 +823,78 @@ object Dedup {
         .filter(col("cosine") >= threshold))
     fanOut(repPairs, c.members)
   }
+
+  // ------------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic near-dup pairs: a k-means coarse quantizer
+    * (the [[graft.similarity.Knn.buildIvf]] IVF machinery — driver-trained
+    * on a bounded deterministic sample, broadcast, assigned scan-locally)
+    * partitions the corpus into `nlist` clusters, and exact cosine runs
+    * only WITHIN each cluster. Complementary to [[embeddingNearDupPairs]]:
+    * LSH banding has probabilistic recall everywhere in the space, while
+    * cluster bucketing concentrates comparisons where semantic duplicates
+    * actually live and gives the k-means partition downstream uses anyway
+    * (topic routing, per-cluster pruning rates à la SemDeDup); a pair
+    * split across a cluster boundary is missed by construction — that is
+    * the SemDeDup recall tradeoff, not a defect.
+    *
+    * Scale shape: quantizer training is corpus-size-independent; cluster
+    * assignment is a scan-local codegen'd argmax (no shuffle); identical
+    * vectors are collapsed BEFORE pairing by the standard pre-route
+    * ([[collapseKeyed]] — hash keys and list id both compute scan-locally,
+    * so only (id, 16-byte key, list_id) ever reaches an exchange, never
+    * the vector); within-cluster pairing is [[bucketPairs]] with the
+    * cluster as the single band, capped at `maxClusterSize` members — a
+    * hot cluster contributes ≤ max² pairs, never quadratic. Raise `nlist`
+    * with corpus size (FAISS practice ~√n) to keep clusters bounded.
+    */
+  def semanticNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 256, maxClusterSize: Int = 10000,
+      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val index = graft.similarity.Knn.buildIvf(
+      vectors, idCol, vecCol, nlist, seed, maxIter)
+    val keyed = index.assigned.select(
+      col("neighbor_id").as("id") +:
+        hashKeys(Seq(col("neighbor_vec"))) :+ col("list_id"): _*)
+    val c = collapseKeyed(keyed, maxClusterSize)
+    val candidates = bucketPairs(
+      c.reps.withColumn("band_idx", lit(0))
+        .withColumnRenamed("list_id", "band_hash"),
+      maxClusterSize).select("id_a", "id_b")
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val repPairs = candidates
+      .join(vecs.toDF("id_a", "vec_a"), "id_a")
+      .join(vecs.toDF("id_b", "vec_b"), "id_b")
+      .withColumn("cosine", GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      // Same identity-pair contract as [[embeddingNearDupPairs]]: the
+      // identical-vector cosine from the same kernel, not a synthetic 1.0.
+      .unionByName(c.dupReps.join(vecs.toDF("__rep", "vec"), "__rep")
+        .select(col("__rep").as("id_a"), col("__rep").as("id_b"),
+          GraftFunctions.cosineSim(col("vec"), col("vec")).as("cosine"))
+        .filter(col("cosine") >= threshold))
+    fanOut(repPairs, c.members)
+  }
+
+  /** Semantic dedup: drop every vector that has a SMALLER-id near-duplicate
+    * in its cluster ([[semanticNearDupPairs]] ≥ `threshold`), keep the rest
+    * — one deterministic pass, no iteration. Note the rule is pairwise,
+    * not greedy-sequential: a vector is removed even when its smaller-id
+    * neighbor is itself removed (a ~ b ~ c chains drop b AND c where
+    * greedy removal in id order would re-admit c). That is the standard
+    * scale-safe choice — greedy re-admission is a sequential recurrence
+    * over each duplicate chain; route pairs through
+    * [[Clusters.connectedComponents]] instead when per-GROUP
+    * representatives are required.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 256, maxClusterSize: Int = 10000,
+      seed: Long = 42L, maxIter: Int = 4): DataFrame = {
+    val removed = semanticNearDupPairs(vectors, idCol, vecCol, threshold,
+      nlist, maxClusterSize, seed, maxIter)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.join(removed, Seq(idCol), "left_anti")
+  }
 }

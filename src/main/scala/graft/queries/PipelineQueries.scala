@@ -905,6 +905,32 @@ object PipelineQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.98
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Semantic dedup ([[Dedup.semanticDedup]], the SemDeDup shape): k-means
+    * clusters bucket the corpus, exact cosine ≥ 0.98 within each cluster
+    * drops the larger id of every near-dup pair. Identical-copy planted
+    * protocol (sim_knn_ivfpq precedent): copies of vec_id < 25 are planted
+    * at +1,000,000; the quantizer routes an identical copy to its
+    * original's list (same kernel, same tie-break), the pair's cosine is
+    * 1.0, and the copy (larger id) is dropped — while the max NATURAL
+    * cosine in this corpus is ≈0.60 (measured at every SF), far below the
+    * 0.98 bar, so the kept set is exactly the originals and the oracle
+    * derives it without running k-means.
+    */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val planted = vecs.unionByName(
+      vecs.filter(col("vec_id") < 25)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.semanticDedup(planted, "vec_id", "embedding",
+      threshold = 0.98, nlist = 16)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val ddSemanticSql =
+    "SELECT vec_id FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"
+
   /** Embedding mean-pooling ([[GraftFunctions.vecMean]]): group the
     * embeddings table into 10 synthetic "documents" (vec_id % 10 — stand-in
     * for token→doc pooling) and mean-pool each group with the dim-sized
@@ -1717,6 +1743,7 @@ object PipelineQueries {
     "dd_simhash_planted" -> (ddSimhashPlanted _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embedding" -> (ddEmbedding _),
+    "dd_semantic" -> (ddSemantic _),
     "sim_mean_pool" -> (simMeanPool _),
     "pipe_pooled_knn" -> (pipePooledKnn _),
     "sim_knn_brute" -> (simKnnBrute _),
@@ -1771,6 +1798,7 @@ object PipelineQueries {
     "pipe_temperature_mix" -> pipeTemperatureMixSql,
     "dd_cross_simhash_planted" -> ddCrossSimhashPlantedSql,
     "dd_embedding" -> ddEmbeddingSql,
+    "dd_semantic" -> ddSemanticSql,
     "sim_mean_pool" -> simMeanPoolSql,
     "pipe_pooled_knn" -> pipePooledKnnSql,
     "sim_knn_brute" -> simKnnBruteSql,

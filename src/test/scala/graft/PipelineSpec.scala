@@ -429,6 +429,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.count(r => r.getLong(1) === r.getLong(0) + 10000) === 10)
   }
 
+  test("semantic dedup: planted copies removed, chain rule, synthetic clusters") {
+    import spark.implicits._
+    // Two well-separated clusters; a2 ~ a1 (cos .99), b2 == b1 exactly,
+    // c is alone near B but below threshold to everything.
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.99f, 0.141f)),
+      (10L, Array(0f, 1f)), (11L, Array(0f, 1f)),
+      (20L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.98, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (10L, 11L)))
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.98, nlist = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 20L))
+
+    // Pairwise (not greedy-sequential) removal: a~b and b~c with a!~c
+    // still drops BOTH b and c.
+    val chain = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.995f, 0.0999f)),
+      (3L, Array(0.98f, 0.198f)))
+      .toDF("vec_id", "embedding")
+    val keptChain = Dedup.semanticDedup(chain, "vec_id", "embedding",
+      threshold = 0.99, nlist = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptChain === Set(1L))
+
+    // Planted-copy protocol on the real table (the dd_semantic contract).
+    val planted = vecs.unionByName(
+      vecs.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 10000))
+    val keptReal = Dedup.semanticDedup(planted, "vec_id", "embedding",
+      threshold = 0.98, nlist = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptReal === vecs.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("brute-force knn: self-similarity is 1 with self included, monotone ranks") {
     val q = vecs.filter(col("vec_id") === 0)
     val res = Knn.bruteForceTopK(q, vecs, "vec_id", "embedding", 10)

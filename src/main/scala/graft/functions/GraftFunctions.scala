@@ -293,6 +293,26 @@ case class PqAdcScore(left: Expression, right: Expression)
 }
 
 /** Column-API + SQL registration for the custom expressions. */
+/** remove_spans(array<string> tokens, array<bigint> starts) → string:
+  * text rebuilt with every token covered by an n-gram starting at one of
+  * the 1-based `starts` removed — the substring-dedup transform. `n` is a
+  * plan-time constant.
+  */
+case class RemoveSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_remove_spans"
+  override protected def nullSafeEval(toks: Any, starts: Any): Any =
+    Kernels.removeSpans(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.Kernels.removeSpans($t, $s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   /** Register the functions in a session's registry so both `spark.sql` and
     * `call_function` can use them. Idempotent per session.
@@ -329,6 +349,9 @@ object GraftFunctions {
       es => PqAdcScore(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might_contain",
       es => BloomMightContain.fromLiteral(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_remove_spans",
+      es => RemoveSpans(es(0), es(1), CollectMinK.expressionToK(es(2))),
+      "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -338,6 +361,12 @@ object GraftFunctions {
   def topNgramFrac(tokens: Column): Column = call_function("graft_top_ngram_frac", tokens)
   def dupNgramFrac(tokens: Column): Column = call_function("graft_dup_ngram_frac", tokens)
   def deflateRatio(text: Column): Column = call_function("graft_deflate_ratio", text)
+  /** Substring-dedup transform ([[RemoveSpans]]): drop every token covered
+    * by an n-gram starting at one of the 1-based `starts`.
+    */
+  def removeSpans(tokens: Column, starts: Column, n: Int): Column =
+    call_function("graft_remove_spans", tokens, starts,
+      org.apache.spark.sql.functions.lit(n))
 
   /** Bounded first-k-ascending collector ([[CollectMinK]]) — aggregate. */
   def collectMinK(e: Column, k: Int): Column =

@@ -421,6 +421,40 @@ object Kernels {
   }
 
   /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
+  /** Rebuild a document's text with every token covered by a flagged
+    * n-gram span removed. `starts` holds the 1-based token positions where
+    * a duplicated n-gram begins (any order, duplicates fine); a token at
+    * position t is dropped iff some start p satisfies p <= t < p + n.
+    * One sorted two-pointer sweep: O(tokens + starts·log starts), no
+    * per-token scan over the span list — the scan-local cost stays linear
+    * even when a boilerplate-heavy doc flags most of its grams.
+    */
+  def removeSpans(tokens: ArrayData, starts: ArrayData, n: Int): UTF8String = {
+    val numToks = tokens.numElements()
+    val p = new Array[Long](starts.numElements())
+    var i = 0
+    while (i < p.length) { p(i) = starts.getLong(i); i += 1 }
+    java.util.Arrays.sort(p)
+    val sb = new java.lang.StringBuilder
+    var pi = 0
+    var coverEnd = 0L // exclusive upper bound of the active covered range
+    var t = 0
+    while (t < numToks) {
+      val pos = t + 1L
+      while (pi < p.length && p(pi) <= pos) {
+        val e = p(pi) + n
+        if (e > coverEnd) coverEnd = e
+        pi += 1
+      }
+      if (pos >= coverEnd) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(t).toString)
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

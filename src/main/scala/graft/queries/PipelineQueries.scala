@@ -476,6 +476,48 @@ object PipelineQueries {
       |FROM per_doc p LEFT JOIN dup d USING (g)
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  /** Substring-dedup transform ([[DupSpans.removeDuplicatedSpans]], word
+    * 3-grams): every token covered by a cross-document duplicated gram is
+    * cut and the doc rebuilt — the codegen'd [[graft.functions.RemoveSpans]]
+    * kernel's sweep, replayed by the oracle as gram → covered-token-index →
+    * anti-join → ordered string_agg. doc_id < 200 bounds the output
+    * volume; the dup-gram statistics still come from the WHOLE corpus, so
+    * the slice is a projection, not a different computation.
+    */
+  def txtRemoveSpans(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.removeDuplicatedSpans(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, minDocs = 2)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  private val txtRemoveSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, i, array_to_string(t[i : i + 2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3
+      |), dup AS (
+      |  SELECT g FROM (
+      |    SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g
+      |  ) WHERE nd >= 2
+      |), cov AS (
+      |  SELECT DISTINCT g.doc_id, c.ci
+      |  FROM g JOIN dup USING (g), UNNEST(generate_series(g.i, g.i + 2)) AS c(ci)
+      |), tok_pos AS (
+      |  SELECT doc_id, p.ti, t[p.ti] AS tok
+      |  FROM toks, UNNEST(generate_series(1, len(t))) AS p(ti)
+      |)
+      |SELECT tp.doc_id,
+      |  COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.ti)
+      |             FILTER (WHERE cov.ci IS NULL), '') AS clean_text
+      |FROM tok_pos tp
+      |LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.ci = tp.ti
+      |WHERE tp.doc_id < 200
+      |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin
+
   /** The corpus's most-duplicated spans ([[DupSpans.topDuplicatedSpans]]):
     * top-10 3-grams by distinct-document frequency — the boilerplate
     * detector. Total-ordered tie-break (n_docs desc, gram asc) keeps the
@@ -1769,6 +1811,7 @@ object PipelineQueries {
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
     "txt_dup_spans" -> (txtDupSpans _),
+    "txt_remove_spans" -> (txtRemoveSpans _),
     "txt_top_spans" -> (txtTopSpans _),
     "pipe_training_data" -> (pipeTrainingData _))
 
@@ -1820,6 +1863,7 @@ object PipelineQueries {
     "txt_decontaminate" -> txtDecontaminateSql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_dup_spans" -> txtDupSpansSql,
+    "txt_remove_spans" -> txtRemoveSpansSql,
     "txt_top_spans" -> txtTopSpansSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

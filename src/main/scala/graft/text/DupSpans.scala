@@ -73,6 +73,46 @@ object DupSpans {
           col("n_grams").cast("double"), 6).as("dup_frac"))
   }
 
+  /** The substring-dedup TRANSFORM (not just the signal): rewrite each
+    * document with every token covered by a cross-document duplicated
+    * n-gram removed — what the "Deduplicating Training Data" line of work
+    * actually does to the corpus before training. Adds `clean_text`; the
+    * original column is kept. Output text is whitespace-normalized
+    * (single-space joined) whether or not anything was removed.
+    *
+    * Scale shape: the positional gram table shuffles 8-byte hashed keys
+    * (see the module scaladoc; `hashGrams = false` trades shuffle width
+    * for exact auditability), is localCheckpoint()ed once and consumed by
+    * both the document-frequency cut and the span join; per-document dup
+    * starts come back as one `collect_list` whose size is bounded by the
+    * doc's own gram count (same order as the doc text itself — per-doc
+    * state, never corpus-sized); the rewrite is a single scan-local
+    * codegen'd kernel ([[graft.functions.RemoveSpans]] — sorted two-pointer
+    * sweep, O(tokens + spans·log spans) per doc, NOT tokens × spans).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 16, minDocs: Int = 2, hashGrams: Boolean = true): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val key = if (hashGrams) xxhash64(col("__g0")) else col("__g0")
+    val pos = docs.select(col(idCol).as("__id"),
+        posexplode(gramArray(col(textCol), n)).as(Seq("__p0", "__g0")))
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__start"),
+        key.as("__g"))
+      .localCheckpoint(false)
+    val dupKeys = pos.select("__id", "__g").distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__g")
+    val starts = pos.join(dupKeys, "__g")
+      .groupBy("__id").agg(collect_list(col("__start")).as("__starts"))
+    docs.join(starts, docs(idCol) === starts("__id"), "left")
+      .withColumn("clean_text", graft.functions.GraftFunctions.removeSpans(
+        split(trim(col(textCol)), "\\s+"),
+        coalesce(col("__starts"), array().cast("array<bigint>")), n))
+      .drop("__id", "__starts")
+  }
+
   /** The corpus's most-duplicated spans: the `k` n-grams occurring in the
     * most distinct documents (ties broken lexicographically) — the
     * boilerplate/template detector that tells you WHAT the duplicated

@@ -301,6 +301,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.toSeq === Seq(("a b", 3L), ("b c", 2L)))
   }
 
+  test("remove spans: kernel sweep and whole-operator hand-computed rewrite") {
+    import graft.functions.{GraftFunctions, Kernels}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def toks(s: String) =
+      ArrayData.toArrayData(s.split(" ").map(UTF8String.fromString))
+    def starts(ps: Long*) = ArrayData.toArrayData(ps.toArray)
+    def run(text: String, n: Int, ps: Long*) =
+      Kernels.removeSpans(toks(text), starts(ps: _*), n).toString
+    // Overlapping, unsorted, duplicate starts; spans clamp past the end.
+    assert(run("a b c d e", 2, 3L, 1L, 1L) === "e")
+    assert(run("a b c d e", 2, 4L) === "a b c")
+    assert(run("a b c d e", 3, 5L) === "a b c d")
+    assert(run("a b c", 1, 2L) === "a c")
+    assert(run("a b c", 3, 1L) === "")
+    assert(run("a b c", 2) === "a b c") // no spans -> identity
+
+    import graft.text.DupSpans
+    // Same corpus as the stats spec: "a b" dup in docs 1,2,4; "b c" in 1,2.
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "x y"),
+      (4L, "a b a b"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val got = DupSpans.removeDuplicatedSpans(df, "doc_id", "text",
+      n = 2, minDocs = 2)
+      .select("doc_id", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "d"), (2L, ""), (3L, "x y"),
+      (4L, ""), (5L, "solo")))
+  }
+
   test("packing: contiguous per-shard layout, seq bounds, null/zero contracts") {
     val df = Seq[(java.lang.Long, Long)](
       (1L, 10L), (2L, 0L), (3L, 7L), (4L, 25L), (5L, 3L), (6L, 12L),

@@ -174,6 +174,42 @@ object PlanAudit {
       .filter(l => l.contains("Join") || l.contains("Exchange") ||
         l.contains("bloom_might_contain")).mkString("\n"))
 
+    // Sequence packing: exactly ONE exchange — the hash partition by shard
+    // feeding the per-shard window sort. No global sort, no extra shuffle
+    // for the offset arithmetic (all scan-local projections).
+    println("=== packSequences (want exactly 1 Exchange: hashpartitioning(shard)) ===")
+    val packed = graft.operators.Packing.packSequences(
+      docs, "doc_id", "n_chars", seqLen = 4096L, nShards = 8)
+    val packPlan = packed.queryExecution.executedPlan.toString
+    val packExchanges = packPlan.linesIterator.count(_.contains("Exchange"))
+    println(s"exchanges: $packExchanges (want 1)")
+    println(packPlan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Window") ||
+        l.contains("Sort")).mkString("\n"))
+
+    // Duplicated-span stats: the gram exchanges must carry the 8-byte
+    // xxhash64 key, never gram text — no string-typed shuffle past the
+    // first aggregation (grep the exchanges for the raw gram column).
+    println("=== duplicatedSpanStats (want hashed 8-byte gram keys in exchanges) ===")
+    val ds = graft.text.DupSpans.duplicatedSpanStats(docs, "doc_id", "text", n = 3)
+    ds.collect()
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    val gramStringShuffle = dsPlan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("__g0"))
+    println(s"gram-text column in an exchange: $gramStringShuffle (want false)")
+    println(dsPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+
+    // Semantic dedup: the pairing side must shuffle only (id, hash keys,
+    // list_id) — the embedding array may appear only in the verify joins,
+    // never in the collapse/bucket exchanges.
+    println("=== semanticNearDupPairs (want no vector in collapse/bucket exchanges) ===")
+    val sem = graft.dedup.Dedup.semanticNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.98, nlist = 16)
+    sem.collect()
+    println(sem.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

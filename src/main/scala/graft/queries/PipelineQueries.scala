@@ -1759,6 +1759,46 @@ object PipelineQueries {
        |  (off + greatest(toks, 1) - 1) // 4096 AS seq_last
        |FROM laid ORDER BY doc_id""".stripMargin
 
+  /** Sample → pack composition (the tail of a real training-data build:
+    * select the corpus slice, then lay it out): the packed layout must be
+    * computed over exactly the sampled membership — offsets shift whenever
+    * membership does, so the per-shard totals pin BOTH operators at once.
+    * The oracle replays membership (md5 buckets, salt 7) and the layout
+    * window over the survivors.
+    */
+  def pipePackedSample(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = Sampling.hashSample(
+      Tables.documents(spark, dir), "doc_id", 0.3, salt = 7L)
+    Packing.packSequences(sampled, "doc_id", "n_chars",
+      seqLen = 4096L, nShards = 4, salt = 13L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_tokens"),
+        max(col("seq_last")).as("last_seq"))
+      .orderBy(col("shard"))
+  }
+
+  private val pipePackedSampleSql =
+    s"""WITH sampled AS (
+       |  SELECT doc_id, n_chars FROM documents
+       |  WHERE ${bucketSql("doc_id", 7L)} < ${Sampling.threshold(0.3)}
+       |), b AS (
+       |  SELECT doc_id, COALESCE(n_chars, 0) AS toks, n_chars,
+       |    ${bucketSql("doc_id", 13L)} AS bkt
+       |  FROM sampled WHERE doc_id IS NOT NULL
+       |), laid AS (
+       |  SELECT doc_id, toks, n_chars, CAST(bkt % 4 AS INT) AS shard,
+       |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY bkt % 4
+       |      ORDER BY bkt, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS off
+       |  FROM b
+       |)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+       |  MAX((off + greatest(toks, 1) - 1) // 4096) AS last_seq
+       |FROM laid GROUP BY shard ORDER BY shard""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -1808,6 +1848,7 @@ object PipelineQueries {
     "pipe_temperature_mix" -> (pipeTemperatureMix _),
     "pipe_split" -> (pipeSplit _),
     "pipe_pack" -> (pipePack _),
+    "pipe_packed_sample" -> (pipePackedSample _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
     "txt_dup_spans" -> (txtDupSpans _),
@@ -1860,6 +1901,7 @@ object PipelineQueries {
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
     "pipe_pack" -> pipePackSql,
+    "pipe_packed_sample" -> pipePackedSampleSql,
     "txt_decontaminate" -> txtDecontaminateSql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_dup_spans" -> txtDupSpansSql,

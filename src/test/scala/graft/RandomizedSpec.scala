@@ -352,4 +352,84 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got === values.sorted.take(k), s"k=$k")
     }
   }
+
+  test("packing: equals a plain-Scala layout reference for random corpora") {
+    val rnd = new Random(21)
+    (1 to 4).foreach { _ =>
+      val nDocs = 50 + rnd.nextInt(200)
+      val seqLen = 1L + rnd.nextInt(100)
+      val nShards = 1 + rnd.nextInt(6)
+      val salt = rnd.nextLong()
+      val docs = (1 to nDocs)
+        .map(i => (i.toLong, rnd.nextInt(200).toLong))
+      val got = graft.operators.Packing.packSequences(
+        docs.toDF("id", "toks"), "id", "toks", seqLen, nShards, salt)
+        .select("id", "shard", "off", "seq_first", "seq_last")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // Reference: bucket each key exactly like Sampling (Spark replays
+      // the md5 arithmetic), then lay out per shard in (bucket, id) order.
+      val bucketOf = docs.map { case (id, _) =>
+        id -> Sampling.Space.min(java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id:$salt".getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString, 16))
+      }.toMap
+      val want = docs
+        .groupBy { case (id, _) => (bucketOf(id) % nShards).toInt }
+        .flatMap { case (shard, members) =>
+          var off = 0L
+          members.sortBy { case (id, _) => (bucketOf(id), id) }
+            .map { case (id, toks) =>
+              val first = off / seqLen
+              val last = (off + math.max(toks, 1L) - 1L) / seqLen
+              val row = id -> (shard, off, first, last)
+              off += toks
+              row
+            }
+        }
+      assert(got === want, s"n=$nDocs seqLen=$seqLen shards=$nShards")
+    }
+  }
+
+  test("dup spans: stats and rewrite equal brute force on random corpora") {
+    import graft.text.DupSpans
+    val rnd = new Random(33)
+    (1 to 4).foreach { _ =>
+      val n = 2 + rnd.nextInt(3)
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (1 to 60).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      // Brute-force reference over gram strings.
+      val grams = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq.sliding(n)
+          .filter(_.size == n).map(_.mkString(" ")).toSeq
+      }.toMap
+      val docFreq = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val wantStats = grams.collect { case (id, gs) if gs.nonEmpty =>
+        id -> (gs.size.toLong, gs.count(g => docFreq(g) >= 2).toLong)
+      }
+      val gotStats = DupSpans.duplicatedSpanStats(df, "id", "text", n, 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(gotStats === wantStats, s"n=$n")
+
+      val wantClean = docs.map { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        val dupStarts = grams(id).zipWithIndex
+          .collect { case (g, i) if docFreq(g) >= 2 => i }
+        val covered = dupStarts.flatMap(s => s until s + n).toSet
+        id -> toks.zipWithIndex.collect {
+          case (tok, i) if !covered(i) => tok }.mkString(" ")
+      }.toMap
+      val gotClean = DupSpans.removeDuplicatedSpans(df, "id", "text", n, 2)
+        .select("id", "clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotClean === wantClean, s"rewrite n=$n")
+    }
+  }
 }

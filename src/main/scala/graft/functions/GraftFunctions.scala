@@ -298,17 +298,18 @@ case class PqAdcScore(left: Expression, right: Expression)
   * the 1-based `starts` removed — the substring-dedup transform. `n` is a
   * plan-time constant.
   */
-case class RemoveSpans(left: Expression, right: Expression, n: Int)
+case class RemoveSpans(left: Expression, right: Expression, n: Int,
+    sep: Char = ' ')
     extends BinaryExpression {
   require(n > 0, s"n must be positive, got $n")
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_remove_spans"
   override protected def nullSafeEval(toks: Any, starts: Any): Any =
     Kernels.removeSpans(toks.asInstanceOf[ArrayData],
-      starts.asInstanceOf[ArrayData], n)
+      starts.asInstanceOf[ArrayData], n, sep)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (t, s) => s"graft.functions.Kernels.removeSpans($t, $s, $n)")
+      (t, s) => s"graft.functions.Kernels.removeSpans($t, $s, $n, (char) ${sep.toInt})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -352,6 +353,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_remove_spans",
       es => RemoveSpans(es(0), es(1), CollectMinK.expressionToK(es(2))),
       "built-in")
+    // Same sweep over a doc's LINES (n=1, rejoin with newline) — the
+    // line-dedup rewrite.
+    reg.createOrReplaceTempFunction("graft_remove_lines",
+      es => RemoveSpans(es(0), es(1), 1, '\n'), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -367,6 +372,12 @@ object GraftFunctions {
   def removeSpans(tokens: Column, starts: Column, n: Int): Column =
     call_function("graft_remove_spans", tokens, starts,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Line-dedup rewrite ([[RemoveSpans]] with n=1 over the line array,
+    * newline rejoin): drop the lines at the 1-based `positions`.
+    */
+  def removeLines(lines: Column, positions: Column): Column =
+    call_function("graft_remove_lines", lines, positions)
 
   /** Bounded first-k-ascending collector ([[CollectMinK]]) — aggregate. */
   def collectMinK(e: Column, k: Int): Column =

@@ -427,9 +427,12 @@ object Kernels {
     * position t is dropped iff some start p satisfies p <= t < p + n.
     * One sorted two-pointer sweep: O(tokens + starts·log starts), no
     * per-token scan over the span list — the scan-local cost stays linear
-    * even when a boilerplate-heavy doc flags most of its grams.
+    * even when a boilerplate-heavy doc flags most of its grams. `sep`
+    * rejoins the kept elements (space for word tokens, newline when the
+    * "tokens" are a document's lines — the line-dedup rewrite).
     */
-  def removeSpans(tokens: ArrayData, starts: ArrayData, n: Int): UTF8String = {
+  def removeSpans(tokens: ArrayData, starts: ArrayData, n: Int,
+      sep: Char = ' '): UTF8String = {
     val numToks = tokens.numElements()
     val p = new Array[Long](starts.numElements())
     var i = 0
@@ -447,7 +450,7 @@ object Kernels {
         pi += 1
       }
       if (pos >= coverEnd) {
-        if (sb.length > 0) sb.append(' ')
+        if (sb.length > 0) sb.append(sep)
         sb.append(tokens.getUTF8String(t).toString)
       }
       t += 1

@@ -9,7 +9,7 @@ import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Sampling}
 import graft.similarity.Knn
-import graft.text.{Decontamination, DupSpans, TextAnalysis, TfIdf}
+import graft.text.{Decontamination, DupSpans, LineDedup, QualityRules, TextAnalysis, TfIdf}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
@@ -1799,6 +1799,193 @@ object PipelineQueries {
        |  MAX((off + greatest(toks, 1) - 1) // 4096) AS last_seq
        |FROM laid GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------- line structure
+  /** The corpus has no natural line structure (single-line word-soup
+    * docs), so line-shaped gates build one deterministically: each doc's
+    * tokens re-chunked into 12-token lines, plus a planted boilerplate
+    * footer line on every 5th doc — the cross-document duplicate the
+    * line-dedup operators must find. The oracle replays the construction.
+    */
+  private[graft] val boilerplateLine =
+    "subscribe to our newsletter for more updates"
+
+  private[graft] def linedDocs(docs: DataFrame): DataFrame = {
+    val lined = array_join(
+      TextAnalysis.chunkTokens(col("text"), maxTokens = 12, overlap = 0), "\n")
+    docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(lined, lit("\n" + boilerplateLine))).otherwise(lined))
+  }
+
+  /** DuckDB twin of [[linedDocs]] over the `documents` table: CTEs ending
+    * in `lined(doc_id, text)`. */
+  private val linedDocsSql =
+    """__toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), __ch AS (
+      |  SELECT doc_id, st, array_to_string(t[st : st + 11], ' ') AS ln
+      |  FROM __toks, UNNEST(range(1, greatest(len(t), 1) + 1, 12)) AS u(st)
+      |), lined AS (
+      |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY st) ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN chr(10) || 'subscribe to our newsletter for more updates'
+      |      ELSE '' END AS text
+      |  FROM __ch GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Gopher rule profile ([[QualityRules.withRuleColumns]]) over the lined
+    * corpus: every published structural signal plus both verdicts, all
+    * integer-count arithmetic ratioed in double so the oracle reproduces
+    * the keep decisions bit-for-bit. The lined construction gives the
+    * line-shaped rules (bullet/ellipsis/duplicate-line) real structure to
+    * measure — the planted footer makes `dup_line_*` nonzero on every 5th
+    * doc; the synthetic-corpus extremes (bullet walls, ellipsis chains)
+    * are pinned by the ScalaTest spec instead.
+    */
+  def txtGopher(spark: SparkSession, dir: String): DataFrame =
+    QualityRules.withRuleColumns(linedDocs(Tables.documents(spark, dir)), "text")
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("bullet_frac"), 6).as("bullet_frac"),
+        round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+        round(col("alpha_frac"), 6).as("alpha_frac"),
+        col("stopword_hits"),
+        round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        col("quality_keep").cast("int").as("quality_keep"),
+        col("repetition_keep").cast("int").as("repetition_keep"))
+      .orderBy(col("doc_id"))
+
+  private val txtGopherSql =
+    s"""WITH $linedDocsSql,
+       |m AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS w,
+       |    string_split(text, chr(10)) AS l,
+       |    list_sort(string_split(text, chr(10))) AS s
+       |  FROM lined
+       |), r AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |      / len(w) AS mean_word_len,
+       |    CAST(len(regexp_extract_all(text, '#'))
+       |         + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |      / len(w) AS symbol_ratio,
+       |    CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))
+       |      AS DOUBLE) / len(l) AS bullet_frac,
+       |    CAST(len(list_filter(l,
+       |        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$$')))
+       |      AS DOUBLE) / len(l) AS ellipsis_frac,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+       |      AS DOUBLE) / len(w) AS alpha_frac,
+       |    (CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+       |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END
+       |    ) AS stopword_hits,
+       |    CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l)
+       |      AS dup_line_frac,
+       |    CASE WHEN COALESCE(list_sum(list_transform(l, x -> length(x))), 0) = 0
+       |      THEN 0.0
+       |      ELSE CAST(COALESCE(list_sum(list_transform(range(1, len(s) + 1),
+       |          i -> CASE WHEN i > 1 AND s[i] = s[i - 1]
+       |               THEN length(s[i]) ELSE 0 END)), 0) AS DOUBLE)
+       |        / list_sum(list_transform(l, x -> length(x)))
+       |    END AS dup_line_char_frac
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words,
+       |  round(mean_word_len, 6) AS mean_word_len,
+       |  round(symbol_ratio, 6) AS symbol_ratio,
+       |  round(bullet_frac, 6) AS bullet_frac,
+       |  round(ellipsis_frac, 6) AS ellipsis_frac,
+       |  round(alpha_frac, 6) AS alpha_frac,
+       |  stopword_hits,
+       |  round(dup_line_frac, 6) AS dup_line_frac,
+       |  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       |  CAST(n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1
+       |    AND bullet_frac <= 0.9
+       |    AND ellipsis_frac <= 0.3
+       |    AND alpha_frac > 0.8
+       |    AND stopword_hits >= 2 AS INT) AS quality_keep,
+       |  CAST(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2 AS INT)
+       |    AS repetition_keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Per-doc duplicated-line statistics ([[LineDedup.duplicatedLineStats]])
+    * over the lined corpus: the planted footer appears in every 5th doc,
+    * so those docs score nonzero `dup_frac`. The Spark side shuffles line
+    * hashes only; the oracle recomputes from line STRINGS — the same
+    * hashed-exchange-is-count-preserving proof shape as `txt_dup_spans`.
+    */
+  def txtDupLines(spark: SparkSession, dir: String): DataFrame =
+    LineDedup.duplicatedLineStats(linedDocs(Tables.documents(spark, dir)),
+      "doc_id", "text", minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  private val txtDupLinesSql =
+    s"""WITH $linedDocsSql,
+       |l AS (
+       |  SELECT doc_id, p.ti AS pos, l0[p.ti] AS ln
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM lined),
+       |    UNNEST(generate_series(1, len(l0))) AS p(ti)
+       |), nb AS (
+       |  SELECT * FROM l WHERE trim(ln) <> ''
+       |), dup AS (
+       |  SELECT ln FROM (
+       |    SELECT ln, COUNT(DISTINCT doc_id) AS nd FROM nb GROUP BY ln
+       |  ) WHERE nd >= 2
+       |)
+       |SELECT nb.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(COUNT(*) FILTER (WHERE d.ln IS NOT NULL) AS BIGINT) AS n_dup,
+       |  round(COUNT(*) FILTER (WHERE d.ln IS NOT NULL)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       |FROM nb LEFT JOIN dup d USING (ln)
+       |GROUP BY nb.doc_id ORDER BY doc_id""".stripMargin
+
+  /** The line-dedup TRANSFORM ([[LineDedup.removeDuplicateLines]]): every
+    * corpus-duplicated line (the planted footer, plus any incidental
+    * 12-token chunk collision) removed from every doc, survivors rejoined
+    * with newline — replayed by the oracle as line → doc-frequency cut →
+    * anti-join → ordered string_agg. doc_id < 200 bounds output volume;
+    * the duplicate-line statistics still come from the WHOLE corpus.
+    */
+  def txtLineDedup(spark: SparkSession, dir: String): DataFrame =
+    LineDedup.removeDuplicateLines(linedDocs(Tables.documents(spark, dir)),
+      "doc_id", "text", minDocs = 2)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  private val txtLineDedupSql =
+    s"""WITH $linedDocsSql,
+       |l AS (
+       |  SELECT doc_id, p.ti AS pos, l0[p.ti] AS ln
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM lined),
+       |    UNNEST(generate_series(1, len(l0))) AS p(ti)
+       |), dup AS (
+       |  SELECT ln FROM (
+       |    SELECT ln, COUNT(DISTINCT doc_id) AS nd FROM l
+       |    WHERE trim(ln) <> '' GROUP BY ln
+       |  ) WHERE nd >= 2
+       |)
+       |SELECT l.doc_id,
+       |  COALESCE(string_agg(l.ln, chr(10) ORDER BY l.pos)
+       |             FILTER (WHERE d.ln IS NULL), '') AS clean_text
+       |FROM l LEFT JOIN dup d ON l.ln = d.ln
+       |WHERE l.doc_id < 200
+       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -1854,6 +2041,9 @@ object PipelineQueries {
     "txt_dup_spans" -> (txtDupSpans _),
     "txt_remove_spans" -> (txtRemoveSpans _),
     "txt_top_spans" -> (txtTopSpans _),
+    "txt_gopher" -> (txtGopher _),
+    "txt_dup_lines" -> (txtDupLines _),
+    "txt_line_dedup" -> (txtLineDedup _),
     "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
@@ -1907,5 +2097,8 @@ object PipelineQueries {
     "txt_dup_spans" -> txtDupSpansSql,
     "txt_remove_spans" -> txtRemoveSpansSql,
     "txt_top_spans" -> txtTopSpansSql,
+    "txt_gopher" -> txtGopherSql,
+    "txt_dup_lines" -> txtDupLinesSql,
+    "txt_line_dedup" -> txtLineDedupSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

@@ -838,4 +838,73 @@ class PipelineSpec extends AnyFunSuite {
     val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Dedup.embeddingNearDupPairs(emptyVec, "vec_id", "embedding").count() === 0)
   }
+
+  test("gopher rules: each structural rule fires on its planted extreme") {
+    import spark.implicits._
+    import graft.text.QualityRules
+    val good = (Seq("the", "be", "to", "of") ++
+      Seq.fill(60)("ordinary prose words flowing here")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                       // passes everything
+      (2L, "too few words to keep"),                    // word count < 50
+      (3L, ("x " * 60).trim),                           // mean word len < 3
+      (4L, (Seq.fill(60)("word") :+ ("#" * 30)).mkString(" ")), // symbols
+      (5L, Seq.fill(10)("- bullet item line").mkString("\n")),  // bullets
+      (6L, Seq.fill(10)("trailing thought...").mkString("\n")), // ellipsis
+      (7L, (1 to 60).map(_.toString).mkString(" ")),    // alpha frac ≤ 0.8
+      (8L, Seq.fill(60)("zq").mkString(" ")),           // no stopwords
+      (9L, Seq.fill(8)("same exact line").mkString("\n") + "\nunique one")
+    ).toDF("doc_id", "text")
+    val got = QualityRules.withRuleColumns(docs, "text")
+      .select(col("doc_id"), col("quality_keep"), col("repetition_keep"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, q, r) => k -> ((q, r)) }.toMap
+    assert(got(1L) === ((true, true)))
+    for (id <- 2L to 8L) assert(!got(id)._1, s"doc $id should fail quality")
+    assert(got(9L)._2 === false, "duplicate-line doc should fail repetition")
+    assert(got(1L)._2 && got(2L)._2, "single/unique-line docs pass repetition")
+    // Excess-occurrence convention: of 8 copies of the 15-char line, 7
+    // are duplicates; the 10-char unique line is not.
+    val fracs = QualityRules.withRuleColumns(docs, "text")
+      .filter(col("doc_id") === 9L)
+      .select(col("dup_line_frac"), col("dup_line_char_frac"))
+      .as[(Double, Double)].head()
+    assert(math.abs(fracs._1 - 7.0 / 9.0) < 1e-9)
+    assert(math.abs(fracs._2 - (7.0 * 15) / (8 * 15 + 10)) < 1e-9)
+  }
+
+  test("line dedup: corpus-duplicated lines removed, blanks exempt, round-trip") {
+    import spark.implicits._
+    import graft.text.LineDedup
+    val footer = "all rights reserved by the corpus"
+    val docs = Seq(
+      (1L, s"alpha unique line\n\n$footer"),
+      (2L, s"beta unique line\n$footer\ngamma unique line"),
+      (3L, s"$footer"),                       // whole doc is boilerplate
+      (4L, "delta unique line\n\n\nepsilon line") // blanks + uniques only
+    ).toDF("doc_id", "text")
+    val clean = LineDedup.removeDuplicateLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text")).as[(Long, String)]
+      .collect().toMap
+    assert(clean(1L) === "alpha unique line\n")         // blank line kept
+    assert(clean(2L) === "beta unique line\ngamma unique line")
+    assert(clean(3L) === "")                            // fully boilerplate
+    assert(clean(4L) === docs.filter(col("doc_id") === 4L)
+      .select("text").as[String].head(), "untouched doc round-trips")
+    // Blank lines never flagged even though they repeat across docs.
+    val stats = LineDedup.duplicatedLineStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_dup"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, d) => k -> ((n, d)) }.toMap
+    assert(stats(1L) === ((2L, 1L)))
+    assert(stats(2L) === ((3L, 1L)))
+    assert(stats(3L) === ((1L, 1L)))
+    assert(stats(4L) === ((2L, 0L)))
+    // hashLines=false carries line text end-to-end: identical answers.
+    val cleanNoHash = LineDedup.removeDuplicateLines(docs, "doc_id", "text",
+        hashLines = false)
+      .select(col("doc_id"), col("clean_text")).as[(Long, String)]
+      .collect().toMap
+    assert(cleanNoHash === clean)
+  }
 }

@@ -292,6 +292,41 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** sq8_encode(vector) → binary: int8 scalar quantization for cosine search
+  * (L2-normalize, scale to ±127 — see [[Kernels.sq8EncodeF]]). One byte
+  * per dimension.
+  */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_sq8_encode"
+  private def kernel: String = child.dataType match {
+    case ArrayType(FloatType, _) => "sq8EncodeF"
+    case _                       => "sq8EncodeD"
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    if (kernel == "sq8EncodeF") Kernels.sq8EncodeF(v.asInstanceOf[ArrayData])
+    else Kernels.sq8EncodeD(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Kernels.$kernel($v)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sq8_dot(binary, binary) → double: approximate cosine of two sq8 codes —
+  * an integer dot product rescaled by 127² ([[Kernels.sq8Dot]]).
+  */
+case class Sq8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sq8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sq8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 /** remove_spans(array<string> tokens, array<bigint> starts) → string:
   * text rebuilt with every token covered by an n-gram starting at one of
@@ -357,6 +392,10 @@ object GraftFunctions {
     // line-dedup rewrite.
     reg.createOrReplaceTempFunction("graft_remove_lines",
       es => RemoveSpans(es(0), es(1), 1, '\n'), "built-in")
+    reg.createOrReplaceTempFunction("graft_sq8_encode",
+      es => Sq8Encode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sq8_dot",
+      es => Sq8Dot(es(0), es(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
@@ -378,6 +417,11 @@ object GraftFunctions {
     */
   def removeLines(lines: Column, positions: Column): Column =
     call_function("graft_remove_lines", lines, positions)
+
+  /** Int8 scalar quantization ([[Sq8Encode]]) / quantized cosine
+    * ([[Sq8Dot]]). */
+  def sq8Encode(vec: Column): Column = call_function("graft_sq8_encode", vec)
+  def sq8Dot(a: Column, b: Column): Column = call_function("graft_sq8_dot", a, b)
 
   /** Bounded first-k-ascending collector ([[CollectMinK]]) — aggregate. */
   def collectMinK(e: Column, k: Int): Column =

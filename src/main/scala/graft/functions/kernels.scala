@@ -407,6 +407,64 @@ object Kernels {
   /** Residual part of the ADC score: m table lookups, one per code byte.
     * `table` is a query's [[pqAdcTableF]] output (length m·ks).
     */
+  /** Int8 scalar quantization of a vector for cosine search: L2-normalize,
+    * scale by 127, round half-even, clamp to [-127, 127]. A zero vector
+    * encodes to all zeros (its cosine against anything is 0 anyway). One
+    * byte per dimension — 4× narrower than float32, so a quantized corpus
+    * scan moves a quarter of the bytes and the dot product runs in integer
+    * arithmetic.
+    */
+  def sq8EncodeF(vec: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i).toDouble; norm += x * x; i += 1 }
+    if (norm > 0.0) {
+      val s = 127.0 / math.sqrt(norm)
+      i = 0
+      while (i < n) {
+        var q = math.rint(vec.getFloat(i) * s).toInt
+        if (q > 127) q = 127 else if (q < -127) q = -127
+        out(i) = q.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  def sq8EncodeD(vec: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getDouble(i); norm += x * x; i += 1 }
+    if (norm > 0.0) {
+      val s = 127.0 / math.sqrt(norm)
+      i = 0
+      while (i < n) {
+        var q = math.rint(vec.getDouble(i) * s).toInt
+        if (q > 127) q = 127 else if (q < -127) q = -127
+        out(i) = q.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Approximate cosine of two [[sq8EncodeF]] codes: integer dot product
+    * rescaled by 127² (both inputs are unit vectors scaled to 127, so the
+    * int dot is cosine·127² up to rounding). Pure int multiply-adds over
+    * byte arrays — the quantized scan kernel.
+    */
+  def sq8Dot(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc / (127.0 * 127.0)
+  }
+
   def pqAdcScore(codes: Array[Byte], table: ArrayData): Double = {
     val m = codes.length
     if (m == 0) return 0.0

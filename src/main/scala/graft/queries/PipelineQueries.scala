@@ -1246,6 +1246,54 @@ object PipelineQueries {
   private val simKnnIvfPqRecallSql =
     "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
 
+  /** SQ8 retrieval, identical-copy protocol (`sim_knn_ivfpq` precedent):
+    * planted exact copies must come back at rank 1 through the quantized
+    * scan + exact refine. An sq8 code collision cannot break this — the
+    * copy shares its original's code, ties into the refine set, and the
+    * exact-cosine re-rank puts it first.
+    */
+  def simKnnSq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 5000)
+    val probes = vecs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 6000000L)
+    Knn.sq8TopK(probes, vecs, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  private val simKnnSqSql =
+    """SELECT vec_id + 6000000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
+
+  /** SQ8 recall against brute-force ground truth — the FAISS recall@1
+    * protocol of `sim_knn_ivf_recall` (95/5 blends, genuinely novel
+    * points) through the int8 path: quantized candidate ranking + top-32
+    * exact refine must keep ≥90% of true nearest neighbors at rank 1.
+    * This is the gate that would catch a quantization regression (bad
+    * scaling, rounding drift, truncated codes) the identical-copy gate
+    * can't see.
+    */
+  def simKnnSqRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val probes = ivfRecallProbes(corpus)
+    val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = Knn.sq8TopK(probes, corpus, "vec_id", "embedding", k = 1,
+      refine = 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.intersect(found)
+    truth.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"),
+        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+  }
+
+  private val simKnnSqRecallSql =
+    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packDocuments(Tables.documents(spark, dir))
@@ -2021,6 +2069,8 @@ object PipelineQueries {
     "sim_knn_ivf_recall" -> (simKnnIvfRecall _),
     "sim_knn_ivfpq" -> (simKnnIvfPq _),
     "sim_knn_ivfpq_recall" -> (simKnnIvfPqRecall _),
+    "sim_knn_sq" -> (simKnnSq _),
+    "sim_knn_sq_recall" -> (simKnnSqRecall _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
@@ -2081,6 +2131,8 @@ object PipelineQueries {
     "sim_knn_ivf_recall" -> simKnnIvfRecallSql,
     "sim_knn_ivfpq" -> simKnnIvfPqSql,
     "sim_knn_ivfpq_recall" -> simKnnIvfPqRecallSql,
+    "sim_knn_sq" -> simKnnSqSql,
+    "sim_knn_sq_recall" -> simKnnSqRecallSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_decode" -> mmDecodeSql,

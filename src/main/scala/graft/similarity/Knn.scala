@@ -80,6 +80,58 @@ object Knn {
     topK(scored, k)
   }
 
+  /** Attach the int8 scalar-quantization code column ([[GraftFunctions
+    * .sq8Encode]]) — scan-local, one byte per dimension. At scale this is
+    * the column a pipeline PERSISTS next to (or instead of) the raw
+    * vectors: the quantized corpus is 4× narrower, so every later search
+    * scan moves a quarter of the bytes.
+    */
+  def withSq8Codes(df: DataFrame, vecCol: String,
+      codeCol: String = "sq8_codes"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn(codeCol, GraftFunctions.sq8Encode(col(vecCol)))
+  }
+
+  /** Scalar-quantized (SQ8) top-k: the brute-force scan run over int8
+    * codes — integer dot products on 4×-narrower rows — with the top
+    * `refine` candidates per query re-ranked by exact cosine against the
+    * raw vectors (the FAISS SQfp→refine shape). With 64-dim unit vectors
+    * the quantization error on cosine is ~1e-2, so `refine` ≫ k recovers
+    * exact-rank answers while the full-corpus scan stays in the cheap
+    * integer kernel.
+    *
+    * Scale shape: both sides encode scan-locally; the query side is
+    * broadcast; only (query_id, neighbor_id, approx) rides the top-refine
+    * exchange — codes and vectors never shuffle; the refine join
+    * broadcasts the (queries × refine)-bounded candidate list against the
+    * raw corpus, exactly like [[searchIvfPq]]'s refine stage.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      GraftFunctions.sq8Encode(col(vecCol)).as("q_codes")))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"),
+        GraftFunctions.sq8Encode(col(vecCol)).as("c_codes"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.sq8Dot(col("q_codes"), col("c_codes")).as("approx"))
+      .withColumn("ark", row_number().over(approxW))
+      .filter(col("ark") <= refine)
+      .select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+        Seq("query_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("query_vec"), col("c_vec")))
+    topK(scored, k)
+  }
+
   /** A built IVF index: `centroids` (list_id, centroid, cnorm2 — tiny,
     * broadcastable) and the corpus `assigned` to inverted lists
     * (neighbor_id, neighbor_vec, list_id). Build ONCE per corpus version

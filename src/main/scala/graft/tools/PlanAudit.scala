@@ -210,6 +210,34 @@ object PlanAudit {
       .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
       .mkString("\n"))
 
+    // SQ8: corpus encoding must be a scan-local codegen'd project; the
+    // quantized scoring happens inside the broadcast cross-join stage and
+    // only (query_id, neighbor_id, approx) rides the top-refine exchange —
+    // no codes or vectors in any shuffle.
+    println("=== sq8TopK (want scan-local encode; ids+approx only in refine exchange) ===")
+    val sq = graft.similarity.Knn.sq8TopK(probes, vecs, "vec_id", "embedding", 3)
+    sq.collect()
+    val sqPlan = sq.queryExecution.executedPlan.toString
+    val sqCodesShuffled = sqPlan.linesIterator
+      .filter(_.contains("Exchange")).exists(l =>
+        l.contains("codes") || l.contains("_vec") || l.contains("embedding"))
+    println(s"codes/vectors in an exchange: $sqCodesShuffled (want false)")
+    println(sqPlan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n"))
+
+    // Line dedup: like duplicatedSpanStats — the line exchanges carry the
+    // 8-byte xxhash64 key, never line text.
+    println("=== removeDuplicateLines (want hashed keys in exchanges) ===")
+    val ld = graft.text.LineDedup.removeDuplicateLines(
+      graft.queries.PipelineQueries.linedDocs(docs), "doc_id", "text")
+    ld.collect()
+    val ldPlan = ld.queryExecution.executedPlan.toString
+    val lineStringShuffle = ldPlan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("__l0"))
+    println(s"line-text column in an exchange: $lineStringShuffle (want false)")
+    println(ldPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

@@ -839,6 +839,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDupPairs(emptyVec, "vec_id", "embedding").count() === 0)
   }
 
+  test("sq8 quantization: codes bound error, zero vectors safe, topk exact on copies") {
+    import spark.implicits._
+    val df = vecs.limit(100)
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.sq8Encode(col("embedding")).as("codes"))
+    // Codes are one byte per dim and the quantized cosine tracks the exact
+    // one within the int8 rounding bound (≤ dim · (0.5/127) in the worst
+    // case; empirically ~1e-2 at dim 64).
+    val err = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(abs(
+        GraftFunctions.sq8Dot(col("a.codes"), col("b.codes")) -
+          GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")))
+        .as("e"))
+      .agg(max(col("e"))).as[Double].head()
+    assert(err < 0.05, s"sq8 cosine error $err too large")
+    assert(df.select(length(col("codes"))).distinct().as[Int].collect()
+      .toSeq === Seq(64))
+    // Zero vector encodes to all zeros and dots to 0 against anything.
+    val z = Seq((1L, Array.fill(4)(0.0f)), (2L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), GraftFunctions.sq8Encode(col("embedding")).as("c"))
+    val zc = z.orderBy("vec_id").select("c").as[Array[Byte]].collect()
+    assert(zc(0).toSeq === Seq.fill(4)(0.toByte))
+    assert(Kernels.sq8Dot(zc(0), zc(1)) === 0.0)
+    // Planted exact copies come back at rank 1 through the quantized path.
+    val probes = vecs.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 6000000L)
+    val got = Knn.sq8TopK(probes, vecs, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toMap
+    for (i <- 0L until 10L) assert(got(6000000L + i) === i)
+  }
+
   test("gopher rules: each structural rule fires on its planted extreme") {
     import spark.implicits._
     import graft.text.QualityRules

@@ -292,6 +292,21 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** dedup_lines(array<string>) → string: within-document line dedup — keep
+  * the first occurrence of each exact line in order, blanks exempt, newline
+  * rejoin ([[Kernels.dedupLines]]).
+  */
+case class DedupLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_dedup_lines"
+  override protected def nullSafeEval(l: Any): Any =
+    Kernels.dedupLines(l.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, l => s"graft.functions.Kernels.dedupLines($l)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** sq8_encode(vector) → binary: int8 scalar quantization for cosine search
   * (L2-normalize, scale to ±127 — see [[Kernels.sq8EncodeF]]). One byte
   * per dimension.
@@ -392,6 +407,8 @@ object GraftFunctions {
     // line-dedup rewrite.
     reg.createOrReplaceTempFunction("graft_remove_lines",
       es => RemoveSpans(es(0), es(1), 1, '\n'), "built-in")
+    reg.createOrReplaceTempFunction("graft_dedup_lines",
+      es => DedupLines(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_encode",
       es => Sq8Encode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_dot",
@@ -417,6 +434,11 @@ object GraftFunctions {
     */
   def removeLines(lines: Column, positions: Column): Column =
     call_function("graft_remove_lines", lines, positions)
+
+  /** Within-doc line dedup ([[DedupLines]]): first occurrence of each
+    * line kept in order, blanks exempt. */
+  def dedupLines(lines: Column): Column =
+    call_function("graft_dedup_lines", lines)
 
   /** Int8 scalar quantization ([[Sq8Encode]]) / quantized cosine
     * ([[Sq8Dot]]). */

@@ -407,6 +407,29 @@ object Kernels {
   /** Residual part of the ADC score: m table lookups, one per code byte.
     * `table` is a query's [[pqAdcTableF]] output (length m·ks).
     */
+  /** Within-document line dedup: keep the FIRST occurrence of each exact
+    * line, preserve order, rejoin with newline. Blank-after-trim lines are
+    * structural separators and always kept (the [[graft.text.LineDedup]]
+    * contract). One hash-set pass — O(lines) per doc, scan-local.
+    */
+  def dedupLines(lines: ArrayData): UTF8String = {
+    val n = lines.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var first = true
+    var i = 0
+    while (i < n) {
+      val l = lines.getUTF8String(i)
+      if (l.trim().numBytes() == 0 || seen.add(l)) {
+        if (!first) sb.append('\n')
+        sb.append(l.toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Int8 scalar quantization of a vector for cosine search: L2-normalize,
     * scale by 127, round half-even, clamp to [-127, 127]. A zero vector
     * encodes to all zeros (its cosine against anything is 0 anyway). One

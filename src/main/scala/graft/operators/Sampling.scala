@@ -104,6 +104,31 @@ object Sampling {
     df.join(selected, Seq(keyCol), "left_semi")
   }
 
+  /** Top-k rows per group by SCORE — the "keep the k best documents per
+    * source" selection (quality-score cuts, per-language caps). Same
+    * scale shape as [[stratified]], which picks k at RANDOM: a bounded
+    * first-k collector on ONE aggregation (size-k heap state, map-side
+    * combined, ≤ P·k entries shipped for a group spanning P partitions)
+    * elects the winning keys, and a broadcastable semi-join pulls the
+    * full rows back scan-locally — never a `row_number` window, whose
+    * per-group sort funnels a 100 TB group through one task. Ordering is
+    * (score desc, key asc) — the key tiebreak makes selection total and
+    * run-independent. Rows with a null key or null score are never
+    * selected (a null score has no rank; the module's null-key contract).
+    */
+  def topKByGroup(df: DataFrame, keyCol: String, groupCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val selected = df
+      .filter(col(keyCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        struct((-col(scoreCol)).as("ns"), col(keyCol).as("k")).as("__m"))
+      .groupBy("__g")
+      .agg(graft.functions.GraftFunctions.collectMinK(col("__m"), k).as("__ks"))
+      .select(explode(col("__ks").getField("k")).as(keyCol))
+    df.join(selected, Seq(keyCol), "left_semi")
+  }
+
   /** Token-budget mixture (data mixing by VOLUME, not row count): keep
     * ~`budgets(source)` tokens per source — the way training mixtures are
     * actually specified ("300B tokens of web, 50B of code"). Two passes:

@@ -1760,6 +1760,27 @@ object PipelineQueries {
        |SELECT lang, doc_id FROM ranked WHERE rn <= 10
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** Scored per-group selection ([[Sampling.topKByGroup]]): the 5 longest
+    * docs per source, (n_chars desc, doc_id) total order — the quality-cut
+    * twin of `pipe_stratified`'s random pick; the oracle replays it as the
+    * row_number window the operator deliberately avoids at scale.
+    */
+  def pipeGroupTopK(spark: SparkSession, dir: String): DataFrame =
+    Sampling.topKByGroup(Tables.documents(spark, dir), "doc_id", "source",
+      "n_chars", k = 5)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+
+  private val pipeGroupTopKSql =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |)
+      |SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Disjoint 80/10/10 train/valid/test split — every doc in exactly one. */
   def pipeSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.withSplit(Tables.documents(spark, dir), "doc_id",
@@ -2034,6 +2055,77 @@ object PipelineQueries {
        |WHERE l.doc_id < 200
        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
 
+  /** WITHIN-doc line dedup ([[LineDedup.dedupLinesWithinDoc]] — scan-local
+    * kernel, no shuffle): every 3rd doc gets its own first line appended
+    * again; the rewrite must drop exactly the later occurrences (of that
+    * and of any natural chunk repeat), keeping first-occurrence order.
+    */
+  def txtIntraDedup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = linedDocs(Tables.documents(spark, dir))
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), element_at(split(col("text"), "\n"), 1)))
+        .otherwise(col("text")))
+    docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        LineDedup.dedupLinesWithinDoc(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtIntraDedupSql =
+    s"""WITH $linedDocsSql,
+       |app AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || chr(10) || string_split(text, chr(10))[1]
+       |    ELSE text END AS text
+       |  FROM lined
+       |), l AS (
+       |  SELECT doc_id, p.ti AS pos, l0[p.ti] AS ln
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM app),
+       |    UNNEST(generate_series(1, len(l0))) AS p(ti)
+       |  WHERE doc_id < 300
+       |), keep AS (
+       |  SELECT doc_id, pos, ln,
+       |    row_number() OVER (PARTITION BY doc_id, ln ORDER BY pos) AS rn
+       |  FROM l
+       |)
+       |SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text
+       |FROM keep WHERE trim(ln) = '' OR rn = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM fluency scores ([[graft.text.UnigramLm.scoreDocs]]) with a
+    * deliberately tiny vocab (top 50) so the OOV floor path is exercised
+    * on the real corpus. Per-term log-probs quantize to micro-nat longs
+    * before the per-doc sum (exact integer arithmetic — no float-order
+    * drift between engines); the oracle replays model building, the vocab
+    * cut, and every score.
+    */
+  def txtUnigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.scoreDocs(Tables.documents(spark, dir),
+      "doc_id", "text", vocabSize = 50, oovDiscount = 0.5)
+      .orderBy(col("doc_id"))
+
+  private val txtUnigramLmSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt
+      |), vocab AS (
+      |  SELECT term,
+      |    CAST(round(ln(c / (SELECT n FROM tot)) * 1000000) AS BIGINT) AS lp
+      |  FROM cnt ORDER BY c DESC, term LIMIT 50
+      |)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(COALESCE(v.lp,
+      |      CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT)))
+      |    AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_logprob
+      |FROM toks t LEFT JOIN vocab v USING (term)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2076,6 +2168,7 @@ object PipelineQueries {
     "mm_decode" -> (mmDecode _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
+    "pipe_group_topk" -> (pipeGroupTopK _),
     "pipe_cross_dedup" -> (pipeCrossDedup _),
     "pipe_cross_dedup_bloom" -> (pipeCrossDedupBloom _),
     "dd_cross_neardup" -> (ddCrossNeardup _),
@@ -2094,6 +2187,8 @@ object PipelineQueries {
     "txt_gopher" -> (txtGopher _),
     "txt_dup_lines" -> (txtDupLines _),
     "txt_line_dedup" -> (txtLineDedup _),
+    "txt_intra_dedup" -> (txtIntraDedup _),
+    "txt_unigram_lm" -> (txtUnigramLm _),
     "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
@@ -2138,6 +2233,7 @@ object PipelineQueries {
     "mm_decode" -> mmDecodeSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
+    "pipe_group_topk" -> pipeGroupTopKSql,
     "pipe_cross_dedup" -> pipeCrossDedupSql,
     "pipe_cross_dedup_bloom" -> pipeCrossDedupSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
@@ -2152,5 +2248,7 @@ object PipelineQueries {
     "txt_gopher" -> txtGopherSql,
     "txt_dup_lines" -> txtDupLinesSql,
     "txt_line_dedup" -> txtLineDedupSql,
+    "txt_intra_dedup" -> txtIntraDedupSql,
+    "txt_unigram_lm" -> txtUnigramLmSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

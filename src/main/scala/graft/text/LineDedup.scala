@@ -80,6 +80,15 @@ object LineDedup {
     * A document that loses nothing round-trips byte-identically (newline
     * split/rejoin is lossless).
     */
+  /** WITHIN-document line dedup — the page-local half of line-based
+    * cleaning (repeated nav blocks, stuttered paragraphs): keep the first
+    * occurrence of each exact line in order, blanks exempt. Purely
+    * scan-local (a codegen'd hash-set sweep, no shuffle at all), so it
+    * composes for free in front of the cross-corpus pass.
+    */
+  def dedupLinesWithinDoc(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.dedupLines(split(text, "\n"))
+
   def removeDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, hashLines: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

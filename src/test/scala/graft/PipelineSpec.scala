@@ -839,6 +839,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDupPairs(emptyVec, "vec_id", "embedding").count() === 0)
   }
 
+  test("topKByGroup: exact top-k by score with key tiebreak, null score excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Option(10.0)), (2L, "a", Option(30.0)), (3L, "a", Option(30.0)),
+      (4L, "a", Option(5.0)), (5L, "b", Option(1.0)), (6L, "b", Option.empty[Double])
+    ).toDF("id", "g", "score")
+    val got = Sampling.topKByGroup(df, "id", "g", "score", k = 2)
+      .select("id").as[Long].collect().toSet
+    // Group a: 30.0 ties break to lower id (2 then 3); group b: only the
+    // non-null-score row qualifies.
+    assert(got === Set(2L, 3L, 5L))
+    // Matches the row_number formulation on the real table.
+    val ops = Sampling.topKByGroup(docs, "doc_id", "source", "n_chars", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val windowed = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("doc_id").as[Long].collect().toSet
+    assert(ops === windowed)
+  }
+
+  test("dedupLinesWithinDoc: first occurrence kept in order, blanks exempt") {
+    import spark.implicits._
+    import graft.text.LineDedup
+    val df = Seq(
+      (1L, "a\nb\na\n\nb\n\nc"), // dups of a and b dropped, blanks kept
+      (2L, "x"),
+      (3L, "  \n  \nx\n  ") // only-space lines are blanks, all kept
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        LineDedup.dedupLinesWithinDoc(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "a\nb\n\n\nc")
+    assert(got(2L) === "x")
+    assert(got(3L) === "  \n  \nx\n  ")
+  }
+
+  test("unigram LM: frequent-token docs score higher, OOV floors below vocab") {
+    import spark.implicits._
+    import graft.text.UnigramLm
+    val df = Seq(
+      (1L, "the the the the"),   // most frequent token only
+      (2L, "the zzq"),           // one frequent + one hapax
+      (3L, "qqz wwx")            // rare tokens only
+    ).toDF("doc_id", "text")
+    // vocab of 1 ⇒ only "the" is in-model; everything else hits the floor.
+    val got = UnigramLm.scoreDocs(df, "doc_id", "text", vocabSize = 1)
+      .select(col("doc_id"), col("avg_logprob")).as[(Long, Double)]
+      .collect().toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    // doc 1: p(the) = 5/8 exactly (5 of the corpus's 8 tokens) → avg =
+    // ln(0.625) rounded to 6.
+    assert(math.abs(got(1L) - BigDecimal(math.log(0.625))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    // Floor is below every in-vocab logprob.
+    assert(got(3L) < math.log(1.0 / 8))
+  }
+
   test("sq8 quantization: codes bound error, zero vectors safe, topk exact on copies") {
     import spark.implicits._
     val df = vecs.limit(100)

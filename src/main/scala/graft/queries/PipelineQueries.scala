@@ -1927,26 +1927,28 @@ object PipelineQueries {
         col("repetition_keep").cast("int").as("repetition_keep"))
       .orderBy(col("doc_id"))
 
-  private val txtGopherSql =
-    s"""WITH $linedDocsSql,
-       |m AS (
+  /** DuckDB CTE fragment computing every Gopher rule column + both keep
+    * verdicts over a CTE `from` with (doc_id, text); yields `__gk`.
+    * Shared by `txt_gopher` and the composed `pipe_filter_chain`. */
+  private def gopherRuleCtes(from: String): String =
+    s"""__gm AS (
        |  SELECT doc_id, text,
        |    string_split_regex(trim(text), '\\s+') AS w,
        |    string_split(text, chr(10)) AS l,
        |    list_sort(string_split(text, chr(10))) AS s
-       |  FROM lined
-       |), r AS (
-       |  SELECT doc_id,
+       |  FROM $from
+       |), __gr AS (
+       |  SELECT doc_id, text,
        |    CAST(len(w) AS INT) AS n_words,
        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
        |      / len(w) AS mean_word_len,
        |    CAST(len(regexp_extract_all(text, '#'))
        |         + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
        |      / len(w) AS symbol_ratio,
-       |    CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*•]')))
+       |    CAST(len(list_filter(l, x -> regexp_matches(ltrim(x), '^[-*\u2022]')))
        |      AS DOUBLE) / len(l) AS bullet_frac,
        |    CAST(len(list_filter(l,
-       |        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$$')))
+       |        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|\u2026)$$')))
        |      AS DOUBLE) / len(l) AS ellipsis_frac,
        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
        |      AS DOUBLE) / len(w) AS alpha_frac,
@@ -1968,8 +1970,24 @@ object PipelineQueries {
        |               THEN length(s[i]) ELSE 0 END)), 0) AS DOUBLE)
        |        / list_sum(list_transform(l, x -> length(x)))
        |    END AS dup_line_char_frac
-       |  FROM m
-       |)
+       |  FROM __gm
+       |), __gk AS (
+       |  SELECT *,
+       |    (n_words BETWEEN 50 AND 100000
+       |      AND mean_word_len BETWEEN 3.0 AND 10.0
+       |      AND symbol_ratio <= 0.1
+       |      AND bullet_frac <= 0.9
+       |      AND ellipsis_frac <= 0.3
+       |      AND alpha_frac > 0.8
+       |      AND stopword_hits >= 2) AS quality_keep,
+       |    (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)
+       |      AS repetition_keep
+       |  FROM __gr
+       |)""".stripMargin
+
+  private val txtGopherSql =
+    s"""WITH $linedDocsSql,
+       |${gopherRuleCtes("lined")}
        |SELECT doc_id, n_words,
        |  round(mean_word_len, 6) AS mean_word_len,
        |  round(symbol_ratio, 6) AS symbol_ratio,
@@ -1979,16 +1997,9 @@ object PipelineQueries {
        |  stopword_hits,
        |  round(dup_line_frac, 6) AS dup_line_frac,
        |  round(dup_line_char_frac, 6) AS dup_line_char_frac,
-       |  CAST(n_words BETWEEN 50 AND 100000
-       |    AND mean_word_len BETWEEN 3.0 AND 10.0
-       |    AND symbol_ratio <= 0.1
-       |    AND bullet_frac <= 0.9
-       |    AND ellipsis_frac <= 0.3
-       |    AND alpha_frac > 0.8
-       |    AND stopword_hits >= 2 AS INT) AS quality_keep,
-       |  CAST(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2 AS INT)
-       |    AS repetition_keep
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  CAST(quality_keep AS INT) AS quality_keep,
+       |  CAST(repetition_keep AS INT) AS repetition_keep
+       |FROM __gk ORDER BY doc_id""".stripMargin
 
   /** Per-doc duplicated-line statistics ([[LineDedup.duplicatedLineStats]])
     * over the lined corpus: the planted footer appears in every 5th doc,
@@ -2126,6 +2137,90 @@ object PipelineQueries {
       |FROM toks t LEFT JOIN vocab v USING (term)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** The COMPOSED filtering chain a real cleaning pipeline runs — Gopher
+    * structural rules → cross-corpus line dedup of the survivors →
+    * unigram-LM scoring of the CLEANED text (model built on the cleaned
+    * survivors themselves) — rolled up per source. Every stage's semantics
+    * is replayed end-to-end by the oracle, so this gate pins stage
+    * COMPOSITION (filters see exactly the prior stage's output; the LM
+    * model never sees removed boilerplate), not just each operator alone.
+    * The survivor frame is checkpointed once: three consumers (the line
+    * stats, the LM's model pass, the LM's scoring pass) would otherwise
+    * re-run the rule evaluation per branch (the checkpoint-before-reuse
+    * idiom). min/max of the per-doc scores (not their float sum) keep the
+    * rollup order-independent.
+    */
+  def pipeFilterChain(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val lined = linedDocs(Tables.documents(spark, dir))
+    val kept = lined.filter(
+        QualityRules.gopherQualityKeep(col("text")) &&
+          QualityRules.gopherRepetitionKeep(col("text")))
+      .localCheckpoint(false)
+    val cleaned = LineDedup.removeDuplicateLines(kept, "doc_id", "text")
+      .localCheckpoint(false)
+    val scored = graft.text.UnigramLm.scoreDocs(cleaned, "doc_id",
+      "clean_text", vocabSize = 50, oovDiscount = 0.5)
+    cleaned.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("avg_logprob")).as("min_lp"),
+        max(col("avg_logprob")).as("max_lp"))
+      .orderBy(col("source"))
+  }
+
+  private val pipeFilterChainSql =
+    s"""WITH $linedDocsSql,
+       |${gopherRuleCtes("lined")},
+       |kept AS (
+       |  SELECT doc_id, text FROM __gk
+       |  WHERE quality_keep AND repetition_keep
+       |), kl AS (
+       |  SELECT doc_id, p.ti AS pos, l0[p.ti] AS ln
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM kept),
+       |    UNNEST(generate_series(1, len(l0))) AS p(ti)
+       |), kdup AS (
+       |  SELECT ln FROM (
+       |    SELECT ln, COUNT(DISTINCT doc_id) AS nd FROM kl
+       |    WHERE trim(ln) <> '' GROUP BY ln
+       |  ) WHERE nd >= 2
+       |), cleaned AS (
+       |  SELECT kl.doc_id,
+       |    COALESCE(string_agg(kl.ln, chr(10) ORDER BY kl.pos)
+       |               FILTER (WHERE d.ln IS NULL), '') AS clean_text
+       |  FROM kl LEFT JOIN kdup d ON kl.ln = d.ln
+       |  GROUP BY kl.doc_id
+       |), toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(clean_text)), '\\s+')) AS term
+       |  FROM cleaned
+       |), cnt AS (
+       |  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+       |), tot AS (
+       |  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt
+       |), vocab AS (
+       |  SELECT term,
+       |    CAST(round(ln(c / (SELECT n FROM tot)) * 1000000) AS BIGINT) AS lp
+       |  FROM cnt ORDER BY c DESC, term LIMIT 50
+       |), scores AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |    round(CAST(SUM(COALESCE(v.lp,
+       |        CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT)))
+       |      AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_logprob
+       |  FROM toks t LEFT JOIN vocab v USING (term)
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(s.doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(s.avg_logprob) AS min_lp,
+       |  MAX(s.avg_logprob) AS max_lp
+       |FROM scores s JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2189,6 +2284,7 @@ object PipelineQueries {
     "txt_line_dedup" -> (txtLineDedup _),
     "txt_intra_dedup" -> (txtIntraDedup _),
     "txt_unigram_lm" -> (txtUnigramLm _),
+    "pipe_filter_chain" -> (pipeFilterChain _),
     "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
@@ -2250,5 +2346,6 @@ object PipelineQueries {
     "txt_line_dedup" -> txtLineDedupSql,
     "txt_intra_dedup" -> txtIntraDedupSql,
     "txt_unigram_lm" -> txtUnigramLmSql,
+    "pipe_filter_chain" -> pipeFilterChainSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

@@ -292,6 +292,42 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** bpe_tokens(text, merges) → array<string>: apply a trained BPE merge
+  * table ([[Kernels.bpeTokens]]). `merges` is a foldable array<string> of
+  * "left right" keys in rank order — a plan-time constant like the
+  * IVF/PQ tables.
+  */
+case class BpeTokens(child: Expression, mergeKeys: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](mergeKeys.length * 2)
+    var i = 0
+    while (i < mergeKeys.length) { m.put(mergeKeys(i), i); i += 1 }
+    m
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.bpeTokens(t.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.Kernels.bpeTokens($t, $ranksRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeTokens {
+  def fromLiteral(text: Expression, mergesLit: Expression): BpeTokens = {
+    require(mergesLit.foldable, "graft_bpe_tokens: merges must be a literal")
+    val ad = mergesLit.eval().asInstanceOf[ArrayData]
+    val keys = Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
+    BpeTokens(text, keys)
+  }
+}
+
 /** dedup_lines(array<string>) → string: within-document line dedup — keep
   * the first occurrence of each exact line in order, blanks exempt, newline
   * rejoin ([[Kernels.dedupLines]]).
@@ -409,6 +445,8 @@ object GraftFunctions {
       es => RemoveSpans(es(0), es(1), 1, '\n'), "built-in")
     reg.createOrReplaceTempFunction("graft_dedup_lines",
       es => DedupLines(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_tokens",
+      es => BpeTokens.fromLiteral(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_encode",
       es => Sq8Encode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_dot",
@@ -434,6 +472,12 @@ object GraftFunctions {
     */
   def removeLines(lines: Column, positions: Column): Column =
     call_function("graft_remove_lines", lines, positions)
+
+  /** Trained-BPE tokenization ([[BpeTokens]]); the ranked merge table is
+    * a plan-time constant. */
+  def bpeTokens(text: Column, mergeKeys: Array[String]): Column =
+    call_function("graft_bpe_tokens", text,
+      org.apache.spark.sql.functions.typedlit(mergeKeys.toSeq))
 
   /** Within-doc line dedup ([[DedupLines]]): first occurrence of each
     * line kept in order, blanks exempt. */

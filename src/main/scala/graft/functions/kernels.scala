@@ -407,6 +407,64 @@ object Kernels {
   /** Residual part of the ADC score: m table lookups, one per code byte.
     * `table` is a query's [[pqAdcTableF]] output (length m·ks).
     */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Apply a trained BPE merge table ([[graft.text.Bpe]]) to one document:
+    * lowercase, whitespace-split, then per word run the classic merge loop
+    * — seed symbols are the word's UTF-16 chars plus a terminal `</w>`;
+    * each iteration merges ALL occurrences of the best-ranked adjacent
+    * pair until no pair is in the table. `ranks` maps "left right" → rank
+    * (symbols never contain a space, so the key is unambiguous). Scan-
+    * local; the merge table is a broadcast plan constant.
+    */
+  def bpeTokens(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = wsPattern.split(text.toString.trim.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = new java.util.ArrayList[String](w.length + 1)
+        var ci = 0
+        while (ci < w.length) { syms.add(String.valueOf(w.charAt(ci))); ci += 1 }
+        syms.add("</w>")
+        var done = false
+        while (!done && syms.size >= 2) {
+          var bestRank = Int.MaxValue
+          var bestA: String = null
+          var bestB: String = null
+          var i = 0
+          while (i < syms.size - 1) {
+            val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
+            if (r != null && r < bestRank) {
+              bestRank = r; bestA = syms.get(i); bestB = syms.get(i + 1)
+            }
+            i += 1
+          }
+          if (bestA == null) done = true
+          else {
+            val next = new java.util.ArrayList[String](syms.size)
+            i = 0
+            while (i < syms.size) {
+              if (i < syms.size - 1 && syms.get(i) == bestA &&
+                  syms.get(i + 1) == bestB) {
+                next.add(bestA + bestB); i += 2
+              } else { next.add(syms.get(i)); i += 1 }
+            }
+            syms = next
+          }
+        }
+        var si = 0
+        while (si < syms.size) {
+          out += UTF8String.fromString(syms.get(si)); si += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Within-document line dedup: keep the FIRST occurrence of each exact
     * line, preserve order, rejoin with newline. Blank-after-trim lines are
     * structural separators and always kept (the [[graft.text.LineDedup]]

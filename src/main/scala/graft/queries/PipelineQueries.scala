@@ -2221,6 +2221,58 @@ object PipelineQueries {
        |FROM scores s JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Trained-BPE tokenizer on a FIXED corpus whose merge sequence is
+    * hand-derivable (the Sennrich-paper example shape: low×5, lower×2,
+    * widest×3, newest×6). The oracle is the expected tokenization of each
+    * probe word derived INDEPENDENTLY (by hand + a from-scratch reference
+    * implementation), not by running this code — including the unseen
+    * word "lowest" → [low, est</w>], the subword-generalization proof.
+    */
+  def txtBpePlanted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower widest widest widest"),
+      (3L, "newest newest newest newest newest newest")
+    ).toDF("doc_id", "text")
+    val model = graft.text.Bpe.train(corpus, "text", numMerges = 10)
+    val probes = Seq("low", "lower", "newest", "widest", "lowest", "wide",
+      "new").toDF("probe")
+    probes.select(col("probe"),
+        array_join(graft.text.Bpe.tokens(model, col("probe")), " ")
+          .as("tokens"),
+        graft.text.Bpe.tokenCount(model, col("probe")).as("n_tokens"))
+      .orderBy(col("probe"))
+  }
+
+  private val txtBpePlantedSql =
+    """SELECT * FROM (VALUES
+      |  ('low',    'low</w>',      1),
+      |  ('lower',  'low e r </w>', 4),
+      |  ('newest', 'newest</w>',   1),
+      |  ('widest', 'w i dest</w>', 3),
+      |  ('lowest', 'low est</w>',  2),
+      |  ('wide',   'w i d e </w>', 5),
+      |  ('new',    'n ew </w>',    3)
+      |) AS t(probe, tokens, n_tokens) ORDER BY probe""".stripMargin
+
+  /** The trained tokenizer over the real corpus (50 merges learned from
+    * the documents table itself): per-doc subword counts next to the
+    * whitespace count. No SQL engine can replay BPE training, so this is
+    * a rows-only gate — the planted twin above pins the algorithm.
+    */
+  def txtBpe(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val model = graft.text.Bpe.train(docs, "text", numMerges = 50,
+      maxWords = 1000)
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        graft.text.Bpe.tokenCount(model, col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2285,6 +2337,8 @@ object PipelineQueries {
     "txt_intra_dedup" -> (txtIntraDedup _),
     "txt_unigram_lm" -> (txtUnigramLm _),
     "pipe_filter_chain" -> (pipeFilterChain _),
+    "txt_bpe_planted" -> (txtBpePlanted _),
+    "txt_bpe" -> (txtBpe _),
     "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
@@ -2347,5 +2401,6 @@ object PipelineQueries {
     "txt_intra_dedup" -> txtIntraDedupSql,
     "txt_unigram_lm" -> txtUnigramLmSql,
     "pipe_filter_chain" -> pipeFilterChainSql,
+    "txt_bpe_planted" -> txtBpePlantedSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

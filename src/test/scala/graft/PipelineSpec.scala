@@ -897,6 +897,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) < math.log(1.0 / 8))
   }
 
+  test("bpe: training reproduces the reference merge sequence; apply generalizes") {
+    import spark.implicits._
+    import graft.text.Bpe
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower widest widest widest"),
+      (3L, "newest newest newest newest newest newest")
+    ).toDF("doc_id", "text")
+    val model = Bpe.train(corpus, "text", numMerges = 10)
+    // Derived independently (by hand for the first three, and by a
+    // from-scratch reference implementation for the rest).
+    assert(model.merges.toSeq === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"), ("low", "</w>"),
+      ("d", "est</w>")))
+    val got = Seq("lowest", "", "  ").toDF("t")
+      .select(Bpe.tokens(model, col("t"))).as[Seq[String]].collect()
+    assert(got(0) === Seq("low", "est</w>"), "unseen word composes subwords")
+    assert(got(1).isEmpty && got(2).isEmpty, "blank text has no tokens")
+    // Real corpus: every word is >= 1 token, so bpe count >= word count;
+    // training caps at the vocabulary's pair supply when it runs dry.
+    val m2 = Bpe.train(docs, "text", numMerges = 20, maxWords = 500)
+    assert(m2.merges.length === 20)
+    val bad = docs.select(TextAnalysis.tokenCount(col("text")).as("w"),
+        Bpe.tokenCount(m2, col("text")).as("b"))
+      .filter(col("b") < col("w")).count()
+    assert(bad === 0)
+  }
+
   test("sq8 quantization: codes bound error, zero vectors safe, topk exact on copies") {
     import spark.implicits._
     val df = vecs.limit(100)

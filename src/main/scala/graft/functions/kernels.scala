@@ -580,6 +580,8 @@ object Kernels {
     val sb = new java.lang.StringBuilder
     var pi = 0
     var coverEnd = 0L // exclusive upper bound of the active covered range
+    var kept = false  // explicit flag: a kept EMPTY element (a blank line
+                      // in line mode) must still earn its separator
     var t = 0
     while (t < numToks) {
       val pos = t + 1L
@@ -589,8 +591,9 @@ object Kernels {
         pi += 1
       }
       if (pos >= coverEnd) {
-        if (sb.length > 0) sb.append(sep)
+        if (kept) sb.append(sep)
         sb.append(tokens.getUTF8String(t).toString)
+        kept = true
       }
       t += 1
     }

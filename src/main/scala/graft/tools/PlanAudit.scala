@@ -238,6 +238,18 @@ object PlanAudit {
     println(s"line-text column in an exchange: $lineStringShuffle (want false)")
     println(ldPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
 
+    // Unigram LM: the model is a vocabulary-sized agg + bounded top-V cut;
+    // scoring must join the vocab via BROADCAST (token stream never
+    // shuffles by term for scoring) with one doc-keyed exchange for the
+    // per-doc mean.
+    println("=== unigram LM scoring (want broadcast vocab join) ===")
+    val ulm = graft.text.UnigramLm.scoreDocs(docs, "doc_id", "text",
+      vocabSize = 50)
+    ulm.collect()
+    println(ulm.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n"))
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

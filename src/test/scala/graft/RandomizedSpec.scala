@@ -432,4 +432,67 @@ class RandomizedSpec extends AnyFunSuite {
       assert(gotClean === wantClean, s"rewrite n=$n")
     }
   }
+
+  test("line dedup: removal and stats equal brute force on random corpora") {
+    import graft.text.LineDedup
+    val rnd = new Random(271)
+    (1 to 6).foreach { trial =>
+      // Small shared line pool forces cross-doc duplicates; blanks and
+      // space-only lines exercise the exemption.
+      val pool = (1 to (3 + rnd.nextInt(8))).map(i => s"line$i words here")
+      val docs = (0 until (2 + rnd.nextInt(10))).map { id =>
+        val nLines = 1 + rnd.nextInt(8)
+        val lines = (1 to nLines).map { _ =>
+          rnd.nextInt(4) match {
+            case 0     => ""
+            case 1     => "  "
+            case _     => pool(rnd.nextInt(pool.length))
+          }
+        }
+        (id.toLong, lines.mkString("\n"))
+      }
+      val minDocs = 2 + rnd.nextInt(2)
+      val df = docs.toDF("id", "text")
+      // Reference: lines occurring (non-blank) in >= minDocs distinct docs.
+      val lineDocs = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).filter(_.trim.nonEmpty).distinct.map(_ -> id) }
+      val dup = lineDocs.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= minDocs).keySet
+      val wantClean = docs.map { case (id, t) =>
+        id -> t.split("\n", -1).filter(l => l.trim.isEmpty || !dup(l)).mkString("\n")
+      }.toMap
+      for (hash <- Seq(true, false)) {
+        val got = LineDedup.removeDuplicateLines(df, "id", "text", minDocs, hash)
+          .select("id", "clean_text")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got === wantClean, s"trial=$trial minDocs=$minDocs hash=$hash")
+      }
+      val wantStats = docs.flatMap { case (id, t) =>
+        val nb = t.split("\n", -1).filter(_.trim.nonEmpty)
+        if (nb.isEmpty) None
+        else Some(id -> ((nb.length.toLong, nb.count(dup).toLong)))
+      }.toMap
+      val gotStats = LineDedup.duplicatedLineStats(df, "id", "text", minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotStats === wantStats, s"stats trial=$trial minDocs=$minDocs")
+    }
+  }
+
+  test("topKByGroup: equals sort-take per group for random scores and k") {
+    val rnd = new Random(137)
+    (1 to 6).foreach { trial =>
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until (5 + rnd.nextInt(60))).map { i =>
+        (i.toLong, s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(8).toDouble))
+      }
+      val df = rows.toDF("id", "g", "score")
+      val got = Sampling.topKByGroup(df, "id", "g", "score", k)
+        .select("id").as[Long].collect().toSet
+      val want = rows.collect { case (id, g, Some(s)) => (id, g, s) }
+        .groupBy(_._2).values.flatMap { grp =>
+          grp.sortBy { case (id, _, s) => (-s, id) }.take(k).map(_._1)
+        }.toSet
+      assert(got === want, s"trial=$trial k=$k")
+    }
+  }
 }

@@ -168,4 +168,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept.select("doc_id", "text")
       .except(streamed.select("doc_id", "text")).count() === 0)
   }
+
+  test("streaming gopher filter keeps exactly the batch rule survivors") {
+    import graft.text.QualityRules
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_gopher")
+    // The rule filter is stateless and scan-local, so it applies to a
+    // stream unchanged — at ingest time, before anything stateful. The
+    // stream must keep EXACTLY the batch survivor rows.
+    val docs = graft.queries.PipelineQueries.linedDocs(
+      Tables.documents(spark, sf)).select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val keep = (c: org.apache.spark.sql.Column) =>
+      QualityRules.gopherQualityKeep(c) && QualityRules.gopherRepetitionKeep(c)
+    val transform: DataFrame => DataFrame = df => df.filter(keep(col("text")))
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "gopher_sink")
+
+    val batchKept = docs.filter(keep(col("text")))
+    assert(batchKept.count() > 0 && batchKept.count() < docs.count(),
+      "rule set must actually discriminate on this corpus")
+    assert(streamed.count() === batchKept.count())
+    assert(streamed.select("doc_id").except(batchKept.select("doc_id")).count() === 0)
+    assert(batchKept.select("doc_id").except(streamed.select("doc_id")).count() === 0)
+  }
 }

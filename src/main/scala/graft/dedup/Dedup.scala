@@ -824,6 +824,81 @@ object Dedup {
     fanOut(repPairs, c.members)
   }
 
+  /** Cross-corpus EMBEDDING near-dup pairs — semantic decontamination:
+    * corpus vectors with cosine ≥ `threshold` against ANY reference vector
+    * (a benchmark / eval embedding set), the embedding analog of
+    * [[minhashNearDupPairsAgainst]] and the same candidate discipline:
+    * a byte-identity pre-route (16-byte vector-hash equi-join — identical
+    * vectors are GUARANTEED found, immune to every cap) plus a two-side-
+    * capped sign-projection band join; exact cosine verifies every
+    * candidate, so caps and banding only bound recall of NEAR pairs,
+    * never precision. Corpus-side identical vectors collapse before
+    * banding and fan back out after verification (identical vectors ⇒
+    * identical cosine).
+    *
+    * Scale shape: signatures and hash keys compute scan-locally; only
+    * (id, 8-byte band keys / 16-byte identity keys) reach the candidate
+    * exchanges — vectors appear exclusively in the verify join, restricted
+    * to candidates. LSH recall physics per [[graft.similarity.Knn.lshTopK]]:
+    * at 4×16-bit bands only HIGH-cosine pairs are retrieved reliably —
+    * the near-duplicate regime this filter targets.
+    */
+  def embeddingNearDupPairsAgainst(corpus: DataFrame, idCol: String,
+      vecCol: String, reference: DataFrame, refIdCol: String,
+      refVecCol: String, threshold: Double = 0.95,
+      maxBucketSize: Int = 10000): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = collapseKeyed(
+      corpus.select(col(idCol).as("id") +: hashKeys(Seq(col(vecCol))) :+
+        GraftFunctions.signProjection(col(vecCol)).as("sig"): _*),
+      maxBucketSize)
+    val refKeyed = scopedPersist(reference.select(
+      col(refIdCol).as("ref_id") +: hashKeys(Seq(col(refVecCol))) :+
+        GraftFunctions.signProjection(col(refVecCol)).as("sig"): _*))
+    val candExact = corpus
+      .select(col(idCol).as("id") +: hashKeys(Seq(col(vecCol))): _*)
+      .join(refKeyed.select("ref_id", "__h1", "__h2"), Seq("__h1", "__h2"))
+      .select("id", "ref_id")
+    val candLsh = bucketPairsBetween(
+      bandRows(c.reps, bands = 4, bandBits = 16)
+        .select("id", "band_idx", "band_hash"),
+      bandRows(refKeyed, bands = 4, bandBits = 16)
+        .select("ref_id", "band_idx", "band_hash"),
+      maxBucketSize)
+    val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val rvecs = reference.select(col(refIdCol).as("ref_id"),
+      col(refVecCol).as("__rv"))
+    val repPairs = candLsh.join(cvecs, "id").join(rvecs, "ref_id")
+      .withColumn("cosine", GraftFunctions.cosineSim(col("__cv"), col("__rv")))
+      .filter(col("cosine") >= threshold)
+      .select("id", "ref_id", "cosine")
+    val fanned = repPairs
+      .join(c.members.select(col("__rep").as("id"), col("id").as("__m")),
+        Seq("id"), "left")
+      .select(coalesce(col("__m"), col("id")).as("id"),
+        col("ref_id"), col("cosine"))
+    val exactVerified = candExact.join(cvecs, "id").join(rvecs, "ref_id")
+      .withColumn("cosine", GraftFunctions.cosineSim(col("__cv"), col("__rv")))
+      .filter(col("cosine") >= threshold)
+      .select("id", "ref_id", "cosine")
+    fanned.unionByName(exactVerified)
+      .groupBy("id", "ref_id").agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** The filter use-case of [[embeddingNearDupPairsAgainst]]: the corpus
+    * with every row semantically near a reference vector removed — scrub
+    * training embeddings against a benchmark's embedding set.
+    */
+  def dropEmbeddingNearDupsAgainst(corpus: DataFrame, idCol: String,
+      vecCol: String, reference: DataFrame, refIdCol: String,
+      refVecCol: String, threshold: Double = 0.95,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val matched = embeddingNearDupPairsAgainst(corpus, idCol, vecCol,
+      reference, refIdCol, refVecCol, threshold, maxBucketSize)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(matched, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------ semantic dedup
 
   /** SemDeDup-style semantic near-dup pairs: a k-means coarse quantizer

@@ -54,6 +54,21 @@ object Sampling {
       salt: Long = 0L): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < lit(threshold(fraction)))
 
+  /** Per-ROW weighted sampling (importance / quality-weighted
+    * downsampling): keep each row with probability equal to its own
+    * `weightCol` value in [0, 1] — e.g. acceptance ∝ a quality score, the
+    * soft alternative to a hard threshold cut. Deterministic in
+    * (key, salt) like every sampler here: keep iff
+    * bucket(key) < round(weight · Space), so weight ≥ 1 always keeps,
+    * weight ≤ 0 (or null) always drops, and membership is reproducible on
+    * any engine and any partitioning. Scan-local, no shuffle.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: Long = 0L): DataFrame =
+    df.filter(col(keyCol).isNotNull &&
+      hashBucket(col(keyCol), salt) <
+        round(coalesce(col(weightCol), lit(0.0)) * Space).cast("long"))
+
   /** Weighted corpus mixture (data mixing): per-group keep rates in one
     * scan-local pass — e.g. downsample boilerplate-heavy sources while
     * keeping rare languages at full rate. Groups absent from `rates` use

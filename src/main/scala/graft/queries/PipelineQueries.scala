@@ -1781,6 +1781,29 @@ object PipelineQueries {
       |SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Per-row weighted sampling ([[Sampling.weightedSample]]): acceptance
+    * probability = min(n_chars / 400, 1) — longer docs kept at higher
+    * rate, the soft quality cut. The oracle interpolates the exact bucket
+    * expression and threshold arithmetic.
+    */
+  def pipeWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.documents(spark, dir)
+        .withColumn("__w", least(col("n_chars") / 400.0, lit(1.0))),
+      "doc_id", "__w", salt = 21L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+
+  private val pipeWeightedSampleSql =
+    s"""SELECT source, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM documents
+       |WHERE doc_id IS NOT NULL
+       |  AND ${bucketSql("doc_id", 21L)} <
+       |    CAST(round(least(n_chars / 400.0, 1.0) * 4294967296) AS BIGINT)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Disjoint 80/10/10 train/valid/test split — every doc in exactly one. */
   def pipeSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.withSplit(Tables.documents(spark, dir), "doc_id",
@@ -2273,6 +2296,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus embedding near-dup (semantic decontamination,
+    * [[Dedup.embeddingNearDupPairsAgainst]]): the reference set is 25
+    * planted identical copies (ids +3,000,000) — identity pre-route +
+    * full-signature band agreement make them cap-proof — and the corpus's
+    * max NATURAL cross cosine is ≈0.60 (the `dd_semantic` measurement),
+    * far under the 0.98 bar, so the FULL brute-force cross oracle is
+    * replayable without LSH-recall caveats.
+    */
+  def ddCrossEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val ref = vecs.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 3000000L).as("ref_id"),
+        col("embedding").as("ref_vec"))
+    Dedup.embeddingNearDupPairsAgainst(vecs, "vec_id", "embedding",
+      ref, "ref_id", "ref_vec", threshold = 0.98)
+      .select(col("id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id"), col("ref_id"))
+  }
+
+  private val ddCrossEmbeddingSql =
+    """WITH corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id < 500
+      |), ref AS (
+      |  SELECT vec_id + 3000000 AS ref_id, CAST(embedding AS DOUBLE[]) AS rv
+      |  FROM embeddings WHERE vec_id < 25
+      |)
+      |SELECT c.vec_id AS id, r.ref_id,
+      |  round(list_cosine_similarity(c.v, r.rv), 6) AS cosine
+      |FROM corpus c JOIN ref r ON list_cosine_similarity(c.v, r.rv) >= 0.98
+      |ORDER BY id, ref_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2316,6 +2372,7 @@ object PipelineQueries {
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_group_topk" -> (pipeGroupTopK _),
+    "pipe_weighted_sample" -> (pipeWeightedSample _),
     "pipe_cross_dedup" -> (pipeCrossDedup _),
     "pipe_cross_dedup_bloom" -> (pipeCrossDedupBloom _),
     "dd_cross_neardup" -> (ddCrossNeardup _),
@@ -2339,6 +2396,7 @@ object PipelineQueries {
     "pipe_filter_chain" -> (pipeFilterChain _),
     "txt_bpe_planted" -> (txtBpePlanted _),
     "txt_bpe" -> (txtBpe _),
+    "dd_cross_embedding" -> (ddCrossEmbedding _),
     "pipe_training_data" -> (pipeTrainingData _))
 
   val oracles: Map[String, String] = Map(
@@ -2384,6 +2442,7 @@ object PipelineQueries {
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
     "pipe_group_topk" -> pipeGroupTopKSql,
+    "pipe_weighted_sample" -> pipeWeightedSampleSql,
     "pipe_cross_dedup" -> pipeCrossDedupSql,
     "pipe_cross_dedup_bloom" -> pipeCrossDedupSql,
     "pipe_corpus_mix" -> pipeCorpusMixSql,
@@ -2402,5 +2461,6 @@ object PipelineQueries {
     "txt_unigram_lm" -> txtUnigramLmSql,
     "pipe_filter_chain" -> pipeFilterChainSql,
     "txt_bpe_planted" -> txtBpePlantedSql,
+    "dd_cross_embedding" -> ddCrossEmbeddingSql,
     "pipe_training_data" -> pipeTrainingDataSql)
 }

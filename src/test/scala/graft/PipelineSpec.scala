@@ -897,6 +897,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) < math.log(1.0 / 8))
   }
 
+  test("weightedSample: extremes, monotone membership, salt independence") {
+    import spark.implicits._
+    def kept(w: org.apache.spark.sql.Column, salt: Long = 3L): Set[Long] =
+      Sampling.weightedSample(docs.withColumn("__w", w), "doc_id", "__w", salt)
+        .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept(lit(1.0)) === all, "weight 1 keeps everything")
+    assert(kept(lit(0.0)).isEmpty && kept(lit(null).cast("double")).isEmpty,
+      "weight 0 and null keep nothing")
+    // Membership is monotone in weight at fixed salt (the threshold only
+    // grows), and deterministic per salt.
+    val w3 = kept(lit(0.3)); val w7 = kept(lit(0.7))
+    assert(w3.subsetOf(w7) && w3 === kept(lit(0.3)))
+    assert(w3.size > 0 && w3.size < all.size && w7.size < all.size)
+    assert(kept(lit(0.3), salt = 4L) !== w3, "salts draw different samples")
+  }
+
+  test("cross-embedding decontamination: identity found, precision exact, wrapper drops") {
+    import spark.implicits._
+    val corpus = vecs.filter(col("vec_id") < 300)
+    val ref = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 7000000L).as("ref_id"),
+        col("embedding").as("ref_vec"))
+    val pairs = Dedup.embeddingNearDupPairsAgainst(corpus, "vec_id",
+      "embedding", ref, "ref_id", "ref_vec", threshold = 0.98)
+    val got = pairs.select(col("id"), col("ref_id")).as[(Long, Long)]
+      .collect().toSet
+    // Every planted identical copy is found (identity pre-route).
+    for (i <- 0L until 20L) assert(got.contains((i, 7000000L + i)))
+    // Precision: every reported pair really clears the threshold under
+    // the exact kernel (brute-force recompute).
+    val brute = corpus.as("c").crossJoin(ref.as("r"))
+      .select(col("c.vec_id").as("id"), col("r.ref_id"),
+        GraftFunctions.cosineSim(col("c.embedding"), col("r.ref_vec")).as("cos"))
+      .filter(col("cos") >= 0.98)
+      .select("id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute) && brute.subsetOf(got),
+      "at 0.98 on this corpus LSH+identity finds exactly the brute set")
+    // The drop wrapper removes exactly the matched corpus ids.
+    val dropped = Dedup.dropEmbeddingNearDupsAgainst(corpus, "vec_id",
+      "embedding", ref, "ref_id", "ref_vec", threshold = 0.98)
+    assert(dropped.count() === corpus.count() - got.map(_._1).size)
+    // Empty reference keeps everything.
+    val noRef = ref.filter(lit(false))
+    assert(Dedup.dropEmbeddingNearDupsAgainst(corpus, "vec_id", "embedding",
+      noRef, "ref_id", "ref_vec").count() === corpus.count())
+  }
+
   test("bpe: training reproduces the reference merge sequence; apply generalizes") {
     import spark.implicits._
     import graft.text.Bpe

@@ -2329,6 +2329,66 @@ object PipelineQueries {
       |FROM corpus c JOIN ref r ON list_cosine_similarity(c.v, r.rv) >= 0.98
       |ORDER BY id, ref_id""".stripMargin
 
+  /** Order-2 LM scores with stupid backoff
+    * ([[graft.text.UnigramLm.scoreDocsBigram]]): tiny model cuts (top-50
+    * unigrams, top-100 bigrams) force all three scoring paths — bigram
+    * hit, backoff-to-unigram, backoff-to-OOV-floor — on the real corpus.
+    * The oracle rebuilds both model tables (same count-desc lexicographic
+    * cuts), the conditional quantization, and every per-doc mean.
+    */
+  def txtBigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.scoreDocsBigram(Tables.documents(spark, dir),
+      "doc_id", "text", vocabSize = 50, bigramSize = 100)
+      .orderBy(col("doc_id"))
+
+  private val txtBigramLmSql =
+    """WITH src AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(t) AS term FROM src
+      |), cnt AS (
+      |  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt
+      |), uni AS (
+      |  SELECT term,
+      |    CAST(round(ln(c / (SELECT n FROM tot)) * 1000000) AS BIGINT) AS ulp
+      |  FROM cnt ORDER BY c DESC, term LIMIT 50
+      |), pairs AS (
+      |  SELECT doc_id, t[i - 1] AS a, t[i] AS b
+      |  FROM src, UNNEST(generate_series(2, len(t))) AS u(i)
+      |), bi AS (
+      |  SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b
+      |  ORDER BY cab DESC, a, b LIMIT 100
+      |), biv AS (
+      |  SELECT bi.a, bi.b,
+      |    CAST(round(ln(bi.cab / CAST(c.c AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS blp
+      |  FROM bi JOIN cnt c ON c.term = bi.a
+      |), firsts AS (
+      |  SELECT f.doc_id, COALESCE(u.ulp,
+      |      CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))
+      |    AS lp
+      |  FROM (SELECT doc_id, t[1] AS term FROM src) f
+      |  LEFT JOIN uni u USING (term)
+      |), pscore AS (
+      |  SELECT p.doc_id, COALESCE(v.blp,
+      |      CAST(round(ln(0.4) * 1000000) AS BIGINT)
+      |      + COALESCE(u.ulp,
+      |          CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT)))
+      |    AS lp
+      |  FROM pairs p
+      |  LEFT JOIN biv v ON v.a = p.a AND v.b = p.b
+      |  LEFT JOIN uni u ON u.term = p.b
+      |), allsc AS (
+      |  SELECT doc_id, lp FROM firsts UNION ALL SELECT doc_id, lp FROM pscore
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+      |    AS avg_logprob
+      |FROM allsc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2393,6 +2453,7 @@ object PipelineQueries {
     "txt_line_dedup" -> (txtLineDedup _),
     "txt_intra_dedup" -> (txtIntraDedup _),
     "txt_unigram_lm" -> (txtUnigramLm _),
+    "txt_bigram_lm" -> (txtBigramLm _),
     "pipe_filter_chain" -> (pipeFilterChain _),
     "txt_bpe_planted" -> (txtBpePlanted _),
     "txt_bpe" -> (txtBpe _),
@@ -2459,6 +2520,7 @@ object PipelineQueries {
     "txt_line_dedup" -> txtLineDedupSql,
     "txt_intra_dedup" -> txtIntraDedupSql,
     "txt_unigram_lm" -> txtUnigramLmSql,
+    "txt_bigram_lm" -> txtBigramLmSql,
     "pipe_filter_chain" -> pipeFilterChainSql,
     "txt_bpe_planted" -> txtBpePlantedSql,
     "dd_cross_embedding" -> ddCrossEmbeddingSql,

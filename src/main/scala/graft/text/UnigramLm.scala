@@ -58,4 +58,81 @@ object UnigramLm {
         round(col("__sum").cast("double") / col("n_tokens") / 1e6, 6)
           .as("avg_logprob"))
   }
+
+  /** Order-2 scoring with stupid backoff (Brants et al. 2007 — the
+    * unnormalized backoff used at web scale BECAUSE it needs only raw
+    * counts): the first token scores unigram; every later token scores
+    * `log(c(ab)/c(a))` when the bigram is in the model, else
+    * `log(backoff) + unigram(b)`. Both model tables are bounded top-cuts
+    * (count desc, lexicographic tie-break) broadcast to the scorers;
+    * conditional log-probs quantize to micro-nats at model build, and the
+    * backoff constant is itself a quantized micro-nat added in integer
+    * arithmetic — the whole per-doc sum stays exact, like [[scoreDocs]].
+    *
+    * Scale shape: one extra corpus aggregation keyed by the bigram pair
+    * (map-side combined; pair strings must ride this model-build exchange
+    * — they ARE the model) plus the same broadcast-join scoring; pair
+    * construction is scan-local from each doc's own token array (no
+    * window, no self-join).
+    */
+  def scoreDocsBigram(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 50000, bigramSize: Int = 100000,
+      backoff: Double = 0.4, oovDiscount: Double = 0.5): DataFrame = {
+    require(vocabSize > 0 && bigramSize > 0, "vocab sizes must be positive")
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff must be in (0, 1], got $backoff")
+    require(oovDiscount > 0.0 && oovDiscount <= 1.0,
+      s"oovDiscount must be in (0, 1], got $oovDiscount")
+    val ts = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol).as("__id"), ts.as("__ts"))
+      .localCheckpoint(false) // consumed by unigrams, pairs, and firsts
+    val toks = base.select(col("__id"), explode(col("__ts")).as("__t"))
+    val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // total + unigram vocab + bigram contexts
+    val total = cnt.agg(sum(col("__c"))).first().getLong(0)
+    val microLp = (p: org.apache.spark.sql.Column) =>
+      round(log(p) * 1e6, 0).cast("long")
+    val uniVocab = cnt.orderBy(col("__c").desc, col("__t")).limit(vocabSize)
+      .select(col("__t"), microLp(col("__c") / lit(total.toDouble)).as("__ulp"))
+    def quantize(x: Double): Long =
+      new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val oovLp = quantize(math.log(oovDiscount / total))
+    val backoffLp = quantize(math.log(backoff))
+
+    // Pair stream: scan-local from each doc's own token array (guard the
+    // 1-token case — Spark's sequence(2, 1) would count DOWN).
+    val pairArr = when(size(col("__ts")) >= 2,
+      transform(sequence(lit(2), size(col("__ts"))), i =>
+        struct(element_at(col("__ts"), i - 1).as("a"),
+          element_at(col("__ts"), i).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val pairs = base.select(col("__id"), explode(pairArr).as("__p"))
+      .select(col("__id"), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    // Bigram model: top pairs by count; conditional on the FULL context
+    // count (not the truncated vocab), quantized at build.
+    val biVocab = pairs.groupBy("__a", "__b").agg(count(lit(1)).as("__cab"))
+      .orderBy(col("__cab").desc, col("__a"), col("__b")).limit(bigramSize)
+      .join(cnt.select(col("__t").as("__a"), col("__c").as("__ca")), "__a")
+      .select(col("__a"), col("__b"),
+        microLp(col("__cab") / col("__ca").cast("double")).as("__blp"))
+
+    val firstScores = base
+      .select(col("__id"), element_at(col("__ts"), 1).as("__t"))
+      .join(broadcast(uniVocab), Seq("__t"), "left")
+      .select(col("__id"), coalesce(col("__ulp"), lit(oovLp)).as("__lp"))
+    val pairScores = pairs
+      .join(broadcast(biVocab), Seq("__a", "__b"), "left")
+      .join(broadcast(uniVocab.withColumnRenamed("__t", "__b")),
+        Seq("__b"), "left")
+      .select(col("__id"),
+        coalesce(col("__blp"),
+          lit(backoffLp) + coalesce(col("__ulp"), lit(oovLp))).as("__lp"))
+    firstScores.unionByName(pairScores)
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__sum"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        round(col("__sum").cast("double") / col("n_tokens") / 1e6, 6)
+          .as("avg_logprob"))
+  }
 }

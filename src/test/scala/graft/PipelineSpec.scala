@@ -974,6 +974,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("bigram LM: hit, backoff, and floor paths score to hand-computed means") {
+    import spark.implicits._
+    import graft.text.UnigramLm
+    // Corpus: "a b a b" + "a c". Counts: a=3 b=2 c=1 (N=6); bigrams
+    // (a,b)=2 (b,a)=1 (a,c)=1.
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    def mean(lps: Seq[Long]): Double =
+      BigDecimal(lps.sum.toDouble / lps.length / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Full model: every path is a bigram hit.
+    val full = UnigramLm.scoreDocsBigram(df, "doc_id", "text",
+        vocabSize = 10, bigramSize = 10)
+      .select(col("doc_id"), col("avg_logprob")).as[(Long, Double)]
+      .collect().toMap
+    val lpA = q(math.log(3.0 / 6)); val lpAB = q(math.log(2.0 / 3))
+    val lpBA = q(math.log(1.0 / 2)); val lpAC = q(math.log(1.0 / 3))
+    assert(math.abs(full(1L) - mean(Seq(lpA, lpAB, lpBA, lpAB))) < 1e-9)
+    assert(math.abs(full(2L) - mean(Seq(lpA, lpAC))) < 1e-9)
+    // bigramSize=1 keeps only (a,b): (b,a) and (a,c) back off to
+    // backoff + unigram; vocabSize=1 keeps only 'a', flooring b and c.
+    val cut = UnigramLm.scoreDocsBigram(df, "doc_id", "text",
+        vocabSize = 1, bigramSize = 1)
+      .select(col("doc_id"), col("avg_logprob")).as[(Long, Double)]
+      .collect().toMap
+    val floor = q(math.log(0.5 / 6)); val bo = q(math.log(0.4))
+    assert(math.abs(cut(1L) -
+      mean(Seq(lpA, lpAB, bo + lpA, lpAB))) < 1e-9)
+    assert(math.abs(cut(2L) - mean(Seq(lpA, bo + floor))) < 1e-9)
+  }
+
   test("sq8 quantization: codes bound error, zero vectors safe, topk exact on copies") {
     import spark.implicits._
     val df = vecs.limit(100)

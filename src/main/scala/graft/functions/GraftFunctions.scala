@@ -292,6 +292,20 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** nfc_normalize(text) → string: Unicode canonical composition
+  * ([[Kernels.nfc]]) — the pre-dedup normalization pass.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Kernels.nfc($s)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** bpe_tokens(text, merges) → array<string>: apply a trained BPE merge
   * table ([[Kernels.bpeTokens]]). `merges` is a foldable array<string> of
   * "left right" keys in rank order — a plan-time constant like the
@@ -447,6 +461,8 @@ object GraftFunctions {
       es => DedupLines(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_tokens",
       es => BpeTokens.fromLiteral(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_encode",
       es => Sq8Encode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_dot",
@@ -472,6 +488,9 @@ object GraftFunctions {
     */
   def removeLines(lines: Column, positions: Column): Column =
     call_function("graft_remove_lines", lines, positions)
+
+  /** Unicode NFC normalization ([[NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column = call_function("graft_nfc", text)
 
   /** Trained-BPE tokenization ([[BpeTokens]]); the ranked merge table is
     * a plan-time constant. */

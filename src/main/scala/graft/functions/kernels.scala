@@ -409,6 +409,19 @@ object Kernels {
     */
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** Unicode NFC normalization — canonical composition, so "e" + combining
+    * acute and precomposed "é" hash identically in every downstream dedup.
+    * Fast path: `Normalizer.isNormalized` is O(n) with no allocation and
+    * true for virtually all real text, so the rewrite only runs on the
+    * rows that need it.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Apply a trained BPE merge table ([[graft.text.Bpe]]) to one document:
     * lowercase, whitespace-split, then per word run the classic merge loop
     * — seed symbols are the word's UTF-16 chars plus a terminal `</w>`;

@@ -2389,6 +2389,38 @@ object PipelineQueries {
       |    AS avg_logprob
       |FROM allsc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unicode NFC normalization ([[TextAnalysis.nfcNormalize]]): every 11th
+    * doc gets a decomposed tail ("cafe" + combining acute) that must
+    * compose to the precomposed form; DuckDB's nfc_normalize replays the
+    * whole rewrite. The n_chars column pins that composition actually
+    * shortened the planted rows (combining mark folded into one
+    * codepoint).
+    */
+  def txtNfc(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val noisy = Tables.documents(spark, dir)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" cafe\u0301 nai\u0308ve")))
+          .otherwise(col("text")))
+    noisy.filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        TextAnalysis.nfcNormalize(col("text")).as("norm_text"),
+        length(TextAnalysis.nfcNormalize(col("text"))).as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtNfcSql =
+    """WITH noisy AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+      |    THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+      |    ELSE text END AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id, nfc_normalize(text) AS norm_text,
+      |  CAST(length(nfc_normalize(text)) AS INT) AS n_chars_norm
+      |FROM noisy WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2454,6 +2486,7 @@ object PipelineQueries {
     "txt_intra_dedup" -> (txtIntraDedup _),
     "txt_unigram_lm" -> (txtUnigramLm _),
     "txt_bigram_lm" -> (txtBigramLm _),
+    "txt_nfc" -> (txtNfc _),
     "pipe_filter_chain" -> (pipeFilterChain _),
     "txt_bpe_planted" -> (txtBpePlanted _),
     "txt_bpe" -> (txtBpe _),
@@ -2521,6 +2554,7 @@ object PipelineQueries {
     "txt_intra_dedup" -> txtIntraDedupSql,
     "txt_unigram_lm" -> txtUnigramLmSql,
     "txt_bigram_lm" -> txtBigramLmSql,
+    "txt_nfc" -> txtNfcSql,
     "pipe_filter_chain" -> pipeFilterChainSql,
     "txt_bpe_planted" -> txtBpePlantedSql,
     "dd_cross_embedding" -> ddCrossEmbeddingSql,

@@ -133,6 +133,13 @@ object TextAnalysis {
         "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>"),
       "\\s+", " "))
 
+  /** Unicode NFC normalization (canonical composition) — run BEFORE
+    * [[normalize]]/dedup so decomposed and precomposed spellings of the
+    * same text hash identically. Scan-local codegen'd kernel with an
+    * is-normalized fast path ([[graft.functions.NfcNormalize]]).
+    */
+  def nfcNormalize(text: Column): Column = GraftFunctions.nfcNormalize(text)
+
   /** PII detection/redaction — the scrub pass a training corpus runs before
     * anything else sees the text. Heuristic regexes (that is the operator's
     * nature); patterns use only features Java regex and RE2 share, so the

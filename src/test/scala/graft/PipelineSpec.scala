@@ -974,6 +974,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("nfc normalize: composes decomposed marks, idempotent, ascii untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "café"),        // e + combining acute → é
+      (2L, "café"),         // already composed
+      (3L, "plain ascii text")
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.nfcNormalize(col("t")).as("n"),
+        length(TextAnalysis.nfcNormalize(col("t"))).as("len"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("café", 4)), "decomposed composes and shortens")
+    assert(got(1L)._1 === got(2L)._1, "both spellings normalize identically")
+    assert(got(3L) === (("plain ascii text", 16)))
+    // Idempotence: normalizing a normalized string is the identity.
+    val twice = df.select(TextAnalysis.nfcNormalize(
+      TextAnalysis.nfcNormalize(col("t"))).as("n2")).as[String].collect()
+    assert(twice.toSeq === df.select(TextAnalysis.nfcNormalize(col("t")))
+      .as[String].collect().toSeq)
+  }
+
   test("bigram LM: hit, backoff, and floor paths score to hand-computed means") {
     import spark.implicits._
     import graft.text.UnigramLm

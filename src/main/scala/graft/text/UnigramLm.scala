@@ -42,8 +42,11 @@ object UnigramLm {
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
     val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
       .localCheckpoint(false) // shared by the total and the vocab cut
-    // Metadata-plane scalar (one row), like the mixture thresholds.
-    val total = cnt.agg(sum(col("__c"))).first().getLong(0)
+    // Metadata-plane scalar (one row), like the mixture thresholds. An
+    // empty corpus sums to NULL → treat as 1 so the floor arithmetic
+    // stays finite (the output is empty regardless — no tokens to score).
+    val total = Option(cnt.agg(sum(col("__c"))).first().get(0))
+      .map(_.asInstanceOf[Long]).filter(_ > 0L).getOrElse(1L)
     val microLp = (p: org.apache.spark.sql.Column) =>
       round(log(p) * 1e6, 0).cast("long")
     val vocab = cnt.orderBy(col("__c").desc, col("__t")).limit(vocabSize)
@@ -89,7 +92,9 @@ object UnigramLm {
     val toks = base.select(col("__id"), explode(col("__ts")).as("__t"))
     val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
       .localCheckpoint(false) // total + unigram vocab + bigram contexts
-    val total = cnt.agg(sum(col("__c"))).first().getLong(0)
+    // NULL-sum-on-empty guard — see scoreDocs.
+    val total = Option(cnt.agg(sum(col("__c"))).first().get(0))
+      .map(_.asInstanceOf[Long]).filter(_ > 0L).getOrElse(1L)
     val microLp = (p: org.apache.spark.sql.Column) =>
       round(log(p) * 1e6, 0).cast("long")
     val uniVocab = cnt.orderBy(col("__c").desc, col("__t")).limit(vocabSize)

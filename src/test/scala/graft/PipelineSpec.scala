@@ -820,6 +820,25 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 500)
   }
 
+  test("text operators: empty corpora flow through without erroring") {
+    import spark.implicits._
+    import graft.text.{Bpe, LineDedup, QualityRules, UnigramLm}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(UnigramLm.scoreDocs(empty, "doc_id", "text").count() === 0)
+    assert(UnigramLm.scoreDocsBigram(empty, "doc_id", "text").count() === 0)
+    assert(LineDedup.removeDuplicateLines(empty, "doc_id", "text").count() === 0)
+    assert(LineDedup.duplicatedLineStats(empty, "doc_id", "text").count() === 0)
+    assert(QualityRules.withRuleColumns(empty, "text").count() === 0)
+    val m = Bpe.train(empty, "text", numMerges = 5)
+    assert(m.merges.isEmpty)
+    assert(Seq((1L, "anything")).toDF("doc_id", "text")
+      .select(Bpe.tokenCount(m, col("text"))).as[Int].head() === 9,
+      "merge-free model yields chars + </w>")
+    assert(Sampling.topKByGroup(empty, "doc_id", "text", "doc_id", 3).count() === 0)
+    assert(Sampling.weightedSample(
+      empty.withColumn("w", lit(1.0)), "doc_id", "w").count() === 0)
+  }
+
   test("near-dup operators: empty and singleton corpora yield empty pair sets") {
     // Degenerate inputs drive every internal path — the collapse
     // aggregation, its persisted membership, banding, bucket aggregation,

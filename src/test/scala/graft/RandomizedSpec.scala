@@ -477,6 +477,65 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("LM scoring: unigram and bigram equal a plain-Scala reference") {
+    import graft.text.UnigramLm
+    val rnd = new Random(911)
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    (1 to 4).foreach { trial =>
+      val words = (1 to (3 + rnd.nextInt(6))).map(i => s"w$i")
+      val docs = (0 until (3 + rnd.nextInt(8))).map { id =>
+        (id.toLong,
+          (1 to (1 + rnd.nextInt(12)))
+            .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = cnt.values.sum
+      val vSize = 1 + rnd.nextInt(words.length + 2)
+      val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(vSize)
+        .map { case (w, c) => w -> q(math.log(c.toDouble / n)) }.toMap
+      val floor = q(math.log(0.5 / n))
+      // Unigram reference.
+      val wantUni = toks.map { case (id, ts) =>
+        val lps = ts.map(t => vocab.getOrElse(t, floor))
+        id -> BigDecimal(lps.sum.toDouble / lps.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val gotUni = UnigramLm.scoreDocs(df, "id", "text", vSize)
+        .select(col("id"), col("avg_logprob")).as[(Long, Double)]
+        .collect().toMap
+      assert(gotUni.keySet === wantUni.keySet, s"uni keys trial=$trial")
+      wantUni.foreach { case (id, w) =>
+        assert(math.abs(gotUni(id) - w) < 1e-9, s"uni trial=$trial id=$id") }
+      // Bigram reference (stupid backoff).
+      val bSize = 1 + rnd.nextInt(10)
+      val pairCnt = toks.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))) }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val biv = pairCnt.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(bSize)
+        .map { case ((a, b), c) => (a, b) -> q(math.log(c.toDouble / cnt(a))) }.toMap
+      val bo = q(math.log(0.4))
+      val wantBi = toks.map { case (id, ts) =>
+        val first = vocab.getOrElse(ts.head, floor)
+        val rest = ts.sliding(2).filter(_.size == 2).map { p =>
+          biv.getOrElse((p(0), p(1)),
+            bo + vocab.getOrElse(p(1), floor))
+        }.toSeq
+        val lps = first +: rest
+        id -> BigDecimal(lps.sum.toDouble / lps.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val gotBi = UnigramLm.scoreDocsBigram(df, "id", "text", vSize, bSize)
+        .select(col("id"), col("avg_logprob")).as[(Long, Double)]
+        .collect().toMap
+      assert(gotBi.keySet === wantBi.keySet, s"bi keys trial=$trial")
+      wantBi.foreach { case (id, w) =>
+        assert(math.abs(gotBi(id) - w) < 1e-9,
+          s"bi trial=$trial id=$id vSize=$vSize bSize=$bSize") }
+    }
+  }
+
   test("topKByGroup: equals sort-take per group for random scores and k") {
     val rnd = new Random(137)
     (1 to 6).foreach { trial =>

@@ -334,12 +334,55 @@ case class BpeTokens(child: Expression, mergeKeys: Array[String])
 }
 
 object BpeTokens {
-  def fromLiteral(text: Expression, mergesLit: Expression): BpeTokens = {
-    require(mergesLit.foldable, "graft_bpe_tokens: merges must be a literal")
-    val ad = mergesLit.eval().asInstanceOf[ArrayData]
-    val keys = Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
-    BpeTokens(text, keys)
+  private[functions] def stringArray(lit: Expression, what: String): Array[String] = {
+    require(lit.foldable, s"$what must be a literal")
+    val ad = lit.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
   }
+  def fromLiteral(text: Expression, mergesLit: Expression): BpeTokens =
+    BpeTokens(text, stringArray(mergesLit, "graft_bpe_tokens: merges"))
+}
+
+/** bpe_token_ids(text, merges, vocab) → array<int>: tokenize and map each
+  * symbol to its vocabulary id; out-of-vocabulary symbols take
+  * `vocab.length` (the UNK id). Both tables are plan-time constants.
+  */
+case class BpeTokenIds(child: Expression, mergeKeys: Array[String],
+    vocab: Array[String]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_token_ids"
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](mergeKeys.length * 2)
+    var i = 0
+    while (i < mergeKeys.length) { m.put(mergeKeys(i), i); i += 1 }
+    m
+  }
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { m.put(vocab(i), i); i += 1 }
+    m
+  }
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.bpeTokenIds(t.asInstanceOf[UTF8String], ranks, ids, vocab.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    val idsRef = ctx.addReferenceObj("bpeIds", ids,
+      "java.util.HashMap<String, Integer>")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.Kernels.bpeTokenIds($t, $ranksRef, $idsRef, ${vocab.length})")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeTokenIds {
+  def fromLiterals(text: Expression, mergesLit: Expression,
+      vocabLit: Expression): BpeTokenIds =
+    BpeTokenIds(text,
+      BpeTokens.stringArray(mergesLit, "graft_bpe_token_ids: merges"),
+      BpeTokens.stringArray(vocabLit, "graft_bpe_token_ids: vocab"))
 }
 
 /** dedup_lines(array<string>) → string: within-document line dedup — keep
@@ -463,6 +506,8 @@ object GraftFunctions {
       es => BpeTokens.fromLiteral(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_token_ids",
+      es => BpeTokenIds.fromLiterals(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_encode",
       es => Sq8Encode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sq8_dot",
@@ -497,6 +542,13 @@ object GraftFunctions {
   def bpeTokens(text: Column, mergeKeys: Array[String]): Column =
     call_function("graft_bpe_tokens", text,
       org.apache.spark.sql.functions.typedlit(mergeKeys.toSeq))
+
+  /** Trained-BPE tokenization to vocabulary ids ([[BpeTokenIds]]). */
+  def bpeTokenIds(text: Column, mergeKeys: Array[String],
+      vocab: Array[String]): Column =
+    call_function("graft_bpe_token_ids", text,
+      org.apache.spark.sql.functions.typedlit(mergeKeys.toSeq),
+      org.apache.spark.sql.functions.typedlit(vocab.toSeq))
 
   /** Within-doc line dedup ([[DedupLines]]): first occurrence of each
     * line kept in order, blanks exempt. */

@@ -430,6 +430,41 @@ object Kernels {
     * (symbols never contain a space, so the key is unambiguous). Scan-
     * local; the merge table is a broadcast plan constant.
     */
+  private def bpeMergeWord(w: String,
+      ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    var syms = new java.util.ArrayList[String](w.length + 1)
+    var ci = 0
+    while (ci < w.length) { syms.add(String.valueOf(w.charAt(ci))); ci += 1 }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size >= 2) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
+        if (r != null && r < bestRank) {
+          bestRank = r; bestA = syms.get(i); bestB = syms.get(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else {
+        val next = new java.util.ArrayList[String](syms.size)
+        i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms.get(i) == bestA &&
+              syms.get(i + 1) == bestB) {
+            next.add(bestA + bestB); i += 2
+          } else { next.add(syms.get(i)); i += 1 }
+        }
+        syms = next
+      }
+    }
+    syms
+  }
+
   def bpeTokens(text: UTF8String,
       ranks: java.util.HashMap[String, Integer]): ArrayData = {
     val words = wsPattern.split(text.toString.trim.toLowerCase)
@@ -438,39 +473,35 @@ object Kernels {
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        var syms = new java.util.ArrayList[String](w.length + 1)
-        var ci = 0
-        while (ci < w.length) { syms.add(String.valueOf(w.charAt(ci))); ci += 1 }
-        syms.add("</w>")
-        var done = false
-        while (!done && syms.size >= 2) {
-          var bestRank = Int.MaxValue
-          var bestA: String = null
-          var bestB: String = null
-          var i = 0
-          while (i < syms.size - 1) {
-            val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
-            if (r != null && r < bestRank) {
-              bestRank = r; bestA = syms.get(i); bestB = syms.get(i + 1)
-            }
-            i += 1
-          }
-          if (bestA == null) done = true
-          else {
-            val next = new java.util.ArrayList[String](syms.size)
-            i = 0
-            while (i < syms.size) {
-              if (i < syms.size - 1 && syms.get(i) == bestA &&
-                  syms.get(i + 1) == bestB) {
-                next.add(bestA + bestB); i += 2
-              } else { next.add(syms.get(i)); i += 1 }
-            }
-            syms = next
-          }
-        }
+        val syms = bpeMergeWord(w, ranks)
         var si = 0
         while (si < syms.size) {
           out += UTF8String.fromString(syms.get(si)); si += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Tokenize to VOCABULARY IDS — the training-consumable form. `ids`
+    * maps symbol → id; symbols outside the vocabulary (characters unseen
+    * at training time) take `unk`.
+    */
+  def bpeTokenIds(text: UTF8String, ranks: java.util.HashMap[String, Integer],
+      ids: java.util.HashMap[String, Integer], unk: Int): ArrayData = {
+    val words = wsPattern.split(text.toString.trim.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val syms = bpeMergeWord(w, ranks)
+        var si = 0
+        while (si < syms.size) {
+          val id = ids.get(syms.get(si))
+          out += (if (id == null) unk else id.intValue())
+          si += 1
         }
       }
       wi += 1

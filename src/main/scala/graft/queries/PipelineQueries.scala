@@ -2261,24 +2261,30 @@ object PipelineQueries {
     ).toDF("doc_id", "text")
     val model = graft.text.Bpe.train(corpus, "text", numMerges = 10)
     val probes = Seq("low", "lower", "newest", "widest", "lowest", "wide",
-      "new").toDF("probe")
+      "new", "lox").toDF("probe")
     probes.select(col("probe"),
         array_join(graft.text.Bpe.tokens(model, col("probe")), " ")
           .as("tokens"),
-        graft.text.Bpe.tokenCount(model, col("probe")).as("n_tokens"))
+        graft.text.Bpe.tokenCount(model, col("probe")).as("n_tokens"),
+        array_join(graft.text.Bpe.tokenIds(model, col("probe")), " ")
+          .as("token_ids"))
       .orderBy(col("probe"))
   }
 
+  // Vocabulary ids: base symbols sorted — ["</w>"=0, d=1, e=2, i=3, l=4,
+  // n=5, o=6, r=7, s=8, t=9, w=10] — then one id per merge rank (es=11 …
+  // dest</w>=20); UNK = 21 ('x' is not in the training corpus).
   private val txtBpePlantedSql =
     """SELECT * FROM (VALUES
-      |  ('low',    'low</w>',      1),
-      |  ('lower',  'low e r </w>', 4),
-      |  ('newest', 'newest</w>',   1),
-      |  ('widest', 'w i dest</w>', 3),
-      |  ('lowest', 'low est</w>',  2),
-      |  ('wide',   'w i d e </w>', 5),
-      |  ('new',    'n ew </w>',    3)
-      |) AS t(probe, tokens, n_tokens) ORDER BY probe""".stripMargin
+      |  ('low',    'low</w>',      1, '19'),
+      |  ('lower',  'low e r </w>', 4, '15 2 7 0'),
+      |  ('newest', 'newest</w>',   1, '18'),
+      |  ('widest', 'w i dest</w>', 3, '10 3 20'),
+      |  ('lowest', 'low est</w>',  2, '15 13'),
+      |  ('wide',   'w i d e </w>', 5, '10 3 1 2 0'),
+      |  ('new',    'n ew </w>',    3, '5 16 0'),
+      |  ('lox',    'lo x </w>',    3, '14 21 0')
+      |) AS t(probe, tokens, n_tokens, token_ids) ORDER BY probe""".stripMargin
 
   /** The trained tokenizer over the real corpus (50 merges learned from
     * the documents table itself): per-doc subword counts next to the

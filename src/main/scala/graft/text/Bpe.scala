@@ -27,10 +27,20 @@ import graft.functions.GraftFunctions
   */
 object Bpe {
 
-  /** A trained model: merge pairs in rank order. */
-  final case class BpeModel(merges: Array[(String, String)]) {
+  /** A trained model: merge pairs in rank order plus the base symbol set
+    * (the training corpus's characters and the `</w>` marker, sorted).
+    */
+  final case class BpeModel(merges: Array[(String, String)],
+      baseSymbols: Array[String]) {
     /** "left right" keys in rank order — the plan-constant form. */
     def mergeKeys: Array[String] = merges.map { case (a, b) => s"$a $b" }
+
+    /** Deterministic id table: base symbols in sorted order, then one
+      * merged symbol per merge rank. Id `vocabulary.length` is reserved
+      * for UNK (symbols from characters unseen at training time).
+      */
+    def vocabulary: Array[String] =
+      baseSymbols ++ merges.map { case (a, b) => a + b }
   }
 
   /** Learn `numMerges` merges from the corpus's word-frequency table
@@ -48,6 +58,9 @@ object Bpe {
       .orderBy(col("__c").desc, col("__w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+    val baseSymbols =
+      (wordFreqs.iterator.flatMap(_._1.map(String.valueOf(_))).toSet + "</w>")
+        .toArray.sorted
     var vocab: Array[(Array[String], Long)] = wordFreqs.map { case (w, c) =>
       ((w.map(String.valueOf(_)) :+ "</w>").toArray, c)
     }
@@ -77,7 +90,7 @@ object Bpe {
         }
       }
     }
-    BpeModel(merges.toArray)
+    BpeModel(merges.toArray, baseSymbols)
   }
 
   /** Tokenize with a trained model: array of subword tokens (word-final
@@ -91,4 +104,11 @@ object Bpe {
     */
   def tokenCount(model: BpeModel, text: Column): Column =
     size(tokens(model, text))
+
+  /** Tokenize to VOCABULARY IDS ([[BpeModel.vocabulary]] order; unseen
+    * symbols take the reserved UNK id = vocabulary.length) — the
+    * training-consumable integer form a packed corpus actually stores.
+    */
+  def tokenIds(model: BpeModel, text: Column): Column =
+    GraftFunctions.bpeTokenIds(text, model.mergeKeys, model.vocabulary)
 }

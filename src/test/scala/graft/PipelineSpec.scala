@@ -983,6 +983,14 @@ class PipelineSpec extends AnyFunSuite {
       .select(Bpe.tokens(model, col("t"))).as[Seq[String]].collect()
     assert(got(0) === Seq("low", "est</w>"), "unseen word composes subwords")
     assert(got(1).isEmpty && got(2).isEmpty, "blank text has no tokens")
+    // Id table: sorted base symbols then merges; UNK = vocabulary.length.
+    assert(model.baseSymbols.toSeq ===
+      Seq("</w>", "d", "e", "i", "l", "n", "o", "r", "s", "t", "w"))
+    assert(model.vocabulary.length === 21)
+    val ids = Seq("lowest", "lox").toDF("t")
+      .select(Bpe.tokenIds(model, col("t"))).as[Seq[Int]].collect()
+    assert(ids(0) === Seq(15, 13), "low=15, est</w>=13")
+    assert(ids(1) === Seq(14, 21, 0), "lo=14, UNK x=21, </w>=0")
     // Real corpus: every word is >= 1 token, so bpe count >= word count;
     // training caps at the vocabulary's pair supply when it runs dry.
     val m2 = Bpe.train(docs, "text", numMerges = 20, maxWords = 500)

@@ -2427,6 +2427,53 @@ object PipelineQueries {
       |  CAST(length(nfc_normalize(text)) AS INT) AS n_chars_norm
       |FROM noisy WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** Contamination fraction ([[Decontamination.contaminationScore]]) —
+    * same planted construction as `txt_decontaminate` (benchmark = every
+    * 50th doc; planted near-copies with a 4-token prefix), but every doc
+    * scores a row and the fraction separates verbatim copies (≈1) from
+    * incidental gram collisions (≈0).
+    */
+  def txtContaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.unionByName(
+      bench.withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat(lit("zx qv zx qv "), col("text"))))
+    Decontamination.contaminationScore(corpus, bench,
+      "doc_id", "text", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtContaminationScoreSql =
+    """WITH bench AS (
+      |  SELECT text FROM documents WHERE doc_id % 50 = 0
+      |), corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, 'zx qv zx qv ' || text AS text
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), btoks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM bench
+      |), bsh AS (
+      |  SELECT DISTINCT array_to_string(t[i : i + 4], ' ') AS g
+      |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |        FROM btoks)
+      |), ctoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+      |), csh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 4], ' ') AS g
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |        FROM ctoks)
+      |)
+      |SELECT c.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) FILTER (WHERE b.g IS NOT NULL) AS BIGINT) AS n_hits,
+      |  round(COUNT(*) FILTER (WHERE b.g IS NOT NULL)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_frac
+      |FROM csh c LEFT JOIN bsh b USING (g)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2493,6 +2540,7 @@ object PipelineQueries {
     "txt_unigram_lm" -> (txtUnigramLm _),
     "txt_bigram_lm" -> (txtBigramLm _),
     "txt_nfc" -> (txtNfc _),
+    "txt_contamination_score" -> (txtContaminationScore _),
     "pipe_filter_chain" -> (pipeFilterChain _),
     "txt_bpe_planted" -> (txtBpePlanted _),
     "txt_bpe" -> (txtBpe _),
@@ -2561,6 +2609,7 @@ object PipelineQueries {
     "txt_unigram_lm" -> txtUnigramLmSql,
     "txt_bigram_lm" -> txtBigramLmSql,
     "txt_nfc" -> txtNfcSql,
+    "txt_contamination_score" -> txtContaminationScoreSql,
     "pipe_filter_chain" -> pipeFilterChainSql,
     "txt_bpe_planted" -> txtBpePlantedSql,
     "dd_cross_embedding" -> ddCrossEmbeddingSql,

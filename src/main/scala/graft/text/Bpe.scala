@@ -111,4 +111,35 @@ object Bpe {
     */
   def tokenIds(model: BpeModel, text: Column): Column =
     GraftFunctions.bpeTokenIds(text, model.mergeKeys, model.vocabulary)
+
+  /** Persist a trained model as one catalog table of
+    * (kind, rank, left, right): base symbols under kind='base' (rank =
+    * sorted position, right null) and merges under kind='merge' — the
+    * train-once / tokenize-for-months contract (a tokenizer that drifts
+    * between corpus versions silently re-tokenizes the world; the saved
+    * table IS the version).
+    */
+  def saveBpe(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+      table: String): Unit = {
+    import spark.implicits._
+    val base = model.baseSymbols.zipWithIndex.map { case (s, i) =>
+      ("base", i, s, Option.empty[String]) }
+    val merges = model.merges.zipWithIndex.map { case ((a, b), i) =>
+      ("merge", i, a, Option(b)) }
+    (base ++ merges).toSeq.toDF("kind", "rank", "left", "right")
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Reload a model persisted by [[saveBpe]] (rank order restored). */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession,
+      table: String): BpeModel = {
+    val rows = spark.table(table)
+      .select(col("kind"), col("rank"), col("left"), col("right"))
+      .collect()
+    val base = rows.filter(_.getString(0) == "base")
+      .sortBy(_.getInt(1)).map(_.getString(2))
+    val merges = rows.filter(_.getString(0) == "merge")
+      .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3)))
+    BpeModel(merges, base)
+  }
 }

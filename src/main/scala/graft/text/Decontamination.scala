@@ -41,6 +41,34 @@ object Decontamination {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Per-document contamination FRACTION — the published protocols
+    * threshold on overlap SHARES (e.g. "drop if >50% of a doc's n-grams
+    * appear in the eval set"), not absolute hits: `n_grams` (the doc's
+    * distinct n-grams), `n_hits` (those appearing anywhere in the
+    * benchmark), `overlap_frac` = n_hits / n_grams. Every doc gets a row
+    * (zero hits included — the fraction is the signal). Same broadcast
+    * scan-local shape as [[contaminated]]; the denominator comes from the
+    * doc's own shingle array, no second corpus pass.
+    */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val grams = corpus.select(col(idCol),
+        Dedup.shingles(col(textCol), n).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("__ng"),
+        explode(col("__gs")).as("g"))
+      .select(col(idCol), col("__ng"), xxhash64(col("g")).as("__gh"))
+    val benchSet = benchGramHashes(bench, benchTextCol, n)
+      .withColumn("__hit", lit(1))
+    grams.join(broadcast(benchSet), Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__ng")).cast("long").as("n_grams"),
+        count(col("__hit")).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
   /** The clean corpus: contaminated rows anti-joined away. */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,

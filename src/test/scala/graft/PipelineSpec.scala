@@ -991,6 +991,12 @@ class PipelineSpec extends AnyFunSuite {
       .select(Bpe.tokenIds(model, col("t"))).as[Seq[Int]].collect()
     assert(ids(0) === Seq(15, 13), "low=15, est</w>=13")
     assert(ids(1) === Seq(14, 21, 0), "lo=14, UNK x=21, </w>=0")
+    // Save/load round-trip preserves the model exactly.
+    graft.text.Bpe.saveBpe(spark, model, "bpe_roundtrip_spec")
+    val loaded = graft.text.Bpe.loadBpe(spark, "bpe_roundtrip_spec")
+    assert(loaded.merges.toSeq === model.merges.toSeq)
+    assert(loaded.baseSymbols.toSeq === model.baseSymbols.toSeq)
+    spark.sql("DROP TABLE IF EXISTS bpe_roundtrip_spec")
     // Real corpus: every word is >= 1 token, so bpe count >= word count;
     // training caps at the vocabulary's pair supply when it runs dry.
     val m2 = Bpe.train(docs, "text", numMerges = 20, maxWords = 500)

@@ -1958,7 +1958,9 @@ object PipelineQueries {
        |  SELECT doc_id, text,
        |    string_split_regex(trim(text), '\\s+') AS w,
        |    string_split(text, chr(10)) AS l,
-       |    list_sort(string_split(text, chr(10))) AS s
+       |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS nb,
+       |    list_sort(list_filter(string_split(text, chr(10)),
+       |      x -> trim(x) <> '')) AS s
        |  FROM $from
        |), __gr AS (
        |  SELECT doc_id, text,
@@ -1984,14 +1986,16 @@ object PipelineQueries {
        |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
        |     + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END
        |    ) AS stopword_hits,
-       |    CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l)
-       |      AS dup_line_frac,
-       |    CASE WHEN COALESCE(list_sum(list_transform(l, x -> length(x))), 0) = 0
+       |    CASE WHEN len(nb) = 0 THEN 0.0
+       |      ELSE CAST(len(nb) - len(list_distinct(nb)) AS DOUBLE) / len(nb)
+       |    END AS dup_line_frac,
+       |    CASE WHEN len(nb) = 0
+       |        OR COALESCE(list_sum(list_transform(nb, x -> length(x))), 0) = 0
        |      THEN 0.0
        |      ELSE CAST(COALESCE(list_sum(list_transform(range(1, len(s) + 1),
        |          i -> CASE WHEN i > 1 AND s[i] = s[i - 1]
        |               THEN length(s[i]) ELSE 0 END)), 0) AS DOUBLE)
-       |        / list_sum(list_transform(l, x -> length(x)))
+       |        / list_sum(list_transform(nb, x -> length(x)))
        |    END AS dup_line_char_frac
        |  FROM __gm
        |), __gk AS (

@@ -45,8 +45,10 @@ object Decontamination {
     * threshold on overlap SHARES (e.g. "drop if >50% of a doc's n-grams
     * appear in the eval set"), not absolute hits: `n_grams` (the doc's
     * distinct n-grams), `n_hits` (those appearing anywhere in the
-    * benchmark), `overlap_frac` = n_hits / n_grams. Every doc gets a row
-    * (zero hits included — the fraction is the signal). Same broadcast
+    * benchmark), `overlap_frac` = n_hits / n_grams. Every doc with
+    * non-null text gets a row (zero hits included — the fraction is the
+    * signal); null-text docs have no n-grams and are omitted, like every
+    * gram-based operator here. Same broadcast
     * scan-local shape as [[contaminated]]; the denominator comes from the
     * doc's own shingle array, no second corpus pass.
     */

@@ -30,17 +30,24 @@ object LineDedup {
 
   private def lineArray(textCol: String) = split(col(textCol), "\n")
 
-  /** (doc, 1-based position, key) for every non-blank line, checkpointed —
-    * the shared subtree of both public operators.
+  /** (doc, key[, 1-based position]) for every non-blank line,
+    * checkpointed — the shared subtree of both public operators. The
+    * stats path passes `withPos = false`: it never reads the position,
+    * so keeping it out narrows the checkpoint and both downstream
+    * exchanges by 8 bytes per line.
     */
   private def positionalLines(docs: DataFrame, idCol: String,
-      textCol: String, hashLines: Boolean): DataFrame = {
+      textCol: String, hashLines: Boolean,
+      withPos: Boolean = true): DataFrame = {
     val key = if (hashLines) xxhash64(col("__l0")) else col("__l0")
+    val cols =
+      if (withPos) Seq(col("__id"),
+        (col("__p0") + 1).cast("long").as("__pos"), key.as("__k"))
+      else Seq(col("__id"), key.as("__k"))
     docs.select(col(idCol).as("__id"),
         posexplode(lineArray(textCol)).as(Seq("__p0", "__l0")))
       .filter(trim(col("__l0")) =!= "")
-      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"),
-        key.as("__k"))
+      .select(cols: _*)
       .localCheckpoint(false)
   }
 
@@ -60,7 +67,8 @@ object LineDedup {
   def duplicatedLineStats(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, hashLines: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val pos = positionalLines(docs, idCol, textCol, hashLines)
+    val pos = positionalLines(docs, idCol, textCol, hashLines,
+      withPos = false)
     val dupPerDoc = pos.join(dupKeys(pos, minDocs), "__k")
       .groupBy("__id").agg(count(lit(1)).as("__dup"))
     val nonBlank = size(filter(lineArray(textCol), l => trim(l) =!= ""))
@@ -74,12 +82,6 @@ object LineDedup {
           col("n_lines").cast("double"), 6).as("dup_frac"))
   }
 
-  /** The line-dedup TRANSFORM: rewrite each document with every corpus-
-    * duplicated line removed, surviving lines rejoined with newline in
-    * their original order. Adds `clean_text`; the original column is kept.
-    * A document that loses nothing round-trips byte-identically (newline
-    * split/rejoin is lossless).
-    */
   /** WITHIN-document line dedup — the page-local half of line-based
     * cleaning (repeated nav blocks, stuttered paragraphs): keep the first
     * occurrence of each exact line in order, blanks exempt. Purely
@@ -89,6 +91,12 @@ object LineDedup {
   def dedupLinesWithinDoc(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.GraftFunctions.dedupLines(split(text, "\n"))
 
+  /** The line-dedup TRANSFORM: rewrite each document with every corpus-
+    * duplicated line removed, surviving lines rejoined with newline in
+    * their original order. Adds `clean_text`; the original column is kept.
+    * A document that loses nothing round-trips byte-identically (newline
+    * split/rejoin is lossless).
+    */
   def removeDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, hashLines: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

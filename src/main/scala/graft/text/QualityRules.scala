@@ -87,33 +87,42 @@ object QualityRules {
       .reduce(_ + _)
   }
 
-  /** Fraction of LINES that are duplicates of another line in the doc,
-    * excess-occurrence convention: the first occurrence is the original,
-    * every later occurrence is a duplicate — (n − distinct) / n.
+  private def nonBlankLines(text: Column): Column =
+    filter(lines(text), l => trim(l) =!= "")
+
+  /** Fraction of NON-BLANK lines that are duplicates of another line in
+    * the doc, excess-occurrence convention: the first occurrence is the
+    * original, every later occurrence is a duplicate — (n − distinct) / n.
+    * Blank-after-trim lines are structural paragraph separators, exempt
+    * from both sides of the ratio (the [[LineDedup]] contract) — a
+    * well-formed multi-paragraph doc repeats its blank separator many
+    * times without being repetitious. Docs with no non-blank lines
+    * score 0.
     */
   def dupLineFrac(text: Column): Column = {
-    val l = lines(text)
-    (size(l) - size(array_distinct(l))).cast("double") / size(l)
+    val nb = nonBlankLines(text)
+    when(size(nb) === 0, lit(0.0)).otherwise(
+      (size(nb) - size(array_distinct(nb))).cast("double") / size(nb))
   }
 
   /** Fraction of CHARACTERS sitting in duplicate lines — the mass-weighted
     * twin of [[dupLineFrac]] (one giant duplicated block among many short
     * unique lines passes the count rule but not this one), same
-    * excess-occurrence convention. Sort-adjacency: after sorting the line
-    * array, the duplicates are exactly the elements equal to their
-    * predecessor (all-but-first of each equal run); only equality of
-    * equal-sorting elements matters, so engine collation differences
-    * cannot change the answer. Empty docs (zero total characters) score 0.
+    * excess-occurrence convention and the same blank exemption.
+    * Sort-adjacency: after sorting the non-blank line array, the
+    * duplicates are exactly the elements equal to their predecessor
+    * (all-but-first of each equal run); only equality of equal-sorting
+    * elements matters, so engine collation differences cannot change the
+    * answer. Docs with zero non-blank characters score 0.
     */
   def dupLineCharFrac(text: Column): Column = {
-    val l = lines(text)
-    val s = sort_array(l)
-    val n = size(l)
-    val dupChars = aggregate(sequence(lit(1), n), lit(0L), (acc, i) =>
+    val nb = nonBlankLines(text)
+    val s = sort_array(nb)
+    val dupChars = aggregate(sequence(lit(1), size(nb)), lit(0L), (acc, i) =>
       acc + when(i > 1 && element_at(s, i) === element_at(s, i - 1),
         length(element_at(s, i)).cast("long")).otherwise(0L))
-    val totChars = aggregate(l, lit(0L), (acc, x) => acc + length(x))
-    when(totChars === 0, lit(0.0))
+    val totChars = aggregate(nb, lit(0L), (acc, x) => acc + length(x))
+    when(size(nb) === 0 || totChars === 0, lit(0.0))
       .otherwise(dupChars.cast("double") / totChars.cast("double"))
   }
 

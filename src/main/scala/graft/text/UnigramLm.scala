@@ -87,7 +87,10 @@ object UnigramLm {
     require(oovDiscount > 0.0 && oovDiscount <= 1.0,
       s"oovDiscount must be in (0, 1], got $oovDiscount")
     val ts = split(trim(lower(col(textCol))), "\\s+")
-    val base = docs.select(col(idCol).as("__id"), ts.as("__ts"))
+    // NULL-text docs are omitted, matching scoreDocs (whose explode drops
+    // them); without the filter they would score one phantom OOV token.
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), ts.as("__ts"))
       .localCheckpoint(false) // consumed by unigrams, pairs, and firsts
     val toks = base.select(col("__id"), explode(col("__ts")).as("__t"))
     val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))

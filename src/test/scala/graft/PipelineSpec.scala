@@ -1108,7 +1108,10 @@ class PipelineSpec extends AnyFunSuite {
       (6L, Seq.fill(10)("trailing thought...").mkString("\n")), // ellipsis
       (7L, (1 to 60).map(_.toString).mkString(" ")),    // alpha frac ≤ 0.8
       (8L, Seq.fill(60)("zq").mkString(" ")),           // no stopwords
-      (9L, Seq.fill(8)("same exact line").mkString("\n") + "\nunique one")
+      (9L, Seq.fill(8)("same exact line").mkString("\n") + "\nunique one"),
+      // Ten unique paragraphs separated by blank lines: the repeated
+      // blank SEPARATORS must not count as duplicate lines.
+      (10L, (1 to 10).map(i => s"unique paragraph number $i").mkString("\n\n"))
     ).toDF("doc_id", "text")
     val got = QualityRules.withRuleColumns(docs, "text")
       .select(col("doc_id"), col("quality_keep"), col("repetition_keep"))
@@ -1118,6 +1121,7 @@ class PipelineSpec extends AnyFunSuite {
     for (id <- 2L to 8L) assert(!got(id)._1, s"doc $id should fail quality")
     assert(got(9L)._2 === false, "duplicate-line doc should fail repetition")
     assert(got(1L)._2 && got(2L)._2, "single/unique-line docs pass repetition")
+    assert(got(10L)._2, "blank paragraph separators are not repetition")
     // Excess-occurrence convention: of 8 copies of the 15-char line, 7
     // are duplicates; the 10-char unique line is not.
     val fracs = QualityRules.withRuleColumns(docs, "text")

@@ -169,6 +169,29 @@ class StreamingSpec extends AnyFunSuite {
       .except(streamed.select("doc_id", "text")).count() === 0)
   }
 
+  test("streaming weighted sample keeps exactly the batch membership") {
+    import graft.operators.Sampling
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_wsample")
+    // Content-addressed membership is a pure row-local function of
+    // (key, weight, salt), so it applies to a stream unchanged and must
+    // select EXACTLY the batch rows — the property that makes a sampled
+    // stream resumable/replayable.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        least(col("n_chars") / 400.0, lit(1.0)).as("w"))
+    docs.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val transform: DataFrame => DataFrame = df =>
+      Sampling.weightedSample(df, "doc_id", "w", salt = 21L)
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, transform, "wsample_sink")
+    val batchKept = Sampling.weightedSample(docs, "doc_id", "w", salt = 21L)
+    assert(batchKept.count() > 0 && batchKept.count() < docs.count())
+    assert(streamed.count() === batchKept.count())
+    assert(streamed.select("doc_id").except(batchKept.select("doc_id")).count() === 0)
+    assert(batchKept.select("doc_id").except(streamed.select("doc_id")).count() === 0)
+  }
+
   test("streaming gopher filter keeps exactly the batch rule survivors") {
     import graft.text.QualityRules
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_gopher")

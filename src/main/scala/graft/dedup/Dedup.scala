@@ -760,17 +760,28 @@ object Dedup {
     val wOrd = Window.partitionBy("id").orderBy(col("freq"), col("sh"))
     val sized = sh.join(freq, "sh")
       .withColumn("rn", row_number().over(wOrd))
+    // Prefix length is the EXACT-form sz − ⌈t·sz⌉ + 1 with an epsilon
+    // inside the ceil: the float product t·sz lands on either side of an
+    // integer when t·sz is exactly integral (0.8·10 evaluates to
+    // 8.000000000000002), and an unguarded ceil then SHORTENS the prefix
+    // below the completeness bound — a true boundary pair (J exactly = t)
+    // loses its guaranteed prefix collision and silently disappears.
+    // Found by the sf0.1 oracle sweep; the epsilon (≫ the ~1-ulp product
+    // error, ≪ the ≥1/sz gap of genuinely fractional products) restores
+    // exact-integer behavior.
     val prefix = sized
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("id"), col("sh"), col("sz"))
     // Per-shingle groups are LSH buckets with a constant band_idx (the
     // prefix join has a single logical band); size-ratio pruning applies
-    // scan-locally to the generated pairs.
+    // scan-locally to the generated pairs — same epsilon guard, same
+    // boundary reasoning (8 ≥ 0.8·10 must hold).
     val candidates = bucketPairs(
       prefix.withColumn("band_idx", lit(0)).withColumnRenamed("sh", "band_hash"),
       maxBucketSize)
-      .filter(col("sz_a") >= lit(threshold) * col("sz_b") &&
-        col("sz_b") >= lit(threshold) * col("sz_a"))
+      .filter(col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9) &&
+        col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9))
       .select("id_a", "id_b").distinct()
     val repPairs = verifyJaccard(c.reps, "id", textCol, n, candidates)
       .filter(col("jaccard") >= threshold)

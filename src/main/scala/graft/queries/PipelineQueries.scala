@@ -2158,9 +2158,12 @@ object PipelineQueries {
       |  FROM cnt ORDER BY c DESC, term LIMIT 50
       |)
       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  round(CAST(SUM(COALESCE(v.lp,
-      |      CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT)))
-      |    AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_logprob
+      |  SIGN(SUM(COALESCE(v.lp,
+      |      CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
+      |    * floor((2 * ABS(SUM(COALESCE(v.lp,
+      |        CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
+      |        + COUNT(*)) / (2.0 * COUNT(*)))
+      |    / 1000000.0 AS avg_logprob
       |FROM toks t LEFT JOIN vocab v USING (term)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
@@ -2234,9 +2237,12 @@ object PipelineQueries {
        |  FROM cnt ORDER BY c DESC, term LIMIT 50
        |), scores AS (
        |  SELECT t.doc_id, COUNT(*) AS n_tokens,
-       |    round(CAST(SUM(COALESCE(v.lp,
-       |        CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT)))
-       |      AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_logprob
+       |    SIGN(SUM(COALESCE(v.lp,
+       |        CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
+       |      * floor((2 * ABS(SUM(COALESCE(v.lp,
+       |          CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
+       |          + COUNT(*)) / (2.0 * COUNT(*)))
+       |      / 1000000.0 AS avg_logprob
        |  FROM toks t LEFT JOIN vocab v USING (term)
        |  GROUP BY t.doc_id
        |)
@@ -2395,8 +2401,9 @@ object PipelineQueries {
       |  SELECT doc_id, lp FROM firsts UNION ALL SELECT doc_id, lp FROM pscore
       |)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
-      |    AS avg_logprob
+      |  SIGN(SUM(lp))
+      |    * floor((2 * ABS(SUM(lp)) + COUNT(*)) / (2.0 * COUNT(*)))
+      |    / 1000000.0 AS avg_logprob
       |FROM allsc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Unicode NFC normalization ([[TextAnalysis.nfcNormalize]]): every 11th

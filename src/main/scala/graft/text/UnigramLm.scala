@@ -58,9 +58,24 @@ object UnigramLm {
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("__lp"), lit(oovLp))).as("__sum"))
       .select(col("__id").as(idCol), col("n_tokens"),
-        round(col("__sum").cast("double") / col("n_tokens") / 1e6, 6)
-          .as("avg_logprob"))
+        microMean(col("__sum"), col("n_tokens")).as("avg_logprob"))
   }
+
+  /** The per-doc mean, rounded half-away-from-zero to whole micro-nats in
+    * EXACT integer arithmetic and only then divided by 1e6. Rounding the
+    * RATIONAL sum/n (not the double quotient) is what keeps engines
+    * bit-identical: sum/n lands EXACTLY on a micro-nat half whenever
+    * n | 2·sum oddly — common, not a corner — and decimal-rounding the
+    * nearest DOUBLE to such a half goes whichever way that engine's
+    * round() leans (Spark's shortest-string BigDecimal rounds the half
+    * up; DuckDB rounds the binary value, which sits below it). The
+    * floor-form ⌊(2·|sum| + n) / 2n⌋ is exact while 2·|sum|+n < 2⁵³
+    * (≈ 4·10¹⁵ micro-nats — a ~10-billion-token document).
+    */
+  private def microMean(sum: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    signum(sum) *
+      floor((abs(sum) * 2 + n) / (n.cast("double") * 2)) / 1e6
 
   /** Order-2 scoring with stupid backoff (Brants et al. 2007 — the
     * unnormalized backoff used at web scale BECAUSE it needs only raw
@@ -140,7 +155,6 @@ object UnigramLm {
       .groupBy("__id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__sum"))
       .select(col("__id").as(idCol), col("n_tokens"),
-        round(col("__sum").cast("double") / col("n_tokens") / 1e6, 6)
-          .as("avg_logprob"))
+        microMean(col("__sum"), col("n_tokens")).as("avg_logprob"))
   }
 }

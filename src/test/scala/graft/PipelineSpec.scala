@@ -820,6 +820,23 @@ class PipelineSpec extends AnyFunSuite {
       .count() === 500)
   }
 
+  test("ngram jaccard: a pair at EXACTLY the threshold boundary is found") {
+    import spark.implicits._
+    // Shingle sets of sizes 8 and 10 with intersection 8: J = 8/10 = 0.8,
+    // exactly the threshold. This is the sf0.1 pair the prefix filter
+    // silently dropped before the epsilon-guarded ceil: 0.8·10 floats to
+    // 8.000000000000002, shortening the prefix below the completeness
+    // bound AND failing the size-ratio prefilter.
+    val docs = Seq(
+      (1L, "small join join merge scan group a big join key"),
+      (2L, "small join join merge scan group a big join key dup dup")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("text operators: empty corpora flow through without erroring") {
     import spark.implicits._
     import graft.text.{Bpe, LineDedup, QualityRules, UnigramLm}
@@ -1036,9 +1053,11 @@ class PipelineSpec extends AnyFunSuite {
     val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     def q(x: Double): Long = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
-    def mean(lps: Seq[Long]): Double =
-      BigDecimal(lps.sum.toDouble / lps.length / 1e6)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Exact-integer half-away mean in micro-nats (the operator contract).
+    def mean(lps: Seq[Long]): Double = {
+      val s = lps.sum; val n = lps.length
+      math.signum(s.toDouble) * ((2 * math.abs(s) + n) / (2L * n)) / 1e6
+    }
     // Full model: every path is a bigram hit.
     val full = UnigramLm.scoreDocsBigram(df, "doc_id", "text",
         vocabSize = 10, bigramSize = 10)

@@ -497,11 +497,14 @@ class RandomizedSpec extends AnyFunSuite {
       val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(vSize)
         .map { case (w, c) => w -> q(math.log(c.toDouble / n)) }.toMap
       val floor = q(math.log(0.5 / n))
+      // Exact-integer half-away mean in micro-nats (the operator contract).
+      def microMean(lps: Seq[Long]): Double = {
+        val s = lps.sum; val n = lps.length
+        math.signum(s.toDouble) * ((2 * math.abs(s) + n) / (2L * n)) / 1e6
+      }
       // Unigram reference.
       val wantUni = toks.map { case (id, ts) =>
-        val lps = ts.map(t => vocab.getOrElse(t, floor))
-        id -> BigDecimal(lps.sum.toDouble / lps.length / 1e6)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> microMean(ts.map(t => vocab.getOrElse(t, floor)))
       }.toMap
       val gotUni = UnigramLm.scoreDocs(df, "id", "text", vSize)
         .select(col("id"), col("avg_logprob")).as[(Long, Double)]
@@ -522,9 +525,7 @@ class RandomizedSpec extends AnyFunSuite {
           biv.getOrElse((p(0), p(1)),
             bo + vocab.getOrElse(p(1), floor))
         }.toSeq
-        val lps = first +: rest
-        id -> BigDecimal(lps.sum.toDouble / lps.length / 1e6)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> microMean(first +: rest)
       }.toMap
       val gotBi = UnigramLm.scoreDocsBigram(df, "id", "text", vSize, bSize)
         .select(col("id"), col("avg_logprob")).as[(Long, Double)]

@@ -1574,6 +1574,7 @@ object PipelineQueries {
       |  SELECT DISTINCT array_to_string(t[i : i + 4], ' ') AS g
       |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
       |        FROM btoks)
+      |  WHERE array_to_string(t[i : i + 4], ' ') <> ''
       |), ctoks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
       |), csh AS (
@@ -1581,6 +1582,7 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, t,
       |          unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
       |        FROM ctoks)
+      |  WHERE array_to_string(t[i : i + 4], ' ') <> ''
       |)
       |SELECT doc_id, COUNT(*) AS n_hits
       |FROM csh JOIN bsh USING (g)
@@ -1959,8 +1961,7 @@ object PipelineQueries {
        |    string_split_regex(trim(text), '\\s+') AS w,
        |    string_split(text, chr(10)) AS l,
        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS nb,
-       |    list_sort(list_filter(string_split(text, chr(10)),
-       |      x -> trim(x) <> '')) AS s
+       |    list_sort(nb) AS s
        |  FROM $from
        |), __gr AS (
        |  SELECT doc_id, text,
@@ -2360,7 +2361,7 @@ object PipelineQueries {
   private val txtBigramLmSql =
     """WITH src AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL
       |), toks AS (
       |  SELECT doc_id, unnest(t) AS term FROM src
       |), cnt AS (
@@ -2469,6 +2470,7 @@ object PipelineQueries {
       |  SELECT DISTINCT array_to_string(t[i : i + 4], ' ') AS g
       |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
       |        FROM btoks)
+      |  WHERE array_to_string(t[i : i + 4], ' ') <> ''
       |), ctoks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
       |), csh AS (
@@ -2476,6 +2478,7 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, t,
       |          unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
       |        FROM ctoks)
+      |  WHERE array_to_string(t[i : i + 4], ' ') <> ''
       |)
       |SELECT c.doc_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_grams,

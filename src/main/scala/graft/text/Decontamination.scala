@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -21,8 +21,16 @@ import graft.dedup.Dedup
   */
 object Decontamination {
 
+  /** A doc's meaningful shingles: [[Dedup.shingles]] minus the empty
+    * string. Null/empty text shingles to `[""]` (the split contract), and
+    * an empty gram must never count as overlap — a blank benchmark row
+    * would otherwise mark every blank corpus doc 100% contaminated.
+    */
+  private def nonEmptyShingles(text: Column, n: Int): Column =
+    filter(Dedup.shingles(text, n), g => g =!= "")
+
   private def benchGramHashes(bench: DataFrame, textCol: String, n: Int) =
-    bench.select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+    bench.select(explode(nonEmptyShingles(col(textCol), n)).as("g"))
       .select(xxhash64(col("g")).as("__gh"))
       .distinct()
 
@@ -33,7 +41,7 @@ object Decontamination {
       idCol: String, textCol: String, benchTextCol: String,
       n: Int = 13, minHits: Int = 1): DataFrame = {
     val grams = corpus.select(col(idCol),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+        explode(nonEmptyShingles(col(textCol), n)).as("g"))
       .select(col(idCol), xxhash64(col("g")).as("__gh"))
     grams.join(broadcast(benchGramHashes(bench, benchTextCol, n)), "__gh")
       .groupBy(col(idCol))
@@ -45,10 +53,10 @@ object Decontamination {
     * threshold on overlap SHARES (e.g. "drop if >50% of a doc's n-grams
     * appear in the eval set"), not absolute hits: `n_grams` (the doc's
     * distinct n-grams), `n_hits` (those appearing anywhere in the
-    * benchmark), `overlap_frac` = n_hits / n_grams. Every doc with
-    * non-null text gets a row (zero hits included — the fraction is the
-    * signal); null-text docs have no n-grams and are omitted, like every
-    * gram-based operator here. Same broadcast
+    * benchmark), `overlap_frac` = n_hits / n_grams. Every doc with at
+    * least one non-empty n-gram gets a row (zero hits included — the
+    * fraction is the signal); null/blank-text docs have no meaningful
+    * n-grams ([[nonEmptyShingles]]) and are omitted. Same broadcast
     * scan-local shape as [[contaminated]]; the denominator comes from the
     * doc's own shingle array, no second corpus pass.
     */
@@ -56,7 +64,7 @@ object Decontamination {
       idCol: String, textCol: String, benchTextCol: String,
       n: Int = 13): DataFrame = {
     val grams = corpus.select(col(idCol),
-        Dedup.shingles(col(textCol), n).as("__gs"))
+        nonEmptyShingles(col(textCol), n).as("__gs"))
       .select(col(idCol), size(col("__gs")).as("__ng"),
         explode(col("__gs")).as("g"))
       .select(col(idCol), col("__ng"), xxhash64(col("g")).as("__gh"))

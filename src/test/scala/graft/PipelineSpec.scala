@@ -854,6 +854,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sampling.topKByGroup(empty, "doc_id", "text", "doc_id", 3).count() === 0)
     assert(Sampling.weightedSample(
       empty.withColumn("w", lit(1.0)), "doc_id", "w").count() === 0)
+    // A blank benchmark row must not poison blank corpus docs: blank text
+    // shingles to [""] and the empty gram is excluded from overlap.
+    val blankBench = Seq("").toDF("bench_text")
+    val blanks = Seq((1L, ""), (2L, "real content words here"))
+      .toDF("doc_id", "text")
+    assert(Decontamination.contaminated(blanks, blankBench,
+      "doc_id", "text", "bench_text", n = 3).count() === 0)
+    assert(Decontamination.contaminationScore(blanks, blankBench,
+      "doc_id", "text", "bench_text", n = 3)
+      .filter(col("doc_id") === 1L).count() === 0,
+      "blank doc has no meaningful grams, so no score row")
   }
 
   test("near-dup operators: empty and singleton corpora yield empty pair sets") {
@@ -1053,11 +1064,7 @@ class PipelineSpec extends AnyFunSuite {
     val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     def q(x: Double): Long = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
-    // Exact-integer half-away mean in micro-nats (the operator contract).
-    def mean(lps: Seq[Long]): Double = {
-      val s = lps.sum; val n = lps.length
-      math.signum(s.toDouble) * ((2 * math.abs(s) + n) / (2L * n)) / 1e6
-    }
+    val mean = SparkTestSession.microMeanRef _
     // Full model: every path is a bigram hit.
     val full = UnigramLm.scoreDocsBigram(df, "doc_id", "text",
         vocabSize = 10, bigramSize = 10)

@@ -497,11 +497,7 @@ class RandomizedSpec extends AnyFunSuite {
       val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(vSize)
         .map { case (w, c) => w -> q(math.log(c.toDouble / n)) }.toMap
       val floor = q(math.log(0.5 / n))
-      // Exact-integer half-away mean in micro-nats (the operator contract).
-      def microMean(lps: Seq[Long]): Double = {
-        val s = lps.sum; val n = lps.length
-        math.signum(s.toDouble) * ((2 * math.abs(s) + n) / (2L * n)) / 1e6
-      }
+      val microMean = SparkTestSession.microMeanRef _
       // Unigram reference.
       val wantUni = toks.map { case (id, ts) =>
         id -> microMean(ts.map(t => vocab.getOrElse(t, floor)))

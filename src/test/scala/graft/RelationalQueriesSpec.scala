@@ -22,6 +22,15 @@ object SparkTestSession {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** The LM scorers' mean contract, encoded once for every spec: exact-
+    * integer half-away rounding of the rational sum/n micro-nats, then
+    * the 1e6 division (see UnigramLm.microMean).
+    */
+  def microMeanRef(lps: Seq[Long]): Double = {
+    val s = lps.sum; val n = lps.length
+    math.signum(s.toDouble) * ((2 * math.abs(s) + n) / (2L * n)) / 1e6
+  }
 }
 
 class RelationalQueriesSpec extends AnyFunSuite {

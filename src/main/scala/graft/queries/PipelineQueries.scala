@@ -2488,6 +2488,55 @@ object PipelineQueries {
       |FROM csh c LEFT JOIN bsh b USING (g)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Clean → pack, the end of the pretraining data path: Gopher-rule
+    * survivors laid out as packed training sequences
+    * ([[Packing.packSequences]] over the kept set, per-shard layout
+    * summary). The oracle replays rule evaluation, the keep decision, and
+    * the entire deterministic layout — so the packing demonstrably sees
+    * exactly the filter's output (a row lost or gained between stages
+    * shifts every downstream offset in its shard). Line dedup is not in
+    * this composition because it rewrites text without changing doc
+    * membership or the token-volume column — `pipe_filter_chain` pins
+    * that stage's composition.
+    */
+  def pipeCleanPack(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val kept = linedDocs(Tables.documents(spark, dir))
+      .filter(QualityRules.gopherQualityKeep(col("text")) &&
+        QualityRules.gopherRepetitionKeep(col("text")))
+    Packing.packSequences(kept, "doc_id", "n_chars",
+      seqLen = 4096L, nShards = 4, salt = 29L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_tokens"),
+        max(col("seq_last")).as("last_seq"))
+      .orderBy(col("shard"))
+  }
+
+  private val pipeCleanPackSql =
+    s"""WITH $linedDocsSql,
+       |${gopherRuleCtes("lined")},
+       |kept AS (
+       |  SELECT doc_id FROM __gk WHERE quality_keep AND repetition_keep
+       |), src AS (
+       |  SELECT d.doc_id, d.n_chars FROM documents d JOIN kept USING (doc_id)
+       |), b AS (
+       |  SELECT doc_id, COALESCE(n_chars, 0) AS toks, n_chars,
+       |    ${bucketSql("doc_id", 29L)} AS bkt
+       |  FROM src WHERE doc_id IS NOT NULL
+       |), laid AS (
+       |  SELECT doc_id, toks, n_chars, CAST(bkt % 4 AS INT) AS shard,
+       |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY bkt % 4
+       |      ORDER BY bkt, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS off
+       |  FROM b
+       |)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+       |  MAX((off + greatest(toks, 1) - 1) // 4096) AS last_seq
+       |FROM laid GROUP BY shard ORDER BY shard""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2555,6 +2604,7 @@ object PipelineQueries {
     "txt_bigram_lm" -> (txtBigramLm _),
     "txt_nfc" -> (txtNfc _),
     "txt_contamination_score" -> (txtContaminationScore _),
+    "pipe_clean_pack" -> (pipeCleanPack _),
     "pipe_filter_chain" -> (pipeFilterChain _),
     "txt_bpe_planted" -> (txtBpePlanted _),
     "txt_bpe" -> (txtBpe _),
@@ -2624,6 +2674,7 @@ object PipelineQueries {
     "txt_bigram_lm" -> txtBigramLmSql,
     "txt_nfc" -> txtNfcSql,
     "txt_contamination_score" -> txtContaminationScoreSql,
+    "pipe_clean_pack" -> pipeCleanPackSql,
     "pipe_filter_chain" -> pipeFilterChainSql,
     "txt_bpe_planted" -> txtBpePlantedSql,
     "dd_cross_embedding" -> ddCrossEmbeddingSql,

@@ -24,14 +24,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * (Spark timestamps are microsecond). Read nanos as long and truncate to
-    * micros — the same truncation DuckDB applies, so oracle values match.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+    * generations (Spark's reader rejects nanos — read as long, truncate to
+    * micros, the same truncation DuckDB applies) and as TIMESTAMP(MICROS)
+    * in others (reads as TIMESTAMP_NTZ under Spark 4's NTZ inference —
+    * cast to session-local TimestampType; the session is pinned UTC, so
+    * the wall-clock values are identical). Dispatch on the read schema so
+    * both generations land on the same TimestampType micros.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType micros whatever the
+    * parquet generation produced (see [[events]]). Also used by streaming
+    * readers, which apply the same dispatch to their file-source schema.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -22,12 +22,11 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       srcDir.resolve("events.parquet"))
-    // events.ts is parquet TIMESTAMP(NANOS): read as long, convert to
-    // micros inside the stream (same policy as Tables.events).
+    // Normalize ts inside the stream with the same schema dispatch as
+    // Tables.events (the parquet generation decides nanos-long vs NTZ).
     val schema = spark.read.parquet(srcDir.toString).schema
     val transform: DataFrame => DataFrame = df =>
-      EventStreams.tumblingCounts(
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      EventStreams.tumblingCounts(Tables.normalizeEventTs(df))
     val streamed = EventStreams.runBoundedToMemory(
       spark, srcDir.toString, schema, transform, "tumbling_sink")
 
@@ -58,8 +57,7 @@ class StreamingSpec extends AnyFunSuite {
       srcDir.resolve("events.parquet"))
     val schema = spark.read.parquet(srcDir.toString).schema
     val transform: DataFrame => DataFrame = df =>
-      EventStreams.sessionize(
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))).toDF()
+      EventStreams.sessionize(Tables.normalizeEventTs(df)).toDF()
     val streamed = EventStreams.runBoundedToMemory(
       spark, srcDir.toString, schema, transform, "session_sink")
 
@@ -90,7 +88,7 @@ class StreamingSpec extends AnyFunSuite {
     // Two branches of ONE streaming source (a supported self-join shape):
     // clicks joined to view-anchored 1-hour windows.
     val transform: DataFrame => DataFrame = df => {
-      val ev = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = Tables.normalizeEventTs(df)
       EventStreams.intervalJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "view"))

@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The sandbox is a 128 GiB box running local[32]; an 8 GiB heap put the
+  // full-suite bench on a memory cliff (r08 postmortem). 32 GiB leaves
+  // ample headroom for the OS page cache while keeping GC pauses sane.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -89,13 +89,21 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // Off the clock: drop caches the query's operators persisted (the
-      // dedup collapse, candidate lists, …). Left in place they accumulate
-      // across the 90-odd sequential gates, pressure the storage pool, and
-      // inflate LATER queries' times — every query should start from the
-      // same cold-cache state the recorded baselines measured.
+      // Off the clock: drop EVERYTHING the query pinned in executor
+      // storage — catalog-tracked caches (clearCache) AND the gate-scoped
+      // persist/localCheckpoint frames the registry tracks (clearCache
+      // cannot see checkpoint blocks — the r08 leak class). Left in place
+      // they accumulate across the 130-odd sequential gates, pressure the
+      // storage pool, and inflate LATER queries' times — every query
+      // should start from the same cold-storage state the recorded
+      // baselines measured.
       spark.catalog.clearCache()
-      (name, elapsed, ok)
+      graft.core.ScopedStorage.releaseAll()
+      // Storage watermark AFTER release (proof the release is real: this
+      // must stay flat across the run, not ratchet upward).
+      val storageBytes = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      (name, elapsed, ok, storageBytes)
     }
     // Regression guard: per-query ratio vs BOTH the first recorded round
     // bench (the defended baseline — catches slow multi-round drift) and
@@ -130,7 +138,7 @@ object Bench {
         }
     val baselines = (parsed.headOption.toSeq ++ parsed.lastOption.toSeq).distinct
     val regressions = results.collect {
-      case (k, v, true) if baselines.exists {
+      case (k, v, true, _) if baselines.exists {
             case (_, base) =>
               base.get(k).exists(b => v > b * 1.5 && v - b > noiseFloor)
           } =>
@@ -142,9 +150,9 @@ object Bench {
     // Millisecond precision keeps the line compact: the driver records a
     // bounded stdout excerpt, and a long line risks losing the trailing
     // queries map that future rounds' guards parse as their baseline.
-    val qs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }
+    val qs = results.map { case (k, v, _, _) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // The driver records only a bounded tail of stdout, which has eaten the
@@ -163,8 +171,14 @@ object Bench {
     }
     println(line)
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_summary","total":${num(total, 3)},"n":${results.size},"slowest10":$slowest,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir","full_record":"${benchFile.toString}"}""")
+    // Post-release storage watermark across gates: max ≈ end ≈ 0 proves
+    // the per-gate release actually frees every persisted/checkpointed
+    // frame — a ratcheting max is the r08 leak class resurfacing.
+    val storages = results.map(_._4)
+    if (storages.nonEmpty)
+      println(s"""{"metric":"storage_after_release_bytes","max":${storages.max},"end":${storages.last},"nonzero_gates":${storages.count(_ > 0)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

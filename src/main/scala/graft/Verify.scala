@@ -28,9 +28,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Operator-persisted caches are per-query working state; freed here
-      // so 90 sequential queries don't accumulate storage-pool pressure.
+      // Operator-pinned storage is per-query working state; freed here
+      // (catalog caches AND the gate-scoped persist/checkpoint registry —
+      // clearCache cannot see checkpoint blocks) so 130 sequential
+      // queries don't accumulate storage-pool pressure.
       spark.catalog.clearCache()
+      graft.core.ScopedStorage.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -40,14 +40,48 @@ object Tables {
   /** Normalize an events frame's `ts` to TimestampType micros whatever the
     * parquet generation produced (see [[events]]). Also used by streaming
     * readers, which apply the same dispatch to their file-source schema.
+    *
+    * Boundary contracts (each fails LOUDLY here rather than confusingly
+    * downstream):
+    *   - LongType only ever arises from `nanosAsLong` reading a
+    *     TIMESTAMP(NANOS) column, so the value is NANOSECONDS. A future
+    *     generation writing a bare int64 (no parquet logical type) would
+    *     also read as LongType and be silently divided by 1000 — guard by
+    *     magnitude: nanos since epoch for any plausible event time
+    *     (2001–2200) sit in [1e18, 7.3e18); micros/millis are orders of
+    *     magnitude below. Checked per-row in the expression (a corrupt
+    *     row nulls rather than shifting 1000×) — no extra scan.
+    *   - The NTZ cast is reinterpreted in the SESSION time zone; every
+    *     harness session pins UTC, and the oracle's DuckDB read assumes
+    *     it. Assert rather than trust.
+    *   - Any other type (string, int32, …) is an unknown generation:
+    *     throw with the observed type instead of passing it through to a
+    *     confusing downstream analysis error.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case LongType =>
+        df.withColumn("ts", expr(
+          "timestamp_micros(CASE WHEN ts IS NULL THEN NULL " +
+            "WHEN abs(ts) >= 978307200000000000 THEN ts div 1000 " +
+            "ELSE raise_error(concat('events.ts read as long but magnitude ', " +
+            "CAST(ts AS STRING), ' is not nanoseconds-since-epoch — " +
+            "unexpected parquet generation')) END)"))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and the session time zone is '$tz': " +
+            "the NTZ→timestamp cast reinterprets wall-clock values in the " +
+            "session zone, and the DuckDB oracle assumes UTC — pin " +
+            "spark.sql.session.timeZone=UTC before loading events")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unexpected parquet type $other — known generations " +
+          "are TIMESTAMP(NANOS) (read as long), TIMESTAMP(MICROS) (read as " +
+          "TIMESTAMP_NTZ), and TimestampType")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -184,6 +184,12 @@ object Clusters {
     // The edge list is only needed by the rounds (and the diagnostic
     // above); the returned labels read their own checkpoint blocks.
     freeCheckpoint(edges)
+    // The RETURNED labels checkpoint outlives this call by design (the
+    // caller reads it), so it cannot be freed here — register it with the
+    // gate-scoped registry so the harness releases it at the query
+    // boundary instead of leaking it until driver GC (the r08 class of
+    // leak: clearCache() never sees checkpoint blocks).
+    graft.core.ScopedStorage.register(labels)
     labels
   }
 

@@ -42,46 +42,20 @@ import graft.functions.{GraftFunctions, Kernels}
   */
 object Dedup {
 
-  // Scoped-persist registry drained by releaseCaches(). STRONG references:
-  // a soft/weak ref can be cleared under heap pressure while the persisted
-  // blocks are still pinned by downstream plan references, so a later
-  // releaseCaches() would silently skip that frame — losing exactly the
-  // deterministic unpersist this registry exists to provide. Strong refs
-  // cannot pin frames forever across calls because releaseCaches drains
-  // the whole queue; for callers that NEVER release, the queue is bounded:
-  // past `MaxScopedCaches` entries the oldest frame is unpersisted on
-  // insert (dropped caches recompute from lineage — correctness is
-  // unaffected, only a recompute is risked).
-  private val MaxScopedCaches = 256
-  private val scopedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // Scoped persists route through the shared gate-scoped registry
+  // ([[graft.core.ScopedStorage]]), which also tracks the checkpointed
+  // frames other modules return (CC labels, TF-IDF tables, …) — one
+  // release point for ALL executor-storage state a gate pins.
+  private[dedup] def scopedPersist(df: DataFrame): DataFrame =
+    graft.core.ScopedStorage.persist(df)
 
-  private[dedup] def scopedPersist(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scopedCaches.add(df)
-    while (scopedCaches.size > MaxScopedCaches) {
-      val oldest = scopedCaches.poll()
-      if (oldest != null) oldest.unpersist(blocking = false)
-    }
-    df
-  }
-
-  /** Unpersist every scoped cache dedup operators have registered since the
-    * last call (blocking = false — eviction is asynchronous). Call after
-    * materializing an operator's result; safe any time (dropped caches
-    * recompute from lineage if a plan is re-executed). Returns the number
-    * of frames released.
+  /** Release every gate-scoped frame registered since the last call
+    * (persists AND checkpoints, asynchronous eviction) — kept as the
+    * dedup-facing name for existing callers; delegates to
+    * [[graft.core.ScopedStorage.releaseAll]]. Call after materializing an
+    * operator's result. Returns the number of frames released.
     */
-  def releaseCaches(): Int = {
-    var released = 0
-    var df = scopedCaches.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      released += 1
-      df = scopedCaches.poll()
-    }
-    released
-  }
+  def releaseCaches(): Int = graft.core.ScopedStorage.releaseAll()
 
   /** Split a 64-bit signature column into per-band bucket rows. The band
     * hash is computed AFTER the explode from the materialized `sig` column:
@@ -367,12 +341,29 @@ object Dedup {
     clean.unionByName(verified).drop("__h1", "__h2", "__hit")
   }
 
-  /** Distinct word shingles (n-grams) — the Jaccard universe of a doc. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
-    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Distinct word shingles (n-grams) — the Jaccard universe of a doc.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (a one-element outer
+    * transform) before the per-position inner transform reads it. Written
+    * naively — `transform(starts, i => slice(split(text), i, n))` — the
+    * split is a subexpression of the inner lambda body, and Catalyst
+    * re-evaluates lambda-body subexpressions PER ELEMENT: the full
+    * tokenization runs once per shingle position, O(tokens²) per document
+    * (measured 10× the whole funnel's cost at sf0.1: 3.5 s to shingle a
+    * 5k-doc corpus whose tokenization alone takes 0.3 s). A lambda
+    * variable, by contrast, is a bound buffer reference — free to read per
+    * element — so this shape is O(tokens) and every consumer (minhash,
+    * ngram-Jaccard, the verify intersections, cross-corpus dedup) inherits
+    * the fix with no caller changes and no column-contract changes.
+    */
+  def shingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(trim(text), "\\s+")), toks => {
+        val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+        array_distinct(
+          transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+      }),
+      1)
 
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
@@ -772,16 +763,39 @@ object Dedup {
     val prefix = sized
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("sh"), col("sz"))
+      .select(col("id"), col("sh"), col("sz"), col("rn"))
     // Per-shingle groups are LSH buckets with a constant band_idx (the
     // prefix join has a single logical band); size-ratio pruning applies
     // scan-locally to the generated pairs — same epsilon guard, same
     // boundary reasoning (8 ≥ 0.8·10 must hold).
+    //
+    // PPJoin POSITION filter, also scan-local: both docs' shingle lists
+    // are sorted by the same global total order (freq, then shingle — a
+    // strict order, shingles being distinct within a doc), so for a
+    // collision at ranks (rn_a, rn_b) the overlap is bounded by
+    //   min(rn_a, rn_b) − 1  (common shingles strictly before the match —
+    //                         the SAME set on both sides, so ≤ either count)
+    //   + 1                  (the match itself)
+    //   + min(sz_a − rn_a, sz_b − rn_b)   (the remaining suffixes).
+    // Jaccard ≥ τ needs overlap ≥ τ/(1+τ)·(sz_a+sz_b); a pair whose every
+    // collision bounds below that can never verify, and a TRUE pair is
+    // never lost: the bound is ≥ the real overlap at EVERY collision, so
+    // each collision row independently keeps the pair alive. This is what
+    // recovers the r08 exact-prefix cost: the (correct, longer) prefixes
+    // generate more raw collisions, and the position bound discards the
+    // hopeless ones before they reach the distinct exchange and the
+    // shingle-intersection verify join. Same epsilon as the prefix bound
+    // (τ·(sz_a+sz_b)/(1+τ) lands on either side of an integer when exact).
+    val requiredOverlap =
+      lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9)
     val candidates = bucketPairs(
       prefix.withColumn("band_idx", lit(0)).withColumnRenamed("sh", "band_hash"),
       maxBucketSize)
       .filter(col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9) &&
         col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9))
+      .filter(least(col("rn_a"), col("rn_b")) +
+        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+        requiredOverlap)
       .select("id_a", "id_b").distinct()
     val repPairs = verifyJaccard(c.reps, "id", textCol, n, candidates)
       .filter(col("jaccard") >= threshold)

@@ -43,7 +43,21 @@ object Packing {
     * `tokenCol` is the doc's token count; null counts as 0 (the doc is a
     * zero-width marker at its offset, `seq_last` = `seq_first`). Null keys
     * are excluded per the [[Sampling]] module contract — a null key has no
-    * bucket, so it has no deterministic place in any layout.
+    * bucket, so it has no deterministic place in any layout. Keys must be
+    * unique (they address documents) — the layout's ordering tie-break and
+    * the position join-back both assume it.
+    *
+    * Plan shape: the per-shard window SORT runs over NARROW rows only —
+    * (key, token count), ~16 bytes — and the computed positions join back
+    * to the caller's payload by key (hash exchange + hash join; the
+    * position side is the build side, so the payload is never sorted).
+    * Windowing the payload frame directly would push every column —
+    * including full document text — through the shard exchange AND its
+    * sort buffer: at 100 TB a full-text sort per shard is the scale-killer
+    * (and at bench scale it was the r08 `pipe_clean_pack` memory cliff),
+    * while a 16-byte-row sort is trivial. Callers that project the payload
+    * away (layout-summary queries) lose nothing: column pruning reduces
+    * the join's payload side to the key column.
     */
   def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
       seqLen: Long, nShards: Int, salt: Long = 0L): DataFrame = {
@@ -54,7 +68,8 @@ object Packing {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__bkt"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.filter(col(keyCol).isNotNull)
+    val positions = df.select(col(keyCol), col(tokenCol))
+      .filter(col(keyCol).isNotNull)
       .withColumn("__bkt", bucket)
       .withColumn("shard", pmod(col("__bkt"), lit(nShards.toLong)).cast("int"))
       .withColumn("off", coalesce(sum(toks).over(w), lit(0L)))
@@ -62,6 +77,13 @@ object Packing {
       .withColumn("seq_last",
         floor((col("off") + greatest(toks, lit(1L)) - lit(1L)) / lit(seqLen))
           .cast("long"))
-      .drop("__bkt")
+      .select(col(keyCol), col("shard"), col("off"),
+        col("seq_first"), col("seq_last"))
+    // SHUFFLE_HASH (not the default sort-merge) so the payload side is
+    // hash-exchanged but never SORTED by key — a key sort of the payload
+    // would reintroduce exactly the full-text sort the narrow window
+    // avoids. AQE still upgrades to broadcast when positions fit.
+    df.filter(col(keyCol).isNotNull)
+      .join(positions.hint("SHUFFLE_HASH"), Seq(keyCol))
   }
 }

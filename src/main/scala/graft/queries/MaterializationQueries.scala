@@ -641,20 +641,27 @@ object MaterializationQueries {
 
   // ---------------------------------------------------------------- S1 c
   /** The `file_format` knob (reference adapters.sql `USING <fmt>` /
-    * table_options): the same relation materialized as ORC, JSON, and CSV
-    * must round-trip identical contents through the catalog. Reads go back
-    * through the CATALOG, so the table schema — not the self-describing
-    * file — types the text formats; doubles survive because Spark writes
-    * round-trippable representations. Avro is NOT covered: the spark-avro
-    * datasource jar is absent from this sandbox (same class as
-    * delta/hudi/iceberg — environmental, re-check per round). Small
+    * validate.sql:4's accepted format list): the same relation
+    * materialized as ORC, JSON, CSV, and TEXT must round-trip identical
+    * contents through the catalog. Reads go back through the CATALOG, so
+    * the table schema — not the self-describing file — types the text
+    * formats; doubles survive because Spark writes round-trippable
+    * representations. TEXT is the degenerate single-`value`-column format:
+    * the row is pipe-delimited on write and re-parsed on read (shortest-
+    * repr double rendering makes the cast-back decimal-identical). Of the
+    * reference's remaining accepted formats: avro needs the spark-avro
+    * datasource jar, absent from this sandbox (same env class as
+    * delta/hudi/iceberg — re-check per round); jdbc needs a database to
+    * point at; hive needs a Hive metastore with SerDe support; libsvm is
+    * an MLlib vector format inapplicable to a relational round-trip —
+    * all four are environment-blocked here, not operator gaps. Small
     * dimension input keeps the gate cheap.
     */
   def matFileFormats(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
     val src = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    Seq("csv", "json", "orc").map { fmt =>
+    val structured = Seq("csv", "json", "orc").map { fmt =>
       val t = s"$db.supplier_$fmt"
       TableMaterialization.run(spark, t, src, format = fmt)
       spark.table(t)
@@ -662,7 +669,19 @@ object MaterializationQueries {
           sum(col("s_suppkey")).as("key_sum"),
           sum(col("s_acctbal").cast(D2)).cast(DoubleType).as("bal_total"))
         .select(lit(fmt).as("fmt"), col("n"), col("key_sum"), col("bal_total"))
-    }.reduce(_.unionByName(_)).orderBy(col("fmt"))
+    }
+    val textTable = s"$db.supplier_text"
+    TableMaterialization.run(spark, textTable,
+      src.select(concat_ws("|", col("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal")).as("value")),
+      format = "text")
+    val textAgg = spark.table(textTable)
+      .select(split(col("value"), "\\|").as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("p"), 1).cast("long")).as("key_sum"),
+        sum(element_at(col("p"), 4).cast(D2)).cast(DoubleType).as("bal_total"))
+      .select(lit("text").as("fmt"), col("n"), col("key_sum"), col("bal_total"))
+    (structured :+ textAgg).reduce(_.unionByName(_)).orderBy(col("fmt"))
   }
 
   private val matFileFormatsSql =
@@ -672,7 +691,7 @@ object MaterializationQueries {
       |  FROM supplier
       |)
       |SELECT fmt, n, key_sum, bal_total
-      |FROM s, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+      |FROM s, (VALUES ('csv'), ('json'), ('orc'), ('text')) AS f(fmt)
       |ORDER BY fmt""".stripMargin
 
   // ---------------------------------------------------------------- sources
@@ -750,13 +769,15 @@ object MaterializationQueries {
   // ---------------------------------------------------------------- maintenance
   /** Small-file compaction + sort-layout rewrite, content-checked: a table
     * deliberately fragmented into 24 files (simulating months of small
-    * incremental appends) compacts to ONE target-size file, then
-    * optimizeLayout range-rewrites it on l_shipdate — and the contents
-    * must come through BOTH rewrites byte-identical (the oracle recomputes
-    * the per-flag aggregate from raw lineitem). File counts before/after
-    * compaction ride along as proof the physical layout actually changed;
-    * per-file range disjointness is spec'd (MaterializationSpec), not
-    * gated — DuckDB can't see Spark's file boundaries.
+    * incremental appends) compacts down, then optimizeLayout range-rewrites
+    * it on l_shipdate — and the contents must come through BOTH rewrites
+    * byte-identical (the oracle recomputes the per-flag aggregate from raw
+    * lineitem). Physical file counts are NOT part of the hashed output:
+    * writer task layout varies across hosts/committers, so the oracle only
+    * sees data-derived columns. The layout facts — fragmented-to-one file
+    * count and per-file sort-range disjointness — are asserted in
+    * MaterializationSpec, and the gate self-enforces `after <= before`
+    * (compaction must never fragment further) via require.
     */
   def relCompact(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
@@ -766,20 +787,19 @@ object MaterializationQueries {
     val before = RelationOps.dataFiles(spark, t).size.toLong
     RelationOps.compact(spark, t) // well under one 128 MB target file here
     val after = RelationOps.dataFiles(spark, t).size.toLong
+    require(after <= before,
+      s"compaction fragmented the table further: $before -> $after files")
     RelationOps.optimizeLayout(spark, t, Seq("l_shipdate"))
     spark.table(t)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast(D2)).cast(D2).as("sum_qty"))
-      .withColumn("n_files_before", lit(before))
-      .withColumn("n_files_after", lit(after))
       .orderBy(col("l_returnflag"))
   }
 
   private val relCompactSql =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(24 AS BIGINT) AS n_files_before, CAST(1 AS BIGINT) AS n_files_after
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- F2
@@ -998,6 +1018,135 @@ object MaterializationQueries {
       |  ('same_key_same_session', CAST(1 AS BIGINT))
       |) AS t(fact, value) ORDER BY fact""".stripMargin
 
+  /** Composite execution-control gate pinning the six previously spec-only
+    * §2 rows through one driver-checked fact table (mirror of
+    * [[engSessionPool]]):
+    *   - S12 location resolution precedence (reference impl.py:415-444):
+    *     custom beats root beats warehouse default — and the resolved
+    *     location is then USED for a real CTAS (not just string-compared).
+    *   - X1 session lifecycle: [[graft.core.Engine.tune]] applies the
+    *     reference's per-session confs to a live session, in place.
+    *   - X8 per-model conf (connections.py:54-68): values scoped to the
+    *     block, restored (including unset) afterwards.
+    *   - X5 statement cancel (connection.py:283-295): a long job under a
+    *     job group, cancelled from another thread, must die by
+    *     cancellation — not finish, not fail otherwise.
+    *   - O8 REFRESH TABLE: files appended to the table location behind the
+    *     catalog's back become visible after refresh.
+    *   - O11 post-write verify (impl.py:209,707,1039): LIMIT 1 readability
+    *     probe on the freshly-built table.
+    */
+  def engExecControl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Engine
+    val db = scratchDb(spark)
+    val rel = graft.core.Relation.parse(s"$db.exec_probe")
+
+    // S12 — precedence facts, plus the default-path shape.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val custom = java.nio.file.Files.createTempDirectory("graft_exec_loc")
+      .toString
+    val s12 =
+      Locations.resolve(spark, rel, Some("/data/root"), Some(custom)) == custom &&
+      Locations.resolve(spark, rel, Some("/data/root/"), None) ==
+        s"/data/root/${rel.identifier}" &&
+      Locations.resolve(spark, rel) == s"$wh/${rel.schema}/${rel.identifier}"
+
+    // X1 — tune() is idempotent, in-place, and applies the reference confs.
+    val tuned = Engine.tune(spark)
+    val x1 = (tuned eq spark) &&
+      tuned.conf.get("spark.sql.crossJoin.enabled") == "true" &&
+      tuned.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+
+    // X8 — scoped confs: visible inside, restored (or unset) outside.
+    spark.conf.set("graft.exec.keep", "outer")
+    val inside = Engine.withConf(spark,
+      Map("graft.exec.keep" -> "inner", "graft.exec.tmp" -> "scoped")) {
+      (spark.conf.get("graft.exec.keep"), spark.conf.get("graft.exec.tmp"))
+    }
+    val x8 = inside == (("inner", "scoped")) &&
+      spark.conf.get("graft.exec.keep") == "outer" &&
+      spark.conf.getOption("graft.exec.tmp").isEmpty
+    spark.conf.unset("graft.exec.keep")
+
+    // X5 — cancel a job group from another thread; the victim must die by
+    // cancellation (message names the group / says cancelled), not finish.
+    val group = "graft_exec_cancel"
+    @volatile var outcome = "never_ran"
+    val victim = new Thread(() => {
+      outcome =
+        try {
+          Engine.withJobGroup(spark, group, "gate victim") {
+            // Tasks spin until interrupted: cancellation (interruptOnCancel)
+            // is the only exit. The closure must capture NOTHING (it ships
+            // to executors), so readiness is observed from the outside via
+            // the status tracker, not signalled from in here.
+            spark.range(0, 64, 1, 8).rdd.mapPartitions { it =>
+              while (true) Thread.sleep(10)
+              it
+            }.count()
+          }
+          "finished"
+        } catch {
+          case e: Throwable =>
+            // The cancellation surfaces differently across scheduler paths
+            // (SparkException "cancelled because of user request", a bare
+            // InterruptedException from the interrupted task, or a wrapper
+            // whose MESSAGE is on the cause) — walk the cause chain.
+            val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .take(8)
+              .map(t => t.getClass.getName + " " + String.valueOf(t.getMessage))
+              .mkString(" | ").toLowerCase
+            if (msgs.contains("cancel") || msgs.contains("interrupt")) "cancelled"
+            else s"failed_other: $msgs"
+        }
+    })
+    victim.start()
+    // Wait (bounded) until the victim's job is actually submitted under the
+    // group, then cancel. Cancelling a submitted-but-unstarted job still
+    // fails its action with a cancellation error — either way the victim
+    // must report "cancelled", never "finished".
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty
+        && victim.isAlive && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    Engine.cancel(spark, group)
+    victim.join(60000)
+    val x5 = outcome == "cancelled"
+    if (!x5) System.err.println(s"[eng_exec_control] x5 outcome: $outcome")
+
+    // S12 (in use) + O11 + O8 — build at the RESOLVED custom location,
+    // verify readable, append files behind the catalog's back, refresh,
+    // and require the new files visible.
+    val loc = Locations.resolve(spark, rel, customLocation = Some(custom))
+    TableMaterialization.run(spark, rel.name, Tables.nation(spark, dir),
+      location = Some(loc))
+    val o11 = RelationOps.verifyReadable(spark, rel.name)
+    val before = spark.table(rel.name).count()
+    Tables.nation(spark, dir).write.mode("append").parquet(loc)
+    spark.sql(s"REFRESH TABLE ${rel.quoted}")
+    val o8 = spark.table(rel.name).count() == 2 * before
+
+    Seq(
+      ("o8_refresh_sees_new_files", if (o8) 1L else 0L),
+      ("o11_verify_readable", if (o11) 1L else 0L),
+      ("s12_location_precedence", if (s12) 1L else 0L),
+      ("x1_session_tuned", if (x1) 1L else 0L),
+      ("x5_cancelled", if (x5) 1L else 0L),
+      ("x8_conf_scoped", if (x8) 1L else 0L))
+      .toDF("fact", "value").orderBy("fact")
+  }
+
+  private val engExecControlSql =
+    """SELECT * FROM (VALUES
+      |  ('o11_verify_readable', CAST(1 AS BIGINT)),
+      |  ('o8_refresh_sees_new_files', CAST(1 AS BIGINT)),
+      |  ('s12_location_precedence', CAST(1 AS BIGINT)),
+      |  ('x1_session_tuned', CAST(1 AS BIGINT)),
+      |  ('x5_cancelled', CAST(1 AS BIGINT)),
+      |  ('x8_conf_scoped', CAST(1 AS BIGINT))
+      |) AS t(fact, value) ORDER BY fact""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mat_ctas" -> (matCtas _),
@@ -1016,6 +1165,7 @@ object MaterializationQueries {
     "mat_user_model" -> (matUserModel _),
     "pipe_dbt_lifecycle" -> (pipeDbtLifecycle _),
     "eng_session_pool" -> (engSessionPool _),
+    "eng_exec_control" -> (engExecControl _),
     "cat_roundtrip" -> (catRoundtrip _),
     "rel_ops" -> (relOps _),
     "mat_persist_docs" -> (matPersistDocs _),
@@ -1051,6 +1201,7 @@ object MaterializationQueries {
     "mat_user_model" -> matUserModelSql,
     "pipe_dbt_lifecycle" -> pipeDbtLifecycleSql,
     "eng_session_pool" -> engSessionPoolSql,
+    "eng_exec_control" -> engExecControlSql,
     "cat_roundtrip" -> catRoundtripSql,
     "rel_ops" -> relOpsSql,
     "mat_persist_docs" -> matPersistDocsSql,

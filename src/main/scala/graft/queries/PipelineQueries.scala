@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{ScopedStorage, Tables}
+import graft.core.ScopedStorage.Ops
 import graft.dedup.{Clusters, Dedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
@@ -754,10 +755,10 @@ object PipelineQueries {
     val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 3)
       .filter(col("jaccard") >= 0.7)
       .select("id_a", "id_b")
-      .localCheckpoint()
+      .scopedCheckpoint()
     val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .select("id_a", "id_b")
-      .localCheckpoint()
+      .scopedCheckpoint()
     val missed = truth.except(found)
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(missed.agg(count(lit(1)).as("__n_missed")))
@@ -1906,9 +1907,20 @@ object PipelineQueries {
   private[graft] def linedDocs(docs: DataFrame): DataFrame = {
     val lined = array_join(
       TextAnalysis.chunkTokens(col("text"), maxTokens = 12, overlap = 0), "\n")
-    docs.withColumn("text",
+    // Scoped-PERSISTED: the lined text is a DERIVED column (regex tokenize
+    // + chunk + array_join), and downstream consumers reference `text`
+    // many times — the Gopher rule conjuncts alone ~25×. Left as a bare
+    // projection, predicate pushdown inlines the whole derivation into
+    // every reference (the r08 `pipe_clean_pack` cliff: 25 re-tokenizations
+    // per row under a filter). Persisting makes the frame an
+    // InMemoryRelation leaf at planning time, so every reference is an
+    // attribute read of the ONE materialized string — the plan-shape
+    // equivalent of a pipeline stage boundary, which is exactly what a
+    // 100 TB run would do here (write the cleaned corpus between stages).
+    // Released at the gate boundary by the harness (ScopedStorage).
+    ScopedStorage.persist(docs.withColumn("text",
       when(col("doc_id") % 5 === 0,
-        concat(lined, lit("\n" + boilerplateLine))).otherwise(lined))
+        concat(lined, lit("\n" + boilerplateLine))).otherwise(lined)))
   }
 
   /** DuckDB twin of [[linedDocs]] over the `documents` table: CTEs ending
@@ -2187,9 +2199,9 @@ object PipelineQueries {
     val kept = lined.filter(
         QualityRules.gopherQualityKeep(col("text")) &&
           QualityRules.gopherRepetitionKeep(col("text")))
-      .localCheckpoint(false)
+      .scopedCheckpoint(false)
     val cleaned = LineDedup.removeDuplicateLines(kept, "doc_id", "text")
-      .localCheckpoint(false)
+      .scopedCheckpoint(false)
     val scored = graft.text.UnigramLm.scoreDocs(cleaned, "doc_id",
       "clean_text", vocabSize = 50, oovDiscount = 0.5)
     cleaned.select(col("doc_id"), col("source"))

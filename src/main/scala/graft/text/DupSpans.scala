@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.ScopedStorage.Ops
 
 /** Duplicated-span detection: how much of each document is made of word
   * n-grams that also occur in other documents — the distributed form of
@@ -32,13 +33,19 @@ object DupSpans {
     * toward that doc's duplicated fraction). Documents with fewer than `n`
     * tokens have no spans and produce an empty array.
     */
-  private[text] def gramArray(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[text] def gramArray(text: Column, n: Int): Column =
+    // Token array bound as a lambda variable so the per-position lambda
+    // reads a bound buffer — the [[graft.dedup.Dedup.shingles]] O(tokens²)
+    // pitfall (lambda-body subexpressions re-evaluate per element; with
+    // n = 16-token spans the naive shape re-tokenized the document once
+    // per span position).
+    element_at(
+      transform(array(split(trim(text), "\\s+")), toks =>
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** Per-document duplicated-span statistics: `n_grams` (total n-gram
     * occurrences), `n_dup` (occurrences whose gram appears in at least
@@ -56,7 +63,7 @@ object DupSpans {
     val perDoc = docs.select(col(idCol).as("id"), gram)
       .select(col("id"), key.as("__g"))
       .groupBy("id", "__g").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false)
+      .scopedCheckpoint(false)
     val dupGrams = perDoc.groupBy("__g")
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -100,7 +107,7 @@ object DupSpans {
         posexplode(gramArray(col(textCol), n)).as(Seq("__p0", "__g0")))
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__start"),
         key.as("__g"))
-      .localCheckpoint(false)
+      .scopedCheckpoint(false)
     val dupKeys = pos.select("__id", "__g").distinct()
       .groupBy("__g").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs).select("__g")

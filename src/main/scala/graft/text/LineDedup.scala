@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.ScopedStorage.Ops
 
 /** Cross-document LINE deduplication — the RefinedWeb / CCNet pass that
   * strips boilerplate occurring verbatim across pages (navigation chrome,
@@ -48,7 +49,7 @@ object LineDedup {
         posexplode(lineArray(textCol)).as(Seq("__p0", "__l0")))
       .filter(trim(col("__l0")) =!= "")
       .select(cols: _*)
-      .localCheckpoint(false)
+      .scopedCheckpoint(false)
   }
 
   /** Keys of lines occurring in ≥ `minDocs` distinct documents. */

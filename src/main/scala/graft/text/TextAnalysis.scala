@@ -112,10 +112,20 @@ object TextAnalysis {
   def chunkTokens(text: Column, maxTokens: Int, overlap: Int): Column = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
-    val toks = tokens(text)
     val step = maxTokens - overlap
-    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
-    transform(starts, s => concat_ws(" ", slice(toks, s, lit(maxTokens))))
+    // Token array bound as a lambda variable (one-element outer transform)
+    // so the inner per-window lambda reads a bound buffer instead of
+    // re-running the tokenizer per window — the [[graft.dedup.Dedup
+    // .shingles]] O(tokens²) pitfall (see its scaladoc for the measured
+    // cost): lambda-BODY subexpressions re-evaluate per element; lambda
+    // variables do not.
+    element_at(
+      transform(array(tokens(text)), toks => {
+        val starts =
+          sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
+        transform(starts, s => concat_ws(" ", slice(toks, s, lit(maxTokens))))
+      }),
+      1)
   }
 
   /** URL/boilerplate normalization — the canonicalization pass that runs

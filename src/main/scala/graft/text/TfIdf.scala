@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.ScopedStorage.Ops
 
 /** Corpus TF-IDF: smoothed inverse document frequency over the whole
   * corpus and per-document top-k salient terms — the keyword-extraction /
@@ -43,7 +44,7 @@ object TfIdf {
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val pairs = docTermCounts(docs, idCol, textCol).localCheckpoint(false)
+    val pairs = docTermCounts(docs, idCol, textCol).scopedCheckpoint(false)
     val scored = pairs
       .join(idfFromPairs(pairs, docs).select("term", "idf"), "term")
       .select(col("id"), col("term"), (col("tf") * col("idf")).as("score"))

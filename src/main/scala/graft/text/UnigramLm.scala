@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.ScopedStorage.Ops
 
 /** Unigram language-model fluency scoring — the scalable stand-in for the
   * CCNet / Gopher perplexity filter (they score documents with a KenLM
@@ -41,7 +42,7 @@ object UnigramLm {
     val toks = docs.select(col(idCol).as("__id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
     val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false) // shared by the total and the vocab cut
+      .scopedCheckpoint(false) // shared by the total and the vocab cut
     // Metadata-plane scalar (one row), like the mixture thresholds. An
     // empty corpus sums to NULL → treat as 1 so the floor arithmetic
     // stays finite (the output is empty regardless — no tokens to score).
@@ -106,10 +107,10 @@ object UnigramLm {
     // them); without the filter they would score one phantom OOV token.
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), ts.as("__ts"))
-      .localCheckpoint(false) // consumed by unigrams, pairs, and firsts
+      .scopedCheckpoint(false) // consumed by unigrams, pairs, and firsts
     val toks = base.select(col("__id"), explode(col("__ts")).as("__t"))
     val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false) // total + unigram vocab + bigram contexts
+      .scopedCheckpoint(false) // total + unigram vocab + bigram contexts
     // NULL-sum-on-empty guard — see scoreDocs.
     val total = Option(cnt.agg(sum(col("__c"))).first().get(0))
       .map(_.asInstanceOf[Long]).filter(_ > 0L).getOrElse(1L)

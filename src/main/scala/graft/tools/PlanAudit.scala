@@ -174,18 +174,22 @@ object PlanAudit {
       .filter(l => l.contains("Join") || l.contains("Exchange") ||
         l.contains("bloom_might_contain")).mkString("\n"))
 
-    // Sequence packing: exactly ONE exchange — the hash partition by shard
-    // feeding the per-shard window sort. No global sort, no extra shuffle
-    // for the offset arithmetic (all scan-local projections).
-    println("=== packSequences (want exactly 1 Exchange: hashpartitioning(shard)) ===")
+    // Sequence packing: the per-shard window sort runs over NARROW rows
+    // only — (key, tokens) — and the payload joins back by key WITHOUT a
+    // sort (shuffle-hash, or AQE-upgraded broadcast). The failure mode to
+    // catch: any Sort whose row carries the document text (the r08
+    // full-text shard sort).
+    println("=== packSequences (want: no text column in any Sort; window over (key,tokens) only) ===")
     val packed = graft.operators.Packing.packSequences(
       docs, "doc_id", "n_chars", seqLen = 4096L, nShards = 8)
+    packed.collect()
     val packPlan = packed.queryExecution.executedPlan.toString
-    val packExchanges = packPlan.linesIterator.count(_.contains("Exchange"))
-    println(s"exchanges: $packExchanges (want 1)")
+    val textSorted = packPlan.linesIterator
+      .exists(l => l.contains("Sort") && l.contains("text"))
+    println(s"text column in a Sort: $textSorted (want false)")
     println(packPlan.linesIterator
       .filter(l => l.contains("Exchange") || l.contains("Window") ||
-        l.contains("Sort")).mkString("\n"))
+        l.contains("Sort") || l.contains("Join")).mkString("\n"))
 
     // Duplicated-span stats: the gram exchanges must carry the 8-byte
     // xxhash64 key, never gram text — no string-typed shuffle past the

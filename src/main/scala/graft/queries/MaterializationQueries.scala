@@ -782,8 +782,17 @@ object MaterializationQueries {
   def relCompact(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
     val t = s"$db.lineitem_compact"
+    // The gate proves COMPACTION (file-count collapse with contents
+    // intact), not wide-row IO: project to the columns the result and the
+    // sort layout actually read before writing, so the three physical
+    // rewrites this gate performs (fragmented CTAS, compact, layout) move
+    // ~4 columns instead of all 16 — same proof, ~5× less write volume
+    // (this was the suite's most IO-bound gate under a contended disk).
     TableMaterialization.run(spark, t,
-      Tables.lineitem(spark, dir).repartition(24))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_shipdate"))
+        .repartition(24))
     val before = RelationOps.dataFiles(spark, t).size.toLong
     RelationOps.compact(spark, t) // well under one 128 MB target file here
     val after = RelationOps.dataFiles(spark, t).size.toLong

@@ -98,7 +98,10 @@ object Bench {
       // should start from the same cold-storage state the recorded
       // baselines measured.
       spark.catalog.clearCache()
-      graft.core.ScopedStorage.releaseAll()
+      // Blocking release: the watermark below must measure what REMAINS,
+      // not what async eviction hasn't gotten to yet — a lagging evict
+      // would read as a spurious leak.
+      graft.core.ScopedStorage.releaseAll(blocking = true)
       // Storage watermark AFTER release (proof the release is real: this
       // must stay flat across the run, not ratchet upward).
       val storageBytes = spark.sparkContext.getRDDStorageInfo

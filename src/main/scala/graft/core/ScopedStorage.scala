@@ -22,11 +22,18 @@ import org.apache.spark.storage.StorageLevel
   * STRONG references, same reasoning as the former Dedup-local registry: a
   * weak/soft ref can be cleared while the persisted blocks are still
   * pinned, silently skipping the deterministic release this exists for.
-  * The queue is bounded: past [[MaxScoped]] entries the oldest frame is
-  * released on insert, so a caller that never releases still cannot
-  * accumulate unbounded storage (a dropped PERSIST recomputes from lineage;
-  * a dropped lazy checkpoint re-materializes on next use — correctness is
-  * unaffected either way, only a recompute is risked).
+  * The queue is bounded, and overflow eviction is KIND-AWARE:
+  *   - an evicted PERSIST is unpersisted (lineage kept — a re-executed
+  *     plan recomputes; only a recompute is risked);
+  *   - an evicted CHECKPOINT is dropped from the queue WITHOUT freeing its
+  *     blocks — a local checkpoint truncates lineage, so freeing blocks a
+  *     same-gate consumer may still read would fail that consumer with
+  *     "checkpoint block not found". Dropping the strong reference instead
+  *     restores exactly the pre-registry behavior for that frame: the
+  *     ContextCleaner reclaims the blocks once the caller's own reference
+  *     dies. So a pathological gate (or a library user who never calls
+  *     [[releaseAll]]) degrades to bounded-queue + GC reclamation, never
+  *     to a correctness failure.
   *
   * Release safety contract: call [[releaseAll]] only BETWEEN queries, after
   * the previous query's result is materialized (counted / written). A
@@ -36,18 +43,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object ScopedStorage {
   private val MaxScoped = 512
+  private final case class Entry(df: DataFrame, isCheckpoint: Boolean)
   private val frames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
 
-  /** Register an already-pinned frame for end-of-gate release. */
-  def register(df: DataFrame): DataFrame = {
-    frames.add(df)
+  private def add(e: Entry): Unit = {
+    frames.add(e)
     while (frames.size > MaxScoped) {
       val oldest = frames.poll()
-      if (oldest != null) free(oldest)
+      // Kind-aware overflow eviction — see the scaladoc. Only persists are
+      // actively freed; checkpoints just lose their strong reference.
+      if (oldest != null && !oldest.isCheckpoint) free(oldest, blocking = false)
     }
-    df
   }
+
+  /** Register an already-persisted (catalog-tracked) frame. */
+  def register(df: DataFrame): DataFrame = { add(Entry(df, isCheckpoint = false)); df }
+
+  /** Register an already-checkpointed frame (blocks outside the catalog). */
+  def registerCheckpoint(df: DataFrame): DataFrame = { add(Entry(df, isCheckpoint = true)); df }
 
   /** Persist (MEMORY_AND_DISK — spills, keeps lineage) + register. */
   def persist(df: DataFrame): DataFrame = {
@@ -60,26 +74,7 @@ object ScopedStorage {
     * the gate boundary instead of leaking until driver GC.
     */
   def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
-    register(df.localCheckpoint(eager))
-
-  /** Free one frame's storage: the catalog cache entry if it has one, and
-    * any local-checkpoint blocks its (analyzed) plan reads. Safe on frames
-    * that are neither — both paths no-op.
-    */
-  private def free(df: DataFrame): Unit = {
-    try {
-      df.unpersist(blocking = false)
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    } catch {
-      // A stopped session cannot unpersist — releasing on teardown paths
-      // must never mask the query's own outcome.
-      case _: Throwable => ()
-    }
-  }
+    registerCheckpoint(df.localCheckpoint(eager))
 
   /** `df.scopedCheckpoint(eager)` syntax for chained plans — a
     * localCheckpoint whose blocks the harness frees at the gate boundary.
@@ -89,16 +84,38 @@ object ScopedStorage {
       ScopedStorage.checkpoint(df, eager)
   }
 
-  /** Release every registered frame (asynchronous eviction). Returns the
-    * number released. Call between gates, after materializing results.
+  /** Free one frame's storage: the catalog cache entry if it has one, and
+    * any local-checkpoint blocks its (analyzed) plan reads. Safe on frames
+    * that are neither — both paths no-op.
     */
-  def releaseAll(): Int = {
+  private def free(e: Entry, blocking: Boolean): Unit = {
+    try {
+      e.df.unpersist(blocking)
+      if (e.isCheckpoint)
+        e.df.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking)
+          case _ => ()
+        }
+    } catch {
+      // A stopped session cannot unpersist — releasing on teardown paths
+      // must never mask the query's own outcome.
+      case _: Throwable => ()
+    }
+  }
+
+  /** Release every registered frame. Returns the number released. Call
+    * between gates, after materializing results. `blocking = true` waits
+    * for block eviction — use it when a storage measurement follows, so
+    * in-flight async eviction can't masquerade as a leak.
+    */
+  def releaseAll(blocking: Boolean = false): Int = {
     var released = 0
-    var df = frames.poll()
-    while (df != null) {
-      free(df)
+    var e = frames.poll()
+    while (e != null) {
+      free(e, blocking)
       released += 1
-      df = frames.poll()
+      e = frames.poll()
     }
     released
   }

@@ -49,8 +49,10 @@ object Tables {
     *     also read as LongType and be silently divided by 1000 — guard by
     *     magnitude: nanos since epoch for any plausible event time
     *     (2001–2200) sit in [1e18, 7.3e18); micros/millis are orders of
-    *     magnitude below. Checked per-row in the expression (a corrupt
-    *     row nulls rather than shifting 1000×) — no extra scan.
+    *     magnitude below. Checked per-row in the expression — a sub-nanos
+    *     magnitude raises a descriptive error and FAILS the query (better
+    *     a loud load-boundary failure than silently shifting every
+    *     timestamp 1000×); genuinely-null rows stay null. No extra scan.
     *   - The NTZ cast is reinterpreted in the SESSION time zone; every
     *     harness session pins UTC, and the oracle's DuckDB read assumes
     *     it. Assert rather than trust.

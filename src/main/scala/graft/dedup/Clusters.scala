@@ -189,7 +189,7 @@ object Clusters {
     // gate-scoped registry so the harness releases it at the query
     // boundary instead of leaking it until driver GC (the r08 class of
     // leak: clearCache() never sees checkpoint blocks).
-    graft.core.ScopedStorage.register(labels)
+    graft.core.ScopedStorage.registerCheckpoint(labels)
     labels
   }
 

@@ -343,27 +343,24 @@ object Dedup {
 
   /** Distinct word shingles (n-grams) — the Jaccard universe of a doc.
     *
-    * The token array is bound as a LAMBDA VARIABLE (a one-element outer
-    * transform) before the per-position inner transform reads it. Written
-    * naively — `transform(starts, i => slice(split(text), i, n))` — the
-    * split is a subexpression of the inner lambda body, and Catalyst
-    * re-evaluates lambda-body subexpressions PER ELEMENT: the full
-    * tokenization runs once per shingle position, O(tokens²) per document
-    * (measured 10× the whole funnel's cost at sf0.1: 3.5 s to shingle a
-    * 5k-doc corpus whose tokenization alone takes 0.3 s). A lambda
-    * variable, by contrast, is a bound buffer reference — free to read per
-    * element — so this shape is O(tokens) and every consumer (minhash,
-    * ngram-Jaccard, the verify intersections, cross-corpus dedup) inherits
-    * the fix with no caller changes and no column-contract changes.
+    * The token array is bound as a lambda variable
+    * ([[graft.functions.GraftFunctions.bindArray]]) before the
+    * per-position transform reads it. Written naively —
+    * `transform(starts, i => slice(split(text), i, n))` — the split is a
+    * subexpression of the lambda body, and Catalyst re-evaluates
+    * lambda-body subexpressions PER ELEMENT: the full tokenization runs
+    * once per shingle position, O(tokens²) per document (measured 10× the
+    * whole funnel's cost at sf0.1: 3.5 s to shingle a 5k-doc corpus whose
+    * tokenization alone takes 0.3 s). Bound, the shape is O(tokens), and
+    * every consumer (minhash, ngram-Jaccard, the verify intersections,
+    * cross-corpus dedup) inherits the fix with no caller changes.
     */
   def shingles(text: Column, n: Int): Column =
-    element_at(
-      transform(array(split(trim(text), "\\s+")), toks => {
-        val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
-        array_distinct(
-          transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
-      }),
-      1)
+    GraftFunctions.bindArray(split(trim(text), "\\s+")) { toks =>
+      val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+      array_distinct(
+        transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))

@@ -458,6 +458,28 @@ case class RemoveSpans(left: Expression, right: Expression, n: Int,
 }
 
 object GraftFunctions {
+  /** Bind an expression's value as a HIGHER-ORDER-FUNCTION lambda variable
+    * before `body` reads it (possibly many times, possibly inside further
+    * lambdas): `bindArray(e)(v => body(v))` evaluates `e` exactly ONCE per
+    * row and hands `body` a bound buffer reference.
+    *
+    * Why this exists: Catalyst re-evaluates lambda-BODY subexpressions per
+    * array element, so any per-element lambda whose body references a
+    * derived expression (a tokenizer split, a sorted array) re-runs that
+    * derivation once per element — O(n²) per row (measured 10× the whole
+    * ngram funnel's cost; see [[graft.dedup.Dedup.shingles]]). Plain
+    * multi-reference at PROJECT level has the same hazard via
+    * CollapseProject/pushdown inlining. Lambda variables and attributes
+    * are the only reference kinds that are free to re-read; this helper
+    * manufactures the former: a one-element array, a transform binding the
+    * value to a lambda variable, and an `element_at(..., 1)` unwrap.
+    */
+  def bindArray(e: Column)(body: Column => Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(e), body),
+      1)
+
   /** Register the functions in a session's registry so both `spark.sql` and
     * `call_function` can use them. Idempotent per session.
     */

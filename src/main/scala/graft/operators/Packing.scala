@@ -45,7 +45,9 @@ object Packing {
     * are excluded per the [[Sampling]] module contract — a null key has no
     * bucket, so it has no deterministic place in any layout. Keys must be
     * unique (they address documents) — the layout's ordering tie-break and
-    * the position join-back both assume it.
+    * the position join-back both assume it, and a duplicate key fails the
+    * job with a raise_error naming the key (checked for free on the
+    * layout sort — see the in-code guard).
     *
     * Plan shape: the per-shard window SORT runs over NARROW rows only —
     * (key, token count), ~16 bytes — and the computed positions join back
@@ -68,11 +70,28 @@ object Packing {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__bkt"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Duplicate-key guard, enforced ON the layout sort for free: duplicate
+    // keys share a bucket and shard, so they are ADJACENT in the window
+    // order — one lag() over the same (partition, sort) detects every
+    // duplicate with no extra exchange. It must fail loudly: with the
+    // join-back below, k copies of a key would silently become k² output
+    // rows (the old windowed form returned k rows with arbitrary tie
+    // order — also wrong, just quieter). Folded into `off` so column
+    // pruning can never drop the check.
+    // (`raise_error` is NullType; it must sit INSIDE a typed CASE branch —
+    // wrapped in a null-test it constant-folds away, since a NullType
+    // value is provably null.)
+    val wRow = Window.partitionBy(col("shard")).orderBy(col("__bkt"), col(keyCol))
     val positions = df.select(col(keyCol), col(tokenCol))
       .filter(col(keyCol).isNotNull)
       .withColumn("__bkt", bucket)
       .withColumn("shard", pmod(col("__bkt"), lit(nShards.toLong)).cast("int"))
-      .withColumn("off", coalesce(sum(toks).over(w), lit(0L)))
+      .withColumn("off",
+        when(lag(col(keyCol), 1).over(wRow) === col(keyCol),
+          raise_error(concat(
+            lit(s"packSequences: duplicate key in '$keyCol': "),
+            col(keyCol).cast("string"))).cast("long"))
+          .otherwise(coalesce(sum(toks).over(w), lit(0L))))
       .withColumn("seq_first", floor(col("off") / lit(seqLen)).cast("long"))
       .withColumn("seq_last",
         floor((col("off") + greatest(toks, lit(1L)) - lit(1L)) / lit(seqLen))

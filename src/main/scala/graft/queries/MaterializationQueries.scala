@@ -796,8 +796,12 @@ object MaterializationQueries {
     val before = RelationOps.dataFiles(spark, t).size.toLong
     RelationOps.compact(spark, t) // well under one 128 MB target file here
     val after = RelationOps.dataFiles(spark, t).size.toLong
-    require(after <= before,
-      s"compaction fragmented the table further: $before -> $after files")
+    // Strict: a 24-way-fragmented small table MUST collapse — `after <
+    // before` fails loudly on a no-op compact() regression while staying
+    // layout-tolerant (the exact counts vary by host/committer; the
+    // exact ==1 collapse is pinned at spec scale in MaterializationSpec).
+    require(after < before,
+      s"compaction did not reduce the file count: $before -> $after files")
     RelationOps.optimizeLayout(spark, t, Seq("l_shipdate"))
     spark.table(t)
       .groupBy(col("l_returnflag"))
@@ -1080,7 +1084,11 @@ object MaterializationQueries {
 
     // X5 — cancel a job group from another thread; the victim must die by
     // cancellation (message names the group / says cancelled), not finish.
-    val group = "graft_exec_cancel"
+    // The group name is UNIQUE per invocation: getJobIdsForGroup also
+    // returns COMPLETED jobs, so a reused name would satisfy the
+    // submit-wait below with a previous invocation's dead job and cancel
+    // before this victim ever submits (leaving its spin-tasks running).
+    val group = "graft_exec_cancel_" + UUID.randomUUID.toString.take(8)
     @volatile var outcome = "never_ran"
     val victim = new Thread(() => {
       outcome =

@@ -35,17 +35,15 @@ object DupSpans {
     */
   private[text] def gramArray(text: Column, n: Int): Column =
     // Token array bound as a lambda variable so the per-position lambda
-    // reads a bound buffer — the [[graft.dedup.Dedup.shingles]] O(tokens²)
-    // pitfall (lambda-body subexpressions re-evaluate per element; with
-    // n = 16-token spans the naive shape re-tokenized the document once
-    // per span position).
-    element_at(
-      transform(array(split(trim(text), "\\s+")), toks =>
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))),
-      1)
+    // reads a bound buffer — the O(tokens²) pitfall documented at
+    // GraftFunctions.bindArray (with n = 16-token spans the naive shape
+    // re-tokenized the document once per span position).
+    graft.functions.GraftFunctions.bindArray(split(trim(text), "\\s+")) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Per-document duplicated-span statistics: `n_grams` (total n-gram
     * occurrences), `n_dup` (occurrences whose gram appears in at least

@@ -82,15 +82,15 @@ object QualityRules {
   /** How many of [[requiredStopwords]] appear as a (lowercased) token.
     * The lowered token array is bound as a lambda variable so the 8
     * membership probes read one bound buffer instead of re-tokenizing per
-    * probe (the [[graft.dedup.Dedup.shingles]] re-evaluation pitfall).
+    * probe (the pitfall documented at GraftFunctions.bindArray).
     */
   def requiredStopwordHits(text: Column): Column =
-    element_at(
-      transform(array(transform(toks(text), t => lower(t))), lowered =>
+    graft.functions.GraftFunctions
+      .bindArray(transform(toks(text), t => lower(t))) { lowered =>
         requiredStopwords
           .map(w => when(array_contains(lowered, w), 1).otherwise(0))
-          .reduce(_ + _)),
-      1)
+          .reduce(_ + _)
+      }
 
   private def nonBlankLines(text: Column): Column =
     filter(lines(text), l => trim(l) =!= "")
@@ -125,19 +125,18 @@ object QualityRules {
     // adjacency sweep reads it: written naively, `element_at(s, i)` with
     // s = sort_array(filter(split(text))) re-runs the split+filter+SORT
     // once per line index — O(lines²·log lines) per document (the
-    // [[graft.dedup.Dedup.shingles]] lambda-body re-evaluation pitfall).
-    // Bound, each probe is an O(1) buffer read and the sweep is the
-    // O(L log L) the scaladoc above promises.
-    element_at(
-      transform(array(sort_array(nonBlankLines(text))), s => {
+    // lambda-body re-evaluation pitfall documented at
+    // GraftFunctions.bindArray). Bound, each probe is an O(1) buffer read
+    // and the sweep is the O(L log L) the scaladoc above promises.
+    graft.functions.GraftFunctions
+      .bindArray(sort_array(nonBlankLines(text))) { s =>
         val dupChars = aggregate(sequence(lit(1), size(s)), lit(0L), (acc, i) =>
           acc + when(i > 1 && element_at(s, i) === element_at(s, i - 1),
             length(element_at(s, i)).cast("long")).otherwise(0L))
         val totChars = aggregate(s, lit(0L), (acc, x) => acc + length(x))
         when(size(s) === 0 || totChars === 0, lit(0.0))
           .otherwise(dupChars.cast("double") / totChars.cast("double"))
-      }),
-      1)
+      }
 
   /** The Gopher quality verdict: keep iff every structural rule passes.
     * Thresholds are the published ones (50 ≤ words ≤ 100000, 3 ≤ mean word

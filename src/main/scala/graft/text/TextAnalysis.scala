@@ -113,19 +113,14 @@ object TextAnalysis {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
     val step = maxTokens - overlap
-    // Token array bound as a lambda variable (one-element outer transform)
-    // so the inner per-window lambda reads a bound buffer instead of
-    // re-running the tokenizer per window — the [[graft.dedup.Dedup
-    // .shingles]] O(tokens²) pitfall (see its scaladoc for the measured
-    // cost): lambda-BODY subexpressions re-evaluate per element; lambda
-    // variables do not.
-    element_at(
-      transform(array(tokens(text)), toks => {
-        val starts =
-          sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
-        transform(starts, s => concat_ws(" ", slice(toks, s, lit(maxTokens))))
-      }),
-      1)
+    // Token array bound as a lambda variable so the per-window lambda reads
+    // a bound buffer instead of re-running the tokenizer per window — the
+    // O(tokens²) pitfall documented at GraftFunctions.bindArray.
+    GraftFunctions.bindArray(tokens(text)) { toks =>
+      val starts =
+        sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
+      transform(starts, s => concat_ws(" ", slice(toks, s, lit(maxTokens))))
+    }
   }
 
   /** URL/boilerplate normalization — the canonicalization pass that runs

@@ -364,6 +364,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packing: duplicate keys fail loudly instead of multiplying rows") {
+    // With the narrow-window + join-back plan, k copies of a key would
+    // silently become k² output rows; the in-window lag guard must throw.
+    val df = Seq((1L, 10L), (2L, 5L), (2L, 7L), (3L, 3L)).toDF("id", "toks")
+    // collect(), not count(): an action that prunes every layout column
+    // also prunes the guard (nothing reads `off`) — which is fine, since
+    // such an action cannot observe the multiplied layout either.
+    val e = intercept[Exception] {
+      Packing.packSequences(df, "id", "toks", seqLen = 8L, nShards = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("duplicate key")))
+  }
+
   test("packing: layout is identical under repartition (determinism)") {
     val df = (1L to 60L).map(i => (i, i % 13)).toDF("id", "toks")
     def run(d: org.apache.spark.sql.DataFrame) =

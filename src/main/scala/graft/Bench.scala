@@ -80,7 +80,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), gateIdx) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -102,6 +103,14 @@ object Bench {
       // not what async eviction hasn't gotten to yet — a lagging evict
       // would read as a spurious leak.
       graft.core.ScopedStorage.releaseAll(blocking = true)
+      // Shuffle files are reclaimed by ContextCleaner only when their RDDs
+      // are garbage-collected, and a ~5-minute suite on a 32 GiB heap may
+      // never GC on its own (spark.cleaner.periodicGC defaults to 30 min)
+      // — so ~140 gates of shuffle spill would otherwise accumulate in
+      // local dirs for the whole run, pressuring the page cache the later
+      // gates' scans depend on. Periodic, OFF-CLOCK full GC (elapsed is
+      // already captured) bounds that accumulation.
+      if (gateIdx % 25 == 24) System.gc()
       // Storage watermark AFTER release (proof the release is real: this
       // must stay flat across the run, not ratchet upward).
       val storageBytes = spark.sparkContext.getRDDStorageInfo

@@ -3,11 +3,11 @@ package graft.queries
 import java.sql.Timestamp
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, StructType}
 
-import graft.core.{Catalog, Tables}
+import graft.core.{Catalog, ScopedStorage, Tables}
 import graft.materialize._
 import graft.quality.{Governance, QualityChecks}
 import graft.sources.Jsonl
@@ -643,45 +643,95 @@ object MaterializationQueries {
   /** The `file_format` knob (reference adapters.sql `USING <fmt>` /
     * validate.sql:4's accepted format list): the same relation
     * materialized as ORC, JSON, CSV, and TEXT must round-trip identical
-    * contents through the catalog. Reads go back through the CATALOG, so
-    * the table schema — not the self-describing file — types the text
-    * formats; doubles survive because Spark writes round-trippable
-    * representations. TEXT is the degenerate single-`value`-column format:
-    * the row is pipe-delimited on write and re-parsed on read (shortest-
-    * repr double rendering makes the cast-back decimal-identical). Of the
-    * reference's remaining accepted formats: avro needs the spark-avro
-    * datasource jar, absent from this sandbox (same env class as
-    * delta/hudi/iceberg — re-check per round); jdbc needs a database to
-    * point at; hive needs a Hive metastore with SerDe support; libsvm is
-    * an MLlib vector format inapplicable to a relational round-trip —
-    * all four are environment-blocked here, not operator gaps. Small
+    * contents through the catalog, plus the two non-catalog members of the
+    * accepted list this sandbox can actually drive — JDBC (a real
+    * write/read round-trip against an embedded Derby database, the jar
+    * Spark itself ships for its Hive metastore) and LIBSVM (the MLlib
+    * (label, idx:value…) text format, via spark-mllib's datasource).
+    * Catalog reads are typed by the TABLE schema — not the self-describing
+    * file — so text formats survive; doubles survive because every writer
+    * here renders round-trippable representations (shortest-repr for
+    * text/libsvm, native for orc/jdbc). TEXT is the degenerate
+    * single-`value`-column format: pipe-delimited on write, re-parsed on
+    * read. LIBSVM drops explicit zeros into sparsity — zeros read back as
+    * zeros, so the aggregates are unchanged. Of the reference's remaining
+    * accepted formats: avro needs the spark-avro DATASOURCE jar (only the
+    * avro core jars ship here — same env class as delta/hudi/iceberg,
+    * re-check per round), and hive-SerDe tables need
+    * spark.sql.catalogImplementation=hive at session creation, which
+    * would put every other gate's catalog behavior behind a Derby
+    * metastore — an architecture choice, not an operator gap. Small
     * dimension input keeps the gate cheap.
     */
   def matFileFormats(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
     val src = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    def agg(df: DataFrame, fmt: String, key: Column, bal: Column) =
+      df.agg(count(lit(1)).as("n"), sum(key).as("key_sum"),
+        sum(bal.cast(D2)).cast(DoubleType).as("bal_total"))
+        .select(lit(fmt).as("fmt"), col("n"), col("key_sum"), col("bal_total"))
     val structured = Seq("csv", "json", "orc").map { fmt =>
       val t = s"$db.supplier_$fmt"
       TableMaterialization.run(spark, t, src, format = fmt)
-      spark.table(t)
-        .agg(count(lit(1)).as("n"),
-          sum(col("s_suppkey")).as("key_sum"),
-          sum(col("s_acctbal").cast(D2)).cast(DoubleType).as("bal_total"))
-        .select(lit(fmt).as("fmt"), col("n"), col("key_sum"), col("bal_total"))
+      agg(spark.table(t), fmt, col("s_suppkey"), col("s_acctbal"))
     }
     val textTable = s"$db.supplier_text"
     TableMaterialization.run(spark, textTable,
       src.select(concat_ws("|", col("s_suppkey"), col("s_name"),
         col("s_nationkey"), col("s_acctbal")).as("value")),
       format = "text")
-    val textAgg = spark.table(textTable)
-      .select(split(col("value"), "\\|").as("p"))
-      .agg(count(lit(1)).as("n"),
-        sum(element_at(col("p"), 1).cast("long")).as("key_sum"),
-        sum(element_at(col("p"), 4).cast(D2)).cast(DoubleType).as("bal_total"))
-      .select(lit("text").as("fmt"), col("n"), col("key_sum"), col("bal_total"))
-    (structured :+ textAgg).reduce(_.unionByName(_)).orderBy(col("fmt"))
+    val textAgg = agg(
+      spark.table(textTable).select(split(col("value"), "\\|").as("p")),
+      "text", element_at(col("p"), 1).cast("long"),
+      element_at(col("p"), 4))
+    // JDBC round-trip: Derby's embedded engine is in-process (the same
+    // jars Spark uses for its Hive metastore), so this is a REAL
+    // jdbc-source write + read — partitioned predicate reads and all —
+    // with no external database dependency. The staging dir keeps the db
+    // files self-cleaning; the explicit shutdown releases Derby's open
+    // file handles before the dir is deleted.
+    val jdbcAgg = Staging.withDir(spark, "derby") { d =>
+      val url = s"jdbc:derby:${d.stripPrefix("file:")}/db"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      src.write.mode("overwrite").option("driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(s"$url;create=true", "supplier_jdbc", props)
+      val back = spark.read.option("driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(url, "supplier_jdbc", props)
+      // Scoped: materialized before the db dir vanishes, blocks freed at
+      // the gate boundary (a bare localCheckpoint would sit in executor
+      // storage until driver GC — the r08 leak class).
+      val out = ScopedStorage.checkpoint(
+        agg(back, "jdbc", col("s_suppkey"), col("s_acctbal")))
+      try java.sql.DriverManager.getConnection(s"$url;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // expected on shutdown
+      out
+    }
+    // LIBSVM round-trip: (label=s_suppkey, features=[s_nationkey,
+    // s_acctbal]) through the MLlib text format; vector_to_array reads the
+    // balance back out of the (possibly sparse) feature vector.
+    val libsvmAgg = Staging.withDir(spark, "libsvm") { d =>
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("nk", "s_acctbal")).setOutputCol("features")
+        .transform(src.select(col("s_suppkey").cast(DoubleType).as("label"),
+          col("s_nationkey").cast(DoubleType).as("nk"), col("s_acctbal")))
+        .select("label", "features")
+      assembled.write.format("libsvm").mode("overwrite").save(s"$d/svm")
+      val back = spark.read.format("libsvm")
+        .option("numFeatures", "2").load(s"$d/svm")
+      // Scoped checkpoint: materialized before the staging dir vanishes,
+      // freed at the gate boundary.
+      ScopedStorage.checkpoint(
+        agg(back.select(col("label"),
+            org.apache.spark.ml.functions.vector_to_array(col("features"))
+              .as("f")),
+          "libsvm", col("label").cast("long"), element_at(col("f"), 2)))
+    }
+    (structured ++ Seq(textAgg, jdbcAgg, libsvmAgg))
+      .reduce(_.unionByName(_)).orderBy(col("fmt"))
   }
 
   private val matFileFormatsSql =
@@ -691,7 +741,8 @@ object MaterializationQueries {
       |  FROM supplier
       |)
       |SELECT fmt, n, key_sum, bal_total
-      |FROM s, (VALUES ('csv'), ('json'), ('orc'), ('text')) AS f(fmt)
+      |FROM s, (VALUES ('csv'), ('jdbc'), ('json'), ('libsvm'), ('orc'),
+      |  ('text')) AS f(fmt)
       |ORDER BY fmt""".stripMargin
 
   // ---------------------------------------------------------------- sources

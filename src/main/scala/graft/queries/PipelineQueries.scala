@@ -10,7 +10,7 @@ import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Sampling}
 import graft.similarity.Knn
-import graft.text.{Decontamination, DupSpans, LineDedup, QualityRules, TextAnalysis, TfIdf}
+import graft.text.{C4Rules, Decontamination, DupSpans, LineDedup, QualityRules, TextAnalysis, TfIdf}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
@@ -2041,6 +2041,113 @@ object PipelineQueries {
        |  CAST(repetition_keep AS INT) AS repetition_keep
        |FROM __gk ORDER BY doc_id""".stripMargin
 
+  /** Sentence-shaped corpus for the C4 rules: the lined corpus decorated
+    * with deterministic terminal punctuation — per line at 1-based index i,
+    * (doc_id + i) % 4 == 0 leaves the line unpunctuated (the C4 line filter
+    * drops it), % 7 == 0 ends it with `!`, every other line with `.` — plus
+    * planted policy violations: a javascript-boilerplate line on
+    * doc_id % 6 == 1, a short call-to-action line on % 6 == 2 (both
+    * line-level drops), a "lorem ipsum" line on % 7 == 3 and a
+    * curly-brace code line on % 11 == 5 (both PAGE-level drops). The
+    * lined base (and its every-5th-doc footer, which the punctuation rule
+    * drops) is the scoped-persisted [[linedDocs]] frame; the decoration is
+    * cheap string concat over the materialized text, so it stays a bare
+    * projection. The oracle replays the construction line-by-line.
+    */
+  private[graft] def c4Docs(docs: DataFrame): DataFrame = {
+    val l = split(col("text"), "\n")
+    val decorated = array_join(
+      transform(l, (ln, i0) => {
+        val i = i0 + 1
+        when((col("doc_id") + i) % 4 === 0, ln)
+          .when((col("doc_id") + i) % 7 === 0, concat(ln, lit("!")))
+          .otherwise(concat(ln, lit(".")))
+      }), "\n")
+    docs.withColumn("text", concat(
+      decorated,
+      when(col("doc_id") % 6 === 1,
+        lit("\nplease enable javascript to continue viewing this page."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 2, lit("\nClick here.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 3,
+        lit("\nlorem ipsum dolor sit amet placeholder text here."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 5,
+        lit("\nthis page embeds function() { return code; } fragments."))
+        .otherwise(lit(""))))
+  }
+
+  /** DuckDB twin of [[c4Docs]]: CTEs on top of `lined` ending in
+    * `c4doc(doc_id, text)`. */
+  private val c4DocsSql =
+    """__c4l AS (
+      |  SELECT doc_id, p.ti AS pos,
+      |    CASE WHEN (doc_id + p.ti) % 4 = 0 THEN l0[p.ti]
+      |         WHEN (doc_id + p.ti) % 7 = 0 THEN l0[p.ti] || '!'
+      |         ELSE l0[p.ti] || '.' END AS ln
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM lined),
+      |    UNNEST(generate_series(1, len(l0))) AS p(ti)
+      |), c4doc AS (
+      |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) ||
+      |    CASE WHEN doc_id % 6 = 1 THEN chr(10) ||
+      |         'please enable javascript to continue viewing this page.'
+      |       ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 2 THEN chr(10) || 'Click here.'
+      |       ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 3 THEN chr(10) ||
+      |         'lorem ipsum dolor sit amet placeholder text here.'
+      |       ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 5 THEN chr(10) ||
+      |         'this page embeds function() { return code; } fragments.'
+      |       ELSE '' END AS text
+      |  FROM __c4l GROUP BY doc_id
+      |)""".stripMargin
+
+  /** C4 cleaning profile ([[C4Rules.withC4Columns]]) over the sentenced
+    * corpus: line counts before/after the line filter, the sentence count
+    * over retained lines, the page verdict, and an md5 fingerprint of the
+    * cleaned text (content pinned without shipping the strings). Every
+    * signal is scan-local; the oracle replays line filter, sentence count,
+    * page rules, and the exact rejoined clean text.
+    */
+  def txtC4(spark: SparkSession, dir: String): DataFrame =
+    C4Rules.withC4Columns(c4Docs(linedDocs(Tables.documents(spark, dir))),
+      "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("c4_keep").cast("int").as("c4_keep"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val txtC4Sql =
+    s"""WITH $linedDocsSql,
+       |$c4DocsSql,
+       |__c4k AS (
+       |  SELECT doc_id, text,
+       |    string_split(text, chr(10)) AS l,
+       |    list_filter(string_split(text, chr(10)), x ->
+       |      regexp_matches(rtrim(x), '[.!?"]$$')
+       |      AND len(string_split_regex(trim(x), '\\s+')) >= 5
+       |      AND NOT contains(lower(x), 'javascript')) AS kept
+       |  FROM c4doc
+       |), __c4s AS (
+       |  SELECT doc_id,
+       |    CAST(len(l) AS INT) AS n_lines,
+       |    CAST(len(kept) AS INT) AS n_kept_lines,
+       |    -- array_to_string on an EMPTY list is NULL in DuckDB but '' in
+       |    -- Spark; coalesce so zero-survivor pages compare equal.
+       |    COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       |    CAST(len(regexp_extract_all(
+       |      COALESCE(array_to_string(kept, chr(10)), ''),
+       |      '[.!?]')) AS INT) AS n_sentences,
+       |    (NOT contains(lower(text), 'lorem ipsum')
+       |      AND NOT contains(text, '{')) AS page_ok
+       |  FROM __c4k
+       |)
+       |SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+       |  CAST(page_ok AND n_sentences >= 3 AS INT) AS c4_keep,
+       |  md5(clean_text) AS clean_md5
+       |FROM __c4s ORDER BY doc_id""".stripMargin
+
   /** Per-doc duplicated-line statistics ([[LineDedup.duplicatedLineStats]])
     * over the lined corpus: the planted footer appears in every 5th doc,
     * so those docs score nonzero `dup_frac`. The Spark side shuffles line
@@ -2609,6 +2716,7 @@ object PipelineQueries {
     "txt_remove_spans" -> (txtRemoveSpans _),
     "txt_top_spans" -> (txtTopSpans _),
     "txt_gopher" -> (txtGopher _),
+    "txt_c4" -> (txtC4 _),
     "txt_dup_lines" -> (txtDupLines _),
     "txt_line_dedup" -> (txtLineDedup _),
     "txt_intra_dedup" -> (txtIntraDedup _),
@@ -2679,6 +2787,7 @@ object PipelineQueries {
     "txt_remove_spans" -> txtRemoveSpansSql,
     "txt_top_spans" -> txtTopSpansSql,
     "txt_gopher" -> txtGopherSql,
+    "txt_c4" -> txtC4Sql,
     "txt_dup_lines" -> txtDupLinesSql,
     "txt_line_dedup" -> txtLineDedupSql,
     "txt_intra_dedup" -> txtIntraDedupSql,

@@ -1192,4 +1192,52 @@ class PipelineSpec extends AnyFunSuite {
       .collect().toMap
     assert(cleanNoHash === clean)
   }
+
+  test("C4 rules: line filter, page policy, sentence minimum") {
+    import spark.implicits._
+    import graft.text.C4Rules
+    val good = "this is a perfectly fine sentence about engines."
+    val docsC4 = Seq(
+      // 0: three good sentences → kept intact.
+      0L -> Seq(good, good, good).mkString("\n"),
+      // 1: line-level drops — no terminal punct / short line / javascript —
+      //    leaves 3 good sentences, page survives with exactly the 3.
+      1L -> Seq(good, "no terminal punctuation on this line", "Click here.",
+        "please enable javascript to continue viewing.", good, good)
+        .mkString("\n"),
+      // 2: only 2 sentences survive → page dropped by the minimum.
+      2L -> Seq(good, good, "unpunctuated trailing line").mkString("\n"),
+      // 3: lorem ipsum anywhere on the page → dropped outright.
+      3L -> Seq(good, good, "lorem ipsum dolor sit amet obviously.", good)
+        .mkString("\n"),
+      // 4: a curly brace anywhere on the page → dropped outright.
+      4L -> Seq(good, good, "var f = function() { return 1; };", good)
+        .mkString("\n"),
+      // 5: one line with THREE marks satisfies the sentence minimum alone.
+      5L -> "first point. second point. third point, finally done.",
+      // 6: a terminal double-quote keeps the LINE but is not a sentence
+      //    mark — 2 kept lines yield only 1 sentence → page dropped.
+      6L -> Seq("he said \"this is a quoted line of text\"",
+        good).mkString("\n"))
+      .toDF("doc_id", "text")
+    val got = C4Rules.withC4Columns(docsC4, "text")
+      .select(col("doc_id"), col("n_kept_lines"), col("n_sentences"),
+        col("c4_keep"), col("clean_text"))
+      .as[(Long, Int, Int, Boolean, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) === ((3, 3, true, Seq(good, good, good).mkString("\n"))))
+    assert(got(1L)._1 === 3 && got(1L)._3 === true,
+      "line-level violations drop lines, not the page")
+    assert(got(2L) === ((2, 2, false, Seq(good, good).mkString("\n"))),
+      "fewer than 3 surviving sentences drops the page")
+    assert(got(3L)._3 === false, "lorem ipsum drops the page")
+    assert(got(4L)._3 === false, "curly brace drops the page")
+    assert(got(5L) === ((1, 3, true,
+      "first point. second point. third point, finally done.")),
+      "sentence minimum counts marks, not lines")
+    // Quote-terminated line is KEPT (terminal punct) and contributes no
+    // sentence mark of its own — 2 kept lines, 1 sentence → page dropped.
+    assert(got(6L) === ((2, 1, false,
+      Seq("he said \"this is a quoted line of text\"", good).mkString("\n"))))
+  }
 }

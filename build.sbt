@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full-suite bench on a memory cliff (r08 postmortem). 32 GiB leaves
   // ample headroom for the OS page cache while keeping GC pauses sane.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // Dev-only passthrough for extra forked-JVM flags (GC logging, JFR, …):
+  // SPARK_GRAFT_JVM_OPTS="-Xlog:gc*:stderr:time" sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -105,4 +105,67 @@ object Packing {
     df.filter(col(keyCol).isNotNull)
       .join(positions.hint("SHUFFLE_HASH"), Seq(keyCol))
   }
+
+  /** Length-bucketed batch assignment — the padding-efficiency complement
+    * to [[packSequences]]: where packing CONCATENATES documents into fixed
+    * sequences (pretraining), bucketed batching GROUPS whole documents of
+    * similar length into batches so each batch pads only to its bucket's
+    * ceiling (the standard fine-tuning / batch-inference layout; naive
+    * batching pads every row to the batch max and can waste most of the
+    * compute). Adds:
+    *   - `shard`      — one of `nShards` independent streams (same
+    *                    content-addressed bucket as [[packSequences]])
+    *   - `len_bucket` — power-of-2 length class: the smallest b with
+    *                    2^b ≥ tokens (0 for tokens ≤ 1)
+    *   - `padded_len` — 2^len_bucket, what every row in the bucket pads to
+    *   - `batch_idx`  — batch number within (shard, len_bucket); each
+    *                    batch holds max(1, batchTokens / padded_len) rows,
+    *                    so a batch's padded cost never exceeds
+    *                    `batchTokens` (except a single oversized doc,
+    *                    which gets a batch alone rather than being
+    *                    silently dropped)
+    *
+    * The bucket exponent is integer arithmetic on BOTH engines —
+    * `length(bin(tokens − 1))` (bit length), never `ceil(log2(…))`, whose
+    * float result lands on either side of an integer at exact powers of
+    * two depending on the engine's libm. Determinism, null-key exclusion,
+    * the duplicate-key guard, and the narrow-window/join-back plan shape
+    * (only (key, tokens) rides the window sort) all follow the
+    * [[packSequences]] contract.
+    */
+  def lengthBuckets(df: DataFrame, keyCol: String, tokenCol: String,
+      batchTokens: Long, nShards: Int, salt: Long = 0L): DataFrame = {
+    require(batchTokens > 0, s"batchTokens must be positive, got $batchTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val bucket = Sampling.hashBucket(col(keyCol), salt)
+    val toks = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val lenBucket = when(toks <= 1, lit(0))
+      .otherwise(length(bin(toks - 1))).cast("int")
+    val w = Window.partitionBy(col("shard"), col("len_bucket"))
+      .orderBy(col("__bkt"), col(keyCol))
+    val positions = df.select(col(keyCol), col(tokenCol))
+      .filter(col(keyCol).isNotNull)
+      .withColumn("__bkt", bucket)
+      .withColumn("shard", pmod(col("__bkt"), lit(nShards.toLong)).cast("int"))
+      .withColumn("len_bucket", lenBucket)
+      // pow(2, b) is exact in a double for every feasible bucket (b ≤ 62).
+      .withColumn("padded_len", pow(lit(2.0), col("len_bucket")).cast("long"))
+      .withColumn("__rows_per_batch",
+        greatest(floor(lit(batchTokens) / col("padded_len")), lit(1L)))
+      // Same free duplicate-key guard as packSequences: duplicates are
+      // adjacent in this (partition, sort) too — same bucket, shard, AND
+      // length class — so one lag() catches them without an extra
+      // exchange, and k copies can never fan the join-back into k² rows.
+      .withColumn("batch_idx",
+        when(lag(col(keyCol), 1).over(w) === col(keyCol),
+          raise_error(concat(
+            lit(s"lengthBuckets: duplicate key in '$keyCol': "),
+            col(keyCol).cast("string"))).cast("long"))
+          .otherwise(floor((row_number().over(w) - 1) /
+            col("__rows_per_batch")).cast("long")))
+      .select(col(keyCol), col("shard"), col("len_bucket"),
+        col("padded_len"), col("batch_idx"))
+    df.filter(col(keyCol).isNotNull)
+      .join(positions.hint("SHUFFLE_HASH"), Seq(keyCol))
+  }
 }

@@ -1836,6 +1836,42 @@ object PipelineQueries {
         col("seq_first"), col("seq_last"))
       .orderBy(col("doc_id"))
 
+  /** Length-bucketed batching ([[Packing.lengthBuckets]]): every doc's
+    * shard, power-of-2 length class, pad ceiling, and batch number, pinned
+    * per row. The oracle replays the content-addressed shard bucket, the
+    * bit-length bucket exponent (integer `length(bin(n−1))` on both
+    * engines — never float log2), and the rows-per-batch window
+    * arithmetic.
+    */
+  def pipeLengthBatches(spark: SparkSession, dir: String): DataFrame =
+    Packing.lengthBuckets(Tables.documents(spark, dir), "doc_id", "n_chars",
+      batchTokens = 8192L, nShards = 4, salt = 29L)
+      .select(col("doc_id"), col("shard"), col("len_bucket"),
+        col("padded_len"), col("batch_idx"))
+      .orderBy(col("doc_id"))
+
+  private val pipeLengthBatchesSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, COALESCE(n_chars, 0) AS toks,
+       |    ${bucketSql("doc_id", 29L)} AS bkt
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |), c AS (
+       |  SELECT doc_id, bkt, CAST(bkt % 4 AS INT) AS shard,
+       |    CAST(CASE WHEN toks <= 1 THEN 0
+       |         ELSE length(bin(toks - 1)) END AS INT) AS len_bucket
+       |  FROM b
+       |), p AS (
+       |  SELECT doc_id, shard, len_bucket,
+       |    CAST(power(2, len_bucket) AS BIGINT) AS padded_len,
+       |    row_number() OVER (PARTITION BY shard, len_bucket
+       |      ORDER BY bkt, doc_id) AS rn
+       |  FROM c
+       |)
+       |SELECT doc_id, shard, len_bucket, padded_len,
+       |  CAST((rn - 1) // greatest(8192 // padded_len, 1) AS BIGINT)
+       |    AS batch_idx
+       |FROM p ORDER BY doc_id""".stripMargin
+
   private val pipePackSql =
     s"""WITH b AS (
        |  SELECT doc_id, COALESCE(n_chars, 0) AS toks,
@@ -2709,6 +2745,7 @@ object PipelineQueries {
     "pipe_temperature_mix" -> (pipeTemperatureMix _),
     "pipe_split" -> (pipeSplit _),
     "pipe_pack" -> (pipePack _),
+    "pipe_length_batches" -> (pipeLengthBatches _),
     "pipe_packed_sample" -> (pipePackedSample _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_repetition" -> (txtRepetition _),
@@ -2780,6 +2817,7 @@ object PipelineQueries {
     "pipe_corpus_mix" -> pipeCorpusMixSql,
     "pipe_split" -> pipeSplitSql,
     "pipe_pack" -> pipePackSql,
+    "pipe_length_batches" -> pipeLengthBatchesSql,
     "pipe_packed_sample" -> pipePackedSampleSql,
     "txt_decontaminate" -> txtDecontaminateSql,
     "txt_repetition" -> txtRepetitionSql,

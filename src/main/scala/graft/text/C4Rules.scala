@@ -82,6 +82,26 @@ object C4Rules {
       !contains(text, lit("{")) &&
       sentenceCount(cleanText(text)) >= minSentences
 
+  /** The C4 bad-word page rule with a CALLER-SUPPLIED blocklist (the
+    * published pipeline drops any page containing a word from the "List of
+    * Dirty, Naughty…" blocklist; the list itself is not shipped): true iff
+    * any lowercased whitespace token is in `blocklist`. The probe is an
+    * `array_contains` per blocked word over ONE bound token array (the
+    * [[graft.functions.GraftFunctions.bindArray]] idiom — without the
+    * binding, Catalyst re-tokenizes per word), so a few-hundred-word list
+    * stays a scan-local codegen'd conjunction. For a list of thousands,
+    * prefer joining an exploded token table against a broadcast blocklist
+    * — same answer, one hash probe per token.
+    */
+  def blocklistHit(text: Column, blocklist: Seq[String]): Column =
+    if (blocklist.isEmpty) lit(false)
+    else graft.functions.GraftFunctions
+      .bindArray(transform(split(trim(text), "\\s+"), t => lower(t))) {
+        lowered =>
+          blocklist.map(w => array_contains(lowered, w.toLowerCase))
+            .reduce(_ || _)
+      }
+
   /** All C4 signals + the verdict as columns (profile-then-filter, the
     * [[QualityRules.withRuleColumns]] convention): `n_lines`,
     * `n_kept_lines`, `clean_text`, `n_sentences`, `c4_keep`.

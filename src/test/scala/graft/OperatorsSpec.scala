@@ -391,4 +391,60 @@ class OperatorsSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4))).toSet
     assert(run(df) === run(df.repartition(7)))
   }
+
+  test("length buckets: pad ceiling, batch capacity, oversized-doc batch") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 8L), (7L, 9L),
+      (8L, 0L), (9L, null), (10L, 100L), (null, 7L))
+      .toDF("id", "toks")
+    val got = Packing.lengthBuckets(df, "id", "toks",
+      batchTokens = 16L, nShards = 1, salt = 5L)
+      .select("id", "toks", "len_bucket", "padded_len", "batch_idx")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size === 10, "null key excluded, null tokens kept as 0")
+    // Bucket exponent = smallest b with 2^b >= toks (0 for toks <= 1).
+    val expect = Map(1L -> (0, 1L), 2L -> (1, 2L), 3L -> (2, 4L),
+      4L -> (2, 4L), 5L -> (3, 8L), 6L -> (3, 8L), 7L -> (4, 16L),
+      8L -> (0, 1L), 9L -> (0, 1L), 10L -> (7, 128L))
+    expect.foreach { case (id, (b, p)) =>
+      assert((got(id)._1, got(id)._2) === ((b, p)), s"id=$id")
+    }
+    // Batch capacity: bucket 0 (padded 1) holds 16 rows per batch — the
+    // three bucket-0 docs share batch 0. A doc padded past batchTokens
+    // (id 10: 128 > 16) still gets a batch (alone) instead of vanishing.
+    assert(Seq(1L, 8L, 9L).map(got(_)._3).distinct === Seq(0L))
+    assert(got(10L)._3 === 0L)
+    // Bucket 2 (padded 4): capacity 4 rows — both docs fit in batch 0.
+    assert(got(3L)._3 === 0L && got(4L)._3 === 0L)
+    // Determinism under repartition, same contract as packSequences.
+    val again = Packing.lengthBuckets(df.repartition(5), "id", "toks",
+      batchTokens = 16L, nShards = 1, salt = 5L)
+      .select("id", "toks", "len_bucket", "padded_len", "batch_idx")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(again === got)
+  }
+
+  test("length buckets: batch splitting at capacity and duplicate-key guard") {
+    // 40 single-token docs in one shard/bucket with capacity 8 → 5 batches
+    // of exactly 8.
+    val df = (1L to 40L).map(i => (i, 1L)).toDF("id", "toks")
+    val got = Packing.lengthBuckets(df, "id", "toks",
+      batchTokens = 8L, nShards = 1, salt = 2L)
+      .groupBy("batch_idx").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 8L, 4L -> 8L))
+    val dup = Seq((1L, 3L), (1L, 3L), (2L, 5L)).toDF("id", "toks")
+    val e = intercept[Exception] {
+      Packing.lengthBuckets(dup, "id", "toks", batchTokens = 8L, nShards = 1)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("duplicate key")))
+  }
 }

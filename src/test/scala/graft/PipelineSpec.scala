@@ -1239,5 +1239,16 @@ class PipelineSpec extends AnyFunSuite {
     // sentence mark of its own — 2 kept lines, 1 sentence → page dropped.
     assert(got(6L) === ((2, 1, false,
       Seq("he said \"this is a quoted line of text\"", good).mkString("\n"))))
+    // Blocklist rule: whole-token, case-insensitive, empty list never hits.
+    val bl = docsC4.select(col("doc_id"),
+        C4Rules.blocklistHit(col("text"),
+          Seq("JAVASCRIPT", "lorem", "engine")).as("h"),
+        C4Rules.blocklistHit(col("text"), Nil).as("none"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bl(1L) === ((true, false)), "case-insensitive token hit")
+    assert(bl(3L) === ((true, false)))
+    assert(bl(0L) === ((false, false)),
+      "substring of a token ('engines.' vs 'engine') must NOT hit")
   }
 }

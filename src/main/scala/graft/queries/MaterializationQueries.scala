@@ -654,14 +654,13 @@ object MaterializationQueries {
     * text/libsvm, native for orc/jdbc). TEXT is the degenerate
     * single-`value`-column format: pipe-delimited on write, re-parsed on
     * read. LIBSVM drops explicit zeros into sparsity — zeros read back as
-    * zeros, so the aggregates are unchanged. Of the reference's remaining
-    * accepted formats: avro needs the spark-avro DATASOURCE jar (only the
-    * avro core jars ship here — same env class as delta/hudi/iceberg,
-    * re-check per round), and hive-SerDe tables need
-    * spark.sql.catalogImplementation=hive at session creation, which
-    * would put every other gate's catalog behavior behind a Derby
-    * metastore — an architecture choice, not an operator gap. Small
-    * dimension input keeps the gate cheap.
+    * zeros, so the aggregates are unchanged. AVRO rides the
+    * AvroFileFormat class spark-sql 4.x bundles (see the in-code note on
+    * the blocked shorthand). The one remaining accepted format,
+    * hive-SerDe tables, needs spark.sql.catalogImplementation=hive at
+    * session creation, which would put every other gate's catalog
+    * behavior behind a Derby metastore — an architecture choice, not an
+    * operator gap. Small dimension input keeps the gate cheap.
     */
   def matFileFormats(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
@@ -671,10 +670,17 @@ object MaterializationQueries {
       df.agg(count(lit(1)).as("n"), sum(key).as("key_sum"),
         sum(bal.cast(D2)).cast(DoubleType).as("bal_total"))
         .select(lit(fmt).as("fmt"), col("n"), col("key_sum"), col("bal_total"))
-    val structured = Seq("csv", "json", "orc").map { fmt =>
-      val t = s"$db.supplier_$fmt"
+    // Avro ships INSIDE spark-sql 4.x but its shorthand name is
+    // deliberately unresolvable (lookupDataSource still points "avro" at
+    // the historical external module); the FILE FORMAT CLASS works when
+    // named in full — so the avro row is a real catalog round-trip, not
+    // env-blocked as previously believed.
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val structured = Seq("csv" -> "csv", "json" -> "json", "orc" -> "orc",
+      "avro" -> avroFmt).map { case (label, fmt) =>
+      val t = s"$db.supplier_$label"
       TableMaterialization.run(spark, t, src, format = fmt)
-      agg(spark.table(t), fmt, col("s_suppkey"), col("s_acctbal"))
+      agg(spark.table(t), label, col("s_suppkey"), col("s_acctbal"))
     }
     val textTable = s"$db.supplier_text"
     TableMaterialization.run(spark, textTable,
@@ -741,8 +747,8 @@ object MaterializationQueries {
       |  FROM supplier
       |)
       |SELECT fmt, n, key_sum, bal_total
-      |FROM s, (VALUES ('csv'), ('jdbc'), ('json'), ('libsvm'), ('orc'),
-      |  ('text')) AS f(fmt)
+      |FROM s, (VALUES ('avro'), ('csv'), ('jdbc'), ('json'), ('libsvm'),
+      |  ('orc'), ('text')) AS f(fmt)
       |ORDER BY fmt""".stripMargin
 
   // ---------------------------------------------------------------- sources

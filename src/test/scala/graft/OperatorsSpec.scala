@@ -428,6 +428,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("packing/length buckets: payload never enters the window (narrow-exchange plan shape)") {
+    // The r08 pipe_clean_pack cliff: windowing the payload frame pushes
+    // every column — full document text included — through the shard
+    // exchange AND its sort buffer. Both layout operators must window
+    // over (key, tokens) only and join positions back; this pins the
+    // optimized plan's Window child to the narrow columns, so a
+    // refactor that re-widens the sort fails here, not at 100 TB.
+    val df = (1L to 30L).map(i => (i, i % 7, "x" * 1000))
+      .toDF("id", "toks", "text")
+    for (out <- Seq(
+        Packing.packSequences(df, "id", "toks", seqLen = 8L, nShards = 2),
+        Packing.lengthBuckets(df, "id", "toks", batchTokens = 8L, nShards = 2))) {
+      val win = out.queryExecution.optimizedPlan.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(win.nonEmpty, "layout lost its window — plan shape changed")
+      val winCols = win.get.child.output.map(_.name).toSet
+      assert(!winCols.contains("text"),
+        s"payload column rides the window exchange: $winCols")
+    }
+  }
+
   test("length buckets: batch splitting at capacity and duplicate-key guard") {
     // 40 single-token docs in one shard/bucket with capacity 8 → 5 batches
     // of exactly 8.

@@ -213,4 +213,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("doc_id").except(batchKept.select("doc_id")).count() === 0)
     assert(batchKept.select("doc_id").except(streamed.select("doc_id")).count() === 0)
   }
+
+  test("streaming C4 cleaner emits exactly the batch clean texts") {
+    import graft.text.C4Rules
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_c4")
+    // C4 is a stateless per-row TRANSFORM (line filter → cleaned text →
+    // page verdict), so it runs at stream ingest unchanged; unlike the
+    // boolean gopher filter this pins the rewritten PAYLOAD too — every
+    // (doc_id, clean_text) the stream emits must equal the batch rewrite.
+    val docs = graft.queries.PipelineQueries.c4Docs(
+      graft.queries.PipelineQueries.linedDocs(Tables.documents(spark, sf)))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // one corpus construction for source + truth
+    docs.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val clean = (df: DataFrame) =>
+      C4Rules.withC4Columns(df, "text")
+        .filter(col("c4_keep"))
+        .select(col("doc_id"), col("clean_text"))
+    val streamed = EventStreams.runBoundedToMemory(
+      spark, srcDir.toString, schema, clean, "c4_sink")
+
+    val batchKept = clean(docs)
+    assert(batchKept.count() > 0 && batchKept.count() < docs.count(),
+      "C4 rules must actually discriminate on this corpus")
+    assert(streamed.count() === batchKept.count())
+    assert(streamed.except(batchKept).count() === 0)
+    assert(batchKept.except(streamed).count() === 0)
+  }
 }

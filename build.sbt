@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // Dev-only passthrough for extra forked-JVM flags (GC logging, JFR, …):
   // SPARK_GRAFT_JVM_OPTS="-Xlog:gc*:stderr:time" sbt "runMain graft.Bench"
-  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))
+  // (trim + drop empties: a leading space would otherwise pass "" as a
+  // literal argument, which java reads as the main class → an opaque
+  // "Could not find or load main class" failure)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -143,26 +143,41 @@ object Packing {
       .otherwise(length(bin(toks - 1))).cast("int")
     val w = Window.partitionBy(col("shard"), col("len_bucket"))
       .orderBy(col("__bkt"), col(keyCol))
+    // The duplicate-key guard CANNOT ride the batch window here: that
+    // window is partitioned by (shard, len_bucket), and duplicate keys
+    // with different token counts land in DIFFERENT length buckets — never
+    // adjacent, never caught, k² join-back fan-out with conflicting bucket
+    // assignments. The guard gets its own shard-partitioned window (the
+    // packSequences geometry, where same key ⇒ same bucket ⇒ same shard ⇒
+    // adjacent under (__bkt, key) order). That is one extra exchange —
+    // of 16-byte (key, tokens) rows only, the price of a guard that
+    // actually holds.
+    val wGuard = Window.partitionBy(col("shard"))
+      .orderBy(col("__bkt"), col(keyCol))
     val positions = df.select(col(keyCol), col(tokenCol))
       .filter(col(keyCol).isNotNull)
       .withColumn("__bkt", bucket)
       .withColumn("shard", pmod(col("__bkt"), lit(nShards.toLong)).cast("int"))
-      .withColumn("len_bucket", lenBucket)
-      // pow(2, b) is exact in a double for every feasible bucket (b ≤ 62).
-      .withColumn("padded_len", pow(lit(2.0), col("len_bucket")).cast("long"))
-      .withColumn("__rows_per_batch",
-        greatest(floor(lit(batchTokens) / col("padded_len")), lit(1L)))
-      // Same free duplicate-key guard as packSequences: duplicates are
-      // adjacent in this (partition, sort) too — same bucket, shard, AND
-      // length class — so one lag() catches them without an extra
-      // exchange, and k copies can never fan the join-back into k² rows.
-      .withColumn("batch_idx",
-        when(lag(col(keyCol), 1).over(w) === col(keyCol),
+      .withColumn("__dup_guard",
+        when(lag(col(keyCol), 1).over(wGuard) === col(keyCol),
           raise_error(concat(
             lit(s"lengthBuckets: duplicate key in '$keyCol': "),
             col(keyCol).cast("string"))).cast("long"))
-          .otherwise(floor((row_number().over(w) - 1) /
-            col("__rows_per_batch")).cast("long")))
+          .otherwise(lit(0L)))
+      .withColumn("len_bucket", lenBucket)
+      // pow(2, b) is exact in a double for every feasible bucket (b ≤ 62).
+      .withColumn("padded_len", pow(lit(2.0), col("len_bucket")).cast("long"))
+      // Integer division on BOTH engines (SQL DIV here, // in the DuckDB
+      // oracle) — Long/Long `/` evaluates in Double, which rounds for
+      // quotients past 2^53 and would diverge batch ids between engines.
+      .withColumn("__rows_per_batch",
+        greatest(expr(s"CAST($batchTokens AS BIGINT) div padded_len"),
+          lit(1L)))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // `+ __dup_guard` folds the guard into a consumed column so column
+      // pruning can never drop it (the packSequences `off` trick).
+      .withColumn("batch_idx",
+        expr("(__rn - 1) div __rows_per_batch") + col("__dup_guard"))
       .select(col(keyCol), col("shard"), col("len_bucket"),
         col("padded_len"), col("batch_idx"))
     df.filter(col(keyCol).isNotNull)

@@ -693,8 +693,13 @@ object MaterializationQueries {
       element_at(col("p"), 4))
     // JDBC round-trip: Derby's embedded engine is in-process (the same
     // jars Spark uses for its Hive metastore), so this is a REAL
-    // jdbc-source write + read — partitioned predicate reads and all —
-    // with no external database dependency. The staging dir keeps the db
+    // jdbc-source write + read with no external database dependency.
+    // SINGLE-JVM assumption, stated plainly: write tasks open embedded
+    // connections from their own JVM, so on a multi-executor cluster each
+    // executor would try to boot the same database directory (Derby
+    // XSDB6) — embedded Derby is the local-mode stand-in; a cluster run
+    // points this same writer at a networked JDBC URL, which is the
+    // jdbc source's normal operating mode. The staging dir keeps the db
     // files self-cleaning; the explicit shutdown releases Derby's open
     // file handles before the dir is deleted.
     val jdbcAgg = Staging.withDir(spark, "derby") { d =>

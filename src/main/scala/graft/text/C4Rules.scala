@@ -73,33 +73,42 @@ object C4Rules {
   def sentenceCount(text: Column): Column =
     regexp_count(text, lit("[.!?]"))
 
+  /** The page-policy half of the verdict — placeholder text and leaked
+    * code brace — shared by [[docKeep]] and [[withC4Columns]] so the
+    * filter-style and profile-style APIs can never drift apart.
+    */
+  private def pagePolicyOk(text: Column): Column =
+    !contains(lower(text), lit("lorem ipsum")) &&
+      !contains(text, lit("{"))
+
   /** The C4 page verdict: no placeholder text, no leaked code brace, and
     * at least [[minSentences]] sentences among the RETAINED lines (the
     * line filter runs first, as in the published pipeline).
     */
   def docKeep(text: Column): Column =
-    !contains(lower(text), lit("lorem ipsum")) &&
-      !contains(text, lit("{")) &&
-      sentenceCount(cleanText(text)) >= minSentences
+    pagePolicyOk(text) && sentenceCount(cleanText(text)) >= minSentences
 
   /** The C4 bad-word page rule with a CALLER-SUPPLIED blocklist (the
     * published pipeline drops any page containing a word from the "List of
     * Dirty, Naughty…" blocklist; the list itself is not shipped): true iff
-    * any lowercased whitespace token is in `blocklist`. The probe is an
-    * `array_contains` per blocked word over ONE bound token array (the
+    * any lowercased WORD is in `blocklist`. Words are split on
+    * non-alphanumeric runs (apostrophe kept for contractions), not on
+    * whitespace — the published rule matches on word boundaries, and a
+    * whitespace split would leave line-final words glued to their
+    * punctuation (`badword.`) and systematically miss them. The probe is
+    * an `array_contains` per blocked word over ONE bound word array (the
     * [[graft.functions.GraftFunctions.bindArray]] idiom — without the
-    * binding, Catalyst re-tokenizes per word), so a few-hundred-word list
+    * binding, Catalyst re-splits per word), so a few-hundred-word list
     * stays a scan-local codegen'd conjunction. For a list of thousands,
-    * prefer joining an exploded token table against a broadcast blocklist
-    * — same answer, one hash probe per token.
+    * prefer joining an exploded word table against a broadcast blocklist
+    * — same answer, one hash probe per word.
     */
   def blocklistHit(text: Column, blocklist: Seq[String]): Column =
     if (blocklist.isEmpty) lit(false)
     else graft.functions.GraftFunctions
-      .bindArray(transform(split(trim(text), "\\s+"), t => lower(t))) {
-        lowered =>
-          blocklist.map(w => array_contains(lowered, w.toLowerCase))
-            .reduce(_ || _)
+      .bindArray(split(lower(text), "[^a-z0-9']+")) { words =>
+        blocklist.map(w => array_contains(words, w.toLowerCase))
+          .reduce(_ || _)
       }
 
   /** All C4 signals + the verdict as columns (profile-then-filter, the
@@ -113,8 +122,6 @@ object C4Rules {
       .withColumn("clean_text", cleanText(t))
       .withColumn("n_sentences", sentenceCount(col("clean_text")))
       .withColumn("c4_keep",
-        !contains(lower(t), lit("lorem ipsum")) &&
-          !contains(t, lit("{")) &&
-          col("n_sentences") >= minSentences)
+        pagePolicyOk(t) && col("n_sentences") >= minSentences)
   }
 }

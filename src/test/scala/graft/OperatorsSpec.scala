@@ -15,6 +15,12 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  /** Every message in a throwable's cause chain (Spark wraps the
+    * raise_error payload several causes deep). */
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => String.valueOf(x.getMessage)).toSeq
+
   test("asof join: backward match, <= visibility, tolerance, no-match null") {
     val trades = Seq(
       ("A", 1L, ts("2024-01-01 10:00:05")),
@@ -111,9 +117,7 @@ class OperatorsSpec extends AnyFunSuite {
       graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"), "p", "s", "e",
         bucketWidthSec = 3600L).count()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
-    assert(messages(ex).exists(m => m != null && m.contains("rangeJoin")),
+    assert(causeMessages(ex).exists(m => m != null && m.contains("rangeJoin")),
       s"unexpected error: ${ex.getMessage}")
   }
 
@@ -375,10 +379,7 @@ class OperatorsSpec extends AnyFunSuite {
       Packing.packSequences(df, "id", "toks", seqLen = 8L, nShards = 2)
         .collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => String.valueOf(x.getMessage)).toSeq
-    assert(messages(e).exists(_.contains("duplicate key")))
+    assert(causeMessages(e).exists(_.contains("duplicate key")))
   }
 
   test("packing: layout is identical under repartition (determinism)") {
@@ -464,9 +465,17 @@ class OperatorsSpec extends AnyFunSuite {
       Packing.lengthBuckets(dup, "id", "toks", batchTokens = 8L, nShards = 1)
         .collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => String.valueOf(x.getMessage)).toSeq
-    assert(messages(e).exists(_.contains("duplicate key")))
+    assert(causeMessages(e).exists(_.contains("duplicate key")))
+    // The adversarial variant: duplicate keys whose token counts land in
+    // DIFFERENT length buckets (5 → bucket 3, 9 → bucket 4). A guard
+    // riding the batch window — partitioned by (shard, len_bucket) —
+    // never sees them adjacent and silently fans the join-back out k²;
+    // the shard-partitioned guard window must still catch them.
+    val dupSplit = Seq((1L, 5L), (1L, 9L), (2L, 5L)).toDF("id", "toks")
+    val e2 = intercept[Exception] {
+      Packing.lengthBuckets(dupSplit, "id", "toks", batchTokens = 8L,
+        nShards = 1).collect()
+    }
+    assert(causeMessages(e2).exists(_.contains("duplicate key")))
   }
 }

@@ -1239,16 +1239,21 @@ class PipelineSpec extends AnyFunSuite {
     // sentence mark of its own — 2 kept lines, 1 sentence → page dropped.
     assert(got(6L) === ((2, 1, false,
       Seq("he said \"this is a quoted line of text\"", good).mkString("\n"))))
-    // Blocklist rule: whole-token, case-insensitive, empty list never hits.
+    // Blocklist rule: whole-word, case-insensitive, punctuation-robust,
+    // empty list never hits.
     val bl = docsC4.select(col("doc_id"),
         C4Rules.blocklistHit(col("text"),
           Seq("JAVASCRIPT", "lorem", "engine")).as("h"),
+        C4Rules.blocklistHit(col("text"), Seq("engines")).as("punct"),
         C4Rules.blocklistHit(col("text"), Nil).as("none"))
-      .as[(Long, Boolean, Boolean)].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(bl(1L) === ((true, false)), "case-insensitive token hit")
-    assert(bl(3L) === ((true, false)))
-    assert(bl(0L) === ((false, false)),
-      "substring of a token ('engines.' vs 'engine') must NOT hit")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(bl(1L)._1 === true, "case-insensitive word hit")
+    assert(bl(3L)._1 === true)
+    assert(bl(0L)._1 === false,
+      "substring of a word ('engines' vs 'engine') must NOT hit")
+    assert(bl(0L)._2 === true,
+      "line-final word sheds its '.' — punctuation-adjacent words DO hit")
+    assert(bl(0L)._3 === false && bl(3L)._3 === false, "empty list never hits")
   }
 }

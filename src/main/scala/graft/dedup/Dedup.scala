@@ -52,8 +52,17 @@ object Dedup {
   /** Release every gate-scoped frame registered since the last call
     * (persists AND checkpoints, asynchronous eviction) — kept as the
     * dedup-facing name for existing callers; delegates to
-    * [[graft.core.ScopedStorage.releaseAll]]. Call after materializing an
-    * operator's result. Returns the number of frames released.
+    * [[graft.core.ScopedStorage.releaseAll]]. Returns the number of
+    * frames released.
+    *
+    * CONTRACT CHANGE from the pre-registry version (which unpersisted
+    * lineage-backed caches only and was safe at any time): the registry
+    * also frees LOCAL-CHECKPOINT blocks — including frames RETURNED by
+    * other operators (connected-component labels, TF-IDF tables, …) —
+    * and a freed checkpoint cannot be recomputed. Call this only at a
+    * query boundary, after every result you still need is materialized
+    * (counted / written), exactly like [[graft.core.ScopedStorage
+    * .releaseAll]] whose release-safety contract this inherits.
     */
   def releaseCaches(): Int = graft.core.ScopedStorage.releaseAll()
 

@@ -76,8 +76,7 @@ object Packing {
     // duplicate with no extra exchange. It must fail loudly: with the
     // join-back below, k copies of a key would silently become k² output
     // rows (the old windowed form returned k rows with arbitrary tie
-    // order — also wrong, just quieter). Folded into `off` so column
-    // pruning can never drop the check.
+    // order — also wrong, just quieter).
     // (`raise_error` is NullType; it must sit INSIDE a typed CASE branch —
     // wrapped in a null-test it constant-folds away, since a NullType
     // value is provably null.)
@@ -86,24 +85,45 @@ object Packing {
       .filter(col(keyCol).isNotNull)
       .withColumn("__bkt", bucket)
       .withColumn("shard", pmod(col("__bkt"), lit(nShards.toLong)).cast("int"))
-      .withColumn("off",
+      .withColumn("__guard",
         when(lag(col(keyCol), 1).over(wRow) === col(keyCol),
           raise_error(concat(
             lit(s"packSequences: duplicate key in '$keyCol': "),
             col(keyCol).cast("string"))).cast("long"))
-          .otherwise(coalesce(sum(toks).over(w), lit(0L))))
+          .otherwise(lit(0L)))
+      .withColumn("off", coalesce(sum(toks).over(w), lit(0L)))
       .withColumn("seq_first", floor(col("off") / lit(seqLen)).cast("long"))
       .withColumn("seq_last",
         floor((col("off") + greatest(toks, lit(1L)) - lit(1L)) / lit(seqLen))
           .cast("long"))
-      .select(col(keyCol), col("shard"), col("off"),
-        col("seq_first"), col("seq_last"))
-    // SHUFFLE_HASH (not the default sort-merge) so the payload side is
-    // hash-exchanged but never SORTED by key — a key sort of the payload
-    // would reintroduce exactly the full-text sort the narrow window
-    // avoids. AQE still upgrades to broadcast when positions fit.
-    df.filter(col(keyCol).isNotNull)
-      .join(positions.hint("SHUFFLE_HASH"), Seq(keyCol))
+      .select(col(keyCol).as("__key"), col("__guard"), col("shard"),
+        col("off"), col("seq_first"), col("seq_last"))
+    guardedJoinBack(df, positions, keyCol)
+  }
+
+  /** Join layout positions back to the payload with the duplicate-key
+    * guard fused into the JOIN CONDITION — the one place column pruning
+    * can never reach. Folding the guard into an output column (the first
+    * implementation) left a hole: an action reading none of the layout
+    * columns — `.count()` after a dup-key bug, say — pruned the guard and
+    * REPORTED THE k²-INFLATED CARDINALITY silently. A join predicate must
+    * be evaluated for every candidate row regardless of what the action
+    * projects, so `__guard = 0` (data-dependent through the raise_error
+    * branch, hence never constant-folded) forces the check on every code
+    * path that touches the result.
+    *
+    * SHUFFLE_HASH (not the default sort-merge) so the payload side is
+    * hash-exchanged but never SORTED by key — a key sort of the payload
+    * would reintroduce exactly the full-text sort the narrow window
+    * avoids. AQE still upgrades to broadcast when positions fit.
+    */
+  private def guardedJoinBack(df: DataFrame, positions: DataFrame,
+      keyCol: String): DataFrame = {
+    val payload = df.filter(col(keyCol).isNotNull)
+    payload.join(positions.hint("SHUFFLE_HASH"),
+        payload(keyCol) === positions("__key") &&
+          positions("__guard") === lit(0L))
+      .drop("__key", "__guard")
   }
 
   /** Length-bucketed batch assignment — the padding-efficiency complement
@@ -174,13 +194,11 @@ object Packing {
         greatest(expr(s"CAST($batchTokens AS BIGINT) div padded_len"),
           lit(1L)))
       .withColumn("__rn", row_number().over(w).cast("long"))
-      // `+ __dup_guard` folds the guard into a consumed column so column
-      // pruning can never drop it (the packSequences `off` trick).
-      .withColumn("batch_idx",
-        expr("(__rn - 1) div __rows_per_batch") + col("__dup_guard"))
-      .select(col(keyCol), col("shard"), col("len_bucket"),
-        col("padded_len"), col("batch_idx"))
-    df.filter(col(keyCol).isNotNull)
-      .join(positions.hint("SHUFFLE_HASH"), Seq(keyCol))
+      .withColumn("batch_idx", expr("(__rn - 1) div __rows_per_batch"))
+      .select(col(keyCol).as("__key"), col("__dup_guard").as("__guard"),
+        col("shard"), col("len_bucket"), col("padded_len"), col("batch_idx"))
+    // Guard fused into the join condition — see guardedJoinBack for why an
+    // output-column guard is prunable and this is not.
+    guardedJoinBack(df, positions, keyCol)
   }
 }

@@ -1191,6 +1191,15 @@ object MaterializationQueries {
       Thread.sleep(20)
     Engine.cancel(spark, group)
     victim.join(60000)
+    // If the submit-wait deadline elapsed BEFORE the victim registered its
+    // job (a >60 s scheduling stall), the cancel above was a no-op on an
+    // empty group and the victim then submitted 8 immortal spin-tasks —
+    // the gate would correctly report x5=false, but the tasks would keep
+    // occupying executor threads and distort every later gate in this
+    // JVM. A second cancel after the join bounds the damage (idempotent
+    // no-op on the normal path, where the group is already dead).
+    Engine.cancel(spark, group)
+    if (victim.isAlive) victim.join(10000)
     val x5 = outcome == "cancelled"
     if (!x5) System.err.println(s"[eng_exec_control] x5 outcome: $outcome")
 

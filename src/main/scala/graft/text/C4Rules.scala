@@ -107,7 +107,11 @@ object C4Rules {
     if (blocklist.isEmpty) lit(false)
     else graft.functions.GraftFunctions
       .bindArray(split(lower(text), "[^a-z0-9']+")) { words =>
-        blocklist.map(w => array_contains(words, w.toLowerCase))
+        // Locale.ROOT: the default-locale toLowerCase diverges from
+        // Spark's locale-independent lower() (Turkish dotless-ı would
+        // silently un-match "JAVASCRIPT").
+        blocklist
+          .map(w => array_contains(words, w.toLowerCase(java.util.Locale.ROOT)))
           .reduce(_ || _)
       }
 

@@ -184,9 +184,16 @@ object PlanAudit {
       docs, "doc_id", "n_chars", seqLen = 4096L, nShards = 8)
     packed.collect()
     val packPlan = packed.queryExecution.executedPlan.toString
-    val textSorted = packPlan.linesIterator
-      .exists(l => l.contains("Sort") && l.contains("text"))
-    println(s"text column in a Sort: $textSorted (want false)")
+    // Inspect the logical Window CHILD'S OUTPUT attributes, not the Sort
+    // plan line: a Sort line prints only its sort KEYS, so a re-widened
+    // window (the r08 full-text shard sort) would carry `text` through
+    // the sort buffer without `text` ever appearing on the line — a
+    // string grep green-lights exactly the regression it documents.
+    val textSorted = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.child.output.map(_.name)
+    }.flatten.contains("text")
+    println(s"text column in the window frame: $textSorted (want false)")
     println(packPlan.linesIterator
       .filter(l => l.contains("Exchange") || l.contains("Window") ||
         l.contains("Sort") || l.contains("Join")).mkString("\n"))

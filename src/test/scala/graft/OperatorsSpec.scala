@@ -372,12 +372,13 @@ class OperatorsSpec extends AnyFunSuite {
     // With the narrow-window + join-back plan, k copies of a key would
     // silently become k² output rows; the in-window lag guard must throw.
     val df = Seq((1L, 10L), (2L, 5L), (2L, 7L), (3L, 3L)).toDF("id", "toks")
-    // collect(), not count(): an action that prunes every layout column
-    // also prunes the guard (nothing reads `off`) — which is fine, since
-    // such an action cannot observe the multiplied layout either.
+    // count(), deliberately: it reads NO layout column, so an
+    // output-column guard would be pruned away and count() would report
+    // the k²-inflated cardinality silently (the hole the join-condition
+    // guard closes). The guard must fire even here.
     val e = intercept[Exception] {
       Packing.packSequences(df, "id", "toks", seqLen = 8L, nShards = 2)
-        .collect()
+        .count()
     }
     assert(causeMessages(e).exists(_.contains("duplicate key")))
   }
@@ -461,9 +462,12 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 8L, 4L -> 8L))
     val dup = Seq((1L, 3L), (1L, 3L), (2L, 5L)).toDF("id", "toks")
+    // count() on purpose — the guard lives in the join condition, so even
+    // an action that projects nothing must trip it (see the packSequences
+    // duplicate-key test).
     val e = intercept[Exception] {
       Packing.lengthBuckets(dup, "id", "toks", batchTokens = 8L, nShards = 1)
-        .collect()
+        .count()
     }
     assert(causeMessages(e).exists(_.contains("duplicate key")))
     // The adversarial variant: duplicate keys whose token counts land in

@@ -67,13 +67,69 @@ object MediaCodecs {
     Decoded("raw", -1, -1, -1L, normalize(hist, bytes.length.toLong))
   }
 
+  /** A decoded image as a TOP-DOWN row-major luminance grid — the spatial
+    * form histograms don't need but resize/crop/feature-map operators do.
+    * `luma(y * width + x)` is pixel (x, y) in 0..`maxval`.
+    */
+  final case class LumaGrid(format: String, width: Int, height: Int,
+      maxval: Int, luma: Array[Int])
+
+  /** Histogram from a grid — the shared bin rule: luminance scaled by
+    * maxval into 16 equal bins, index clamped (garbage payloads can carry
+    * pixel bytes above the declared maxval, and an unclamped bin index
+    * would throw out of a Spark task). For maxval = 255 this is the
+    * classic `lum >> 4`.
+    */
+  private def gridHistogram(g: LumaGrid): Decoded = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < g.luma.length) {
+      hist(math.min(g.luma(i) * 16 / (g.maxval + 1), 15)) += 1
+      i += 1
+    }
+    Decoded(g.format, g.width, g.height, -1L,
+      normalize(hist, g.luma.length.toLong))
+  }
+
+  /** Spatial decode for whichever image codec recognizes the payload
+    * (PPM then BMP); None for audio/unknown bytes.
+    */
+  def lumaGrid(bytes: Array[Byte]): Option[LumaGrid] =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      lumaGridPpm(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      lumaGridBmp(bytes)
+    else None
+
+  /** Nearest-neighbor resize of a grid to (tw × th): target pixel (x, y)
+    * reads source (⌊x·w/tw⌋, ⌊y·h/th⌋) — the standard index mapping,
+    * integer arithmetic only (long products: a pathological 2G-pixel
+    * declared dimension must not wrap the index math).
+    */
+  def resizeNearest(g: LumaGrid, tw: Int, th: Int): Array[Int] = {
+    require(tw > 0 && th > 0, s"target dims must be positive, got ${tw}x$th")
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = ((y.toLong * g.height) / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = ((x.toLong * g.width) / tw).toInt
+        out(y * tw + x) = g.luma(sy * g.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------------------ PPM
   /** PPM "P6": ASCII header `P6 <width> <height> <maxval>` (whitespace
     * separated, `#` comments allowed) followed by ONE whitespace byte and
     * the binary RGB raster, 1 byte per channel (maxval ≤ 255 supported).
-    * Luminance = (r+g+b)/3 scaled by maxval into 16 bins.
+    * Luminance = (r+g+b)/3.
     */
-  def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
+  def lumaGridPpm(bytes: Array[Byte]): Option[LumaGrid] = {
     var pos = 2
     def skipSpaceAndComments(): Unit = {
       var going = true
@@ -98,27 +154,28 @@ object MediaCodecs {
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     val need = w.toLong * h * 3
     if (pos + need > bytes.length) return None
-    val hist = new Array[Double](16)
+    val n = w * h
+    val luma = new Array[Int](n)
     var i = 0
     var p = pos
-    val n = w * h
     while (i < n) {
-      val lum = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
-      // Clamp: garbage payloads can carry pixel bytes above the declared
-      // maxval, and an unclamped bin index would throw out of a Spark task.
-      hist(math.min(lum * 16 / (maxval + 1), 15)) += 1
+      luma(i) = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
       p += 3; i += 1
     }
-    Some(Decoded("ppm", w, h, -1L, normalize(hist, n.toLong)))
+    Some(LumaGrid("ppm", w, h, maxval, luma))
   }
+
+  def decodePpm(bytes: Array[Byte]): Option[Decoded] =
+    lumaGridPpm(bytes).map(gridHistogram)
 
   // ------------------------------------------------------------------ BMP
   /** BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER; only the
     * uncompressed (BI_RGB) 24-bit variant is supported — rows padded to
-    * 4-byte boundaries, BGR order, |height| rows (sign only flips row
-    * order, which a histogram ignores).
+    * 4-byte boundaries, BGR order. A POSITIVE header height means the
+    * raster is stored BOTTOM-UP; the grid is normalized to top-down
+    * (histograms ignore row order; resize must not).
     */
-  def decodeBmp(bytes: Array[Byte]): Option[Decoded] = {
+  def lumaGridBmp(bytes: Array[Byte]): Option[LumaGrid] = {
     if (bytes.length < 54) return None
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
@@ -139,20 +196,25 @@ object MediaCodecs {
     val strideL = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOffset.toLong + strideL * h > bytes.length) return None
     val stride = strideL.toInt // fits: the whole raster fits in the array
-    val hist = new Array[Double](16)
+    val bottomUp = hRaw > 0
+    val luma = new Array[Int](w * h)
     var row = 0
     while (row < h) {
+      val imgRow = if (bottomUp) h - 1 - row else row
       var x = 0
       var p = dataOffset + row * stride
       while (x < w) {
-        val lum = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
-        hist(lum >> 4) += 1
+        luma(imgRow * w + x) =
+          ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
         p += 3; x += 1
       }
       row += 1
     }
-    Some(Decoded("bmp", w, h, -1L, normalize(hist, w.toLong * h)))
+    Some(LumaGrid("bmp", w, h, 255, luma))
   }
+
+  def decodeBmp(bytes: Array[Byte]): Option[Decoded] =
+    lumaGridBmp(bytes).map(gridHistogram)
 
   // ------------------------------------------------------------------ WAV
   /** WAV: RIFF container, `fmt ` chunk (PCM format 1, 16-bit), `data`

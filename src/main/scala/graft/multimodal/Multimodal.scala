@@ -143,6 +143,44 @@ object Multimodal {
     }
   }
 
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("src_width", IntegerType, nullable = true),
+    StructField("src_height", IntegerType, nullable = true),
+    StructField("out_width", IntegerType, nullable = true),
+    StructField("out_height", IntegerType, nullable = true),
+    StructField("luma", ArrayType(IntegerType), nullable = false)))
+
+  /** Per-partition batch RESIZE ([[MediaCodecs.resizeNearest]]): decodable
+    * images (PPM/BMP) → a top-down `targetW × targetH` nearest-neighbor
+    * luminance grid (row-major `luma` array) + source dimensions;
+    * non-image payloads pass through as format `raw` with null dimensions
+    * and an empty grid — flagged, never dropped, never fatal (the decode
+    * module's quarantine convention). Same scale shape as [[decode]]:
+    * scan-local mapPartitions, no shuffle, decoder state per partition.
+    * Real pipelines feed the grid to a vision encoder; here it IS the
+    * output, which keeps every resized pixel oracle-checkable.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizeSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        MediaCodecs.lumaGrid(bytes) match {
+          case Some(g) =>
+            Row(id, g.format, Int.box(g.width), Int.box(g.height),
+              Int.box(targetW), Int.box(targetH),
+              MediaCodecs.resizeNearest(g, targetW, targetH).toSeq)
+          case None =>
+            Row(id, "raw", null, null, null, null, Seq.empty[Int])
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub: slice `n` evenly-spaced byte windows out of the
     * payload ("frames"); real video sampling swaps the slicer, keeps the
     * explode shape.

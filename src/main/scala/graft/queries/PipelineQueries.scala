@@ -1369,6 +1369,54 @@ object PipelineQueries {
       |  CAST(i - 1 AS INT) AS bin, histogram[i] AS p
       |FROM pos ORDER BY media_id, bin""".stripMargin
 
+  /** Image resize over the decodable fixtures ([[Multimodal.resize]]):
+    * the 16×16 PPM gradient and the 4×4 gray BMP both land on a 4×4
+    * nearest-neighbor luminance grid — every resized PIXEL is pinned by
+    * the oracle (gradient pixel (x,y) has luminance 16y+x, so the 4×4
+    * resize reads exactly 64y+4x; the gray BMP stays 128 everywhere).
+    * Non-image payloads surface as `raw` rows with null dims and no
+    * pixels (posexplode_outer keeps the row) — flagged, never dropped.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq[(Long, Array[Byte])](
+      (1L, Multimodal.Fixtures.ppmGradient16),
+      (2L, Multimodal.Fixtures.bmpGray4),
+      (3L, Multimodal.Fixtures.wavAlternating8),
+      (4L, (0 until 16).map(n => (n << 4).toByte).toArray))
+      .toDF("media_id", "media")
+    Multimodal.resize(spark, fixtures, targetW = 4, targetH = 4)
+      .select(col("media_id"), col("format"), col("src_width"),
+        col("src_height"), col("out_width"), col("out_height"),
+        posexplode_outer(col("luma")).as(Seq("idx", "lum")))
+      .orderBy(col("media_id"), col("idx"))
+  }
+
+  private val mmResizeSql =
+    """WITH t AS (SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'ppm', CAST(16 AS INT), CAST(16 AS INT),
+      |   [0, 4, 8, 12, 64, 68, 72, 76, 128, 132, 136, 140,
+      |    192, 196, 200, 204]),
+      |  (CAST(2 AS BIGINT), 'bmp', CAST(4 AS INT), CAST(4 AS INT),
+      |   [128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+      |    128, 128, 128, 128])
+      |) AS v(media_id, format, src_width, src_height, luma)),
+      |pix AS (
+      |  SELECT media_id, format, src_width, src_height,
+      |    unnest(range(1, len(luma) + 1)) AS i, luma
+      |  FROM t
+      |)
+      |SELECT media_id, format, src_width, src_height,
+      |  CAST(4 AS INT) AS out_width, CAST(4 AS INT) AS out_height,
+      |  CAST(i - 1 AS INT) AS idx, CAST(luma[i] AS INT) AS lum
+      |FROM pix
+      |UNION ALL
+      |SELECT media_id, 'raw', CAST(NULL AS INT), CAST(NULL AS INT),
+      |  CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+      |  CAST(NULL AS INT)
+      |FROM (VALUES (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT))) AS r(media_id)
+      |ORDER BY media_id, idx""".stripMargin
+
   /** Frame sampling at the byte level: the oracle recomputes each sampled
     * window's offset arithmetic and length (DuckDB has no blob substring,
     * so the check is arithmetic over octet_length — it still pins every
@@ -2732,6 +2780,7 @@ object PipelineQueries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
+    "mm_resize" -> (mmResize _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_group_topk" -> (pipeGroupTopK _),
@@ -2808,6 +2857,7 @@ object PipelineQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_resize" -> mmResizeSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
     "pipe_group_topk" -> pipeGroupTopKSql,

@@ -586,6 +586,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() === 0)
   }
 
+  test("multimodal resize: nearest-neighbor mapping, BMP orientation, raw passthrough") {
+    import graft.multimodal.MediaCodecs
+    // Gradient 16×16 (pixel (x,y) = 16y+x) → 4×4 reads (4x, 4y) = 64y+4x.
+    val g = MediaCodecs.lumaGrid(Multimodal.Fixtures.ppmGradient16).get
+    assert(MediaCodecs.resizeNearest(g, 4, 4).toSeq ===
+      (for (y <- 0 until 4; x <- 0 until 4) yield 64 * y + 4 * x))
+    // Non-square target + upscale: 2×8 from the same grid.
+    val r28 = MediaCodecs.resizeNearest(g, 2, 8)
+    assert(r28.length === 16)
+    assert(r28.toSeq === (for (y <- 0 until 8; x <- 0 until 2)
+      yield 16 * (y * 16 / 8) + x * 16 / 2))
+    // BMP orientation: positive header height stores rows BOTTOM-UP; the
+    // grid must come back top-down. 1×2 image, top=200 gray, bottom=10:
+    // stored row 0 is the BOTTOM (10), so luma must read [200, 10].
+    val buf = java.nio.ByteBuffer.allocate(54 + 2 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + 8).putInt(0).putInt(54)
+    buf.putInt(40).putInt(1).putInt(2).putShort(1).putShort(24)
+    buf.putInt(0).putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(10.toByte).put(10.toByte).put(10.toByte).put(0.toByte)   // bottom
+    buf.put(200.toByte).put(200.toByte).put(200.toByte).put(0.toByte) // top
+    val bg = MediaCodecs.lumaGrid(buf.array()).get
+    assert(bg.width === 1 && bg.height === 2)
+    assert(bg.luma.toSeq === Seq(200, 10), "BMP grid must be top-down")
+    // The DataFrame operator: images resize, audio/raw rows survive as
+    // flagged raw rows with no pixels.
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq[(Long, Array[Byte])](
+      (1L, Multimodal.Fixtures.ppmGradient16),
+      (2L, Multimodal.Fixtures.wavAlternating8))
+      .toDF("media_id", "media")
+    val out = Multimodal.resize(spark, media, 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Seq[Int]]("luma")))).toMap
+    assert(out(1L) === (("ppm", Seq(0, 8, 128, 136))))
+    assert(out(2L) === (("raw", Seq.empty[Int])))
+  }
+
   test("sampling: deterministic, repartition-stable, fraction-accurate") {
     import spark.implicits._
     val base = spark.range(20000).toDF("id")

@@ -1,0 +1,56 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler — the audit/documentation statistics a
+  * warehouse surfaces next to its catalog snapshot (dbt's docs pages,
+  * Glue crawler table stats): per column, the row count, null count,
+  * distinct count, and min/max rendered as strings so heterogeneous
+  * columns stack into one tall frame.
+  *
+  * Scale shape: ONE aggregation job over the table computes every
+  * column's statistics together (count/nulls/min/max are plain
+  * accumulators; the distinct counts expand — Spark rewrites multiple
+  * DISTINCT aggregates into a single Expand + two-stage aggregate, so
+  * the table is still scanned once). The per-column rows come from
+  * unpivoting the single 1-row aggregate on the driver side of the
+  * plan — no second scan, no per-column job. For genuinely wide tables
+  * at 100 TB, `approxDistinct = true` swaps exact distinct counts for
+  * HyperLogLog sketches (map-side combinable, no Expand multiplication
+  * of the scan) — the profile then costs one narrow pass regardless of
+  * column count.
+  */
+object Profiler {
+
+  /** Profile `columns` of `df` (default: all). Returns one row per
+    * column: (column, n_rows, n_nulls, n_distinct, min_value,
+    * max_value) — min/max as strings ('' for all-null columns so the
+    * frame stays null-free and hash-stable). `n_distinct` counts
+    * non-null distinct values, exact unless `approxDistinct`.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(v.isNull, 1)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(v) else countDistinct(v))
+          .as(s"__nd_$c"),
+        coalesce(min(v).cast("string"), lit("")).as(s"__mn_$c"),
+        coalesce(max(v).cast("string"), lit("")).as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Unpivot the 1-row aggregate into (column, stats...) rows with a
+    // stack expression — metadata-plane reshaping of one row.
+    val stackArgs = cols.map { c =>
+      s"'$c', `__n_$c`, `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
+}

@@ -890,6 +890,47 @@ object MaterializationQueries {
       |  TIMESTAMP '2024-06-01 00:00:00' AS update_ts
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** One-pass column profiler ([[graft.quality.Profiler.profile]]) over
+    * the documents table — the audit statistics surface next to the
+    * catalog snapshot (dbt docs / Glue crawler stats). Exact distinct
+    * counts (the oracle needs exactness; the operator's approxDistinct
+    * flag is the 100 TB path). Long and string columns only, so the
+    * min/max string rendering is engine-portable.
+    */
+  def audProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.profile(Tables.documents(spark, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("column"))
+
+  private val audProfileSql =
+    """SELECT * FROM (
+      |  SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_nulls,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |    COALESCE(CAST(MIN(doc_id) AS VARCHAR), '') AS min_value,
+      |    COALESCE(CAST(MAX(doc_id) AS VARCHAR), '') AS max_value
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT),
+      |    COALESCE(MIN(lang), ''), COALESCE(MAX(lang), '')
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'source', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT),
+      |    CAST(COUNT(DISTINCT source) AS BIGINT),
+      |    COALESCE(MIN(source), ''), COALESCE(MAX(source), '')
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+      |    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+      |    COALESCE(CAST(MIN(n_chars) AS VARCHAR), ''),
+      |    COALESCE(CAST(MAX(n_chars) AS VARCHAR), '')
+      |  FROM documents
+      |) ORDER BY "column"""".stripMargin
+
   // ---------------------------------------------------------------- A1
   /** accepted_values data test returning offending groups. */
   def dqAcceptedValues(spark: SparkSession, dir: String): DataFrame =
@@ -1262,6 +1303,7 @@ object MaterializationQueries {
     "rel_compact" -> (relCompact _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "aud_star" -> (audStar _),
+    "aud_profile" -> (audProfile _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
     "snap_scd2_deletes" -> (snapScd2Deletes _),
@@ -1298,6 +1340,7 @@ object MaterializationQueries {
     "rel_compact" -> relCompactSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "aud_star" -> audStarSql,
+    "aud_profile" -> audProfileSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design
     "snap_scd2_deletes" -> snapScd2DeletesSql,

@@ -10,7 +10,7 @@ import graft.functions.GraftFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Sampling}
 import graft.similarity.Knn
-import graft.text.{C4Rules, Decontamination, DupSpans, LineDedup, QualityRules, TextAnalysis, TfIdf}
+import graft.text.{Bm25, C4Rules, Decontamination, Dsir, DupSpans, LineDedup, NbClassifier, QualityRules, TextAnalysis, TfIdf}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
@@ -2740,6 +2740,215 @@ object PipelineQueries {
        |  MAX((off + greatest(toks, 1) - 1) // 4096) AS last_seq
        |FROM laid GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------- retrieval/selection
+  /** BM25 top-k retrieval ([[graft.text.Bm25.search]]) for three fixed
+    * keyword queries over the corpus — the targeted-curation primitive
+    * (topic pulls, hard-negative mining, corpus audits). k1=1.5, b=0.75:
+    * both exact binary doubles, so k1+1, 1−b and every derived constant
+    * fold to the same IEEE value on both engines; per-(term,doc)
+    * contributions quantize to micro-units before the per-doc integer
+    * sum (the [[graft.text.UnigramLm]] discipline). The oracle replays
+    * tokenization, document frequencies, corpus scalars, the exact BM25
+    * expression (same operation order), quantization, and the top-10
+    * cut with its doc_id tie-break.
+    */
+  def txtBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq((1L, "spark window sort"), (2L, "hash join merge batch"),
+      (3L, "customer stream query zzqzzq")).toDF("query_id", "qtext")
+    Bm25.search(Tables.documents(spark, dir), "doc_id", "text",
+      qs, "query_id", "qtext", k = 10, k1 = 1.5, b = 0.75)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val txtBm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |    FROM documents WHERE text IS NOT NULL
+      |  ) WHERE t <> ''
+      |), pairs AS (
+      |  SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t
+      |), lens AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM pairs GROUP BY doc_id
+      |), scal AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS tl
+      |  FROM lens
+      |), q(query_id, qtext) AS (VALUES
+      |  (1, 'spark window sort'), (2, 'hash join merge batch'),
+      |  (3, 'customer stream query zzqzzq')
+      |), qt AS (
+      |  SELECT DISTINCT query_id, t FROM (
+      |    SELECT query_id,
+      |      unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS t
+      |    FROM q
+      |  ) WHERE t <> ''
+      |), dfs AS (
+      |  SELECT p.t, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM pairs p JOIN (SELECT DISTINCT t FROM qt) USING (t)
+      |  GROUP BY p.t
+      |), scored AS (
+      |  SELECT qt.query_id, m.doc_id,
+      |    CAST(SUM(CAST(round(
+      |      ln(1.0 + ((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5)) *
+      |      ((m.tf * 2.5) /
+      |       (m.tf + 1.5 * (0.25 + (0.75 * l.len) /
+      |          (CAST(s.tl AS DOUBLE) / CAST(s.n AS DOUBLE))))) * 1000000.0
+      |    ) AS BIGINT)) AS BIGINT) AS s
+      |  FROM pairs m
+      |  JOIN qt ON m.t = qt.t
+      |  JOIN dfs d ON m.t = d.t
+      |  JOIN lens l ON m.doc_id = l.doc_id
+      |  CROSS JOIN scal s
+      |  GROUP BY qt.query_id, m.doc_id
+      |), ranked AS (
+      |  SELECT query_id, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY s DESC, doc_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  s / 1000000.0 AS score, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic multinomial Naive Bayes language classifier
+    * ([[graft.text.NbClassifier.trainPredict]]) — train on the corpus
+    * labeled by `lang`, predict every document (the oracle-replayable
+    * analog of the fastText quality/domain routers real pipelines run;
+    * NB training is exact integer aggregation, so the learned weights
+    * are bit-identical on every engine). vocabSize=200 exercises the
+    * frequency cut; the oracle replays the count tables, the Laplace
+    * smoothing, the micro-nat quantization, per-class integer sums, and
+    * the argmax with its class-name tie-break.
+    */
+  def txtNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    NbClassifier.trainPredict(docs, docs, "doc_id", "text", "lang",
+      vocabSize = 200).orderBy(col("doc_id"))
+  }
+
+  private val txtNbClassifySql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |    FROM documents WHERE text IS NOT NULL
+      |  ) WHERE t <> ''
+      |), classtok AS (
+      |  SELECT lang AS cls, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY lang, t
+      |), vocab AS (
+      |  SELECT t FROM (
+      |    SELECT t, SUM(c) AS tot FROM classtok GROUP BY t
+      |  ) ORDER BY tot DESC, t LIMIT 200
+      |), vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+      |), classtotals AS (
+      |  SELECT cls, CAST(SUM(c) AS BIGINT) AS ct FROM classtok GROUP BY cls
+      |), model AS (
+      |  SELECT ct.cls, v.t,
+      |    CAST(round(ln(CAST(COALESCE(k.c, 0) + 1 AS DOUBLE) /
+      |      CAST(ct.ct + (SELECT v FROM vn) AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS lp
+      |  FROM vocab v CROSS JOIN classtotals ct
+      |  LEFT JOIN classtok k ON k.cls = ct.cls AND k.t = v.t
+      |), nd AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      |  WHERE text IS NOT NULL
+      |), priors AS (
+      |  SELECT lang AS cls,
+      |    CAST(round(ln(CAST(COUNT(*) AS DOUBLE) /
+      |      CAST((SELECT n FROM nd) AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS prior
+      |  FROM documents WHERE text IS NOT NULL GROUP BY lang
+      |), docterms AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM toks GROUP BY doc_id, t
+      |), perclass AS (
+      |  SELECT d.doc_id, m.cls, CAST(SUM(d.nt * m.lp) AS BIGINT) AS ts
+      |  FROM docterms d JOIN model m ON d.t = m.t
+      |  GROUP BY d.doc_id, m.cls
+      |), scores AS (
+      |  SELECT i.doc_id, p.cls, p.prior + COALESCE(pc.ts, 0) AS s
+      |  FROM (SELECT DISTINCT doc_id FROM documents WHERE text IS NOT NULL) i
+      |  CROSS JOIN priors p
+      |  LEFT JOIN perclass pc ON pc.doc_id = i.doc_id AND pc.cls = p.cls
+      |), ranked AS (
+      |  SELECT doc_id, cls, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY s DESC, cls ASC) AS r
+      |  FROM scores
+      |)
+      |SELECT doc_id, cls AS predicted, s / 1000000.0 AS score
+      |FROM ranked WHERE r = 1 ORDER BY doc_id""".stripMargin
+
+  /** DSIR importance resampling ([[graft.text.Dsir.resample]]): target =
+    * the `src0` documents, raw = everything else; Gumbel-top-50 by
+    * micro-exact log importance weight with content-addressed noise
+    * (md5-bucket uniform, the samplers' portability primitive). The
+    * oracle replays both smoothed distributions over the target-top-40
+    * vocabulary, the per-doc integer weight sums, the exact Gumbel
+    * micro-quantization, and the top-k cut.
+    */
+  def pipeDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dsir.resample(docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", k = 50, salt = 11L, vocabSize = 40)
+  }
+
+  private val pipeDsirSql =
+    s"""WITH ttoks AS (
+       |  SELECT t FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |    FROM documents WHERE source = 'src0' AND text IS NOT NULL
+       |  ) WHERE t <> ''
+       |), tcnt AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS tc FROM ttoks GROUP BY t
+       |), vocab AS (
+       |  SELECT t, tc FROM tcnt ORDER BY tc DESC, t LIMIT 40
+       |), vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+       |), rtoks AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |    FROM documents WHERE source <> 'src0' AND text IS NOT NULL
+       |  ) WHERE t <> ''
+       |), rcnt AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS rc FROM rtoks GROUP BY t
+       |), ttot AS (
+       |  SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS tt FROM vocab
+       |), rtot AS (
+       |  SELECT CAST(COALESCE(SUM(r.rc), 0) AS BIGINT) AS rt
+       |  FROM vocab v LEFT JOIN rcnt r USING (t)
+       |), model AS (
+       |  SELECT v.t,
+       |    CAST(round(ln(CAST(v.tc + 1 AS DOUBLE) /
+       |        CAST((SELECT tt FROM ttot) + (SELECT v FROM vn) AS DOUBLE))
+       |        * 1000000.0) AS BIGINT)
+       |    - CAST(round(ln(CAST(COALESCE(r.rc, 0) + 1 AS DOUBLE) /
+       |        CAST((SELECT rt FROM rtot) + (SELECT v FROM vn) AS DOUBLE))
+       |        * 1000000.0) AS BIGINT) AS lr
+       |  FROM vocab v LEFT JOIN rcnt r USING (t)
+       |), weighted AS (
+       |  SELECT n.doc_id, n.n_tokens, COALESCE(w.w, 0) AS w
+       |  FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |        FROM rtoks GROUP BY doc_id) n
+       |  LEFT JOIN (SELECT r.doc_id, CAST(SUM(m.lr) AS BIGINT) AS w
+       |             FROM rtoks r JOIN model m USING (t)
+       |             GROUP BY r.doc_id) w ON n.doc_id = w.doc_id
+       |), noised AS (
+       |  SELECT doc_id, n_tokens, w,
+       |    w + CAST(round(-ln(-ln(
+       |      (${bucketSql("doc_id", 11L)} + 0.5) / 4294967296.0))
+       |      * 1000000.0) AS BIGINT) AS nz
+       |  FROM weighted
+       |)
+       |SELECT doc_id, n_tokens, w / 1000000.0 AS log_weight,
+       |  nz / 1000000.0 AS noised
+       |FROM noised ORDER BY nz DESC, doc_id ASC LIMIT 50""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_tokens" -> (txtTokens _),
@@ -2815,7 +3024,10 @@ object PipelineQueries {
     "txt_bpe_planted" -> (txtBpePlanted _),
     "txt_bpe" -> (txtBpe _),
     "dd_cross_embedding" -> (ddCrossEmbedding _),
-    "pipe_training_data" -> (pipeTrainingData _))
+    "pipe_training_data" -> (pipeTrainingData _),
+    "txt_bm25" -> (txtBm25 _),
+    "txt_nb_classify" -> (txtNbClassify _),
+    "pipe_dsir" -> (pipeDsir _))
 
   val oracles: Map[String, String] = Map(
     "txt_tokens" -> txtTokensSql,
@@ -2887,5 +3099,8 @@ object PipelineQueries {
     "pipe_filter_chain" -> pipeFilterChainSql,
     "txt_bpe_planted" -> txtBpePlantedSql,
     "dd_cross_embedding" -> ddCrossEmbeddingSql,
-    "pipe_training_data" -> pipeTrainingDataSql)
+    "pipe_training_data" -> pipeTrainingDataSql,
+    "txt_bm25" -> txtBm25Sql,
+    "txt_nb_classify" -> txtNbClassifySql,
+    "pipe_dsir" -> pipeDsirSql)
 }

@@ -292,4 +292,23 @@ class MaterializationSpec extends AnyFunSuite {
       Tables.lineitem(spark, sf), "l_orderkey", orders, "o_orderkey").count() === 0)
     assert(QualityChecks.expression(orders, col("o_totalprice") > 0).count() === 0)
   }
+
+  test("profiler: nulls counted, distinct excludes null, all-null column renders ''") {
+    import spark.implicits._
+    import graft.quality.Profiler
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (None, Some("b"))
+    ).toDF("k", "s").withColumn("z", lit(null).cast("string"))
+    val got = Profiler.profile(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("k") === ((3L, 1L, 1L, "1", "1")))
+    assert(got("s") === ((3L, 1L, 2L, "a", "b")))
+    assert(got("z") === ((3L, 3L, 0L, "", "")), "all-null column: '' min/max, 0 distinct")
+    // Column subset + approx flag both produce one row per requested col.
+    val sub = Profiler.profile(df, Seq("k"), approxDistinct = true).collect()
+    assert(sub.length === 1 && sub(0).getString(0) === "k")
+    assert(sub(0).getLong(3) === 1L, "HLL on one distinct value is exact")
+  }
 }

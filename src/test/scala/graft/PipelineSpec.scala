@@ -1295,4 +1295,86 @@ class PipelineSpec extends AnyFunSuite {
       "line-final word sheds its '.' — punctuation-adjacent words DO hit")
     assert(bl(0L)._3 === false && bl(3L)._3 === false, "empty list never hits")
   }
+
+  test("bm25: rarity outranks frequency, length normalizes, ties break on id") {
+    import spark.implicits._
+    import graft.text.Bm25
+    // rare appears in 1 doc, common in 3; doc 30 is a long doc with the
+    // same tf of common as doc 20 — BM25's length normalization must rank
+    // the short doc first.
+    val corpus = Seq(
+      (10L, "rare alpha beta"),
+      (20L, "common alpha beta"),
+      (30L, "common alpha beta gamma delta epsilon zeta eta theta iota"),
+      (40L, "common rare alpha")).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare"), (2L, "common"), (3L, "nosuchterm")).toDF("qid", "qt")
+    val got = Bm25.search(corpus, "doc_id", "text", qs, "qid", "qt", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val q1 = got.filter(_._1 == 1L).sortBy(_._4).map(_._2)
+    assert(q1.toSeq === Seq(10L, 40L), "only docs containing 'rare'")
+    val q2 = got.filter(_._1 == 2L).sortBy(_._4).map(_._2)
+    assert(q2.head === 20L, "shorter doc with equal tf ranks first")
+    assert(q2.toSet === Set(20L, 30L, 40L))
+    assert(!got.exists(_._1 == 3L), "no postings → no rows for the query")
+    // The rare term's idf exceeds the common term's: doc 40 scores higher
+    // for q1 (rare) than for q2 (common) despite identical tf/len.
+    val s40q1 = got.find(r => r._1 == 1L && r._2 == 40L).get._3
+    val s40q2 = got.find(r => r._1 == 2L && r._2 == 40L).get._3
+    assert(s40q1 > s40q2)
+    // Determinism: a second run returns identical micro-exact scores.
+    val again = Bm25.search(corpus, "doc_id", "text", qs, "qid", "qt", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.sortBy(r => (r._1, r._4)).toSeq === got.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  test("nb classifier: disjoint vocabs classify perfectly, prior-only ties break on class") {
+    import spark.implicits._
+    import graft.text.NbClassifier
+    val labeled = Seq(
+      (1L, "apfel birne kirsche apfel", "de"),
+      (2L, "birne apfel apfel kirsche", "de"),
+      (3L, "apple pear cherry apple", "en"),
+      (4L, "pear apple apple cherry", "en")).toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (10L, "apfel kirsche"),
+      (11L, "apple cherry pear"),
+      (12L, "zzz qqq")). // zero vocab tokens → priors only → tie → 'de'
+      toDF("doc_id", "text")
+    val got = NbClassifier.trainPredict(labeled, score, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "de", 11L -> "en", 12L -> "de"))
+    // Vocab cut: with vocabSize=1 only the globally most frequent term
+    // ('apple'/'apfel' tie at 4 each → 'apfel' by term asc) is a feature;
+    // doc 11 then has no features and falls to the prior tie → 'de'.
+    val cut = NbClassifier.trainPredict(labeled, score, "doc_id", "text",
+      "lang", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(10L) === "de" && cut(11L) === "de")
+  }
+
+  test("dsir: target-like docs outweigh neutral outweigh anti-target; resample deterministic") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val target = Seq((100L, "aa aa aa bb")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "aa aa aa"),   // target-frequent tokens → positive weight
+      (2L, "cc cc cc"),   // all OOV → exactly 0
+      (3L, "bb bb")).     // raw-frequent, target-rare → negative
+      toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > 0.0, s"target-like doc must weigh positive, got ${w(1L)}")
+    assert(w(2L) === 0.0, "OOV-only doc is weight-neutral")
+    assert(w(3L) < 0.0, s"anti-target doc must weigh negative, got ${w(3L)}")
+    // Gumbel-top-k: deterministic in (id, salt); k cuts; different salts
+    // may reorder but membership stays a subset of raw.
+    val r1 = Dsir.resample(raw, target, "doc_id", "text", k = 2, salt = 5L,
+      vocabSize = 2).select("doc_id", "noised").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val r2 = Dsir.resample(raw, target, "doc_id", "text", k = 2, salt = 5L,
+      vocabSize = 2).select("doc_id", "noised").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r1.toSeq === r2.toSeq, "resample is a pure function of (corpus, salt)")
+    assert(r1.length === 2 && r1.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
 }

@@ -288,7 +288,34 @@ object EventQueries {
       |GROUP BY w.user_id, w.view_id
       |ORDER BY w.user_id, w.view_id""".stripMargin
 
+  /** Exact per-type value quantiles ([[graft.operators.Quantiles
+    * .groupQuantiles]]): discrete (type-1) p50/p90/p99 — the selected
+    * value is an actual element picked by pure integer rank arithmetic,
+    * so both engines return the identical double bit pattern with no
+    * interpolation boundary to disagree on.
+    */
+  def evtQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.groupQuantiles(
+      Tables.events(spark, dir), "event_type", "value", "event_id",
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .orderBy(col("event_type"))
+
+  private val evtQuantilesSql =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MAX(CASE WHEN rn = (1 * (n - 1)) // 2 + 1 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS p99
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_quantiles" -> (evtQuantiles _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -299,6 +326,7 @@ object EventQueries {
     "evt_range_join" -> (evtRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "evt_quantiles" -> evtQuantilesSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

@@ -2829,8 +2829,13 @@ object PipelineQueries {
       vocabSize = 200).orderBy(col("doc_id"))
   }
 
-  private val txtNbClassifySql =
-    """WITH toks AS (
+  /** The NB train+score pipeline as a reusable CTE block ending in
+    * `ranked` (doc_id, cls, s, r) — r = 1 is the argmax. Shared by the
+    * classifier gate and the classifier-routed mixture so both replay
+    * the identical model.
+    */
+  private val nbClassifyCtes =
+    """toks AS (
       |  SELECT doc_id, lang, t FROM (
       |    SELECT doc_id, lang,
       |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
@@ -2879,9 +2884,44 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY doc_id
       |                       ORDER BY s DESC, cls ASC) AS r
       |  FROM scores
-      |)
-      |SELECT doc_id, cls AS predicted, s / 1000000.0 AS score
-      |FROM ranked WHERE r = 1 ORDER BY doc_id""".stripMargin
+      |)""".stripMargin
+
+  private val txtNbClassifySql =
+    s"""WITH $nbClassifyCtes
+       |SELECT doc_id, cls AS predicted, s / 1000000.0 AS score
+       |FROM ranked WHERE r = 1 ORDER BY doc_id""".stripMargin
+
+  /** Classifier-routed mixture — the composed pipeline a real curation
+    * stack runs (CCNet/GPT-3 shape: classify, then sample per predicted
+    * class): NB language predictions route each document into a
+    * per-class keep rate (predicted-'en' downsampled to 30%, everything
+    * else 90%) via the content-addressed sampler, rolled up per (actual,
+    * predicted) cell — so the gate pins model REPLAY and router
+    * composition and the confusion structure at once. The oracle replays
+    * NB end-to-end (shared CTE block with `txt_nb_classify`), the md5
+    * bucket membership, and the rollup.
+    */
+  def pipeClassifyMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = NbClassifier.trainPredict(docs, docs, "doc_id", "text",
+      "lang", vocabSize = 200).select(col("doc_id"), col("predicted"))
+    Sampling.mixture(docs.join(pred, Seq("doc_id")), "doc_id", "predicted",
+      rates = Map("en" -> 0.3), defaultRate = 0.9, salt = 13L)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val pipeClassifyMixSql =
+    s"""WITH $nbClassifyCtes
+       |SELECT d.lang, k.cls AS predicted,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+       |FROM documents d JOIN ranked k ON d.doc_id = k.doc_id AND k.r = 1
+       |WHERE ${bucketSql("d.doc_id", 13L)} <
+       |  CASE WHEN k.cls = 'en' THEN ${Sampling.threshold(0.3)}
+       |       ELSE ${Sampling.threshold(0.9)} END
+       |GROUP BY d.lang, k.cls ORDER BY d.lang, k.cls""".stripMargin
 
   /** DSIR importance resampling ([[graft.text.Dsir.resample]]): target =
     * the `src0` documents, raw = everything else; Gumbel-top-50 by
@@ -3027,6 +3067,7 @@ object PipelineQueries {
     "pipe_training_data" -> (pipeTrainingData _),
     "txt_bm25" -> (txtBm25 _),
     "txt_nb_classify" -> (txtNbClassify _),
+    "pipe_classify_mix" -> (pipeClassifyMix _),
     "pipe_dsir" -> (pipeDsir _))
 
   val oracles: Map[String, String] = Map(
@@ -3102,5 +3143,6 @@ object PipelineQueries {
     "pipe_training_data" -> pipeTrainingDataSql,
     "txt_bm25" -> txtBm25Sql,
     "txt_nb_classify" -> txtNbClassifySql,
+    "pipe_classify_mix" -> pipeClassifyMixSql,
     "pipe_dsir" -> pipeDsirSql)
 }

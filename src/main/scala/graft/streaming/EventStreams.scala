@@ -117,6 +117,32 @@ object EventStreams {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Run a bounded stream through `transform` applied PER MICRO-BATCH via
+    * foreachBatch, appending each batch's result to `outDir` parquet and
+    * returning the union. This is the streaming adapter for batch-only
+    * plan shapes — non-time windows, distinct, broadcast-model scoring —
+    * that the continuous planner rejects: inside foreachBatch each
+    * micro-batch is an ordinary DataFrame, so any batch operator applies
+    * unchanged, with per-micro-batch (not global) semantics. Correct for
+    * per-row stateless transforms (scoring, filtering, rewriting);
+    * anything needing cross-batch state belongs in the watermarked
+    * operators above instead.
+    */
+  def runBoundedForeachBatch(spark: SparkSession, sourceDir: String,
+      schema: StructType, transform: DataFrame => DataFrame,
+      outDir: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q: StreamingQuery = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        transform(df).write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Run a streaming query over a bounded parquet source into an in-memory
     * sink, synchronously (the local-smoke pattern for streaming jobs:
     * processAllAvailable drains the source, then we read the sink table).

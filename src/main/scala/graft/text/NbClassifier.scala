@@ -28,31 +28,36 @@ import graft.core.ScopedStorage.Ops
   * Scoring joins each document's (term, count) pairs against the
   * broadcast model (scan-side, no wide shuffle carries text) and sums by
   * (doc, class); the argmax is a per-document window over `C` rows.
+  * Train-once/score-many ([[train]] → [[predict]]) is the production
+  * shape — the model frames are small enough to persist as tables and
+  * reuse across batches or a stream; [[predict]] is STATELESS given the
+  * model, so it applies unchanged to a streaming micro-batch.
   */
 object NbClassifier {
 
-  /** Train on `labeled` (labelCol = class) and score `docs`, returning
-    * (idCol, predicted class, micro-exact score of the winning class).
-    *
-    * Vocabulary = the `vocabSize` most frequent terms of the labeled
-    * corpus (count desc, term asc — total order). Out-of-vocabulary
-    * tokens are ignored at scoring time (standard feature restriction);
-    * a vocab term unseen in a class scores the Laplace floor
-    * log(1 / (classTokens + V)). A document with no vocab tokens falls
-    * back to priors alone — it still gets a prediction.
+  /** A trained model: `conditionals` = (__cls, __t, __lp micro-nat) over
+    * the dense vocab × class grid; `priors` = (__cls, __prior micro-nat).
+    * Both are small bounded frames (vocabSize × classes rows).
     */
-  def trainPredict(labeled: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, labelCol: String, vocabSize: Int = 50000): DataFrame = {
-    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    def toks(df: DataFrame, keep: Column*): DataFrame =
-      df.filter(col(textCol).isNotNull)
-        .select(keep :+
-          explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"): _*)
-        .filter(col("__t") =!= "")
-    val microOf = (p: Column) => round(log(p) * 1e6, 0).cast("long")
+  final case class NbModel(conditionals: DataFrame, priors: DataFrame)
 
-    // ---- train: exact integer count tables -----------------------------
-    val classTok = toks(labeled, col(labelCol).as("__cls"))
+  private def toks(df: DataFrame, textCol: String, keep: Column*): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(keep :+
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"): _*)
+      .filter(col("__t") =!= "")
+
+  private val microOf = (p: Column) => round(log(p) * 1e6, 0).cast("long")
+
+  /** Train on `labeled` (labelCol = class): exact integer count tables,
+    * Laplace smoothing over the top-`vocabSize` vocabulary, micro-nat
+    * quantization at build. The returned frames are deterministic — a
+    * retrain on any partitioning yields identical rows.
+    */
+  def train(labeled: DataFrame, textCol: String, labelCol: String,
+      vocabSize: Int = 50000): NbModel = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val classTok = toks(labeled, textCol, col(labelCol).as("__cls"))
       .groupBy("__cls", "__t").agg(count(lit(1)).as("__c"))
       .scopedCheckpoint(false) // vocab cut + per-class totals + model join
     val vocab = classTok.groupBy("__t").agg(sum(col("__c")).as("__tot"))
@@ -77,17 +82,28 @@ object NbClassifier {
       .groupBy(col(labelCol).as("__cls")).agg(count(lit(1)).as("__nd"))
       .select(col("__cls"),
         microOf(col("__nd").cast("double") / lit(nDocs.toDouble)).as("__prior"))
+    NbModel(model, priors)
+  }
 
-    // ---- score: broadcast model join + integer sums --------------------
-    val docTerms = toks(docs, col(idCol).as("__id"))
+  /** Score `docs` under a trained model, returning (idCol, predicted
+    * class, micro-exact winning score). Out-of-vocabulary tokens are
+    * ignored (standard feature restriction); a document with no vocab
+    * tokens falls back to priors alone — it still gets a prediction,
+    * ties breaking on class name asc. Stateless given the model: works
+    * identically on a batch frame or a streaming micro-batch.
+    */
+  def predict(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docTerms = toks(docs, textCol, col(idCol).as("__id"))
       .groupBy("__id", "__t").agg(count(lit(1)).as("__n"))
-    val perClass = docTerms.join(broadcast(model), Seq("__t"))
+    val perClass = docTerms.join(broadcast(model.conditionals), Seq("__t"))
       .groupBy("__id", "__cls")
       .agg(sum(col("__n") * col("__lp")).as("__ts"))
-    // Right join priors so zero-vocab-token documents keep all classes.
+    // Cross the id set with priors so zero-vocab-token documents keep
+    // every class row.
     val ids = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id")).distinct()
-    val scores = ids.crossJoin(broadcast(priors))
+    val scores = ids.crossJoin(broadcast(model.priors))
       .join(perClass, Seq("__id", "__cls"), "left")
       .select(col("__id"), col("__cls"),
         (col("__prior") + coalesce(col("__ts"), lit(0L))).as("__s"))
@@ -97,4 +113,9 @@ object NbClassifier {
       .select(col("__id").as(idCol), col("__cls").as("predicted"),
         (col("__s") / 1e6).as("score"))
   }
+
+  /** Train on `labeled` and score `docs` in one call — the gate shape. */
+  def trainPredict(labeled: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, vocabSize: Int = 50000): DataFrame =
+    predict(train(labeled, textCol, labelCol, vocabSize), docs, idCol, textCol)
 }

@@ -482,4 +482,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(causeMessages(e2).exists(_.contains("duplicate key")))
   }
+
+  test("quantiles: hand-computed ranks, null exclusion, edge quantiles, singleton group") {
+    import graft.operators.Quantiles
+    // Group a: values 10..19 (n=10). Discrete ranks: p50 -> idx floor(4.5)+1
+    // = rank 5 -> 14; p90 -> floor(8.1)+1 = 9 -> 18; p0 -> rank 1; p100 ->
+    // rank 10. Group b: a single row, every quantile IS that value. Nulls
+    // must not occupy ranks.
+    val df = ((10 to 19).map(v => ("a", Some(v.toDouble), v.toLong)) ++
+      Seq(("a", None, 99L), ("b", Some(7.0), 1L)))
+      .toDF("g", "v", "id")
+    val got = Quantiles.groupQuantiles(df, "g", "v", "id",
+      Seq(("p0", 0, 1), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got("a") === ((10L, 10.0, 14.0, 18.0, 19.0)))
+    assert(got("b") === ((1L, 7.0, 7.0, 7.0, 7.0)))
+  }
 }

@@ -241,4 +241,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batchKept).count() === 0)
     assert(batchKept.except(streamed).count() === 0)
   }
+
+  test("streaming NB scoring with a batch-trained model equals batch predictions") {
+    import graft.text.NbClassifier
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_nb")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_nb_out")
+    // Train once on the batch corpus (the production shape: the model is
+    // a small persisted table), then score the SAME documents arriving as
+    // a stream. Scoring is stateless per document, but its plan needs a
+    // window argmax + distinct — batch-only shapes — so it runs per
+    // micro-batch via foreachBatch; predictions must be row-identical to
+    // the batch path regardless of how the source split into batches.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val model = NbClassifier.train(
+      Tables.documents(spark, sf), "text", "lang", vocabSize = 200)
+    val streamed = EventStreams.runBoundedForeachBatch(
+      spark, srcDir.toString, schema,
+      df => NbClassifier.predict(model, df, "doc_id", "text"),
+      outDir.toString)
+    val batch = NbClassifier.predict(model, docs, "doc_id", "text")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
 }

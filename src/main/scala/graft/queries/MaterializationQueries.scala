@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StructType}
 
 import graft.core.{Catalog, ScopedStorage, Tables}
 import graft.materialize._
-import graft.quality.{Governance, QualityChecks}
+import graft.quality.{Governance, QualityChecks, SourceFreshness}
 import graft.sources.Jsonl
 
 /** Driver-gate queries exercising the five materialization state machines
@@ -931,6 +931,103 @@ object MaterializationQueries {
       |  FROM documents
       |) ORDER BY "column"""".stripMargin
 
+  /** Source freshness (`dbt source freshness`; the adapter inherits
+    * dbt-core's collect_freshness with the clock macro at
+    * adapters.sql:194-196): age of max(ts) against an INJECTED clock,
+    * evaluated under three threshold configs (one landing in each
+    * status band at every data scale — events span Jan 2024, the clock
+    * is 2024-03-01) plus the per-event-type grouped generalization.
+    */
+  def srcFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val now = Timestamp.valueOf("2024-03-01 00:00:00")
+    def one(label: String, warnS: Long, errS: Long) =
+      SourceFreshness.evaluate(ev, "ts", now, warnS, errS)
+        .select(lit(label).as("scope"), col("max_loaded_at"),
+          col("age_s"), col("status"))
+    val global = one("tight", 3600L, 43200L)
+      .unionByName(one("medium", 86400L, 7776000L))
+      .unionByName(one("loose", 5184000L, 7776000L))
+    val perType = SourceFreshness
+      .evaluate(ev, "ts", now, 86400L, 7776000L, groupCols = Seq("event_type"))
+      .select(concat(lit("type:"), col("event_type")).as("scope"),
+        col("max_loaded_at"), col("age_s"), col("status"))
+    global.unionByName(perType).orderBy(col("scope"))
+  }
+
+  private val srcFreshnessSql =
+    """WITH g AS (
+      |  SELECT MAX(ts) AS max_loaded_at,
+      |    CAST(floor(epoch(TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT)
+      |      - CAST(floor(epoch(MAX(ts))) AS BIGINT) AS age_s
+      |  FROM events
+      |), t AS (
+      |  SELECT event_type, MAX(ts) AS max_loaded_at,
+      |    CAST(floor(epoch(TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT)
+      |      - CAST(floor(epoch(MAX(ts))) AS BIGINT) AS age_s
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT * FROM (
+      |  SELECT 'tight' AS scope, max_loaded_at, age_s,
+      |    CASE WHEN age_s > 43200 THEN 'error'
+      |         WHEN age_s > 3600 THEN 'warn' ELSE 'pass' END AS status
+      |  FROM g
+      |  UNION ALL
+      |  SELECT 'medium', max_loaded_at, age_s,
+      |    CASE WHEN age_s > 7776000 THEN 'error'
+      |         WHEN age_s > 86400 THEN 'warn' ELSE 'pass' END
+      |  FROM g
+      |  UNION ALL
+      |  SELECT 'loose', max_loaded_at, age_s,
+      |    CASE WHEN age_s > 7776000 THEN 'error'
+      |         WHEN age_s > 5184000 THEN 'warn' ELSE 'pass' END
+      |  FROM g
+      |  UNION ALL
+      |  SELECT 'type:' || event_type, max_loaded_at, age_s,
+      |    CASE WHEN age_s > 7776000 THEN 'error'
+      |         WHEN age_s > 86400 THEN 'warn' ELSE 'pass' END
+      |  FROM t
+      |) ORDER BY scope""".stripMargin
+
+  /** Microbatch incremental strategy ([[graft.materialize.Microbatch]];
+    * dbt-core 1.9 `incremental_strategy='microbatch'` compiled onto the
+    * reference's insert_overwrite primitive, strategies.sql:1-19): three
+    * daily event-time batches build the table — the middle day from a
+    * CORRUPTED source — then that one batch is retried alone from the
+    * clean source. The retry must replace exactly its own partition, so
+    * the final rollup equals the raw truth for all three days.
+    */
+  def incMicrobatch(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.events_microbatch"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val ev = Tables.events(spark, dir)
+    val stale = ev.withColumn("value",
+      when(col("ts") >= lit(Timestamp.valueOf("2024-01-02 00:00:00")) &&
+        col("ts") < lit(Timestamp.valueOf("2024-01-03 00:00:00")),
+        lit(-1.0)).otherwise(col("value")))
+    Microbatch.run(spark, t, stale, "ts",
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-04 00:00:00"))
+    Microbatch.run(spark, t, ev, "ts",       // independent retry of day 2
+      Timestamp.valueOf("2024-01-02 00:00:00"),
+      Timestamp.valueOf("2024-01-03 00:00:00"))
+    spark.table(t)
+      .groupBy(col("batch_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast(DoubleType).as("value_sum"))
+      .orderBy(col("batch_start"))
+  }
+
+  private val incMicrobatchSql =
+    """SELECT CAST(ts AS DATE) AS batch_start, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-04 00:00:00'
+      |GROUP BY 1 ORDER BY batch_start""".stripMargin
+
   // ---------------------------------------------------------------- A1
   /** accepted_values data test returning offending groups. */
   def dqAcceptedValues(spark: SparkSession, dir: String): DataFrame =
@@ -1304,6 +1401,8 @@ object MaterializationQueries {
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "aud_star" -> (audStar _),
     "aud_profile" -> (audProfile _),
+    "src_freshness" -> (srcFreshness _),
+    "inc_microbatch" -> (incMicrobatch _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
     "snap_scd2_deletes" -> (snapScd2Deletes _),
@@ -1341,6 +1440,8 @@ object MaterializationQueries {
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "aud_star" -> audStarSql,
     "aud_profile" -> audProfileSql,
+    "src_freshness" -> srcFreshnessSql,
+    "inc_microbatch" -> incMicrobatchSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design
     "snap_scd2_deletes" -> snapScd2DeletesSql,

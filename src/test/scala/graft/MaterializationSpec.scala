@@ -311,4 +311,70 @@ class MaterializationSpec extends AnyFunSuite {
     assert(sub.length === 1 && sub(0).getString(0) === "k")
     assert(sub(0).getLong(3) === 1L, "HLL on one distinct value is exact")
   }
+
+  test("microbatch: hourly batches keep their own partitions, retry replaces one window only") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val db = "graft_spec_mb"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val t = s"$db.mb_hourly"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 10.0),
+      (2L, ts("2024-01-01 11:20:00"), 20.0),
+      (3L, ts("2024-01-01 11:40:00"), 21.0),
+      (4L, ts("2024-01-01 12:05:00"), 30.0), // outside [10:00, 12:00)
+      (5L, ts("2023-12-31 09:00:00"), 99.0)  // before the range
+    ).toDF("id", "ts", "v")
+    // Two hourly batches over [10:00, 12:00): rows 4 and 5 excluded.
+    val n = graft.materialize.Microbatch.run(spark, t, src, "ts",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), batchSize = "hour")
+    assert(n === 2)
+    assert(spark.table(t).select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // Hourly batch identity must be the truncated TIMESTAMP — a date
+    // cast would merge both hours and the retry below would wipe hour 10.
+    assert(spark.table(t).select("batch_start").distinct().count() === 2)
+    // Retry hour 11 from a corrected source: hour 10 untouched.
+    val fixed = src.withColumn("v", when(col("id") === 2L, 200.0).otherwise(col("v")))
+    graft.materialize.Microbatch.run(spark, t, fixed, "ts",
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), batchSize = "hour")
+    val byId = spark.table(t).select("id", "v").as[(Long, Double)].collect().toMap
+    assert(byId === Map(1L -> 10.0, 2L -> 200.0, 3L -> 21.0))
+    // Unsupported granularity fails loudly.
+    intercept[IllegalArgumentException] {
+      graft.materialize.Microbatch.run(spark, t, src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), batchSize = "week")
+    }
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("source freshness: status bands, grouped shards, empty source errors") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.quality.SourceFreshness
+    def ts(s: String) = Timestamp.valueOf(s)
+    val now = ts("2024-01-10 00:00:00")
+    val df = Seq(
+      ("fresh", ts("2024-01-09 23:00:00")),   // 1h old
+      ("stale", ts("2024-01-08 00:00:00")),   // 2d old
+      ("dead", ts("2023-12-01 00:00:00"))     // 40d old
+    ).toDF("shard", "ts")
+    // Global: the fresh shard's max hides the dead one → pass.
+    val g = SourceFreshness.evaluate(df, "ts", now,
+      warnAfterS = 86400L, errorAfterS = 86400L * 30).collect()(0)
+    assert(g.getString(2) === "pass")
+    // Grouped: each shard gets its own band.
+    val got = SourceFreshness.evaluate(df, "ts", now,
+      86400L, 86400L * 30, groupCols = Seq("shard")).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got === Map("fresh" -> "pass", "stale" -> "warn", "dead" -> "error"))
+    // Zero-row source: null max → error, not a crash.
+    val empty = SourceFreshness.evaluate(df.filter(lit(false)), "ts", now,
+      60L, 120L).collect()(0)
+    assert(empty.isNullAt(0) && empty.getString(2) === "error")
+    intercept[IllegalArgumentException] {
+      SourceFreshness.evaluate(df, "ts", now, 120L, 60L)
+    }
+  }
 }

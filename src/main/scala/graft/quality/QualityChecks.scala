@@ -37,4 +37,37 @@ object QualityChecks {
     * F6): rows violating the predicate. */
   def expression(df: DataFrame, predicate: Column): DataFrame =
     df.filter(!predicate)
+
+  /** Evaluate a test's offending-row frame under dbt's severity contract
+    * (`severity` / `warn_if` / `error_if` thresholds, dbt-core test
+    * configs) and optionally persist the offenders (`--store-failures`:
+    * dbt writes each failing test's rows to an audit table so the
+    * failures are queryable after the run, not just counted). Returns a
+    * 1-row frame (n_failures, status) with status 'pass' /'warn'/
+    * 'error': error when n_failures > errorAbove, else warn when
+    * n_failures > warnAbove, else pass — dbt's default is both
+    * thresholds at 0 with severity=error.
+    *
+    * Scale shape: the count is one aggregate over the offending frame;
+    * when storing, the SAME frame materializes once via the audit-table
+    * CTAS and the count reads the stored table rather than recomputing
+    * the test query twice (dbt's store-then-count order).
+    */
+  def evaluate(offending: DataFrame, storeFailuresTable: Option[String] = None,
+      warnAbove: Long = 0L, errorAbove: Long = 0L): DataFrame = {
+    require(warnAbove >= 0 && errorAbove >= warnAbove,
+      s"thresholds must satisfy 0 <= warn ($warnAbove) <= error ($errorAbove)")
+    val spark = offending.sparkSession
+    val counted = storeFailuresTable match {
+      case Some(t) =>
+        graft.materialize.TableMaterialization.run(spark, t, offending)
+        spark.table(t)
+      case None => offending
+    }
+    counted.agg(count(lit(1)).as("n_failures"))
+      .select(col("n_failures"),
+        when(col("n_failures") > errorAbove, lit("error"))
+          .when(col("n_failures") > warnAbove, lit("warn"))
+          .otherwise(lit("pass")).as("status"))
+  }
 }

@@ -1028,6 +1028,96 @@ object MaterializationQueries {
       |  AND ts < TIMESTAMP '2024-01-04 00:00:00'
       |GROUP BY 1 ORDER BY batch_start""".stripMargin
 
+  /** dbt severity thresholds + `--store-failures`
+    * ([[graft.quality.QualityChecks.evaluate]]): the unique test on
+    * lineitem.l_orderkey FAILS by design (order keys repeat per line);
+    * the strict config stores the offenders to an audit table and
+    * errors, a lenient warn_if config downgrades to warn, a higher
+    * threshold passes, and a final row proves the STORED table holds
+    * the real offender payload (its max duplication count). The oracle
+    * recomputes every count and band from the raw table.
+    */
+  def dqStoreFailures(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.fail_unique_l_orderkey"
+    val off = QualityChecks.unique(Tables.lineitem(spark, dir), "l_orderkey")
+    val big = 10000000000L
+    def labeled(label: String, res: DataFrame) =
+      res.select(lit(label).as("config"), col("n_failures"), col("status"))
+    val strict = labeled("strict", QualityChecks.evaluate(off, Some(t)))
+    // Threshold ladder re-reads the STORED table — store-then-count.
+    val stored = spark.table(t)
+    val warned = labeled("warn_only",
+      QualityChecks.evaluate(stored, None, warnAbove = 0L, errorAbove = big))
+    val lenient = labeled("lenient",
+      QualityChecks.evaluate(stored, None, warnAbove = big, errorAbove = big))
+    val probe = stored.agg(max(col("n_records")).as("n_failures"))
+      .select(lit("stored_max_dup").as("config"), col("n_failures"),
+        lit("pass").as("status"))
+    strict.unionByName(warned).unionByName(lenient).unionByName(probe)
+      .orderBy(col("config"))
+  }
+
+  private val dqStoreFailuresSql =
+    """WITH dup AS (
+      |  SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+      |  GROUP BY l_orderkey HAVING COUNT(*) > 1
+      |)
+      |SELECT * FROM (
+      |  SELECT 'strict' AS config, CAST(COUNT(*) AS BIGINT) AS n_failures,
+      |    CASE WHEN COUNT(*) > 0 THEN 'error' ELSE 'pass' END AS status
+      |  FROM dup
+      |  UNION ALL
+      |  SELECT 'warn_only', CAST(COUNT(*) AS BIGINT),
+      |    CASE WHEN COUNT(*) > 0 THEN 'warn' ELSE 'pass' END
+      |  FROM dup
+      |  UNION ALL
+      |  SELECT 'lenient', CAST(COUNT(*) AS BIGINT), 'pass' FROM dup
+      |  UNION ALL
+      |  SELECT 'stored_max_dup', CAST(MAX(n) AS BIGINT), 'pass' FROM dup
+      |) ORDER BY config""".stripMargin
+
+  /** dbt unit tests ([[graft.quality.UnitTest]]): the same aggregate
+    * model run under two fixture cases — one whose expectation matches
+    * (0 diffs, passed) and one with a planted wrong row AND a duplicate-
+    * cardinality mismatch (2 missing + 1 unexpected: multiset semantics
+    * — a set diff would hide the duplicated expectation row entirely).
+    * Fixture-driven by definition, so the oracle is the hand-derived
+    * constant table.
+    */
+  def dqUnitTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = (in: Map[String, DataFrame]) =>
+      in("payments").groupBy(col("order_id"))
+        .agg(sum(col("amount")).cast("long").as("total"))
+    val payments = Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 7L))
+      .toDF("order_id", "amount")
+    val expectGood = Seq((1L, 15L), (2L, 7L), (3L, 7L)).toDF("order_id", "total")
+    // Wrong total for order 2 AND a duplicated expectation row for 3:
+    // missing (expected-not-produced) = {(2,99)} plus the second (3,7)
+    // copy the model's single row can't cover; unexpected
+    // (produced-not-expected) = {(2,7)}.
+    val expectBad = Seq((1L, 15L), (2L, 99L), (3L, 7L), (3L, 7L))
+      .toDF("order_id", "total")
+    def row(label: String, r: graft.quality.UnitTest.Result) = {
+      val (m, u) = (r.missing.count(), r.unexpected.count())
+      Seq((label, m, u, m == 0 && u == 0))
+        .toDF("test_case", "n_missing", "n_unexpected", "passed")
+    }
+    val good = graft.quality.UnitTest.run(model,
+      Map("payments" -> payments), expectGood)
+    val bad = graft.quality.UnitTest.run(model,
+      Map("payments" -> payments), expectBad)
+    row("good", good).unionByName(row("bad", bad)).orderBy(col("test_case"))
+  }
+
+  private val dqUnitTestSql =
+    """SELECT * FROM (VALUES
+      |  ('bad', CAST(2 AS BIGINT), CAST(1 AS BIGINT), FALSE),
+      |  ('good', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE)
+      |) AS t(test_case, n_missing, n_unexpected, passed)
+      |ORDER BY test_case""".stripMargin
+
   // ---------------------------------------------------------------- A1
   /** accepted_values data test returning offending groups. */
   def dqAcceptedValues(spark: SparkSession, dir: String): DataFrame =
@@ -1402,6 +1492,8 @@ object MaterializationQueries {
     "aud_star" -> (audStar _),
     "aud_profile" -> (audProfile _),
     "src_freshness" -> (srcFreshness _),
+    "dq_store_failures" -> (dqStoreFailures _),
+    "dq_unit_test" -> (dqUnitTest _),
     "inc_microbatch" -> (incMicrobatch _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
@@ -1441,6 +1533,8 @@ object MaterializationQueries {
     "aud_star" -> audStarSql,
     "aud_profile" -> audProfileSql,
     "src_freshness" -> srcFreshnessSql,
+    "dq_store_failures" -> dqStoreFailuresSql,
+    "dq_unit_test" -> dqUnitTestSql,
     "inc_microbatch" -> incMicrobatchSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design

@@ -1295,6 +1295,80 @@ object PipelineQueries {
   private val simKnnSqRecallSql =
     "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
 
+  /** Binary-quantization code packing pinned bit-for-bit: the oracle
+    * rebuilds every 32-bit word of the first five vectors' sign-bit
+    * codes from the raw floats (sum of distinct powers — the reason the
+    * operator packs 32 bits per word, [[graft.similarity.Knn
+    * .withBinaryCodes]]) and must match the engine's words exactly.
+    */
+  def simBqCodes(spark: SparkSession, dir: String): DataFrame =
+    Knn.withBinaryCodes(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), posexplode(col("bq_codes")).as(Seq("word_idx", "word")))
+      .orderBy(col("vec_id"), col("word_idx"))
+
+  private val simBqCodesSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id < 5
+      |), words AS (
+      |  SELECT vec_id, w.wi AS word_idx,
+      |    CAST(list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN w.wi * 32 + b < len(v)
+      |             AND v[w.wi * 32 + b + 1] > 0
+      |        THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS word
+      |  FROM v, (SELECT unnest(range(0, 2)) AS wi) w
+      |)
+      |SELECT vec_id, CAST(word_idx AS INT) AS word_idx, word
+      |FROM words ORDER BY vec_id, word_idx""".stripMargin
+
+  /** Binary-quantized ANN on planted copies: an identical vector has
+    * Hamming distance 0, survives any refine cut, and wins the exact
+    * cosine re-rank — rank 1 is a deterministic identity contract, the
+    * same protocol as `sim_knn_sq`.
+    */
+  def simKnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 5000)
+    val probes = vecs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 7000000L)
+    Knn.binaryTopK(probes, vecs, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  private val simKnnBinarySql =
+    """SELECT vec_id + 7000000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
+
+  /** Binary-quantization recall against brute-force ground truth (the
+    * `sim_knn_sq_recall` protocol through the 1-bit path): sign-bit
+    * Hamming candidates + exact refine must keep ≥90% of true nearest
+    * neighbors at rank 1. 1 bit/dim is the crudest quantizer in the
+    * matrix, so the refine budget is wider (128 of ≤500) — the
+    * accuracy/cost dial made explicit.
+    */
+  def simKnnBinaryRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val probes = ivfRecallProbes(corpus)
+    val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = Knn.binaryTopK(probes, corpus, "vec_id", "embedding", k = 1,
+      refine = 128)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.intersect(found)
+    truth.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"),
+        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+  }
+
+  private val simKnnBinaryRecallSql =
+    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packDocuments(Tables.documents(spark, dir))
@@ -3065,6 +3139,9 @@ object PipelineQueries {
     "txt_bpe" -> (txtBpe _),
     "dd_cross_embedding" -> (ddCrossEmbedding _),
     "pipe_training_data" -> (pipeTrainingData _),
+    "sim_bq_codes" -> (simBqCodes _),
+    "sim_knn_binary" -> (simKnnBinary _),
+    "sim_knn_binary_recall" -> (simKnnBinaryRecall _),
     "txt_bm25" -> (txtBm25 _),
     "txt_nb_classify" -> (txtNbClassify _),
     "pipe_classify_mix" -> (pipeClassifyMix _),
@@ -3141,6 +3218,9 @@ object PipelineQueries {
     "txt_bpe_planted" -> txtBpePlantedSql,
     "dd_cross_embedding" -> ddCrossEmbeddingSql,
     "pipe_training_data" -> pipeTrainingDataSql,
+    "sim_bq_codes" -> simBqCodesSql,
+    "sim_knn_binary" -> simKnnBinarySql,
+    "sim_knn_binary_recall" -> simKnnBinaryRecallSql,
     "txt_bm25" -> txtBm25Sql,
     "txt_nb_classify" -> txtNbClassifySql,
     "pipe_classify_mix" -> pipeClassifyMixSql,

@@ -584,4 +584,64 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Attach the binary-quantization code column: each vector component
+    * contributes one SIGN BIT (set iff > 0), packed 32 bits per long
+    * word — 32 bits per word rather than 64 so an engine that builds the
+    * word as a SUM of distinct powers (the SQL-replay form) can never
+    * overflow a signed 64-bit accumulator on the top bit. 1 bit per
+    * dimension is a 32× shrink over float32: the column a 100 TB corpus
+    * persists for first-stage retrieval (the "binary quantization" mode
+    * of production vector stores), with Hamming distance as the search
+    * metric. Pure built-in expressions (aggregate/transform/bit ops) —
+    * whole-stage codegen, no UDF, no custom kernel.
+    */
+  def withBinaryCodes(df: DataFrame, vecCol: String,
+      codeCol: String = "bq_codes"): DataFrame =
+    df.withColumn(codeCol, expr(
+      s"""transform(sequence(0, CAST(ceil(size($vecCol) / 32.0) AS INT) - 1),
+         |  w -> aggregate(sequence(0, 31), 0L,
+         |    (acc, b) -> CASE WHEN w * 32 + b < size($vecCol)
+         |        AND element_at($vecCol, w * 32 + b + 1) > 0
+         |      THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
+
+  /** Binary-quantized top-k (the FAISS BinaryFlat → refine shape): a
+    * full-corpus Hamming scan over the 1-bit codes — integer XOR +
+    * popcount on 32×-narrower rows — keeps the `refine` closest
+    * candidates per query (Hamming asc, id asc: a TOTAL order, so unlike
+    * float first stages the candidate cut is bit-replayable on any
+    * engine), then exact cosine against the raw vectors re-ranks the
+    * top k. Scale shape mirrors [[sq8TopK]]: codes computed scan-local,
+    * queries broadcast, only (query_id, neighbor_id, hamming) rides the
+    * top-refine exchange, and the refine join broadcasts the bounded
+    * candidate list against the raw corpus.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, refine: Int = 32): DataFrame = {
+    require(k > 0 && refine >= k, s"need refine ($refine) >= k ($k) > 0")
+    val q = broadcast(withBinaryCodes(
+      queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol, "q_codes")
+      .drop(vecCol))
+    val hammingW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val hamming = expr(
+      "aggregate(zip_with(q_codes, c_codes, (a, b) -> bit_count(a ^ b)), " +
+        "0, (acc, x) -> acc + x)")
+    val cand = withBinaryCodes(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol, "c_codes")
+      .drop(vecCol)
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), hamming.as("hamming"))
+      .withColumn("hrk", row_number().over(hammingW))
+      .filter(col("hrk") <= refine)
+      .select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+        Seq("query_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("query_vec"), col("c_vec")))
+    topK(scored, k)
+  }
 }

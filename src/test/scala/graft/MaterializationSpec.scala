@@ -312,6 +312,53 @@ class MaterializationSpec extends AnyFunSuite {
     assert(sub(0).getLong(3) === 1L, "HLL on one distinct value is exact")
   }
 
+  test("test evaluate: severity bands, store-failures persists offenders, bad thresholds loud") {
+    import graft.quality.QualityChecks
+    val db = "graft_spec_sf"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val off = QualityChecks.unique(Tables.lineitem(spark, sf), "l_orderkey")
+    val nOff = off.count()
+    assert(nOff > 0, "fixture premise: order keys repeat per line item")
+    // Stored: audit table holds exactly the offending frame.
+    val r = QualityChecks.evaluate(off, Some(s"$db.offenders")).collect()(0)
+    assert(r.getLong(0) === nOff && r.getString(1) === "error")
+    assert(spark.table(s"$db.offenders").count() === nOff)
+    // Bands: warn-only, then pass.
+    val warn = QualityChecks.evaluate(off, None, 0L, nOff).collect()(0)
+    assert(warn.getString(1) === "warn")
+    val pass = QualityChecks.evaluate(off, None, nOff, nOff).collect()(0)
+    assert(pass.getString(1) === "pass")
+    // A clean test passes under the strictest config.
+    val clean = QualityChecks.evaluate(
+      QualityChecks.notNull(Tables.orders(spark, sf), "o_orderkey")).collect()(0)
+    assert(clean.getLong(0) === 0L && clean.getString(1) === "pass")
+    intercept[IllegalArgumentException] {
+      QualityChecks.evaluate(off, None, 5L, 1L)
+    }
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("unit test: multiset diff counts duplicates, schema mismatch loud, column order free") {
+    import spark.implicits._
+    import graft.quality.UnitTest
+    val model = (in: Map[String, org.apache.spark.sql.DataFrame]) =>
+      in("src").groupBy(col("k")).agg(count(lit(1)).cast("long").as("n"))
+    val src = Seq("a", "a", "b").toDF("k")
+    assert(UnitTest.run(model, Map("src" -> src),
+      Seq(("a", 2L), ("b", 1L)).toDF("k", "n")).passed)
+    // Column order in the expectation must not matter.
+    assert(UnitTest.run(model, Map("src" -> src),
+      Seq((2L, "a"), (1L, "b")).toDF("n", "k")).passed)
+    // Multiset: an expectation duplicating a correct row still fails,
+    // with the surplus copy reported missing.
+    val dup = UnitTest.run(model, Map("src" -> src),
+      Seq(("a", 2L), ("a", 2L), ("b", 1L)).toDF("k", "n"))
+    assert(!dup.passed && dup.missing.count() === 1 && dup.unexpected.count() === 0)
+    intercept[IllegalArgumentException] {
+      UnitTest.run(model, Map("src" -> src), Seq(("a", 2L)).toDF("k", "wrong"))
+    }
+  }
+
   test("microbatch: hourly batches keep their own partitions, retry replaces one window only") {
     import java.sql.Timestamp
     import spark.implicits._

@@ -33,9 +33,13 @@ object Microbatch {
   /** Run `source` into `target` in `batchSize` event-time batches over
     * [begin, end). The target gains a `batch_start` date/timestamp
     * partition column (the batch identity — what a retry overwrites).
-    * Rows outside [begin, end) are ignored (dbt: batches are closed
-    * windows; late data lands on the NEXT run of its own window).
-    * Returns the number of batches executed.
+    * Batch boundaries are PERIOD-ALIGNED (dbt's contract): `begin` is
+    * truncated DOWN to its period start, and the run covers whole
+    * periods from there until `end` — so a mid-period `begin` processes
+    * its full period (a partial window would make the partition
+    * non-idempotent across retries), while rows outside the covered
+    * periods are ignored (late data lands on the next run of its own
+    * window). Returns the number of batches executed.
     */
   def run(spark: SparkSession, target: String, source: DataFrame,
       eventTimeCol: String, begin: Timestamp, end: Timestamp,

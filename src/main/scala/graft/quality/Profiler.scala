@@ -33,6 +33,13 @@ object Profiler {
       approxDistinct: Boolean = false): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "profile of zero columns")
+    // Names are spliced into the stack() selectExpr below — quote or
+    // backtick characters would silently corrupt that SQL, so refuse
+    // them up front rather than profile the wrong thing.
+    cols.find(c => c.contains("'") || c.contains("`")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"profile cannot quote column name '$c' (contains ' or `)")
+    }
     val aggs: Seq[Column] = cols.flatMap { c =>
       val v = col(c)
       Seq(

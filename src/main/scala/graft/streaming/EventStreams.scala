@@ -131,6 +131,14 @@ object EventStreams {
   def runBoundedForeachBatch(spark: SparkSession, sourceDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
       outDir: String): DataFrame = {
+    // Seed the sink with the ZERO-ROW transformed frame first: an empty
+    // source produces no micro-batches, and reading back a directory no
+    // batch ever wrote would fail schema inference — the seed pins the
+    // output schema (derived by running the transform on an empty input)
+    // without adding rows.
+    transform(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      .write.mode("append").parquet(outDir)
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>

@@ -30,7 +30,11 @@ import graft.core.ScopedStorage.Ops
   * 1-row cross join. The final top-k is a per-query window whose
   * partition is one query's candidate set — no hot-partition funnel.
   * At 100 TB the pair aggregation dominates; it shuffles (term, doc, tf)
-  * triples with map-side combine and nothing carries document text.
+  * triples with map-side combine and nothing carries document text. For
+  * REPEATED search over one corpus version, persist `pairs` (bucketed
+  * by term) and `lens` once — they ARE the inverted index + norms table
+  * a search engine precomputes; the per-query work is then the pruned
+  * postings join plus one 16-byte-row join against the stored lengths.
   */
 object Bm25 {
 

@@ -280,6 +280,55 @@ object Dedup {
       .select(col("__row.*"))
   }
 
+  /** Rolling-ingestion dedup against a persisted hash LEDGER — the state
+    * a continuously-fed corpus keeps between ingestion rounds (the
+    * "seen-content store" of a crawl pipeline): each round dedups the
+    * incoming batch within itself ([[exact]]), drops everything whose
+    * content is already in the ledger ([[exactAgainst]] with the ledger
+    * as reference), APPENDS the survivors' hashes to the ledger table,
+    * and returns the survivors. First call creates the ledger. The
+    * ledger holds only the 128-bit content-hash pairs — 16 bytes per
+    * distinct content ever ingested, never the content itself — so at
+    * 100 TB of cumulative ingest it stays a compact table the
+    * next round broadcasts or hash-joins; for ledgers beyond broadcast
+    * size the probe composes with [[exactAgainstBloom]]'s bits.
+    *
+    * Idempotence: re-ingesting the same batch returns zero survivors and
+    * appends nothing — exactly the retry-safety a crash-recovering
+    * ingestion loop needs, PROVIDED the previous attempt's append
+    * committed atomically (Spark's table insert is all-or-nothing per
+    * statement, so a half-failed round never leaves partial hashes).
+    */
+  def ledgerIngest(ledgerTable: String, batch: DataFrame,
+      dupCols: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val spark = batch.sparkSession
+    // The ledger stores the hashes THEMSELVES, so the reference side of
+    // the anti-join must NOT re-hash (exactAgainst hashes its reference
+    // columns — correct for raw content, double-hashing here).
+    val keyed = exact(batch, dupCols, tieBreak)
+      .select(col("*") +: hashKeys(dupCols.map(col)): _*)
+    val fresh =
+      if (spark.catalog.tableExists(ledgerTable))
+        keyed.join(spark.table(ledgerTable).select("__h1", "__h2").distinct(),
+          Seq("__h1", "__h2"), "left_anti")
+      else keyed
+    // The survivors feed BOTH the ledger append and the caller — one
+    // materialization serves both consumers, and it must be a
+    // CHECKPOINT, not a persist: a persisted plan still carries the
+    // ledger-table scan in its lineage, and Spark rejects an INSERT
+    // whose source reads the target table (and a cache-miss re-run
+    // against the just-updated ledger would return nothing). The
+    // checkpoint swaps the plan for a materialized-RDD leaf, severing
+    // the self-reference.
+    val pinned = graft.core.ScopedStorage.checkpoint(fresh, eager = true)
+    val hashes = pinned.select("__h1", "__h2")
+    if (!spark.catalog.tableExists(ledgerTable))
+      graft.materialize.TableMaterialization.run(spark, ledgerTable, hashes)
+    else hashes.write.mode("append")
+      .saveAsTable(graft.core.Relation.parse(ledgerTable).quoted)
+    pinned.drop("__h1", "__h2")
+  }
+
   /** Cross-corpus exact dedup: drop corpus rows whose `corpusCols` content
     * appears ANYWHERE in `reference` — scrub a training corpus of rows
     * byte-identical to an eval/benchmark set, or dedup a fresh crawl

@@ -84,6 +84,56 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < thr)
   }
 
+  /** Rebalance the corpus toward TARGET class shares by downsampling
+    * only (the "make the mix 40% en / 20% de / ..." curation op): the
+    * largest feasible output size S satisfies S·share_c ≤ n_c for every
+    * targeted class, so S = min_c ⌊n_c / share_c⌋, and each class keeps
+    * rate_c = S·share_c / n_c — the binding (scarcest-relative) class
+    * keeps everything, every other class downsamples to proportion.
+    * Classes absent from `targetShares` are dropped (their target share
+    * is zero). Membership is the usual content-addressed hash draw, so
+    * achieved counts are binomially close to S·share_c, deterministic,
+    * and engine-replayable: the derivation is three exact steps
+    * (integer class counts → one float division+floor per class → one
+    * float multiply-divide per rate) an external engine reproduces
+    * operation-for-operation.
+    *
+    * Scale shape: one map-side-combined class-count aggregation (C
+    * rows, collected — metadata plane), then a scan-local filter; no
+    * shuffle of the data rows, no window.
+    */
+  def rebalance(df: DataFrame, keyCol: String, classCol: String,
+      targetShares: Map[String, Double], salt: Long = 0L): DataFrame = {
+    require(targetShares.nonEmpty, "no target shares")
+    targetShares.foreach { case (c, s) =>
+      require(s > 0.0 && s <= 1.0, s"share for '$c' must be in (0, 1], got $s")
+    }
+    val total = targetShares.values.sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $total")
+    val counts = df.filter(col(classCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // A targeted class with zero rows forces S = 0 (no output can honor
+    // its positive share) — surface that loudly instead of returning an
+    // empty frame from a typo'd class name.
+    targetShares.keys.find(c => counts.getOrElse(c, 0L) == 0L).foreach { c =>
+      throw new IllegalArgumentException(
+        s"target class '$c' has no rows — no output size can honor its share")
+    }
+    val s = targetShares.map { case (c, share) =>
+      math.floor(counts(c) / share).toLong
+    }.min
+    val rates = targetShares.map { case (c, share) =>
+      c -> (s * share / counts(c))
+    }
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(-1L): Column) {
+      case (acc, (c, r)) =>
+        when(col(classCol) === c, lit(threshold(math.min(r, 1.0)))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < thr)
+  }
+
   /** Exact-count per-group sampling (eval-set construction: "k docs per
     * language"): keeps, per group, the k rows with the SMALLEST
     * content-addressed bucket — deterministic, repartition-stable, and

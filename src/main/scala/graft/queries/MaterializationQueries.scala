@@ -24,7 +24,7 @@ object MaterializationQueries {
     * (Verify, Bench, tests) never collide and nothing depends on a writable
     * default warehouse.
     */
-  private def scratchDb(spark: SparkSession): String = {
+  private[queries] def scratchDb(spark: SparkSession): String = {
     val name = "graft_scratch_" + UUID.randomUUID.toString.replace("-", "").take(12)
     val loc = java.nio.file.Files.createTempDirectory(name).toString
     spark.sql(s"CREATE DATABASE $name LOCATION '$loc'")

@@ -2997,6 +2997,107 @@ object PipelineQueries {
        |       ELSE ${Sampling.threshold(0.9)} END
        |GROUP BY d.lang, k.cls ORDER BY d.lang, k.cls""".stripMargin
 
+  /** Target-share rebalancing ([[Sampling.rebalance]]): steer the corpus
+    * to 40/20/20/10/10 language shares by downsampling only — the oracle
+    * re-derives the feasible output size S = min ⌊n_c/share_c⌋, every
+    * per-class rate S·share_c/n_c (operation-for-operation float
+    * parity, LEAST-clamped like the operator), the bucket thresholds,
+    * and the exact md5 membership. Rolled up per language with id sums
+    * so membership — not just counts — is pinned.
+    */
+  def pipeRebalance(spark: SparkSession, dir: String): DataFrame =
+    Sampling.rebalance(Tables.documents(spark, dir), "doc_id", "lang",
+      Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1),
+      salt = 17L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+
+  private val pipeRebalanceSql =
+    s"""WITH shares(lang, share) AS (VALUES
+       |  ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)
+       |), cnt AS (
+       |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents d JOIN shares s ON d.lang = s.lang
+       |  GROUP BY d.lang
+       |), sz AS (
+       |  SELECT CAST(MIN(floor(n / CAST(share AS DOUBLE))) AS BIGINT) AS s
+       |  FROM cnt JOIN shares USING (lang)
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(round(LEAST((SELECT s FROM sz) * CAST(share AS DOUBLE) / n,
+       |      CAST(1.0 AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+       |  FROM cnt JOIN shares USING (lang)
+       |)
+       |SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+       |FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE ${bucketSql("d.doc_id", 17L)} < thr.t
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** Rolling-ingestion dedup ledger ([[Dedup.ledgerIngest]]): three
+    * ingestion rounds against one persisted hash store — round 1 plants
+    * in-batch exact copies (the originals must win the tie-break),
+    * round 2 overlaps round 1 (the overlap must drop against the
+    * LEDGER, not just within the batch), round 3 re-ingests round 2
+    * verbatim (idempotence: zero survivors, zero appends). The final
+    * row pins the ledger's cardinality. The oracle replays all three
+    * rounds with set arithmetic over the raw texts.
+    */
+  def pipeDedupLedger(spark: SparkSession, dir: String): DataFrame = {
+    val db = MaterializationQueries.scratchDb(spark)
+    val t = s"$db.dedup_ledger"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val docs = Tables.documents(spark, dir)
+    val b1 = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    def round(label: String, batch: DataFrame) =
+      Dedup.ledgerIngest(t, batch, Seq("text"), Seq(col("doc_id")))
+        .agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(label).as("round"), col("n_kept"), col("id_sum"))
+    val rounds = round("r1_fresh", b1)
+      .unionByName(round("r2_overlap", b2))
+      .unionByName(round("r3_replay", b2))
+    val ledger = spark.table(t)
+      .agg(count(lit(1)).as("n_kept"), lit(0L).as("id_sum"))
+      .select(lit("z_ledger").as("round"), col("n_kept"), col("id_sum"))
+    rounds.unionByName(ledger).orderBy(col("round"))
+  }
+
+  private val pipeDedupLedgerSql =
+    """WITH b1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+      |), s1 AS (
+      |  SELECT MIN(doc_id) AS doc_id, text FROM b1 GROUP BY text
+      |), b2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id >= 100 AND doc_id < 300
+      |), s2 AS (
+      |  SELECT MIN(doc_id) AS doc_id, text FROM b2
+      |  WHERE text NOT IN (SELECT text FROM s1) GROUP BY text
+      |)
+      |SELECT * FROM (
+      |  SELECT 'r1_fresh' AS round, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT 'r2_overlap', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+      |  FROM s2
+      |  UNION ALL
+      |  SELECT 'r3_replay', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'z_ledger',
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+      |      + (SELECT CAST(COUNT(*) AS BIGINT) FROM s2),
+      |    CAST(0 AS BIGINT)
+      |) ORDER BY round""".stripMargin
+
   /** DSIR importance resampling ([[graft.text.Dsir.resample]]): target =
     * the `src0` documents, raw = everything else; Gumbel-top-50 by
     * micro-exact log importance weight with content-addressed noise
@@ -3145,6 +3246,8 @@ object PipelineQueries {
     "txt_bm25" -> (txtBm25 _),
     "txt_nb_classify" -> (txtNbClassify _),
     "pipe_classify_mix" -> (pipeClassifyMix _),
+    "pipe_rebalance" -> (pipeRebalance _),
+    "pipe_dedup_ledger" -> (pipeDedupLedger _),
     "pipe_dsir" -> (pipeDsir _))
 
   val oracles: Map[String, String] = Map(
@@ -3224,5 +3327,7 @@ object PipelineQueries {
     "txt_bm25" -> txtBm25Sql,
     "txt_nb_classify" -> txtNbClassifySql,
     "pipe_classify_mix" -> pipeClassifyMixSql,
+    "pipe_rebalance" -> pipeRebalanceSql,
+    "pipe_dedup_ledger" -> pipeDedupLedgerSql,
     "pipe_dsir" -> pipeDsirSql)
 }

@@ -1352,6 +1352,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(cut(10L) === "de" && cut(11L) === "de")
   }
 
+  test("rebalance: binding class keeps all, shares approached, guards loud") {
+    import spark.implicits._
+    // 400 a / 100 b / 100 c keyed 0..599. Target 50/25/25: S = min(800,
+    // 400, 400) = 400, so b and c (the binding classes) keep EVERYTHING
+    // and a downsamples toward 200.
+    val df = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (400 until 500).map(i => (i.toLong, "b")) ++
+      (500 until 600).map(i => (i.toLong, "c"))).toDF("id", "cls")
+    val kept = Sampling.rebalance(df, "id", "cls",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), salt = 3L)
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") === 100L && kept("c") === 100L,
+      s"binding classes must keep everything, got $kept")
+    assert(kept("a") > 150L && kept("a") < 250L,
+      s"'a' should downsample to ~200 of 400, got ${kept("a")}")
+    // Untargeted classes drop entirely.
+    val dropped = Sampling.rebalance(df.withColumn("cls",
+        when(col("id") < 10, "junk").otherwise(col("cls"))),
+      "id", "cls", Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), salt = 3L)
+    assert(dropped.filter(col("cls") === "junk").count() === 0L)
+    // Determinism: same salt, same membership.
+    val again = Sampling.rebalance(df, "id", "cls",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), salt = 3L).count()
+    assert(again === kept.values.sum)
+    intercept[IllegalArgumentException] { // shares must sum to 1
+      Sampling.rebalance(df, "id", "cls", Map("a" -> 0.5, "b" -> 0.25), 3L)
+    }
+    intercept[IllegalArgumentException] { // typo'd class: loud, not empty
+      Sampling.rebalance(df, "id", "cls",
+        Map("a" -> 0.5, "b" -> 0.25, "nosuch" -> 0.25), 3L)
+    }
+  }
+
+  test("dedup ledger: within-batch, cross-round, and replay dedup; ledger grows once") {
+    import spark.implicits._
+    val db = "graft_spec_ledger"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.ledger"
+    val r1 = Dedup.ledgerIngest(t,
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text"),
+      Seq("text"), Seq(col("id")))
+    assert(r1.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L),
+      "within-batch dup keeps the tie-break winner")
+    val r2 = Dedup.ledgerIngest(t,
+      Seq((4L, "y"), (5L, "z")).toDF("id", "text"),
+      Seq("text"), Seq(col("id")))
+    assert(r2.select("id").as[Long].collect().toSeq === Seq(5L),
+      "cross-round dup drops against the ledger")
+    val r3 = Dedup.ledgerIngest(t,
+      Seq((6L, "x"), (7L, "z")).toDF("id", "text"),
+      Seq("text"), Seq(col("id")))
+    assert(r3.count() === 0L, "full replay survives nothing")
+    assert(spark.table(t).count() === 3L, "ledger = one hash pair per distinct content")
+    // Hash columns never leak into the survivor frame.
+    assert(!r2.columns.exists(_.startsWith("__")))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("dsir: target-like docs outweigh neutral outweigh anti-target; resample deterministic") {
     import spark.implicits._
     import graft.text.Dsir

@@ -1,7 +1,7 @@
 package graft.materialize
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor, lit, max, min, shiftleft, shiftright}
 
 import graft.core.Relation
 
@@ -165,6 +165,66 @@ object RelationOps {
       (dataBytes(spark, rel) + targetFileBytes - 1) / targetFileBytes).toInt
     relayoutWith(spark, name, parts,
       _.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
+  }
+
+  /** Multi-dimension clustered rewrite — the OPTIMIZE ZORDER analog: map
+    * each clustering column onto a `bits`-bit integer index by LINEAR
+    * min–max scaling (the metadata-plane normalization production layout
+    * optimizers use), interleave the index bits into one Z-value, and
+    * range-partition + sort the table by it. Points close in EVERY
+    * dimension land in the same file, so per-file min/max footers prune
+    * multi-predicate scans on ALL clustered columns — where a plain
+    * lexicographic sort ([[optimizeLayout]]) prunes only its leading
+    * column and leaves every other dimension spanning the full range in
+    * every file.
+    *
+    * Scale shape: one min/max aggregate per rewrite (metadata plane),
+    * then the same range-partition shuffle + in-partition sort any
+    * layout rewrite pays; the Z-value is a scan-local integer
+    * expression (bits·dims shift-mask-or terms, whole-stage codegen)
+    * and is DROPPED before write — the layout changes, the schema
+    * doesn't. Linear scaling assumes roughly uniform value spread;
+    * heavily skewed dimensions want a quantile-based index instead
+    * (same interleave, different bucketing).
+    */
+  def zOrderLayout(spark: SparkSession, name: String, zCols: Seq[String],
+      targetFileBytes: Long = 128L << 20, bits: Int = 16): Unit = {
+    require(zCols.size >= 2,
+      "zOrderLayout needs >= 2 columns (one column is optimizeLayout)")
+    require(bits * zCols.size <= 63,
+      s"bits ($bits) * dims (${zCols.size}) must fit a signed long")
+    val rel = Relation.parse(name)
+    val parts = partitionColumnNames(spark, rel)
+    require(zCols.forall(c => !parts.contains(c)),
+      "z-order columns must not be partition columns")
+    val n = math.max(1L,
+      (dataBytes(spark, rel) + targetFileBytes - 1) / targetFileBytes).toInt
+    relayoutWith(spark, name, parts, { df =>
+      val span = (1L << bits) - 1
+      // Per-dimension bounds: one aggregate row (metadata plane).
+      val bounds = df.agg(
+        zCols.flatMap(c => Seq(min(col(c).cast("double")),
+          max(col(c).cast("double")))).head,
+        zCols.flatMap(c => Seq(min(col(c).cast("double")),
+          max(col(c).cast("double")))).tail: _*).head()
+      val idx = zCols.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        if (hi > lo)
+          floor((col(c).cast("double") - lit(lo)) * span / lit(hi - lo))
+            .cast("long")
+        else lit(0L)
+      }
+      val d = zCols.size
+      val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+        idx.zipWithIndex.foldLeft(acc) { case (a, (ix, i)) =>
+          a + shiftleft(shiftright(ix, b).bitwiseAND(lit(1L)), b * d + i)
+        }
+      }
+      df.withColumn("__z", z)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    })
   }
 
   private def partitionColumnNames(spark: SparkSession, rel: Relation): Seq[String] = {

@@ -877,6 +877,46 @@ object MaterializationQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order clustered rewrite ([[RelationOps.zOrderLayout]]): lineitem
+    * rewritten into multiple files clustered on (l_orderkey,
+    * l_partkey). Like `rel_compact`, the oracle pins the DATA (layout
+    * rewrites must never change contents — rollup over the rewritten
+    * table equals raw truth); the guard requires a genuinely multi-file
+    * z-ordered layout, and the two-dimensional pruning property itself
+    * is pinned at spec scale in MaterializationSpec (file counts and
+    * min/max geometry are host-dependent — the r08 rel_compact lesson:
+    * never hash physical layout in an oracle).
+    */
+  def relZorder(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.lineitem_zorder"
+    TableMaterialization.run(spark, t,
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+          col("l_quantity")))
+    // Scale-proportional target (~4 files at EVERY sf): a fixed byte
+    // target either leaves sf0.001 in one file (no layout proven) or
+    // shatters sf0.1 into hundreds.
+    val target = math.max(8L << 10,
+      RelationOps.dataFiles(spark, t).map(_._2).sum / 4)
+    RelationOps.zOrderLayout(spark, t, Seq("l_orderkey", "l_partkey"),
+      targetFileBytes = target)
+    val files = RelationOps.dataFiles(spark, t).size
+    require(files > 1, s"z-order rewrite produced a single file ($files)")
+    spark.table(t)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D2)).cast(D2).as("sum_qty"),
+        sum(col("l_orderkey") + col("l_partkey")).as("key_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val relZorderSql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(l_orderkey + l_partkey) AS BIGINT) AS key_sum
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- F2
   /** Audit-column star projection with an injected clock (reference
     * iceberg_helper.sql:1-37) — deterministic, so fully oracle-checkable. */
@@ -1488,6 +1528,7 @@ object MaterializationQueries {
     "mat_file_formats" -> (matFileFormats _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "rel_compact" -> (relCompact _),
+    "rel_zorder" -> (relZorder _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
     "aud_star" -> (audStar _),
     "aud_profile" -> (audProfile _),
@@ -1529,6 +1570,7 @@ object MaterializationQueries {
     "mat_file_formats" -> matFileFormatsSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "rel_compact" -> relCompactSql,
+    "rel_zorder" -> relZorderSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
     "aud_star" -> audStarSql,
     "aud_profile" -> audProfileSql,

@@ -283,6 +283,50 @@ class MaterializationSpec extends AnyFunSuite {
     assert(spark.table(t).count() === orders.count())
   }
 
+  test("z-order layout: both dimensions prune, contents intact, guards loud") {
+    val db = "graft_spec_zo"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.orders_zo"
+    val o = orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    TableMaterialization.run(spark, t, o.repartition(8))
+    RelationOps.zOrderLayout(spark, t, Seq("o_orderkey", "o_custkey"),
+      targetFileBytes = 4L << 10) // spec-scale table: tiny target → several files
+    val files = RelationOps.dataFiles(spark, t).map(_._1)
+    assert(files.size > 3, s"want a multi-file layout, got ${files.size}")
+    // Contents intact.
+    assert(spark.table(t).count() === o.count())
+    // Two-dimensional pruning geometry: a centered quarter-range
+    // rectangle in (orderkey, custkey) must be coverable by a strict
+    // subset of files via their min/max footers. Under a plain
+    // single-column sort the SECOND dimension spans the full range in
+    // every file and nothing prunes on it; z-order bounds both.
+    val Seq(okLo, okHi, ckLo, ckHi) = {
+      val r = o.agg(min("o_orderkey"), max("o_orderkey"),
+        min("o_custkey"), max("o_custkey")).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def mid(lo: Long, hi: Long) = (lo + (hi - lo) * 3 / 8, lo + (hi - lo) * 5 / 8)
+    val (qOkLo, qOkHi) = mid(okLo, okHi)
+    val (qCkLo, qCkHi) = mid(ckLo, ckHi)
+    val intersecting = files.count { f =>
+      val r = spark.read.parquet(f).agg(
+        min("o_orderkey"), max("o_orderkey"),
+        min("o_custkey"), max("o_custkey")).head()
+      r.getLong(1) >= qOkLo && r.getLong(0) <= qOkHi &&
+        r.getLong(3) >= qCkLo && r.getLong(2) <= qCkHi
+    }
+    assert(intersecting < files.size,
+      s"quarter-rectangle query must prune at least one of ${files.size} files")
+    intercept[IllegalArgumentException] {
+      RelationOps.zOrderLayout(spark, t, Seq("o_orderkey"))
+    }
+    intercept[IllegalArgumentException] {
+      RelationOps.zOrderLayout(spark, t, Seq("o_orderkey", "o_custkey"), bits = 40)
+    }
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("quality checks return offending rows only") {
     assert(QualityChecks.notNull(orders, "o_orderkey").count() === 0)
     assert(QualityChecks.unique(orders, "o_orderkey").count() === 0)

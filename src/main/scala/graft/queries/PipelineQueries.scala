@@ -1323,6 +1323,52 @@ object PipelineQueries {
       |SELECT vec_id, CAST(word_idx AS INT) AS word_idx, word
       |FROM words ORDER BY vec_id, word_idx""".stripMargin
 
+  /** Matryoshka/truncated retrieval on planted copies ([[Knn
+    * .truncatedTopK]], first 16 of 64 dims): an identical vector's
+    * truncation is identical, survives any refine cut at truncated
+    * cosine 1, and wins the full-dim re-rank — the `sim_knn_sq` rank-1
+    * identity protocol through the prefix-dimension path.
+    */
+  def simKnnTrunc(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 5000)
+    val probes = vecs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 8000000L)
+    Knn.truncatedTopK(probes, vecs, "vec_id", "embedding", d = 16, k = 3)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
+  private val simKnnTruncSql =
+    """SELECT vec_id + 8000000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
+
+  /** Truncated-retrieval recall vs brute force (the recall protocol of
+    * the other first stages): 16-of-64-dim first pass + exact full-dim
+    * refine of the top 128 must keep ≥90% of true nearest neighbors at
+    * rank 1 — like `sim_knn_binary_recall`, a crude first stage buys
+    * its recall back with a wider refine.
+    */
+  def simKnnTruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val probes = ivfRecallProbes(corpus)
+    val truth = Knn.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val found = Knn.truncatedTopK(probes, corpus, "vec_id", "embedding",
+      d = 16, k = 1, refine = 128)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.intersect(found)
+    truth.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_queries"),
+        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+  }
+
+  private val simKnnTruncRecallSql =
+    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+
   /** Binary-quantized ANN on planted copies: an identical vector has
     * Hamming distance 0, survives any refine cut, and wins the exact
     * cosine re-rank — rank 1 is a deterministic identity contract, the
@@ -3241,6 +3287,8 @@ object PipelineQueries {
     "dd_cross_embedding" -> (ddCrossEmbedding _),
     "pipe_training_data" -> (pipeTrainingData _),
     "sim_bq_codes" -> (simBqCodes _),
+    "sim_knn_trunc" -> (simKnnTrunc _),
+    "sim_knn_trunc_recall" -> (simKnnTruncRecall _),
     "sim_knn_binary" -> (simKnnBinary _),
     "sim_knn_binary_recall" -> (simKnnBinaryRecall _),
     "txt_bm25" -> (txtBm25 _),
@@ -3322,6 +3370,8 @@ object PipelineQueries {
     "dd_cross_embedding" -> ddCrossEmbeddingSql,
     "pipe_training_data" -> pipeTrainingDataSql,
     "sim_bq_codes" -> simBqCodesSql,
+    "sim_knn_trunc" -> simKnnTruncSql,
+    "sim_knn_trunc_recall" -> simKnnTruncRecallSql,
     "sim_knn_binary" -> simKnnBinarySql,
     "sim_knn_binary_recall" -> simKnnBinaryRecallSql,
     "txt_bm25" -> txtBm25Sql,

@@ -605,6 +605,44 @@ object Knn {
          |        AND element_at($vecCol, w * 32 + b + 1) > 0
          |      THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
 
+  /** Truncated-dimension top-k — the Matryoshka retrieval shape (MRL
+    * embeddings are trained so their PREFIX is itself an embedding;
+    * production stores search the first `d` dims cheap and re-rank
+    * full-dim): the first stage scans cosine over `slice(vec, 1, d)` —
+    * d/dim of the bytes and multiplies — keeps `refine` candidates per
+    * query (score desc, id asc), and exact full-dim cosine re-ranks the
+    * top k. Same scale shape as [[sq8TopK]]/[[binaryTopK]]: scan-local
+    * truncation, broadcast queries, only (query_id, neighbor_id, score)
+    * rides the top-refine exchange.
+    */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, d: Int, k: Int,
+      refine: Int = 32): DataFrame = {
+    require(d > 0, s"d must be positive, got $d")
+    require(k > 0 && refine >= k, s"need refine ($refine) >= k ($k) > 0")
+    val trunc = (c: org.apache.spark.sql.Column) => slice(c, 1, d)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      trunc(col(vecCol)).as("q_t")))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"),
+        trunc(col(vecCol)).as("c_t"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosineSim(col("q_t"), col("c_t")).as("approx"))
+      .withColumn("ark", row_number().over(approxW))
+      .filter(col("ark") <= refine)
+      .select("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+        Seq("query_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("query_vec"), col("c_vec")))
+    topK(scored, k)
+  }
+
   /** Binary-quantized top-k (the FAISS BinaryFlat → refine shape): a
     * full-corpus Hamming scan over the 1-bit codes — integer XOR +
     * popcount on 32×-narrower rows — keeps the `refine` closest

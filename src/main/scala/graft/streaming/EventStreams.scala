@@ -130,7 +130,7 @@ object EventStreams {
     */
   def runBoundedForeachBatch(spark: SparkSession, sourceDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
-      outDir: String): DataFrame = {
+      outDir: String, readOptions: Map[String, String] = Map.empty): DataFrame = {
     // Seed the sink with the ZERO-ROW transformed frame first: an empty
     // source produces no micro-batches, and reading back a directory no
     // batch ever wrote would fail schema inference — the seed pins the
@@ -139,7 +139,8 @@ object EventStreams {
     transform(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
       .write.mode("append").parquet(outDir)
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = spark.readStream.options(readOptions)
+      .schema(schema).parquet(sourceDir)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         transform(df).write.mode("append").parquet(outDir)

@@ -242,6 +242,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept.except(streamed).count() === 0)
   }
 
+  test("streaming ledger ingestion survives the same content set as one-shot dedup") {
+    import graft.dedup.Dedup
+    val db = "graft_stream_ledger"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.ledger"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_ldg")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ldg_out")
+    // Write the corpus as MULTIPLE files so AvailableNow splits it into
+    // micro-batches; per micro-batch, foreachBatch runs the SAME rolling
+    // ledgerIngest a production ingestion loop runs. Whatever the
+    // batching, the union of survivors must carry exactly one row per
+    // distinct text — the one-shot dedup's content set (winner IDS may
+    // legitimately differ with arrival order; content coverage may not).
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+    try {
+      val schema = spark.read.parquet(srcDir.toString).schema
+      val streamed = EventStreams.runBoundedForeachBatch(
+        spark, srcDir.toString, schema,
+        df => Dedup.ledgerIngest(t, df, Seq("text"), Seq(col("doc_id"))),
+        outDir.toString, readOptions = Map("maxFilesPerTrigger" -> "1"))
+      val oneShot = Dedup.exact(docs, Seq("text"), Seq(col("doc_id")))
+      assert(streamed.count() === oneShot.count(),
+        "one survivor per distinct content, regardless of batching")
+      assert(streamed.select("text").except(oneShot.select("text")).count() === 0)
+      assert(oneShot.select("text").except(streamed.select("text")).count() === 0)
+      assert(spark.table(t).count() === oneShot.count(),
+        "ledger cardinality = distinct contents ever ingested")
+    } finally {
+      spark.sql(s"DROP DATABASE $db CASCADE")
+    }
+  }
+
   test("streaming NB scoring with a batch-trained model equals batch predictions") {
     import graft.text.NbClassifier
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_nb")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.Tables
+import graft.core.ScopedStorage.Ops
 
 /** Event-stream analytics over the `events` table as batch plans (the
   * reference treats all event data as batch — SURVEY §1; the streaming twins
@@ -314,7 +315,47 @@ object EventQueries {
       |  MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS p99
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Cohort retention: users grouped by their FIRST event's day; for
+    * each day-offset, how many of the cohort came back. The classic
+    * engagement rollup — and a deliberately join-reuse-shaped plan: the
+    * per-user cohort table derives from the same (user, day) distinct
+    * frame the activity side uses, so one aggregation subtree feeds
+    * both sides of the self-join. Offsets capped at 7 to keep the gate
+    * bounded; day arithmetic is exact DATE math on both engines.
+    *
+    * Scale shape: one map-side-combined (user, day) distinct, one
+    * per-user min (broadcastable per-user cohort frame when users fit,
+    * shuffled join otherwise — both sides are two narrow columns), then
+    * the rollup. No window, no full sort.
+    */
+  def evtRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .scopedCheckpoint(false) // feeds the cohort min AND the activity side
+    val cohort = ud.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    ud.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val evtRetentionSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY user_id
+      |)
+      |SELECT c.cohort_day, date_diff('day', c.cohort_day, ud.d) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM ud JOIN cohort c USING (user_id)
+      |WHERE date_diff('day', c.cohort_day, ud.d) <= 7
+      |GROUP BY c.cohort_day, day_offset
+      |ORDER BY c.cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_retention" -> (evtRetention _),
     "evt_quantiles" -> (evtQuantiles _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
@@ -326,6 +367,7 @@ object EventQueries {
     "evt_range_join" -> (evtRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "evt_retention" -> evtRetentionSql,
     "evt_quantiles" -> evtQuantilesSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,

@@ -261,6 +261,53 @@ object PlanAudit {
       .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
       .mkString("\n"))
 
+    // BM25: query terms broadcast and prune the postings BEFORE anything
+    // wide; document text enters no exchange (only (doc, term, tf)
+    // triples in the pair aggregation); the final top-k gets a
+    // WindowGroupLimit push-down so only ~k candidates per query ride
+    // the last exchange.
+    println("=== bm25 search (want broadcast prune + WindowGroupLimit) ===")
+    locally {
+      import spark.implicits._
+      val qs = Seq((1L, "spark window sort")).toDF("qid", "qt")
+      val bm = graft.text.Bm25.search(docs, "doc_id", "text",
+        qs, "qid", "qt", k = 10)
+      bm.collect()
+      val p = bm.queryExecution.executedPlan.toString
+      println(s"WindowGroupLimit present: ${p.contains("WindowGroupLimit")} (want true)")
+      println(p.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+        .mkString("\n"))
+    }
+
+    // NB scoring: the model (vocab × classes micro-nats) must broadcast;
+    // the doc-term stream shuffles only by doc for the per-class sums.
+    println("=== nb predict (want broadcast model join) ===")
+    locally {
+      val model = graft.text.NbClassifier.train(docs, "text", "lang",
+        vocabSize = 200)
+      val pred = graft.text.NbClassifier.predict(model, docs, "doc_id", "text")
+      pred.collect()
+      println(pred.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+        .mkString("\n"))
+    }
+
+    // Binary-quantization ANN: code packing must be scan-local codegen
+    // (zero Exchange before the crossJoin probe), and only
+    // (query_id, neighbor_id, hamming) may ride the top-refine exchange.
+    println("=== binaryTopK (want scan-local codes; narrow refine exchange) ===")
+    locally {
+      val bq = graft.similarity.Knn.binaryTopK(probes, vecs,
+        "vec_id", "embedding", k = 3)
+      bq.collect()
+      val p = bq.queryExecution.executedPlan.toString
+      val vecInExchange = p.linesIterator
+        .filter(_.contains("Exchange")).exists(_.contains("embedding"))
+      println(s"embedding column in an exchange: $vecInExchange (want false)")
+      println(p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

@@ -28,6 +28,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** byte_distance(binary, binary) → bigint ([[Kernels.byteDistance]]). */
+case class ByteDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_byte_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.byteDistance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.byteDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** simhash64(array<string>) → bigint. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -487,6 +500,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_distance",
+      es => ByteDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fingerprint",
@@ -537,6 +552,8 @@ object GraftFunctions {
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def byteDistance(a: Column, b: Column): Column =
+    call_function("graft_byte_distance", a, b)
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
   def signProjection(vec: Column): Column = call_function("graft_sign_projection", vec)

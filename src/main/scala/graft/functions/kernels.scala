@@ -51,6 +51,23 @@ object Kernels {
     sig
   }
 
+  /** Sum of absolute UNSIGNED byte differences over the common prefix of
+    * two binary payloads, plus 255 per surplus byte of the longer one (a
+    * missing byte is maximally different — without the penalty a frame
+    * that truncates to nothing would measure distance 0 from anything).
+    * The inter-frame distance behind scene-cut detection.
+    */
+  def byteDistance(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      d += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      i += 1
+    }
+    d + 255L * (math.max(a.length, b.length) - n)
+  }
+
   /** Document fingerprint: minimum of rolling polynomial (Karp–Rabin) hashes
     * over byte windows of size `window`. O(n) single pass; equal prefixes/
     * suffixes of near-dup docs share window hashes, so the min is stable

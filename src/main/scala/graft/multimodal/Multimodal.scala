@@ -192,4 +192,36 @@ object Multimodal {
         col("media").substr(i * step + 1, lit(frameBytes))))
         .as(Seq("frame_idx", "frame")))
   }
+
+  /** Inter-frame distances: for each sampled frame after the first, the
+    * byte-level distance to its predecessor ([[graft.functions
+    * .GraftFunctions.byteDistance]] — sum of unsigned byte deltas,
+    * missing bytes maximally different). Frame 0 carries NULL (no
+    * predecessor), so thresholds never misread the start of a clip as a
+    * cut. The window partitions by media_id — one clip's frames, a
+    * bounded partition — ordered by frame index.
+    */
+  def frameDiffs(media: DataFrame, n: Int, frameBytes: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameSample(media, n, frameBytes)
+      .withColumn("__prev", lag(col("frame"), 1).over(w))
+      .withColumn("diff", when(col("__prev").isNull, lit(null).cast("long"))
+        .otherwise(graft.functions.GraftFunctions
+          .byteDistance(col("frame"), col("__prev"))))
+      .select(col("media_id"), col("frame_idx"), col("diff"))
+  }
+
+  /** Scene-cut detection: frame indexes whose distance from the previous
+    * frame exceeds `threshold` — the shot-boundary primitive a video
+    * pipeline runs before per-scene sampling/dedup. Same stub contract
+    * as [[frameSample]]: byte-window frames stand in for decoded video;
+    * a real decoder swaps the slicer, the detection shape stays.
+    */
+  def sceneCuts(media: DataFrame, n: Int, threshold: Long,
+      frameBytes: Int = 16): DataFrame =
+    frameDiffs(media, n, frameBytes)
+      .filter(col("diff") > threshold)
+      .select(col("media_id"), col("frame_idx").as("cut_idx"), col("diff"))
 }

@@ -2860,6 +2860,45 @@ object PipelineQueries {
        |  MAX((off + greatest(toks, 1) - 1) // 4096) AS last_seq
        |FROM laid GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Scene-cut detection over planted byte-frame "videos"
+    * ([[Multimodal.frameDiffs]]/[[Multimodal.sceneCuts]]): three
+    * 64-byte payloads with known frame contents — a two-scene clip (one
+    * cut), a constant clip (none), and a three-scene clip (two cuts,
+    * one of them a maximal 16×255 jump). Every inter-frame distance and
+    * cut verdict is hand-derived in the oracle from the fixture
+    * DEFINITIONS; frame 0's NULL (no predecessor) is pinned too.
+    */
+  def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def clip(bs: Array[Byte]*): Array[Byte] = bs.reduce(_ ++ _)
+    def run(b: Int, n: Int) = Array.fill(n)(b.toByte)
+    val media = Seq[(Long, Array[Byte])](
+      (1L, clip(run(0x10, 32), run(0x80, 32))),
+      (2L, run(0x40, 64)),
+      (3L, clip(run(0x00, 16), run(0xFF, 16), run(0x00, 32))))
+      .toDF("media_id", "media")
+    Multimodal.frameDiffs(media, n = 4)
+      .withColumn("is_cut", coalesce(col("diff") > 100L, lit(false)))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val mmSceneCutsSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 0, CAST(NULL AS BIGINT), FALSE),
+      |  (CAST(1 AS BIGINT), 1, CAST(0 AS BIGINT), FALSE),
+      |  (CAST(1 AS BIGINT), 2, CAST(1792 AS BIGINT), TRUE),
+      |  (CAST(1 AS BIGINT), 3, CAST(0 AS BIGINT), FALSE),
+      |  (CAST(2 AS BIGINT), 0, CAST(NULL AS BIGINT), FALSE),
+      |  (CAST(2 AS BIGINT), 1, CAST(0 AS BIGINT), FALSE),
+      |  (CAST(2 AS BIGINT), 2, CAST(0 AS BIGINT), FALSE),
+      |  (CAST(2 AS BIGINT), 3, CAST(0 AS BIGINT), FALSE),
+      |  (CAST(3 AS BIGINT), 0, CAST(NULL AS BIGINT), FALSE),
+      |  (CAST(3 AS BIGINT), 1, CAST(4080 AS BIGINT), TRUE),
+      |  (CAST(3 AS BIGINT), 2, CAST(4080 AS BIGINT), TRUE),
+      |  (CAST(3 AS BIGINT), 3, CAST(0 AS BIGINT), FALSE)
+      |) AS t(media_id, frame_idx, diff, is_cut)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   // ------------------------------------------------- retrieval/selection
   /** BM25 top-k retrieval ([[graft.text.Bm25.search]]) for three fixed
     * keyword queries over the corpus — the targeted-curation primitive
@@ -3251,6 +3290,7 @@ object PipelineQueries {
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
     "mm_resize" -> (mmResize _),
+    "mm_scene_cuts" -> (mmSceneCuts _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_group_topk" -> (pipeGroupTopK _),
@@ -3339,6 +3379,7 @@ object PipelineQueries {
     "mm_frames" -> mmFramesSql,
     "mm_decode" -> mmDecodeSql,
     "mm_resize" -> mmResizeSql,
+    "mm_scene_cuts" -> mmSceneCutsSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
     "pipe_group_topk" -> pipeGroupTopKSql,

@@ -1352,6 +1352,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cut(10L) === "de" && cut(11L) === "de")
   }
 
+  test("byte distance: unsigned deltas, length penalty, scene cuts find boundaries") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array[Byte](0, 1, 2), Array[Byte](0, 1, 2)),       // identical → 0
+      (Array[Byte](0x7F, 0), Array[Byte](-0x80, 0)),      // unsigned: |127-128|=1
+      (Array[Byte](1, 1, 1), Array[Byte](1))              // surplus: 2×255
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.byteDistance(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got === Seq(0L, 1L, 510L))
+    // Scene cuts on a two-scene clip: exactly the boundary frame flags.
+    val clip = (Array.fill(32)(0x01.toByte) ++ Array.fill(32)(0x05.toByte))
+    val cuts = Multimodal.sceneCuts(
+      Seq((9L, clip)).toDF("media_id", "media"), n = 4, threshold = 10L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(cuts.toSeq === Seq((9L, 2, 64L)), s"got ${cuts.toSeq}")
+  }
+
   test("rebalance: binding class keeps all, shares approached, guards loud") {
     import spark.implicits._
     // 400 a / 100 b / 100 c keyed 0..599. Target 50/25/25: S = min(800,

@@ -222,10 +222,28 @@ object MediaCodecs {
     * every sample feeds the histogram). Amplitude bins: (sample + 32768)
     * >> 12, i.e. 16 equal bins over the full signed range.
     */
-  def decodeWav(bytes: Array[Byte]): Option[Decoded] = {
+  def decodeWav(bytes: Array[Byte]): Option[Decoded] =
+    pcmSamples(bytes).map { samples =>
+      val hist = new Array[Double](16)
+      var i = 0
+      while (i < samples.length) {
+        hist((samples(i) + 32768) >> 12) += 1
+        i += 1
+      }
+      Decoded("wav", -1, -1, samples.length.toLong,
+        normalize(hist, samples.length.toLong))
+    }
+
+  /** The signed 16-bit PCM sample stream of a WAV payload (the chunk walk
+    * behind [[decodeWav]], exposed for the audio-window/silence
+    * operators); None when the payload is not a PCM-16 WAV.
+    */
+  def pcmSamples(bytes: Array[Byte]): Option[Array[Int]] = {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes.length < 12 || !hasAscii(bytes, 0, "RIFF") ||
+      !hasAscii(bytes, 8, "WAVE")) return None
     // pos advances by attacker/garbage-controlled chunk sizes: walk in LONG
     // so a huge declared size cannot wrap pos negative and index the array
     // below zero.
@@ -249,13 +267,12 @@ object MediaCodecs {
     }
     if (!fmtOk || dataOff < 0) return None
     val n = dataLen / 2
-    val hist = new Array[Double](16)
+    val out = new Array[Int](n)
     var i = 0
     while (i < n) {
-      val s = (u16(dataOff + i * 2) << 16) >> 16 // sign-extend
-      hist((s + 32768) >> 12) += 1
+      out(i) = (u16(dataOff + i * 2) << 16) >> 16 // sign-extend
       i += 1
     }
-    Some(Decoded("wav", -1, -1, n.toLong, normalize(hist, n.toLong)))
+    Some(out)
   }
 }

@@ -141,6 +141,28 @@ object Multimodal {
       }
       buf.array()
     }
+
+    /** A minimal mono PCM-16 WAV around arbitrary samples — the general
+      * fixture builder for the audio-window/silence gates (same header
+      * layout as [[wavAlternating8]]).
+      */
+    def wavPcm(samples: Array[Short]): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1)      // PCM
+      buf.putShort(1)      // mono
+      buf.putInt(8000)     // sample rate
+      buf.putInt(16000)    // byte rate
+      buf.putShort(2)      // block align
+      buf.putShort(16)     // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
   }
 
   val resizeSchema: StructType = StructType(Seq(
@@ -211,6 +233,85 @@ object Multimodal {
         .otherwise(graft.functions.GraftFunctions
           .byteDistance(col("frame"), col("__prev"))))
       .select(col("media_id"), col("frame_idx"), col("diff"))
+  }
+
+  private val audioWindowSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  /** Windowed audio statistics over PCM-16 WAV payloads: consecutive
+    * `windowSamples`-sample windows, each with its sample count (the
+    * tail window may be short), peak |amplitude|, and integer energy
+    * (Σ sample² — exact, no float RMS, so a SQL oracle replays it
+    * bit-for-bit). Non-WAV payloads produce NO window rows (the
+    * quarantine convention for a sample-level operator — there are no
+    * samples to window). Scan-local mapPartitions like [[decode]].
+    */
+  def audioWindows(spark: SparkSession, media: DataFrame,
+      windowSamples: Int): DataFrame = {
+    require(windowSamples > 0, s"windowSamples must be positive, got $windowSamples")
+    val enc = org.apache.spark.sql.Encoders.row(audioWindowSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodecs.pcmSamples(r.getAs[Array[Byte]](1)).toSeq.flatMap { s =>
+          s.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+            var peak = 0
+            var energy = 0L
+            var j = 0
+            while (j < w.length) {
+              val a = math.abs(w(j))
+              if (a > peak) peak = a
+              energy += w(j).toLong * w(j)
+              j += 1
+            }
+            Row(id, i, w.length, peak, energy)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  private val trimSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("first_loud", IntegerType, nullable = true),
+    StructField("last_loud", IntegerType, nullable = true),
+    StructField("n_trimmed", IntegerType, nullable = false)))
+
+  /** Silence trimming plan: per WAV, the first and last sample whose
+    * |amplitude| reaches `threshold` and how many samples leading/
+    * trailing silence removal would drop (all of them when the clip
+    * never reaches threshold — first/last NULL). The metadata the
+    * pipeline uses to slice payloads without a second decode pass.
+    */
+  def trimSilence(spark: SparkSession, media: DataFrame,
+      threshold: Int): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val enc = org.apache.spark.sql.Encoders.row(trimSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodecs.pcmSamples(r.getAs[Array[Byte]](1)).map { s =>
+          var first = -1
+          var last = -1
+          var i = 0
+          while (i < s.length) {
+            if (math.abs(s(i)) >= threshold) {
+              if (first < 0) first = i
+              last = i
+            }
+            i += 1
+          }
+          if (first < 0) Row(id, s.length, null, null, s.length)
+          else Row(id, s.length, Int.box(first), Int.box(last),
+            first + (s.length - 1 - last))
+        }
+      }
+    }(enc)
   }
 
   /** Scene-cut detection: frame indexes whose distance from the previous

@@ -2899,6 +2899,56 @@ object PipelineQueries {
       |) AS t(media_id, frame_idx, diff, is_cut)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  private def audioFixtures(spark: SparkSession) = {
+    import spark.implicits._
+    Seq[(Long, Array[Byte])](
+      (1L, Multimodal.Fixtures.wavAlternating8),
+      (2L, Multimodal.Fixtures.wavPcm(
+        Array[Short](0, 0, 0, 1000, -2000, 3000, 0, 0))),
+      (3L, Multimodal.Fixtures.wavPcm(Array.fill[Short](9)(0))),
+      (4L, (0 until 16).map(_.toByte).toArray)) // not a WAV → no rows
+      .toDF("media_id", "media")
+  }
+
+  /** Windowed audio statistics ([[Multimodal.audioWindows]]) over planted
+    * WAVs: the alternating ±16384 fixture (full-scale energy), a
+    * silence-padded clip, a 9-sample all-zero clip (SHORT tail window —
+    * n_samples 1), and a non-WAV payload that must produce no rows.
+    * Every window's count/peak/integer-energy is hand-derived.
+    */
+  def mmAudioWindows(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioWindows(spark, audioFixtures(spark), windowSamples = 4)
+      .orderBy(col("media_id"), col("window_idx"))
+
+  private val mmAudioWindowsSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 0, 4, 16384, CAST(1073741824 AS BIGINT)),
+      |  (CAST(1 AS BIGINT), 1, 4, 16384, CAST(1073741824 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 0, 4, 1000, CAST(1000000 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 1, 4, 3000, CAST(13000000 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 0, 4, 0, CAST(0 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 1, 4, 0, CAST(0 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 2, 1, 0, CAST(0 AS BIGINT))
+      |) AS t(media_id, window_idx, n_samples, peak, energy)
+      |ORDER BY media_id, window_idx""".stripMargin
+
+  /** Silence-trim plans ([[Multimodal.trimSilence]], threshold 500) over
+    * the same fixtures: full-scale clip keeps everything, the padded
+    * clip trims 3 leading + 2 trailing, the all-zero clip trims all 9
+    * with NULL loud bounds, the non-WAV payload yields no row.
+    */
+  def mmAudioTrim(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.trimSilence(spark, audioFixtures(spark), threshold = 500)
+      .orderBy(col("media_id"))
+
+  private val mmAudioTrimSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 8, 0, 7, 0),
+      |  (CAST(2 AS BIGINT), 8, 3, 5, 5),
+      |  (CAST(3 AS BIGINT), 9, CAST(NULL AS INT), CAST(NULL AS INT), 9)
+      |) AS t(media_id, n_samples, first_loud, last_loud, n_trimmed)
+      |ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------- retrieval/selection
   /** BM25 top-k retrieval ([[graft.text.Bm25.search]]) for three fixed
     * keyword queries over the corpus — the targeted-curation primitive
@@ -3291,6 +3341,8 @@ object PipelineQueries {
     "mm_decode" -> (mmDecode _),
     "mm_resize" -> (mmResize _),
     "mm_scene_cuts" -> (mmSceneCuts _),
+    "mm_audio_windows" -> (mmAudioWindows _),
+    "mm_audio_trim" -> (mmAudioTrim _),
     "pipe_hash_sample" -> (pipeHashSample _),
     "pipe_stratified" -> (pipeStratified _),
     "pipe_group_topk" -> (pipeGroupTopK _),
@@ -3380,6 +3432,8 @@ object PipelineQueries {
     "mm_decode" -> mmDecodeSql,
     "mm_resize" -> mmResizeSql,
     "mm_scene_cuts" -> mmSceneCutsSql,
+    "mm_audio_windows" -> mmAudioWindowsSql,
+    "mm_audio_trim" -> mmAudioTrimSql,
     "pipe_hash_sample" -> pipeHashSampleSql,
     "pipe_stratified" -> pipeStratifiedSql,
     "pipe_group_topk" -> pipeGroupTopKSql,

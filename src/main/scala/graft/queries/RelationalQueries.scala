@@ -516,6 +516,63 @@ object RelationalQueries {
       |           x -> length(x))), 0) AS INT) AS long_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** GROUPING SETS + CUBE with grouping_id — the rest of the OLAP
+    * multi-level aggregation family beyond q12's rollup. grouping_id
+    * disambiguates a NULL group key from the all-group aggregate (the
+    * thing naive NULL-keyed rollups get wrong); both engines compute the
+    * same bit vector.
+    */
+  def q26GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"),
+        col("o_totalprice"))
+      .cube(col("st"), col("pri"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy(col("gid"), col("st").asc_nulls_first, col("pri").asc_nulls_first)
+  }
+
+  private val q26Sql =
+    """SELECT o_orderstatus AS st, o_orderpriority AS pri,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, st ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Window navigation family — lead/lag/ntile/percent_rank/cume_dist
+    * over a per-customer order timeline (q10/q11 cover rank and running
+    * frames; this pins the navigation + distribution functions). All
+    * deterministic: the window's (date, key) order is total, and the
+    * distribution functions are exact rational arithmetic both engines
+    * compute identically in doubles.
+    */
+  def q27WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 100)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q27Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  lead(o_orderkey) OVER w AS next_order,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -542,7 +599,9 @@ object RelationalQueries {
     "q22_approx_distinct" -> (q22ApproxDistinct _),
     "q23_broadcast_join" -> (q23BroadcastJoin _),
     "q24_pivot" -> (q24Pivot _),
-    "q25_higher_order" -> (q25HigherOrder _))
+    "q25_higher_order" -> (q25HigherOrder _),
+    "q26_grouping_sets" -> (q26GroupingSets _),
+    "q27_window_nav" -> (q27WindowNav _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -569,5 +628,7 @@ object RelationalQueries {
     "q22_approx_distinct" -> q22Sql,
     "q23_broadcast_join" -> q23Sql,
     "q24_pivot" -> q24Sql,
-    "q25_higher_order" -> q25Sql)
+    "q25_higher_order" -> q25Sql,
+    "q26_grouping_sets" -> q26Sql,
+    "q27_window_nav" -> q27Sql)
 }

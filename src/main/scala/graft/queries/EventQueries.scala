@@ -354,7 +354,38 @@ object EventQueries {
       |GROUP BY c.cohort_day, day_offset
       |ORDER BY c.cohort_day, day_offset""".stripMargin
 
+  /** Per-day trending event types: rank types by daily volume, keep the
+    * top 3 — the windowed-leaderboard composition (time bucket →
+    * aggregate → per-bucket rank). Tie-break on type name keeps the cut
+    * total-ordered; the rank partition holds one day's TYPE COUNTS
+    * (bounded by type cardinality), not its events — no hot funnel.
+    */
+  def evtTrending(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("d"))
+      .orderBy(col("n").desc, col("event_type"))
+    daily.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("d"), col("rank"))
+  }
+
+  private val evtTrendingSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT d, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY d
+      |      ORDER BY n DESC, event_type) AS INT) AS rank
+      |  FROM daily
+      |)
+      |SELECT d, event_type, n, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY d, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_trending" -> (evtTrending _),
     "evt_retention" -> (evtRetention _),
     "evt_quantiles" -> (evtQuantiles _),
     "evt_sessionize" -> (evtSessionize _),
@@ -367,6 +398,7 @@ object EventQueries {
     "evt_range_join" -> (evtRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "evt_trending" -> evtTrendingSql,
     "evt_retention" -> evtRetentionSql,
     "evt_quantiles" -> evtQuantilesSql,
     "evt_sessionize" -> evtSessionizeSql,

@@ -2467,8 +2467,13 @@ object PipelineQueries {
       "doc_id", "text", vocabSize = 50, oovDiscount = 0.5)
       .orderBy(col("doc_id"))
 
-  private val txtUnigramLmSql =
-    """WITH toks AS (
+  /** The unigram-LM scoring pipeline as a reusable CTE block ending in
+    * `lm_scores(doc_id, n_tokens, avg_logprob)` — shared by the scoring
+    * gate and the percentile-cut composition so both replay the
+    * identical model and micro-mean arithmetic.
+    */
+  private val unigramScoreCtes =
+    """toks AS (
       |  SELECT doc_id,
       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
       |  FROM documents
@@ -2480,16 +2485,71 @@ object PipelineQueries {
       |  SELECT term,
       |    CAST(round(ln(c / (SELECT n FROM tot)) * 1000000) AS BIGINT) AS lp
       |  FROM cnt ORDER BY c DESC, term LIMIT 50
-      |)
-      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  SIGN(SUM(COALESCE(v.lp,
-      |      CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
-      |    * floor((2 * ABS(SUM(COALESCE(v.lp,
+      |), lm_scores AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    SIGN(SUM(COALESCE(v.lp,
       |        CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
-      |        + COUNT(*)) / (2.0 * COUNT(*)))
-      |    / 1000000.0 AS avg_logprob
-      |FROM toks t LEFT JOIN vocab v USING (term)
-      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      |      * floor((2 * ABS(SUM(COALESCE(v.lp,
+      |          CAST(round(ln(0.5 / (SELECT n FROM tot)) * 1000000) AS BIGINT))))
+      |          + COUNT(*)) / (2.0 * COUNT(*)))
+      |      / 1000000.0 AS avg_logprob
+      |  FROM toks t LEFT JOIN vocab v USING (term)
+      |  GROUP BY t.doc_id
+      |)""".stripMargin
+
+  private val txtUnigramLmSql =
+    s"""WITH $unigramScoreCtes
+       |SELECT doc_id, n_tokens, avg_logprob
+       |FROM lm_scores ORDER BY doc_id""".stripMargin
+
+  /** Percentile quality cut — the composition a perplexity-filtering
+    * pipeline actually runs (CCNet buckets documents by LM score and
+    * keeps the better tail): per-LANGUAGE discrete median of the
+    * unigram-LM score ([[graft.operators.Quantiles.groupQuantiles]] —
+    * an actual element, integer rank arithmetic), then keep documents
+    * scoring at or above their language's median. Pins the quantile
+    * operator composed against a derived score column and the
+    * engine-exactness of the median element: one micro-nat of score
+    * drift would move the cut and change the kept set.
+    */
+  def pipeQualityCut(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.text.UnigramLm
+      .scoreDocs(docs, "doc_id", "text", vocabSize = 50, oovDiscount = 0.5)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .scopedCheckpoint(false) // feeds the median AND the filter side
+    val med = graft.operators.Quantiles
+      .groupQuantiles(scored, "lang", "avg_logprob", "doc_id",
+        Seq(("p50", 1, 2)))
+      .select(col("lang"), col("p50"))
+    scored.join(med, Seq("lang"))
+      .filter(col("avg_logprob") >= col("p50"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  private val pipeQualityCutSql =
+    s"""WITH $unigramScoreCtes,
+       |scored AS (
+       |  SELECT s.doc_id, s.avg_logprob, d.lang
+       |  FROM lm_scores s JOIN documents d USING (doc_id)
+       |), ranked AS (
+       |  SELECT lang, avg_logprob,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY avg_logprob ASC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored
+       |), med AS (
+       |  SELECT lang, MAX(CASE WHEN rn = (n - 1) // 2 + 1
+       |                        THEN avg_logprob END) AS p50
+       |  FROM ranked GROUP BY lang
+       |)
+       |SELECT s.lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(s.doc_id) AS BIGINT) AS id_sum
+       |FROM scored s JOIN med USING (lang)
+       |WHERE s.avg_logprob >= med.p50
+       |GROUP BY s.lang ORDER BY s.lang""".stripMargin
 
   /** The COMPOSED filtering chain a real cleaning pipeline runs — Gopher
     * structural rules → cross-corpus line dedup of the survivors →
@@ -3388,6 +3448,7 @@ object PipelineQueries {
     "pipe_classify_mix" -> (pipeClassifyMix _),
     "pipe_rebalance" -> (pipeRebalance _),
     "pipe_dedup_ledger" -> (pipeDedupLedger _),
+    "pipe_quality_cut" -> (pipeQualityCut _),
     "pipe_dsir" -> (pipeDsir _))
 
   val oracles: Map[String, String] = Map(
@@ -3474,5 +3535,6 @@ object PipelineQueries {
     "pipe_classify_mix" -> pipeClassifyMixSql,
     "pipe_rebalance" -> pipeRebalanceSql,
     "pipe_dedup_ledger" -> pipeDedupLedgerSql,
+    "pipe_quality_cut" -> pipeQualityCutSql,
     "pipe_dsir" -> pipeDsirSql)
 }

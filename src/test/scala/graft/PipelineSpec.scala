@@ -1352,6 +1352,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cut(10L) === "de" && cut(11L) === "de")
   }
 
+  test("pcm samples: garbage, truncation, and non-PCM formats all refuse safely") {
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    val good = Multimodal.Fixtures.wavAlternating8
+    assert(MediaCodecs.pcmSamples(good).get.toSeq ===
+      Seq(16384, -16384, 16384, -16384, 16384, -16384, 16384, -16384))
+    assert(MediaCodecs.pcmSamples(Array.empty[Byte]).isEmpty)
+    assert(MediaCodecs.pcmSamples("RIFFxxxxWAVE".getBytes).isEmpty,
+      "header-only payload has no fmt/data chunks")
+    assert(MediaCodecs.pcmSamples(good.take(30)).isEmpty,
+      "truncated before the data chunk")
+    assert(MediaCodecs.pcmSamples((0 until 64).map(_.toByte).toArray).isEmpty)
+    // The histogram decoder built on the same walk still agrees.
+    assert(MediaCodecs.decodeWav(good).get.nSamples === 8L)
+  }
+
   test("byte distance: unsigned deltas, length penalty, scene cuts find boundaries") {
     import spark.implicits._
     import graft.functions.GraftFunctions

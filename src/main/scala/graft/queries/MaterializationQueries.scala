@@ -1158,6 +1158,46 @@ object MaterializationQueries {
       |) AS t(test_case, n_missing, n_unexpected, passed)
       |ORDER BY test_case""".stripMargin
 
+  /** ANALYZE TABLE statistics (the CBO food: `ANALYZE ... COMPUTE
+    * STATISTICS [FOR COLUMNS]`): row count and per-column min/max read
+    * back from the CATALOG's stored stats — the values the optimizer's
+    * join-strategy and broadcast decisions consume at 100 TB, where
+    * un-analyzed tables force size-in-bytes guesses. Only the EXACT
+    * stats are gated (row count, column min/max); distinct counts are
+    * HLL sketches and stay out of the hashed output.
+    */
+  def catAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = scratchDb(spark)
+    val t = s"$db.orders_stats"
+    TableMaterialization.run(spark, t, Tables.orders(spark, dir))
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      "orders_stats", Some(db))
+    val stats = spark.sessionState.catalog.getTableMetadata(ident).stats
+      .getOrElse(sys.error(s"ANALYZE left no stats on $t"))
+    val rowCount = stats.rowCount
+      .getOrElse(sys.error("no rowCount after ANALYZE")).toLong
+    val ck = stats.colStats.getOrElse("o_orderkey",
+      sys.error("no column stats for o_orderkey"))
+    Seq(
+      ("row_count", rowCount),
+      ("o_orderkey_min", ck.min.getOrElse(sys.error("no min")).toLong),
+      ("o_orderkey_max", ck.max.getOrElse(sys.error("no max")).toLong))
+      .toDF("stat", "value").orderBy(col("stat"))
+  }
+
+  private val catAnalyzeSql =
+    """SELECT * FROM (
+      |  SELECT 'row_count' AS stat, CAST(COUNT(*) AS BIGINT) AS value
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey_min', CAST(MIN(o_orderkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey_max', CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+      |) ORDER BY stat""".stripMargin
+
   // ---------------------------------------------------------------- A1
   /** accepted_values data test returning offending groups. */
   def dqAcceptedValues(spark: SparkSession, dir: String): DataFrame =
@@ -1535,6 +1575,7 @@ object MaterializationQueries {
     "src_freshness" -> (srcFreshness _),
     "dq_store_failures" -> (dqStoreFailures _),
     "dq_unit_test" -> (dqUnitTest _),
+    "cat_analyze" -> (catAnalyze _),
     "inc_microbatch" -> (incMicrobatch _),
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
@@ -1577,6 +1618,7 @@ object MaterializationQueries {
     "src_freshness" -> srcFreshnessSql,
     "dq_store_failures" -> dqStoreFailuresSql,
     "dq_unit_test" -> dqUnitTestSql,
+    "cat_analyze" -> catAnalyzeSql,
     "inc_microbatch" -> incMicrobatchSql,
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design

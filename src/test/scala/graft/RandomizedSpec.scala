@@ -551,4 +551,37 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got === want, s"trial=$trial k=$k")
     }
   }
+
+  test("group quantiles: equals sort-index reference for random groups and rationals") {
+    import graft.operators.Quantiles
+    val rnd = new Random(11)
+    (1 to 8).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (0 until 30 + rnd.nextInt(120)).map { i =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40).toDouble)
+        (g, v, i.toLong)
+      }
+      val qs = Seq(("q0", 0, 1), ("qa", 1 + rnd.nextInt(9), 10),
+        ("qb", 1 + rnd.nextInt(99), 100), ("q1", 1, 1))
+      val got = Quantiles.groupQuantiles(
+        rows.toDF("g", "v", "id"), "g", "v", "id", qs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5))).toMap
+      // Reference: per group, sort non-null values (tie by id) and pick
+      // index floor(num*(n-1)/den) — duplicates of a value make the tie
+      // order irrelevant to the SELECTED value.
+      val ref = rows.collect { case (g, Some(v), id) => (g, v, id) }
+        .groupBy(_._1).map { case (g, grp) =>
+          val sorted = grp.sortBy { case (_, v, id) => (v, id) }.map(_._2)
+          def pick(num: Int, den: Int) =
+            sorted((num.toLong * (sorted.size - 1) / den).toInt)
+          g -> (sorted.size.toLong, pick(qs(0)._2, qs(0)._3),
+            pick(qs(1)._2, qs(1)._3), pick(qs(2)._2, qs(2)._3),
+            pick(qs(3)._2, qs(3)._3))
+        }
+      assert(got === ref, s"trial=$trial qs=$qs")
+    }
+  }
 }

@@ -208,6 +208,13 @@ object RelationOps {
         zCols.flatMap(c => Seq(min(col(c).cast("double")),
           max(col(c).cast("double")))).tail: _*).head()
       val idx = zCols.zipWithIndex.map { case (c, i) =>
+        // An entirely-null (or empty-table) dimension has no bounds to
+        // scale into — fail loudly rather than NPE out of Row.getDouble
+        // or silently cluster on garbage. Individual null VALUES yield a
+        // null Z-value and sort together at the range's null end — a
+        // defined, prune-friendly placement.
+        require(!bounds.isNullAt(2 * i),
+          s"z-order column '$c' has no non-null values to scale")
         val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
         if (hi > lo)
           floor((col(c).cast("double") - lit(lo)) * span / lit(hi - lo))

@@ -3103,11 +3103,11 @@ object PipelineQueries {
     * classifier gate and the classifier-routed mixture so both replay
     * the identical model.
     */
-  private val nbClassifyCtes =
-    """toks AS (
+  private def nbClassifyCtes(vocabSize: Int) =
+    s"""toks AS (
       |  SELECT doc_id, lang, t FROM (
       |    SELECT doc_id, lang,
-      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
       |    FROM documents WHERE text IS NOT NULL
       |  ) WHERE t <> ''
       |), classtok AS (
@@ -3116,7 +3116,7 @@ object PipelineQueries {
       |), vocab AS (
       |  SELECT t FROM (
       |    SELECT t, SUM(c) AS tot FROM classtok GROUP BY t
-      |  ) ORDER BY tot DESC, t LIMIT 200
+      |  ) ORDER BY tot DESC, t LIMIT $vocabSize
       |), vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
       |), classtotals AS (
       |  SELECT cls, CAST(SUM(c) AS BIGINT) AS ct FROM classtok GROUP BY cls
@@ -3156,7 +3156,7 @@ object PipelineQueries {
       |)""".stripMargin
 
   private val txtNbClassifySql =
-    s"""WITH $nbClassifyCtes
+    s"""WITH ${nbClassifyCtes(200)}
        |SELECT doc_id, cls AS predicted, s / 1000000.0 AS score
        |FROM ranked WHERE r = 1 ORDER BY doc_id""".stripMargin
 
@@ -3182,7 +3182,7 @@ object PipelineQueries {
   }
 
   private val pipeClassifyMixSql =
-    s"""WITH $nbClassifyCtes
+    s"""WITH ${nbClassifyCtes(200)}
        |SELECT d.lang, k.cls AS predicted,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
@@ -3292,6 +3292,81 @@ object PipelineQueries {
       |      + (SELECT CAST(COUNT(*) AS BIGINT) FROM s2),
       |    CAST(0 AS BIGINT)
       |) ORDER BY round""".stripMargin
+
+  /** Three-stage curation composition over this session's operators:
+    * (1) unigram-LM quality scores, (2) the per-language discrete-median
+    * cut (the CCNet-shape quality screen — by construction every
+    * language keeps at least half its documents, so the next stage's
+    * shares stay feasible at EVERY scale; a classifier-agreement screen
+    * tried here first can legitimately empty a class on this corpus —
+    * its languages share one 31-token vocabulary, so language identity
+    * is frequency-only), then (3) target-share rebalancing of the
+    * SURVIVORS — the rate derivation runs over the filtered corpus, so
+    * stage order is pinned: deriving from the raw corpus would keep a
+    * different set. The oracle replays scores, medians, the survivor
+    * set, the post-filter share arithmetic, and the md5 membership
+    * end-to-end through the shared LM CTE block.
+    */
+  def pipeCurationV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.text.UnigramLm
+      .scoreDocs(docs, "doc_id", "text", vocabSize = 50, oovDiscount = 0.5)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .scopedCheckpoint(false) // median + filter + rate derivation
+    val med = graft.operators.Quantiles
+      .groupQuantiles(scored, "lang", "avg_logprob", "doc_id",
+        Seq(("p50", 1, 2)))
+      .select(col("lang"), col("p50"))
+    val survivors = scored.join(med, Seq("lang"))
+      .filter(col("avg_logprob") >= col("p50"))
+      .select(col("doc_id"), col("lang"))
+      .scopedCheckpoint(false) // rebalance counts + membership filter
+    Sampling.rebalance(survivors, "doc_id", "lang",
+      Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1),
+      salt = 23L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  private val pipeCurationV2Sql =
+    s"""WITH $unigramScoreCtes,
+       |scored AS (
+       |  SELECT s.doc_id, s.avg_logprob, d.lang
+       |  FROM lm_scores s JOIN documents d USING (doc_id)
+       |), rankedq AS (
+       |  SELECT lang, doc_id, avg_logprob,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY avg_logprob ASC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored
+       |), med AS (
+       |  SELECT lang, MAX(CASE WHEN rn = (n - 1) // 2 + 1
+       |                        THEN avg_logprob END) AS p50
+       |  FROM rankedq GROUP BY lang
+       |), survivors AS (
+       |  SELECT s.doc_id, s.lang FROM scored s JOIN med USING (lang)
+       |  WHERE s.avg_logprob >= med.p50
+       |), shares(lang, share) AS (VALUES
+       |  ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)
+       |), lcnt AS (
+       |  SELECT a.lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM survivors a JOIN shares s ON a.lang = s.lang
+       |  GROUP BY a.lang
+       |), lsz AS (
+       |  SELECT CAST(MIN(floor(n / CAST(share AS DOUBLE))) AS BIGINT) AS s
+       |  FROM lcnt JOIN shares USING (lang)
+       |), lthr AS (
+       |  SELECT lang,
+       |    CAST(round(LEAST((SELECT s FROM lsz) * CAST(share AS DOUBLE) / n,
+       |      CAST(1.0 AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+       |  FROM lcnt JOIN shares USING (lang)
+       |)
+       |SELECT a.lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(a.doc_id) AS BIGINT) AS id_sum
+       |FROM survivors a JOIN lthr ON a.lang = lthr.lang
+       |WHERE ${bucketSql("a.doc_id", 23L)} < lthr.t
+       |GROUP BY a.lang ORDER BY a.lang""".stripMargin
 
   /** DSIR importance resampling ([[graft.text.Dsir.resample]]): target =
     * the `src0` documents, raw = everything else; Gumbel-top-50 by
@@ -3449,6 +3524,7 @@ object PipelineQueries {
     "pipe_rebalance" -> (pipeRebalance _),
     "pipe_dedup_ledger" -> (pipeDedupLedger _),
     "pipe_quality_cut" -> (pipeQualityCut _),
+    "pipe_curation_v2" -> (pipeCurationV2 _),
     "pipe_dsir" -> (pipeDsir _))
 
   val oracles: Map[String, String] = Map(
@@ -3536,5 +3612,6 @@ object PipelineQueries {
     "pipe_rebalance" -> pipeRebalanceSql,
     "pipe_dedup_ledger" -> pipeDedupLedgerSql,
     "pipe_quality_cut" -> pipeQualityCutSql,
+    "pipe_curation_v2" -> pipeCurationV2Sql,
     "pipe_dsir" -> pipeDsirSql)
 }

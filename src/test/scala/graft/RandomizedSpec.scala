@@ -584,4 +584,97 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got === ref, s"trial=$trial qs=$qs")
     }
   }
+
+  test("bm25: equals a plain-Scala reference on random corpora and queries") {
+    import graft.text.Bm25
+    val rnd = new Random(19)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    (1 to 6).foreach { trial =>
+      val docs = (0 until 20 + rnd.nextInt(30)).map { i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(12))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val qs = (0 until 2).map(qi =>
+        (qi.toLong, (0 until 1 + rnd.nextInt(3))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+      val k = 1 + rnd.nextInt(6)
+      val got = Bm25.search(docs.toDF("doc_id", "text"), "doc_id", "text",
+        qs.toDF("qid", "qt"), "qid", "qt", k, k1 = 1.5, b = 0.75)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      // Reference: the BM25 formula verbatim; the micro-quantized per-term
+      // sum is compared through ranks (both sides order by score desc, id).
+      val tf = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      }.toMap
+      val lens = tf.view.mapValues(_.values.sum).toMap
+      val withToks = lens.filter(_._2 > 0)
+      val nDocs = withToks.size
+      val avgdl = withToks.values.sum.toDouble / nDocs
+      def idf(t: String) = {
+        val df = tf.count(_._2.contains(t))
+        math.log(1.0 + ((nDocs.toDouble - df) + 0.5) / (df + 0.5))
+      }
+      val want = qs.flatMap { case (qid, qt) =>
+        val terms = qt.split("\\s+").filter(_.nonEmpty).distinct
+        val scored = tf.toSeq.flatMap { case (id, m) =>
+          val s = terms.collect {
+            case t if m.contains(t) =>
+              val f = m(t).toDouble
+              math.round(idf(t) * ((f * 2.5) /
+                (f + 1.5 * (0.25 + (0.75 * lens(id)) / avgdl))) * 1e6)
+          }.sum
+          if (s == 0L && !terms.exists(m.contains)) None else Some((id, s))
+        }
+        scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((id, _), r) => (qid, r + 1) -> id }
+      }.toMap
+      assert(got === want, s"trial=$trial k=$k")
+    }
+  }
+
+  test("nb classifier: equals an exact integer-arithmetic reference on random data") {
+    import graft.text.NbClassifier
+    val rnd = new Random(23)
+    val words = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    def quant(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    (1 to 6).foreach { trial =>
+      val classes = Seq("p", "q", "r").take(2 + rnd.nextInt(2))
+      val labeled = (0 until 20 + rnd.nextInt(20)).map { i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(8))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" "),
+          classes(rnd.nextInt(classes.size)))
+      }
+      val vocabSize = 1 + rnd.nextInt(words.size + 2)
+      val got = NbClassifier.trainPredict(
+        labeled.toDF("doc_id", "text", "cls"),
+        labeled.toDF("doc_id", "text", "cls"), "doc_id", "text", "cls",
+        vocabSize)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // Reference replays training exactly: counts, the (tot desc, term
+      // asc) vocab cut, Laplace micro-nats, priors, argmax (class asc).
+      val toks = labeled.map { case (id, t, c) =>
+        (id, t.split("\\s+").filter(_.nonEmpty).toSeq, c) }
+      val classTok = toks.flatMap { case (_, ts, c) => ts.map(c -> _) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vocab = classTok.groupBy(_._1._2).view.mapValues(_.values.sum)
+        .toSeq.sortBy { case (t, n) => (-n, t) }.take(vocabSize).map(_._1).toSet
+      val classTotals = classTok.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val nDocs = labeled.size
+      val priors = labeled.groupBy(_._3).view
+        .mapValues(g => quant(math.log(g.size.toDouble / nDocs))).toMap
+      def lp(c: String, t: String) =
+        quant(math.log((classTok.getOrElse((c, t), 0L) + 1).toDouble /
+          (classTotals(c) + vocab.size).toDouble))
+      val want = toks.map { case (id, ts, _) =>
+        val best = priors.keys.toSeq.map { c =>
+          c -> (priors(c) + ts.filter(vocab).map(t =>
+            lp(c, t)).sum)
+        }.sortBy { case (c, s) => (-s, c) }.head._1
+        id -> best
+      }.toMap
+      assert(got === want, s"trial=$trial vocabSize=$vocabSize classes=$classes")
+    }
+  }
 }

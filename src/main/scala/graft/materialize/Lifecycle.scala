@@ -1,0 +1,136 @@
+package graft.materialize
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Model contracts — dbt's `contract: enforced` as applied by the
+  * reference's table materialization (table.sql:39 `persist_constraints`,
+  * inherited from dbt-spark). A contracted model declares its output
+  * schema (ordered column names + types) and column constraints
+  * (`not_null`, `check`); the build FAILS — loudly, before anything is
+  * written — when the produced frame deviates. Spark tables cannot
+  * enforce constraints at the storage layer (parquet has no CHECK), so
+  * the adapter's behavior is compile/run-time validation: schema shape is
+  * checked against the plan (metadata-only), constraints are checked with
+  * ONE aggregate pass over the data (all violation counts in a single
+  * job — no per-constraint scans), and only a fully-conforming frame
+  * reaches the writer.
+  *
+  * Scale shape: the schema check is driver-side metadata; the constraint
+  * scan is a map-side-combinable global aggregate over only the
+  * constrained columns (column-pruned), so at 100 TB it costs one pass of
+  * the constrained subset — the price of a guarantee the lakehouse
+  * formats charge identically (Delta CHECK constraints scan on write).
+  */
+object Contracts {
+
+  /** One contracted column: `dataType` is Spark DDL ("bigint", "double",
+    * "decimal(18,2)"); `check` is a boolean SQL expression over the row
+    * (dbt `constraints: [{type: check, expression: ...}]`).
+    */
+  final case class ColumnSpec(
+      name: String,
+      dataType: String,
+      notNull: Boolean = false,
+      check: Option[String] = None)
+
+  /** Validate `df` against the contract; returns the frame with columns
+    * reordered to contract order (dbt reorders to the declared contract —
+    * column ORDER in the produced select is free, names/types are not).
+    * Throws IllegalStateException tagged CONTRACT_* on any deviation.
+    */
+  def enforce(df: DataFrame, contract: Seq[ColumnSpec]): DataFrame = {
+    require(contract.nonEmpty, "empty contract")
+    val declared = contract.map(_.name)
+    val produced = df.columns.toSeq
+    val missing = declared.diff(produced)
+    val unexpected = produced.diff(declared)
+    if (missing.nonEmpty || unexpected.nonEmpty)
+      throw new IllegalStateException(
+        s"CONTRACT_COLUMNS_MISMATCH: missing=${missing.mkString(",")} " +
+          s"unexpected=${unexpected.mkString(",")}")
+    val actualTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    val typeErrors = contract.flatMap { c =>
+      val want = DataType.fromDDL(c.dataType)
+      val got = actualTypes(c.name)
+      if (got != want) Some(s"${c.name}: expected ${want.sql} got ${got.sql}")
+      else None
+    }
+    if (typeErrors.nonEmpty)
+      throw new IllegalStateException(
+        s"CONTRACT_TYPE_MISMATCH: ${typeErrors.mkString("; ")}")
+    val ordered = df.select(declared.map(col): _*)
+    // All constraint violation counts in ONE aggregate job. sum(cond) on a
+    // boolean needs an int cast; count(when) skips nulls — use the latter
+    // so a NULL check-expression result counts as a violation only for
+    // not_null (CHECK follows SQL semantics: NULL passes).
+    val probes = contract.flatMap { c =>
+      val nn = if (c.notNull)
+        Seq(count(when(col(c.name).isNull, lit(1)))
+          .as(s"not_null:${c.name}")) else Nil
+      val ck = c.check.map(e =>
+        count(when(!expr(e), lit(1))).as(s"check:${c.name}")).toSeq
+      nn ++ ck
+    }
+    if (probes.nonEmpty) {
+      val row = ordered.agg(probes.head, probes.tail: _*).head()
+      val violated = row.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> row.getLong(i) }
+        .filter(_._2 > 0)
+      if (violated.nonEmpty)
+        throw new IllegalStateException("CONTRACT_CONSTRAINT_VIOLATION: " +
+          violated.map { case (n, c) => s"$n ($c rows)" }.mkString("; "))
+    }
+    ordered
+  }
+
+  /** Contract-enforced table build: validate, then CTAS. Nothing is
+    * written when the contract fails (the reference's order: constraints
+    * are applied to the finished relation table.sql:39, but a dbt contract
+    * failure aborts before the model's DDL runs).
+    */
+  def materialize(spark: SparkSession, table: String, df: DataFrame,
+      contract: Seq[ColumnSpec],
+      partitionBy: Seq[String] = Nil): Unit =
+    TableMaterialization.run(spark, table, enforce(df, contract),
+      partitionBy = partitionBy)
+}
+
+/** Pre/post hooks — the reference brackets every materialization with
+  * `run_hooks(pre_hooks)` / `run_hooks(post_hooks)` (table.sql:11,48;
+  * incremental.sql:44,122; snapshot.sql:146-223; seed.sql:19). Hooks are
+  * arbitrary SQL statements (audit inserts, GRANTs, ANALYZE) executed in
+  * declaration order; a failing pre-hook aborts the model (nothing
+  * materializes), a failing post-hook fails the run AFTER the model built
+  * (dbt marks the node errored but the table exists — same here).
+  *
+  * `{{ this }}` is the one template variable worth its cost in-process:
+  * hooks routinely reference the relation they decorate, and the caller
+  * does not know scratch-database names up front.
+  */
+object Hooks {
+
+  /** Substitute `{{ this }}` with the target relation name. */
+  private def render(sql: String, table: String): String =
+    sql.replace("{{ this }}", table)
+
+  def runAll(spark: SparkSession, hooks: Seq[String], table: String): Unit =
+    hooks.foreach { h =>
+      try spark.sql(render(h, table))
+      catch {
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"HOOK_FAILED: ${render(h, table)}: ${e.getMessage}", e)
+      }
+    }
+
+  /** Table materialization with the reference's hook bracketing. */
+  def materializeWithHooks(spark: SparkSession, table: String, df: DataFrame,
+      preHooks: Seq[String] = Nil, postHooks: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
+    runAll(spark, preHooks, table)
+    TableMaterialization.run(spark, table, df, partitionBy = partitionBy)
+    runAll(spark, postHooks, table)
+  }
+}

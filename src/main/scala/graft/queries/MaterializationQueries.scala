@@ -1544,6 +1544,121 @@ object MaterializationQueries {
       |) AS t(fact, value) ORDER BY fact""".stripMargin
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- contracts
+  /** Model contracts (reference table.sql:39 persist_constraints; dbt
+    * `contract: enforced`): a conforming model materializes with its
+    * columns reordered to the declared contract; a deviating model fails
+    * LOUDLY with a tagged error and writes NOTHING. The gate drives all
+    * four paths: clean build (read back), missing column, type mismatch,
+    * and a violated CHECK constraint — asserting the failed build left no
+    * table behind.
+    */
+  def matContract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.materialize.Contracts, Contracts.ColumnSpec
+    val db = scratchDb(spark)
+    val t = s"$db.orders_contracted"
+    def model: DataFrame = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("total"))
+    val contract = Seq(
+      ColumnSpec("o_orderstatus", "string", notNull = true),
+      ColumnSpec("n_orders", "bigint", notNull = true,
+        check = Some("n_orders > 0")),
+      ColumnSpec("total", "double", notNull = true,
+        check = Some("total >= 0")))
+    // The produced select's column order deviates from the contract —
+    // enforce() must reorder, not reject (dbt: order free, names/types not).
+    Contracts.materialize(spark, t,
+      model.select(col("total"), col("o_orderstatus"), col("n_orders")),
+      contract)
+
+    def probe(f: => Unit): String =
+      try { f; "NO_ERROR" }
+      catch { case e: IllegalStateException => e.getMessage.split(":").head }
+    val tagMissing = probe(Contracts.materialize(spark, s"$db.c_missing",
+      model.drop("total"), contract))
+    val tagType = probe(Contracts.materialize(spark, s"$db.c_type",
+      model.withColumn("n_orders", col("n_orders").cast("int")), contract))
+    val tagCheck = probe(Contracts.materialize(spark, s"$db.c_check",
+      model, contract.map(c =>
+        if (c.name == "n_orders") c.copy(check = Some("n_orders > 100000000"))
+        else c)))
+    val noneBuilt = Seq("c_missing", "c_type", "c_check")
+      .forall(n => !spark.catalog.tableExists(s"$db.$n"))
+
+    spark.table(t)
+      .withColumn("probe_missing", lit(tagMissing))
+      .withColumn("probe_type", lit(tagType))
+      .withColumn("probe_check", lit(tagCheck))
+      .withColumn("failed_builds_absent", lit(noneBuilt))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val matContractSql =
+    """SELECT o_orderstatus, n_orders, total,
+      |  'CONTRACT_COLUMNS_MISMATCH' AS probe_missing,
+      |  'CONTRACT_TYPE_MISMATCH' AS probe_type,
+      |  'CONTRACT_CONSTRAINT_VIOLATION' AS probe_check,
+      |  TRUE AS failed_builds_absent
+      |FROM (
+      |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY o_orderstatus
+      |) ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- hooks
+  /** Pre/post hook bracketing (reference table.sql:11,48 run_hooks; the
+    * same bracket wraps incremental.sql:44,122 / snapshot.sql:146-223 /
+    * seed.sql:19): pre-hooks run before the build (a failing one ABORTS
+    * the model — nothing materializes), post-hooks after (they can read
+    * `{{ this }}`). The gate's hooks drive a real audit-trail table — the
+    * canonical dbt hook use — then probe the failing-pre-hook abort path.
+    */
+  def matHooks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.materialize.Hooks
+    val db = scratchDb(spark)
+    val t = s"$db.lineitem_hooked"
+    val audit = s"$db.run_audit"
+    val model = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"))
+    Hooks.materializeWithHooks(spark, t, model,
+      preHooks = Seq(
+        s"CREATE TABLE IF NOT EXISTS $audit (phase STRING, n BIGINT) USING parquet",
+        s"INSERT INTO $audit VALUES ('pre', -1)"),
+      postHooks = Seq(
+        s"INSERT INTO $audit SELECT 'post', COUNT(*) FROM {{ this }}",
+        "ANALYZE TABLE {{ this }} COMPUTE STATISTICS"))
+    val t2 = s"$db.never_built"
+    val abortTag =
+      try {
+        Hooks.materializeWithHooks(spark, t2, model,
+          preHooks = Seq(s"INSERT INTO $db.no_such_relation VALUES (1)"))
+        "BUILT_ANYWAY"
+      } catch { case e: IllegalStateException => e.getMessage.split(":").head }
+    val targetRows = spark.table(t).count()
+    spark.table(audit)
+      .withColumn("target_rows", lit(targetRows))
+      .withColumn("pre_abort_tag", lit(abortTag))
+      .withColumn("aborted_table_absent", lit(!spark.catalog.tableExists(t2)))
+      .orderBy(col("phase"))
+  }
+
+  private val matHooksSql =
+    """WITH model AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+      |), audit AS (
+      |  SELECT 'pre' AS phase, CAST(-1 AS BIGINT) AS n
+      |  UNION ALL
+      |  SELECT 'post', (SELECT COUNT(*) FROM model)
+      |)
+      |SELECT phase, n,
+      |  (SELECT COUNT(*) FROM model) AS target_rows,
+      |  'HOOK_FAILED' AS pre_abort_tag,
+      |  TRUE AS aborted_table_absent
+      |FROM audit ORDER BY phase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mat_ctas" -> (matCtas _),
     "mat_bucketed_join" -> (matBucketedJoin _),
@@ -1566,6 +1681,8 @@ object MaterializationQueries {
     "rel_ops" -> (relOps _),
     "mat_persist_docs" -> (matPersistDocs _),
     "mat_file_formats" -> (matFileFormats _),
+    "mat_contract" -> (matContract _),
+    "mat_hooks" -> (matHooks _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "rel_compact" -> (relCompact _),
     "rel_zorder" -> (relZorder _),
@@ -1609,6 +1726,8 @@ object MaterializationQueries {
     "rel_ops" -> relOpsSql,
     "mat_persist_docs" -> matPersistDocsSql,
     "mat_file_formats" -> matFileFormatsSql,
+    "mat_contract" -> matContractSql,
+    "mat_hooks" -> matHooksSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "rel_compact" -> relCompactSql,
     "rel_zorder" -> relZorderSql,

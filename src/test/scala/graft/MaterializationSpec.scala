@@ -468,4 +468,54 @@ class MaterializationSpec extends AnyFunSuite {
       SourceFreshness.evaluate(df, "ts", now, 120L, 60L)
     }
   }
+
+  test("contracts: reorder, type/column/constraint failures are tagged") {
+    import spark.implicits._
+    import Contracts.ColumnSpec
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "s").select(col("s"), col("k"))
+    val contract = Seq(
+      ColumnSpec("k", "bigint", notNull = true, check = Some("k > 0")),
+      ColumnSpec("s", "string"))
+    // Reorders to contract order; null in a non-notNull column passes.
+    assert(Contracts.enforce(df, contract).columns.toSeq === Seq("k", "s"))
+    // CHECK with NULL result passes (SQL semantics), notNull does not.
+    val nullCheck = Seq(ColumnSpec("s", "string", check = Some("s <> 'zz'")))
+    assert(Contracts.enforce(df.select("s"), nullCheck).count() === 2)
+    val e1 = intercept[IllegalStateException] {
+      Contracts.enforce(df.drop("s"), contract)
+    }
+    assert(e1.getMessage.startsWith("CONTRACT_COLUMNS_MISMATCH") &&
+      e1.getMessage.contains("missing=s"))
+    val e2 = intercept[IllegalStateException] {
+      Contracts.enforce(df.withColumn("k", col("k").cast("int")), contract)
+    }
+    assert(e2.getMessage.startsWith("CONTRACT_TYPE_MISMATCH") &&
+      e2.getMessage.contains("expected BIGINT got INT"))
+    val e3 = intercept[IllegalStateException] {
+      Contracts.enforce(df,
+        contract.map(c => if (c.name == "k") c.copy(notNull = false,
+          check = Some("k > 1")) else c))
+    }
+    assert(e3.getMessage.startsWith("CONTRACT_CONSTRAINT_VIOLATION") &&
+      e3.getMessage.contains("check:k (1 rows)"))
+  }
+
+  test("hooks: {{ this }} renders; post-hook failure leaves the table") {
+    import spark.implicits._
+    val t = freshTable()
+    val audit = freshTable()
+    spark.sql(s"CREATE TABLE $audit (tag STRING) USING parquet")
+    Hooks.materializeWithHooks(spark, t, Seq(1, 2, 3).toDF("v"),
+      postHooks = Seq(s"INSERT INTO $audit SELECT CAST(COUNT(*) AS STRING) FROM {{ this }}"))
+    assert(spark.table(audit).as[String].collect().toSeq === Seq("3"))
+    // A failing POST-hook fails the run but the model already built.
+    val t2 = freshTable()
+    val e = intercept[IllegalStateException] {
+      Hooks.materializeWithHooks(spark, t2, Seq(9).toDF("v"),
+        postHooks = Seq("INSERT INTO default.absent_xyz VALUES (1)"))
+    }
+    assert(e.getMessage.startsWith("HOOK_FAILED"))
+    assert(spark.table(t2).count() === 1)
+  }
 }

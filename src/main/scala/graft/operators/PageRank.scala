@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.ScopedStorage
+
+/** Deterministic integer PageRank over an edge list — the iterative-join
+  * graph operator next to connected components ([[graft.dedup.Clusters]]):
+  * link-graph authority weighting is a standard web-corpus curation signal
+  * (harmonic/PageRank centrality is how Common-Crawl-derived corpora rank
+  * domains for crawl priority and quality weighting).
+  *
+  * Determinism: ranks live in integer MICRO-units (1.0 ≡ 1,000,000), every
+  * per-iteration step is integer arithmetic — contribution = rank div
+  * outdeg, damping = (num·sum) div den — so a fixed iteration count
+  * produces bit-identical ranks on any engine, any partitioning (floats
+  * would drift per addition order; a declarative replay in another SQL
+  * engine could never hash-match). The classic 0.15/0.85 damping becomes
+  * the exact rational 15/100 | 85/100. Nodes with no out-edges contribute
+  * nothing (their mass evaporates — the "no dangling redistribution"
+  * PageRank variant; callers wanting the stochastic-matrix variant
+  * symmetrize their graph first, which also guarantees outdeg ≥ 1).
+  *
+  * Scale shape per iteration: one equi-join of ranks to edges on src (both
+  * hash-partitioned on the same key — AQE keeps the exchange reused), one
+  * map-side-combinable SUM per dst, one left join back to the node list.
+  * Only (node, rank) — 16 bytes — rides any exchange; the edge list is
+  * checkpointed ONCE and re-read per round. Iterations are lineage-cut via
+  * localCheckpoint with superseded rounds freed eagerly (two rank frames
+  * live at any time, not k), the [[graft.dedup.Clusters]] discipline. Skew:
+  * a mega-in-degree node (every real web graph has one) concentrates its
+  * SUM — partial aggregation collapses it map-side before the exchange, so
+  * the hot dst never funnels raw edges into one reducer.
+  */
+object PageRank {
+
+  /** One row per node appearing as a source: (`node`, `rank`) after
+    * `iterations` synchronous steps from a uniform `unit` start.
+    * rank_{i+1}(v) = (unit·dampNum′) + dampNum·Σ_{u→v}(rank_i(u) div
+    * outdeg(u)) div dampDen, with dampNum′ = (dampDen − dampNum)/dampDen
+    * applied as ((dampDen − dampNum)·unit) div dampDen. Edges are
+    * deduplicated; self-loops are dropped (a self-loop only feeds a node
+    * its own mass and makes outdeg lie about external flow).
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, unit: Long = 1000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"bad damping $dampNum/$dampDen")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+    val baseRank = ((dampDen - dampNum) * unit) / dampDen
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(unit))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div __deg")).as("__in"))
+      val prev = ranks
+      ranks = prev.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseRank) +
+            expr(s"($dampNum * coalesce(__in, 0L)) div $dampDen")).as("rank"))
+        .localCheckpoint()
+      freeCheckpoint(prev)
+      i += 1
+    }
+    freeCheckpoint(e)
+    freeCheckpoint(outdeg)
+    // The returned frame reads its own checkpoint blocks — harness-scoped
+    // release, never a leak (the r08 lesson, same as Clusters' labels).
+    ScopedStorage.registerCheckpoint(ranks)
+    ranks
+  }
+
+  /** Free a locally-checkpointed frame's blocks (safe only once nothing
+    * can re-read it — see [[graft.dedup.Clusters]] for the full contract;
+    * `df.rdd` would wrap a NEW deserialization RDD, so the unpersist must
+    * target the checkpointed LogicalRDD leaf itself).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -574,7 +574,49 @@ object RelationalQueries {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- graph
+  /** Deterministic integer PageRank over the supplier co-order graph
+    * (suppliers are linked when they serve the same order — both
+    * directions, so the graph is symmetric and dangling-free). 5 fixed
+    * synchronous iterations in micro-units; the oracle replays every
+    * iteration with the identical integer arithmetic as unrolled CTEs.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+    graft.operators.PageRank.run(edges, "src", "dst", iterations = 5)
+      .select(col("node").as("s_suppkey"), col("rank"))
+      .orderBy(col("rank").desc, col("s_suppkey"))
+  }
+
+  private val graphPagerankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s""", r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * COALESCE(s.incoming, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank // o.d) AS incoming
+         |    FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |      JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+       |), outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)$iters
+       |SELECT node AS s_suppkey, rank FROM r5
+       |ORDER BY rank DESC, s_suppkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_revenue_by_nation" -> (q02RevenueByNation _),
     "q03_topk_orders" -> (q03TopOrders _),
@@ -604,6 +646,7 @@ object RelationalQueries {
     "q27_window_nav" -> (q27WindowNav _))
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_topk_orders" -> q03Sql,

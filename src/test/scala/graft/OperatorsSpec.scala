@@ -500,4 +500,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("a") === ((10L, 10.0, 14.0, 18.0, 19.0)))
     assert(got("b") === ((1L, 7.0, 7.0, 7.0, 7.0)))
   }
+
+  test("pagerank: hand-computed ranks, mass behavior, guards") {
+    import graft.operators.PageRank
+    // Directed triangle a→b→c→a: perfectly symmetric flow, so the uniform
+    // vector is the exact fixed point — every iteration must return
+    // 150000 + 85*1000000 div 100 = 1000000 for every node.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val triRanks = PageRank.run(tri, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(triRanks === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+
+    // Star 1→2, 1→3 plus return edges 2→1, 3→1 (symmetrized hub): after
+    // one iteration hub = 150000 + 85*(500000·2… wait—spokes each send
+    // their whole rank (outdeg 1), hub sends half to each spoke.
+    //   hub_1   = 150000 + (85*(1000000+1000000)) div 100 = 1850000
+    //   spoke_1 = 150000 + (85*(1000000 div 2)) div 100   = 575000
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("s", "d")
+    val starRanks = PageRank.run(star, "s", "d", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starRanks === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+
+    // Self-loops and duplicate edges are dropped before degree counting:
+    // with them removed this is the same symmetrized star.
+    val noisy = star.union(Seq((1L, 1L), (1L, 2L)).toDF("s", "d"))
+    val noisyRanks = PageRank.run(noisy, "s", "d", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noisyRanks === starRanks)
+
+    // A pure sink (2 has no out-edges) evaporates mass but keeps its row
+    // only if it ever appears as a SOURCE — node set = sources. 2 is
+    // dangling → excluded from output; 1 keeps base rank only.
+    val chain = Seq((1L, 2L)).toDF("s", "d")
+    val chainRanks = PageRank.run(chain, "s", "d", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainRanks === Map(1L -> 150000L))
+
+    intercept[IllegalArgumentException](PageRank.run(tri, "s", "d", 0))
+    intercept[IllegalArgumentException](
+      PageRank.run(tri, "s", "d", 1, dampNum = 101, dampDen = 100))
+  }
 }

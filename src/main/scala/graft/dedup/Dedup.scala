@@ -280,6 +280,25 @@ object Dedup {
       .select(col("__row.*"))
   }
 
+  /** [[exact]] with a QUALITY winner instead of the lexicographically
+    * first row: each duplicate group keeps its `max_by(scoreCols)` member
+    * — the survivor policy real curation uses (keep the longest / highest
+    * quality-score copy, not the lowest id). `scoreCols` compare as a
+    * DESCENDING-preference struct; make it total (append a unique column,
+    * negated if the final tie must prefer the smaller id) or ties pick an
+    * arbitrary partial's winner. Same one-hash-aggregation scale shape as
+    * [[exact]]: the score rides the partials, the group never funnels.
+    */
+  def keepBest(df: DataFrame, dupCols: Seq[String],
+      scoreCols: Seq[Column]): DataFrame = {
+    require(scoreCols.nonEmpty, "keepBest needs at least one score column")
+    val keys = hashKeys(dupCols.map(col))
+    val winner = max_by(struct(df.columns.map(col): _*), struct(scoreCols: _*))
+    df.groupBy(keys: _*)
+      .agg(winner.as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Rolling-ingestion dedup against a persisted hash LEDGER — the state
     * a continuously-fed corpus keeps between ingestion rounds (the
     * "seen-content store" of a crawl pipeline): each round dedups the

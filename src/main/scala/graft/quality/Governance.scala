@@ -20,6 +20,51 @@ import graft.core.Relation
   */
 object Governance {
 
+  /** Right-to-be-forgotten propagation: rewrite `table` without any row
+    * whose `keyCol` appears in `keys` — the erasure primitive a GDPR/CCPA
+    * deletion request drives across a base table and every derived table
+    * keyed by the same subject. Returns (nBefore, nPurged, nAfter).
+    *
+    * Mechanics: the deletion list is small by nature (one row per
+    * requesting subject) → broadcast anti-join, so the rewrite is one
+    * scan of the table with no shuffle. The survivor frame is
+    * LOCAL-CHECKPOINTED before the overwrite — an INSERT whose source
+    * still carries the target's scan in its lineage is rejected by Spark
+    * (the rolling-ledger lesson) — and the insert runs under STATIC
+    * partition-overwrite: under the session's default dynamic mode a
+    * partition whose every row was erased would be silently left intact,
+    * which for erasure is not an optimization but a compliance bug. The
+    * checkpoint makes the rewrite two-phase (materialize survivors, then
+    * overwrite) — at lakehouse scale the same call maps onto
+    * format-native DELETE WHERE; this is the parquet-table analog.
+    */
+  def eraseKeys(spark: SparkSession, table: String, keyCol: String,
+      keys: DataFrame): (Long, Long, Long) = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column frame, got ${keys.columns.mkString(",")}")
+    val target = spark.table(table)
+    val nBefore = target.count()
+    val keyFrame = keys.toDF(keyCol).distinct()
+    val survivors = target
+      .join(broadcast(keyFrame), Seq(keyCol), "left_anti")
+      .select(target.columns.map(col): _*)
+      .localCheckpoint()
+    graft.core.Engine.withConf(spark,
+      Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {
+      survivors.write.mode("overwrite").insertInto(table)
+    }
+    // The checkpoint's blocks served exactly the insert — free them now
+    // rather than holding a survivor-sized copy until the harness boundary.
+    survivors.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    spark.catalog.refreshTable(table)
+    val nAfter = spark.table(table).count()
+    (nBefore, nBefore - nAfter, nAfter)
+  }
+
   /** C7: a data-cell filter — mirrors FilterConfig (lakeformation.py:167):
     * `rowFilter` is a SQL predicate ("true" = all rows); `includeColumns`
     * the visible columns (empty = all).

@@ -60,4 +60,41 @@ object Profiler {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Per-group fixed-bin histogram of `valueCol`: one row per occupied
+    * (group, bucket) with the bucket's count plus the group's (lo, hi)
+    * range — the value-distribution profile next to [[profile]]'s
+    * scalars and [[graft.operators.Quantiles]]'s ranks. Empty buckets
+    * are omitted (densify client-side; emitting them would need a
+    * per-group bucket spine for no analytical gain).
+    *
+    * Bucketing is the EXPLICIT expression
+    * `least(nBins−1, floor(((v − lo) · nBins) / (hi − lo)))` rather than
+    * a library width_bucket: each step is a single IEEE double op, so any
+    * engine evaluating the same expression bit-agrees on every boundary
+    * value — width_bucket implementations differ exactly there. A
+    * constant group (hi = lo) puts all rows in bucket 0. Nulls are
+    * excluded. Scale shape: one aggregation for the per-group ranges,
+    * one join back against a one-row-per-group frame (AQE broadcasts it
+    * while it fits; a forced broadcast would OOM the driver on
+    * per-user-grade cardinalities), one map-side-combined count — the
+    * value column never rides an exchange.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    require(groupCols.nonEmpty, "histogram needs at least one group column")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val ranges = rows.groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(nBins - 1L),
+        floor(((col(valueCol) - col("lo")) * lit(nBins)) /
+          (col("hi") - col("lo")))))
+    rows.join(ranges, groupCols)
+      .withColumn("bucket", bucket)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+  }
 }

@@ -315,6 +315,53 @@ object EventQueries {
       |  MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS p99
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Robust anomaly screen over event values: per-type median/MAD flags
+    * ([[graft.operators.Anomaly]]) rolled up to (n, med, mad, n_outliers).
+    * Every number is either a selected element or a single IEEE op on
+    * selected elements, so the oracle replays the whole rule bit-for-bit.
+    */
+  def evtAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.madOutliers(
+      Tables.events(spark, dir), "event_type", "value", "event_id", k = 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
+        count(when(col("is_outlier"), lit(1))).as("n_outliers"))
+      .orderBy(col("event_type"))
+
+  private val evtAnomalySql =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |), med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+      |  FROM ranked GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dv, m.med
+      |  FROM events e JOIN med m USING (event_type)
+      |  WHERE e.value IS NOT NULL
+      |), rdev AS (
+      |  SELECT event_type, dv, med,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY dv ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev
+      |), mad AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dv END) AS mad
+      |  FROM rdev GROUP BY event_type
+      |)
+      |SELECT d.event_type, COUNT(*) AS n, MAX(d.med) AS med,
+      |  MAX(a.mad) AS mad,
+      |  COUNT(CASE WHEN d.dv > 3 * a.mad THEN 1 END) AS n_outliers
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   /** Cohort retention: users grouped by their FIRST event's day; for
     * each day-offset, how many of the cohort came back. The classic
     * engagement rollup — and a deliberately join-reuse-shaped plan: the
@@ -388,6 +435,7 @@ object EventQueries {
     "evt_trending" -> (evtTrending _),
     "evt_retention" -> (evtRetention _),
     "evt_quantiles" -> (evtQuantiles _),
+    "evt_anomaly" -> (evtAnomaly _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -401,6 +449,7 @@ object EventQueries {
     "evt_trending" -> evtTrendingSql,
     "evt_retention" -> evtRetentionSql,
     "evt_quantiles" -> evtQuantilesSql,
+    "evt_anomaly" -> evtAnomalySql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

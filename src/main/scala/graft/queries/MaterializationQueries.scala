@@ -1544,6 +1544,81 @@ object MaterializationQueries {
       |) AS t(fact, value) ORDER BY fact""".stripMargin
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- erasure
+  /** Right-to-be-forgotten propagation ([[Governance.eraseKeys]]): one
+    * deletion list (every user_id ≡ 3 mod 10) driven across a base table
+    * and two derived rollups; each rewrite is a broadcast anti-join +
+    * static-overwrite insert. The gate pins before/purged/after counts per
+    * table AND proves zero leaked rows remain for the erased subjects.
+    */
+  def govErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = scratchDb(spark)
+    val ev = Tables.events(spark, dir)
+    TableMaterialization.run(spark, s"$db.events_raw", ev)
+    TableMaterialization.run(spark, s"$db.user_daily",
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events")))
+    TableMaterialization.run(spark, s"$db.user_profile",
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts")))
+    val keys = ev.select(col("user_id"))
+      .filter(col("user_id") % 10 === 3).distinct()
+    val rows = Seq("events_raw", "user_daily", "user_profile").map { t =>
+      val (before, purged, after) =
+        Governance.eraseKeys(spark, s"$db.$t", "user_id", keys)
+      val leaked = spark.table(s"$db.$t")
+        .join(broadcast(keys), Seq("user_id"), "left_semi").count()
+      (t, before, purged, after, leaked)
+    }
+    rows.toDF("tbl", "n_before", "n_purged", "n_after", "n_leaked")
+      .orderBy(col("tbl"))
+  }
+
+  private val govErasureSql =
+    """WITH base AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |r AS (SELECT COUNT(*) AS c,
+      |        COUNT(CASE WHEN user_id % 10 = 3 THEN 1 END) AS p FROM events),
+      |dd AS (SELECT COUNT(*) AS c,
+      |        COUNT(CASE WHEN user_id % 10 = 3 THEN 1 END) AS p
+      |      FROM (SELECT DISTINCT user_id, d FROM base)),
+      |u AS (SELECT COUNT(*) AS c,
+      |        COUNT(CASE WHEN user_id % 10 = 3 THEN 1 END) AS p
+      |      FROM (SELECT DISTINCT user_id FROM base))
+      |SELECT 'events_raw' AS tbl, c AS n_before, p AS n_purged,
+      |  c - p AS n_after, CAST(0 AS BIGINT) AS n_leaked FROM r
+      |UNION ALL SELECT 'user_daily', c, p, c - p, 0 FROM dd
+      |UNION ALL SELECT 'user_profile', c, p, c - p, 0 FROM u
+      |ORDER BY tbl""".stripMargin
+
+  // ---------------------------------------------------------------- histogram
+  /** Per-group fixed-bin histogram ([[graft.quality.Profiler.histogram]]):
+    * event values bucketed into 8 bins over each type's own (lo, hi)
+    * range. The bucket expression is explicit single-op IEEE arithmetic,
+    * so the oracle replays every boundary value bit-for-bit.
+    */
+  def audHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.histogram(
+      Tables.events(spark, dir), "value", 8, Seq("event_type"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  private val audHistogramSql =
+    """WITH vals AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+      |), ranges AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM vals GROUP BY event_type
+      |)
+      |SELECT v.event_type,
+      |  CASE WHEN r.hi = r.lo THEN CAST(0 AS BIGINT)
+      |       ELSE LEAST(CAST(7 AS BIGINT),
+      |         CAST(floor(((v.value - r.lo) * 8) / (r.hi - r.lo)) AS BIGINT))
+      |  END AS bucket,
+      |  COUNT(*) AS n, MAX(r.lo) AS lo, MAX(r.hi) AS hi
+      |FROM vals v JOIN ranges r USING (event_type)
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   // ---------------------------------------------------------------- contracts
   /** Model contracts (reference table.sql:39 persist_constraints; dbt
     * `contract: enforced`): a conforming model materializes with its
@@ -1683,6 +1758,8 @@ object MaterializationQueries {
     "mat_file_formats" -> (matFileFormats _),
     "mat_contract" -> (matContract _),
     "mat_hooks" -> (matHooks _),
+    "gov_erasure" -> (govErasure _),
+    "aud_histogram" -> (audHistogram _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "rel_compact" -> (relCompact _),
     "rel_zorder" -> (relZorder _),
@@ -1728,6 +1805,8 @@ object MaterializationQueries {
     "mat_file_formats" -> matFileFormatsSql,
     "mat_contract" -> matContractSql,
     "mat_hooks" -> matHooksSql,
+    "gov_erasure" -> govErasureSql,
+    "aud_histogram" -> audHistogramSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "rel_compact" -> relCompactSql,
     "rel_zorder" -> relZorderSql,

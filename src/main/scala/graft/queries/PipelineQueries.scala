@@ -225,6 +225,89 @@ object PipelineQueries {
       count(when(col("doc_id") >= 6000000L, 1)).as("n_noisy_survivors"))
   }
 
+  /** Corpus snapshot diff ([[graft.operators.SnapshotDiff]]): v1 is a
+    * deterministic past version of the documents corpus — every doc_id%5==0
+    * doc not yet ingested (→ added), every (kept) doc_id%3==0 doc carrying
+    * older text (→ changed), plus 25 since-deleted synthetic docs
+    * (→ removed). Content compares by scan-local md5, so the full-outer
+    * join exchanges 40-byte rows, never text.
+    */
+  def pipeCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 8000000L))
+    graft.operators.SnapshotDiff.summary(v1, docs, "doc_id", Seq("text"))
+      .orderBy(col("status"))
+  }
+
+  private val pipeCorpusDiffSql =
+    """WITH v1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text || ' v1' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 8000000, text FROM documents WHERE doc_id < 25
+      |), o AS (SELECT doc_id AS key, md5(text) AS h FROM v1),
+      |c AS (SELECT doc_id AS key, md5(text) AS h FROM documents)
+      |SELECT CASE WHEN o.key IS NULL THEN 'added'
+      |            WHEN c.key IS NULL THEN 'removed'
+      |            WHEN o.h <> c.h THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  COUNT(*) AS n
+      |FROM o FULL JOIN c ON o.key = c.key
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** Quality-argmax dedup survivors ([[Dedup.keepBest]]): planted
+    * normalize-equal variants (case + whitespace noise, 5 chars longer)
+    * must WIN their cluster under the keep-longest policy — the opposite
+    * outcome of the keep-min-id [[Dedup.exact]] every other dedup gate
+    * pins, which is exactly the point: survivor choice is a policy, and
+    * curation wants the best copy, not the first.
+    */
+  def pipeClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val variants = docs.filter(col("doc_id") < 60)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+      .withColumn("text", concat(lit("  "), upper(col("text")), lit("   ")))
+    val corpus = docs.unionByName(variants)
+      .withColumn("norm", TextAnalysis.normalize(col("text")))
+    Dedup.keepBest(corpus, Seq("norm"),
+      Seq(length(col("text")), negate(col("doc_id"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_survivors"),
+        count(when(col("doc_id") >= 7000000L, 1)).as("n_variant_wins"),
+        sum(length(col("text"))).as("total_len"))
+      .orderBy(col("source"))
+  }
+
+  private val pipeClusterBestSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 7000000, '  ' || upper(text) || '   ', source
+      |  FROM documents WHERE doc_id < 60
+      |), keyed AS (
+      |  SELECT doc_id, text, source,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |      'https?://\S+', '<url>', 'g'),
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+      |      '\s+', ' ', 'g')) AS norm
+      |  FROM corpus
+      |), best AS (
+      |  SELECT doc_id, text, source FROM keyed
+      |  QUALIFY row_number() OVER (PARTITION BY norm
+      |    ORDER BY length(text) DESC, doc_id ASC) = 1
+      |)
+      |SELECT source, COUNT(*) AS n_survivors,
+      |  COUNT(CASE WHEN doc_id >= 7000000 THEN 1 END) AS n_variant_wins,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_len
+      |FROM best GROUP BY source ORDER BY source""".stripMargin
+
   private val pipeNormalizeDedupSql =
     """WITH with_url AS (
       |  SELECT doc_id, text || ' see https://src.example/' || doc_id AS text
@@ -3451,6 +3534,8 @@ object PipelineQueries {
     "txt_normalize" -> (txtNormalize _),
     "txt_stopword_ratio" -> (txtStopwordRatio _),
     "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
+    "pipe_corpus_diff" -> (pipeCorpusDiff _),
+    "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_exact" -> (ddExact _),
     "dd_minhash" -> (ddMinhash _),
@@ -3539,6 +3624,8 @@ object PipelineQueries {
     "txt_normalize" -> txtNormalizeSql,
     "txt_stopword_ratio" -> txtStopwordRatioSql,
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,
+    "pipe_corpus_diff" -> pipeCorpusDiffSql,
+    "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_planted" -> ddMinhashPlantedSql,

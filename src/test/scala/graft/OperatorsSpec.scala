@@ -540,4 +540,92 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       PageRank.run(tri, "s", "d", 1, dampNum = 101, dampDen = 100))
   }
+
+  test("snapshot diff: all four statuses; multi-column separator") {
+    import graft.operators.SnapshotDiff
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val cur = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "t")
+    val got = SnapshotDiff.diff(old, cur, "id", Seq("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // NUL separator keeps shifted column boundaries distinct.
+    val o2 = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val c2 = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    val s2 = SnapshotDiff.diff(o2, c2, "id", Seq("x", "y")).collect()(0)
+    assert(s2.getString(1) === "changed")
+    intercept[IllegalArgumentException](SnapshotDiff.diff(old, cur, "id", Nil))
+  }
+
+  test("keepBest: quality winner, struct tie-break, min-id opposite") {
+    import graft.dedup.Dedup
+    val df = Seq(
+      (1L, "k1", 5), (2L, "k1", 9), (3L, "k1", 9), // 9-tie → -id max = id 2
+      (4L, "k2", 1)
+    ).toDF("id", "key", "score")
+    val best = Dedup.keepBest(df, Seq("key"),
+      Seq(col("score"), negate(col("id"))))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(best === Map("k1" -> 2L, "k2" -> 4L))
+    // Same groups under exact() keep the min id — the policy difference.
+    val first = Dedup.exact(df, Seq("key"), Seq(col("id")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(first === Map("k1" -> 1L, "k2" -> 4L))
+    intercept[IllegalArgumentException](Dedup.keepBest(df, Seq("key"), Nil))
+  }
+
+  test("mad outliers: hand-computed medians, degenerate MAD, guard") {
+    import graft.operators.Anomaly
+    // g: values 1..7 + spike 100 → med of 8 = 4th element (rank (8-1)//2+1)
+    // = 4; devs sorted: 0,1,1,2,2,3,3,96 → mad = rank 4 = 2; outliers:
+    // dev > 6 → only the spike.
+    val df = (Seq(1, 2, 3, 4, 5, 6, 7, 100).zipWithIndex.map {
+      case (v, i) => ("g", v.toDouble, i.toLong)
+    } ++ Seq(("h", 5.0, 90L), ("h", 5.0, 91L), ("h", 7.0, 92L)))
+      .toDF("grp", "v", "id")
+    val out = Anomaly.madOutliers(df, "grp", "v", "id", k = 3)
+    val g = out.filter(col("grp") === "g")
+    assert(g.select(max("__med"), max("__mad")).collect()(0)
+      === org.apache.spark.sql.Row(4.0, 2.0))
+    assert(g.filter(col("is_outlier")).select("v").collect()
+      .map(_.getDouble(0)).toSeq === Seq(100.0))
+    // Degenerate MAD = 0 (majority identical): ANY deviation flags.
+    val h = out.filter(col("grp") === "h")
+    assert(h.select(max("__mad")).collect()(0).getDouble(0) === 0.0)
+    assert(h.filter(col("is_outlier")).select("v").collect()
+      .map(_.getDouble(0)).toSeq === Seq(7.0))
+    intercept[IllegalArgumentException](
+      Anomaly.madOutliers(df, "grp", "v", "id", k = 0))
+  }
+
+  test("histogram: explicit buckets, clamped max, constant group, guards") {
+    import graft.quality.Profiler
+    val df = Seq(("a", 0.0), ("a", 2.5), ("a", 5.0), ("a", 10.0),
+      ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val got = Profiler.histogram(df, "v", 4, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: lo=0 hi=10 → buckets 0,1,2 (2.5→1, 5→2), 10 clamps to 3.
+    assert(got === Map(("a", 0L) -> 1L, ("a", 1L) -> 1L, ("a", 2L) -> 1L,
+      ("a", 3L) -> 1L, ("b", 0L) -> 2L))
+    intercept[IllegalArgumentException](Profiler.histogram(df, "v", 0, Seq("g")))
+    intercept[IllegalArgumentException](Profiler.histogram(df, "v", 4, Nil))
+  }
+
+  test("eraseKeys: purges across partitions; fully-erased partition dies") {
+    import graft.quality.Governance
+    val t = s"default.erase_spec_${System.nanoTime()}"
+    Seq((1L, "p1", "x"), (2L, "p1", "y"), (3L, "p2", "z"), (3L, "p3", "w"))
+      .toDF("uid", "part", "payload")
+      .write.partitionBy("part").saveAsTable(t)
+    val (before, purged, after) = Governance.eraseKeys(spark, t, "uid",
+      Seq(3L).toDF("k"))
+    assert((before, purged, after) === ((4L, 2L, 2L)))
+    // p2 and p3 lost ALL rows — under dynamic overwrite they would
+    // silently survive; static mode must have removed them.
+    val parts = spark.table(t).select("part").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(parts === Set("p1"))
+    assert(spark.table(t).filter(col("uid") === 3L).count() === 0)
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -362,6 +362,55 @@ object EventQueries {
       |FROM dev d JOIN mad a USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** Winsorization: clip event values into each type's [p01, p99] —
+    * the outlier-capping normalization a pipeline applies before
+    * aggregating heavy-tailed telemetry. Both bounds are SELECTED
+    * elements ([[graft.operators.Quantiles]] discrete ranks), the clip is
+    * least/greatest against them, and the clipped sum goes through the
+    * DECIMAL(18,2) discipline — every output column replays exactly.
+    */
+  def evtWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = graft.operators.Quantiles
+      .groupQuantiles(ev, "event_type", "value", "event_id",
+        Seq(("p01", 1, 100), ("p99", 99, 100)))
+      .select(col("event_type"), col("p01"), col("p99"))
+    ev.filter(col("value").isNotNull)
+      .join(bounds, Seq("event_type"))
+      .withColumn("clipped",
+        least(greatest(col("value"), col("p01")), col("p99")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("p01"), lit(1))).as("n_low"),
+        count(when(col("value") > col("p99"), lit(1))).as("n_high"),
+        max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+        sum(col("clipped").cast(D2)).cast(DoubleType).as("total_clipped"))
+      .orderBy(col("event_type"))
+  }
+
+  private val evtWinsorizeSql =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |), bounds AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (1 * (n - 1)) // 100 + 1 THEN value END) AS p01,
+      |    MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS p99
+      |  FROM ranked GROUP BY event_type
+      |)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  COUNT(CASE WHEN e.value < b.p01 THEN 1 END) AS n_low,
+      |  COUNT(CASE WHEN e.value > b.p99 THEN 1 END) AS n_high,
+      |  MAX(b.p01) AS p01, MAX(b.p99) AS p99,
+      |  CAST(SUM(CAST(least(greatest(e.value, b.p01), b.p99)
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total_clipped
+      |FROM events e JOIN bounds b USING (event_type)
+      |WHERE e.value IS NOT NULL
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Cohort retention: users grouped by their FIRST event's day; for
     * each day-offset, how many of the cohort came back. The classic
     * engagement rollup — and a deliberately join-reuse-shaped plan: the
@@ -436,6 +485,7 @@ object EventQueries {
     "evt_retention" -> (evtRetention _),
     "evt_quantiles" -> (evtQuantiles _),
     "evt_anomaly" -> (evtAnomaly _),
+    "evt_winsorize" -> (evtWinsorize _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -450,6 +500,7 @@ object EventQueries {
     "evt_retention" -> evtRetentionSql,
     "evt_quantiles" -> evtQuantilesSql,
     "evt_anomaly" -> evtAnomalySql,
+    "evt_winsorize" -> evtWinsorizeSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

@@ -225,6 +225,27 @@ object PipelineQueries {
       count(when(col("doc_id") >= 6000000L, 1)).as("n_noisy_survivors"))
   }
 
+  /** Exact top-10 tokens via the two-pass Misra–Gries operator
+    * ([[graft.text.HeavyHitters]]), capacity 64 — above the corpus's
+    * ~31-token vocabulary, so MG retention is total and the output is the
+    * TRUE top-k, which the oracle recomputes as a plain exact top-k. The
+    * operator's value is the plan shape (bounded candidate generation +
+    * candidates-only exchange), not a different answer.
+    */
+  def txtHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.topTokens(
+      Tables.documents(spark, dir), "text", k = 10, capacity = 64)
+
+  private val txtHeavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+      |  GROUP BY token
+      |)
+      |SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 10""".stripMargin
+
   /** Corpus snapshot diff ([[graft.operators.SnapshotDiff]]): v1 is a
     * deterministic past version of the documents corpus — every doc_id%5==0
     * doc not yet ingested (→ added), every (kept) doc_id%3==0 doc carrying
@@ -3535,6 +3556,7 @@ object PipelineQueries {
     "txt_stopword_ratio" -> (txtStopwordRatio _),
     "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
     "pipe_corpus_diff" -> (pipeCorpusDiff _),
+    "txt_heavy_hitters" -> (txtHeavyHitters _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_exact" -> (ddExact _),
@@ -3625,6 +3647,7 @@ object PipelineQueries {
     "txt_stopword_ratio" -> txtStopwordRatioSql,
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,
     "pipe_corpus_diff" -> pipeCorpusDiffSql,
+    "txt_heavy_hitters" -> txtHeavyHittersSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,

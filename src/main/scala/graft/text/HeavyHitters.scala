@@ -1,0 +1,93 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Two-pass distributed heavy hitters over the token stream — the
+  * "frequent n-grams / vocabulary head without a full token shuffle"
+  * primitive (boilerplate detection, stopword discovery, vocab cuts all
+  * start here). A naive top-k is `explode → groupBy(token) → top-k`:
+  * at 100 TB the exchange carries every token occurrence. This operator
+  * bounds that:
+  *
+  *   Pass 1 — Misra–Gries per PARTITION (`mapPartitions`, bounded
+  *   `capacity` counters regardless of partition size): any token whose
+  *   true partition frequency exceeds n_p/(capacity+1) survives as a
+  *   candidate; the union of per-partition survivors (≤ capacity ×
+  *   partitions rows, tokens only) is the complete candidate set for any
+  *   global frequency above n/(capacity+1) — a standard MG merge bound.
+  *
+  *   Pass 2 — EXACT recount of candidates only: the token stream filters
+  *   against the broadcast candidate set before anything exchanges, so
+  *   the groupBy aggregates ≤ capacity × partitions distinct keys while
+  *   every non-candidate token dies scan-local. The output is therefore
+  *   the TRUE top-k by exact count (ties broken token-asc) whenever the
+  *   k-th true frequency clears the MG retention bound — which the caller
+  *   guarantees by sizing `capacity` ≥ vocabulary-head size (the gate
+  *   sizes it above the corpus vocabulary, making retention total).
+  *
+  * Exactness of the final counts is what makes the operator
+  * oracle-checkable: the sketch only SELECTS, it never reports its own
+  * (lower-bound) counters.
+  */
+object HeavyHitters {
+
+  /** Per-partition Misra–Gries summary: returns the surviving keys. */
+  private[graft] def misraGries(tokens: Iterator[String],
+      capacity: Int): Iterator[String] = {
+    val counters = mutable.HashMap.empty[String, Long]
+    tokens.foreach { t =>
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None =>
+          if (counters.size < capacity) counters.update(t, 1L)
+          else {
+            // Decrement-all step; drop zeros. Amortized O(1) per token:
+            // each decrement sweep pays for the capacity insertions that
+            // preceded it.
+            val dead = mutable.ArrayBuffer.empty[String]
+            counters.mapValuesInPlace((_, c) => c - 1)
+            counters.foreach { case (k, c) => if (c == 0) dead += k }
+            dead.foreach(counters.remove)
+          }
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** (token, n) for the exact top `k` whitespace tokens of `textCol`,
+    * ordered (n desc, token asc). `capacity` is the per-partition counter
+    * budget — size it comfortably above the expected head (k ≪ capacity);
+    * the MG bound only guarantees candidates with global frequency
+    * > n/(capacity+1), and a too-small capacity silently degrades top-k
+    * completeness (the classic sketch trade-off, made explicit here).
+    */
+  def topTokens(docs: DataFrame, textCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(capacity >= k, s"capacity $capacity must be >= k $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokenized = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(col("__toks").isNotNull)
+    val candidates = tokenized
+      .mapPartitions { rows =>
+        misraGries(
+          rows.flatMap(_.getSeq[String](0).iterator.filter(_.nonEmpty)),
+          capacity)
+      }(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token").distinct()
+    tokenized
+      .select(explode(col("__toks")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+}

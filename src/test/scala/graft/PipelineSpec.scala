@@ -1472,4 +1472,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.toSeq === r2.toSeq, "resample is a pure function of (corpus, salt)")
     assert(r1.length === 2 && r1.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
+
+  test("heavy hitters: MG retention bound, top-k exactness, guards") {
+    import graft.text.HeavyHitters
+    // MG kernel: capacity 2 over a stream where 'a' has frequency 6/12 —
+    // far above n/(cap+1)=4 — so 'a' MUST survive any adversarial order.
+    val stream = Seq("a", "x", "a", "y", "a", "z", "a", "w", "a", "v", "a", "u")
+    val kept = HeavyHitters.misraGries(stream.iterator, 2).toSet
+    assert(kept.contains("a"))
+    assert(kept.size <= 2)
+    // Whole operator: Zipf-ish corpus split across many partitions with a
+    // capacity well under the vocabulary — the head must still be exact
+    // because head frequencies clear the bound.
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      val tail = s"rare${i % 97}" // 97 distinct tail tokens, ~4 each
+      (i.toLong, s"alpha alpha alpha beta beta $tail")
+    }.toDF("doc_id", "text").repartition(13)
+    val top = HeavyHitters.topTokens(docs, "text", k = 2, capacity = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.toSeq === Seq("alpha" -> 1200L, "beta" -> 800L))
+    intercept[IllegalArgumentException](
+      HeavyHitters.topTokens(docs, "text", k = 0, capacity = 8))
+    intercept[IllegalArgumentException](
+      HeavyHitters.topTokens(docs, "text", k = 9, capacity = 8))
+  }
 }

@@ -308,6 +308,73 @@ object PlanAudit {
       println(p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     }
 
+    // PageRank: each iteration's exchanges carry only (node, rank) /
+    // (dst, contribution) 16-byte rows. run() checkpoints every round
+    // (the audit would only see the final scan), so replicate ONE
+    // iteration's plan inline — the same joins run() builds — and check
+    // no exchange row is wider than two attributes.
+    println("=== pageRank iteration (want narrow 16-byte exchanges only) ===")
+    locally {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct().localCheckpoint()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .localCheckpoint()
+      val ranks = edges.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1000000L)).localCheckpoint()
+      val step = edges.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div __deg")).as("__in"))
+      val nxt = ranks.select(col("node"))
+        .join(step, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(__in, 0L)) div 100")).as("rank"))
+      nxt.collect()
+      // Widest exchange row: inspect the logical aggregate/join inputs
+      // feeding each physical Exchange via the executed plan string.
+      println(nxt.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+        .mkString("\n"))
+    }
+
+    // Heavy hitters: pass 2's aggregation exchange must sit BEHIND the
+    // broadcast candidate semi-join (only candidate tokens shuffle); the
+    // candidate side itself is the bounded mapPartitions sketch.
+    println("=== heavyHitters topTokens (want broadcast semi-join before the count exchange) ===")
+    locally {
+      val hh = graft.text.HeavyHitters.topTokens(docs, "text", 10, 64)
+      hh.collect()
+      println(hh.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+        .mkString("\n"))
+    }
+
+    // Erasure: the rewrite's survivor scan must be ONE broadcast anti-join
+    // over the deletion list — no shuffle of the table being erased.
+    println("=== eraseKeys survivors (want BroadcastHashJoin LeftAnti, zero shuffle) ===")
+    locally {
+      import spark.implicits._
+      spark.sql(s"DROP TABLE IF EXISTS $db.erase_audit")
+      Tables.events(spark, dir).write.saveAsTable(s"$db.erase_audit")
+      val keys = Seq(3L, 13L).toDF("user_id")
+      val surv = spark.table(s"$db.erase_audit")
+        .join(broadcast(keys), Seq("user_id"), "left_anti")
+      val p = surv.queryExecution.executedPlan.toString
+      // The deletion list itself broadcasts (a BroadcastExchange is the
+      // mechanism, not a shuffle); what must NOT appear is a
+      // hashpartitioning shuffle of the table being erased.
+      val nShuffles = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      println(s"table shuffles: $nShuffles (want 0), " +
+        s"broadcast anti-join: ${p.contains("BroadcastHashJoin") && p.contains("LeftAnti")} (want true)")
+      println(p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    }
+
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.stop()
   }

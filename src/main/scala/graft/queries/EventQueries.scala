@@ -411,6 +411,45 @@ object EventQueries {
       |WHERE e.value IS NOT NULL
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Time-series gap fill: each event type's hourly count series
+    * densified over its own [min hour, max hour] span — missing hours
+    * surface as explicit zero rows (the resample/fill step before any
+    * windowed trend or anomaly math; a gap that stays implicit silently
+    * shortens every moving average). The spine is generated per type from
+    * the span endpoints (one row per type → sequence/explode is
+    * metadata-sized) and left-joins the observed counts; exact hour
+    * arithmetic on both engines.
+    */
+  def evtGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        col("cnt").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  private val evtGapFillSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+      |  FROM hourly GROUP BY event_type
+      |)
+      |SELECT s.event_type, s.h, COALESCE(hh.cnt, 0) AS n,
+      |  hh.cnt IS NULL AS is_gap
+      |FROM spine s LEFT JOIN hourly hh
+      |  ON hh.event_type = s.event_type AND hh.h = s.h
+      |ORDER BY s.event_type, s.h""".stripMargin
+
   /** Cohort retention: users grouped by their FIRST event's day; for
     * each day-offset, how many of the cohort came back. The classic
     * engagement rollup — and a deliberately join-reuse-shaped plan: the
@@ -486,6 +525,7 @@ object EventQueries {
     "evt_quantiles" -> (evtQuantiles _),
     "evt_anomaly" -> (evtAnomaly _),
     "evt_winsorize" -> (evtWinsorize _),
+    "evt_gap_fill" -> (evtGapFill _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -501,6 +541,7 @@ object EventQueries {
     "evt_quantiles" -> evtQuantilesSql,
     "evt_anomaly" -> evtAnomalySql,
     "evt_winsorize" -> evtWinsorizeSql,
+    "evt_gap_fill" -> evtGapFillSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

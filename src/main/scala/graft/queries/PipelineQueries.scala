@@ -225,6 +225,115 @@ object PipelineQueries {
       count(when(col("doc_id") >= 6000000L, 1)).as("n_noisy_survivors"))
   }
 
+  /** Curriculum staging: documents bucketed into 4 difficulty stages by
+    * EXACT score quartiles (difficulty proxy: BPE-ish token count; the
+    * thresholds are SELECTED elements via [[graft.operators.Quantiles]],
+    * broadcast back, stage assignment scan-local) — the curriculum-
+    * learning layout WITHOUT a global total sort: stage membership needs
+    * only the three thresholds, and the within-stage training order is a
+    * range-partitioned write-time sort, not a row_number funnel. Boundary
+    * ties bucket ≤-threshold deterministically on both engines.
+    */
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("score", TextAnalysis.bpeishTokenCount(col("text")))
+      .withColumn("__g", lit(1))
+    val thresholds = graft.operators.Quantiles
+      .groupQuantiles(scored, "__g", "score", "doc_id",
+        Seq(("t25", 1, 4), ("t50", 1, 2), ("t75", 3, 4)))
+      .select(col("t25"), col("t50"), col("t75"))
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn("stage",
+        when(col("score") <= col("t25"), lit(0))
+          .when(col("score") <= col("t50"), lit(1))
+          .when(col("score") <= col("t75"), lit(2))
+          .otherwise(lit(3)))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("score").cast("long")).as("total_tokens"))
+      .orderBy(col("stage"))
+  }
+
+  private val pipeCurriculumSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS score
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT score,
+      |    row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM scored
+      |), th AS (
+      |  SELECT
+      |    MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN score END) AS t25,
+      |    MAX(CASE WHEN rn = (1 * (n - 1)) // 2 + 1 THEN score END) AS t50,
+      |    MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN score END) AS t75
+      |  FROM ranked
+      |)
+      |SELECT CASE WHEN score <= t25 THEN 0 WHEN score <= t50 THEN 1
+      |            WHEN score <= t75 THEN 2 ELSE 3 END AS stage,
+      |  COUNT(*) AS n_docs, MIN(score) AS min_score, MAX(score) AS max_score,
+      |  CAST(SUM(score) AS BIGINT) AS total_tokens
+      |FROM scored CROSS JOIN th
+      |GROUP BY 1 ORDER BY stage""".stripMargin
+
+  /** Contrastive triplet mining over the embeddings table: for each
+    * anchor, one positive (same label) and one negative (different
+    * label), each chosen by CONTENT-ADDRESSED ranking — md5 over the
+    * (anchor, candidate, role) triple — so the draw is a pure function of
+    * the ids and replays on any engine (the sampler discipline every
+    * pipe_* gate uses). min_by keeps the pick a map-side-combinable
+    * aggregation; at 100 TB the candidate sides pre-filter by hash bucket
+    * before the join instead of scanning the full corpus per anchor.
+    */
+  def pipeTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val anchors = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"))
+    def pick(cands: DataFrame, sameLabel: Boolean, role: String) = {
+      val cond = if (sameLabel)
+        col("a_label") === col("label") && col("anchor_id") =!= col("vec_id")
+      else col("a_label") =!= col("label")
+      anchors.join(cands, cond)
+        .groupBy(col("anchor_id"))
+        .agg(min_by(col("vec_id"),
+          md5(concat(col("anchor_id").cast("string"), lit("|"),
+            col("vec_id").cast("string"), lit("|" + role)))).as(role + "_id"))
+    }
+    pick(vecs, sameLabel = true, "pos")
+      .join(pick(vecs, sameLabel = false, "neg"), Seq("anchor_id"))
+      .orderBy(col("anchor_id"))
+  }
+
+  private val pipeTripletsSql =
+    """WITH anchors AS (
+      |  SELECT vec_id AS anchor_id, label AS a_label FROM embeddings
+      |  WHERE vec_id < 50
+      |), pos AS (
+      |  SELECT anchor_id, vec_id AS pos_id FROM (
+      |    SELECT a.anchor_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY a.anchor_id
+      |        ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || '|' ||
+      |                     CAST(c.vec_id AS VARCHAR) || '|pos')) AS rn
+      |    FROM anchors a JOIN embeddings c
+      |      ON a.a_label = c.label AND a.anchor_id <> c.vec_id
+      |  ) WHERE rn = 1
+      |), neg AS (
+      |  SELECT anchor_id, vec_id AS neg_id FROM (
+      |    SELECT a.anchor_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY a.anchor_id
+      |        ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || '|' ||
+      |                     CAST(c.vec_id AS VARCHAR) || '|neg')) AS rn
+      |    FROM anchors a JOIN embeddings c ON a.a_label <> c.label
+      |  ) WHERE rn = 1
+      |)
+      |SELECT p.anchor_id, p.pos_id, n.neg_id
+      |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+      |ORDER BY p.anchor_id""".stripMargin
+
   /** Exact top-10 tokens via the two-pass Misra–Gries operator
     * ([[graft.text.HeavyHitters]]), capacity 64 — above the corpus's
     * ~31-token vocabulary, so MG retention is total and the output is the
@@ -3557,6 +3666,8 @@ object PipelineQueries {
     "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
     "pipe_corpus_diff" -> (pipeCorpusDiff _),
     "txt_heavy_hitters" -> (txtHeavyHitters _),
+    "pipe_curriculum" -> (pipeCurriculum _),
+    "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_exact" -> (ddExact _),
@@ -3648,6 +3759,8 @@ object PipelineQueries {
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,
     "pipe_corpus_diff" -> pipeCorpusDiffSql,
     "txt_heavy_hitters" -> txtHeavyHittersSql,
+    "pipe_curriculum" -> pipeCurriculumSql,
+    "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,

@@ -34,6 +34,24 @@ object SnapshotStrategy {
   case object ByCheckAll extends SnapshotStrategy
 }
 
+/** dbt 1.9's `hard_deletes` config (supersedes the boolean
+  * `invalidate_hard_deletes`):
+  *   - [[HardDeletes.Ignore]]: vanished keys keep their open row (default)
+  *   - [[HardDeletes.Invalidate]]: vanished keys close at the snapshot
+  *     clock (the old `invalidate_hard_deletes: true`)
+  *   - [[HardDeletes.NewRecord]]: close the old row AND append a tombstone
+  *     version — the row's last values under `dbt_is_deleted = 'True'` —
+  *     so the history records the deletion as an event, and a later
+  *     reappearance snapshots as a fresh change (the is-deleted flag
+  *     participates in change detection).
+  */
+sealed trait HardDeletes
+object HardDeletes {
+  case object Ignore extends HardDeletes
+  case object Invalidate extends HardDeletes
+  case object NewRecord extends HardDeletes
+}
+
 final case class SnapshotConfig(
     keys: Seq[String],
     strategy: SnapshotStrategy,
@@ -47,6 +65,11 @@ final case class SnapshotConfig(
       * default because it adds the partition column to the table schema.
       */
     partitionHistory: Boolean = false,
+    /** dbt 1.9 `hard_deletes`; when left [[HardDeletes.Ignore]] the legacy
+      * `invalidateHardDeletes` boolean still selects Invalidate (the two
+      * spellings of the same knob never conflict: the enum wins when set).
+      */
+    hardDeletes: HardDeletes = HardDeletes.Ignore,
     /** dbt's `dbt_valid_to_current` (reference snapshot.sql:27-32): when
       * set, OPEN rows carry this literal timestamp in `dbt_valid_to`
       * instead of NULL (the "9999-12-31 convention" some warehouses use so
@@ -54,6 +77,12 @@ final case class SnapshotConfig(
       * detection and close-merges treat the sentinel as open.
       */
     validToCurrent: Option[Timestamp] = None) {
+  /** Effective hard-delete mode (enum wins over the legacy boolean). */
+  def deleteMode: HardDeletes =
+    if (hardDeletes != HardDeletes.Ignore) hardDeletes
+    else if (invalidateHardDeletes) HardDeletes.Invalidate
+    else HardDeletes.Ignore
+
   /** Predicate: is this row's dbt_valid_to an OPEN marker? */
   def isOpen(validTo: Column): Column = validToCurrent match {
     case Some(ts) => validTo.isNull || validTo === lit(ts)
@@ -77,12 +106,19 @@ object SnapshotMaterialization {
       case SnapshotStrategy.ByTimestamp(c) => col(c)
       case _                               => now // check strategies stamp the clock
     }
-    val withMeta = source
+    val withMetaBase = source
       .withColumn("dbt_updated_at", updatedAt)
       .withColumn("dbt_valid_from", updatedAt)
       .withColumn("dbt_valid_to", cfg.openValue)
       .withColumn("dbt_scd_id",
         scdId(cfg.keys.map(col) :+ col("dbt_updated_at")))
+    // new_record mode: every live row carries the dbt 1.9 string flag
+    // ('False'/'True', dbt-core's spelling) so tombstones are first-class
+    // versions and the flag participates in change detection.
+    val withMeta =
+      if (cfg.deleteMode == HardDeletes.NewRecord)
+        withMetaBase.withColumn("dbt_is_deleted", lit("False"))
+      else withMetaBase
 
     if (!spark.catalog.tableExists(Relation.parse(target).quoted)) {
       if (cfg.partitionHistory)
@@ -131,13 +167,21 @@ object SnapshotMaterialization {
     val tHit = col("t.dbt_scd_id").isNotNull
     def checkDiff(cols: Seq[String]): Column =
       cols.map(c => !(col(s"s.$c") <=> col(s"t.$c"))).reduce(_ || _)
-    val changed: Column = cfg.strategy match {
+    val strategyChanged: Column = cfg.strategy match {
       case SnapshotStrategy.ByTimestamp(c) => col(s"s.$c") > col("t.dbt_updated_at")
       case SnapshotStrategy.ByCheck(cols)  => checkDiff(cols)
       case SnapshotStrategy.ByCheckAll     =>
         checkDiff(withMeta.columns.toSeq
           .filterNot(_.startsWith("dbt_")).filterNot(cfg.keys.contains))
     }
+    // new_record: a key whose current version is a TOMBSTONE and which is
+    // back in the source has "changed" even when every check column equals
+    // the tombstone's copied values (dbt-core compares dbt_is_deleted too)
+    // — otherwise a deleted-then-restored row would never re-open.
+    val changed: Column =
+      if (cfg.deleteMode == HardDeletes.NewRecord)
+        strategyChanged || !(col("s.dbt_is_deleted") <=> col("t.dbt_is_deleted"))
+      else strategyChanged
 
     val srcCols = withMeta.columns.toSeq
     def sSide = srcCols.map(c => col(s"s.$c").as(c))
@@ -156,17 +200,41 @@ object SnapshotMaterialization {
         case "dbt_valid_to" => col("s.dbt_valid_from").as("dbt_valid_to")
         case c               => col(s"s.$c").as(c)
       } :+ lit("update").as("dbt_change_type"): _*)
-    // Vanished keys → close at the snapshot clock (optional).
+    // Vanished keys → close at the snapshot clock (invalidate/new_record).
+    // In new_record mode a key whose current version is ALREADY a
+    // tombstone must not re-close (or re-tombstone) every subsequent run.
+    val vanished = cfg.deleteMode match {
+      case HardDeletes.Ignore => joined.filter(lit(false))
+      case HardDeletes.Invalidate => joined.filter(tHit && !sHit)
+      case HardDeletes.NewRecord =>
+        joined.filter(tHit && !sHit && col("t.dbt_is_deleted") === "False")
+    }
     val deletes =
-      if (!cfg.invalidateHardDeletes) None
-      else Some(joined.filter(tHit && !sHit).select(
+      if (cfg.deleteMode == HardDeletes.Ignore) None
+      else Some(vanished.select(
         srcCols.map {
           case "dbt_scd_id"   => col("t.dbt_scd_id").as("dbt_scd_id")
           case "dbt_valid_to" => now.as("dbt_valid_to")
           case c               => col(s"t.$c").as(c)
         } :+ lit("delete").as("dbt_change_type"): _*))
+    // new_record tombstones: the row's last values re-inserted as an OPEN
+    // version flagged deleted, stamped and scd-identified at the snapshot
+    // clock (key + clock, the same id rule as any other version).
+    val tombstones =
+      if (cfg.deleteMode != HardDeletes.NewRecord) None
+      else Some(vanished.select(
+        srcCols.map {
+          case "dbt_scd_id" =>
+            scdId(cfg.keys.map(k => col(s"t.$k")) :+ now).as("dbt_scd_id")
+          case "dbt_valid_from"  => now.as("dbt_valid_from")
+          case "dbt_valid_to"    => cfg.openValue.as("dbt_valid_to")
+          case "dbt_updated_at"  => now.as("dbt_updated_at")
+          case "dbt_is_deleted"  => lit("True").as("dbt_is_deleted")
+          case c                  => col(s"t.$c").as(c)
+        } :+ lit("insert").as("dbt_change_type"): _*))
 
-    (Seq(inserts, newVersions, closeOld) ++ deletes).reduce(_ unionByName _)
+    (Seq(inserts, newVersions, closeOld) ++ deletes ++ tombstones)
+      .reduce(_ unionByName _)
   }
 
   /** Close-date partition column: open rows live under a far-future

@@ -305,6 +305,55 @@ object MaterializationQueries {
       |  CASE WHEN c_nationkey = 2 THEN TIMESTAMP '2024-02-01' END AS dbt_valid_to
       |FROM customer ORDER BY c_custkey, dbt_valid_from""".stripMargin
 
+  /** dbt 1.9 `hard_deletes = 'new_record'` ([[HardDeletes.NewRecord]]):
+    * deletion recorded as an event — the vanished key's open row closes
+    * AND a tombstone version (`dbt_is_deleted = 'True'`) opens; a later
+    * reappearance closes the tombstone and opens a fresh live version
+    * (the is-deleted flag participates in change detection, so restores
+    * re-open even when every check column matches the tombstone's copied
+    * values). Three runs: full → nation-2 deleted → full again.
+    */
+  def snapScd2NewRecord(spark: SparkSession, dir: String): DataFrame = {
+    val db = scratchDb(spark)
+    val t = s"$db.customer_snapshot_nr"
+    val c = Tables.customer(spark, dir)
+    def cfg(ts: Timestamp) = SnapshotConfig(
+      keys = Seq("c_custkey"),
+      strategy = SnapshotStrategy.ByCheck(Seq("c_acctbal")),
+      hardDeletes = HardDeletes.NewRecord,
+      clock = () => ts)
+    SnapshotMaterialization.run(spark, t, c,
+      cfg(Timestamp.valueOf("2024-01-01 00:00:00")))
+    SnapshotMaterialization.run(spark, t, c.filter(col("c_nationkey") =!= 2),
+      cfg(Timestamp.valueOf("2024-02-01 00:00:00")))
+    SnapshotMaterialization.run(spark, t, c,
+      cfg(Timestamp.valueOf("2024-03-01 00:00:00")))
+    spark.table(t)
+      .select(col("c_custkey"), col("c_acctbal"), col("dbt_valid_from"),
+        col("dbt_valid_to"), col("dbt_is_deleted"))
+      .orderBy(col("c_custkey"), col("dbt_valid_from"))
+  }
+
+  private val snapScd2NewRecordSql =
+    """SELECT c_custkey, c_acctbal, dbt_valid_from, dbt_valid_to,
+      |  dbt_is_deleted
+      |FROM (
+      |  SELECT c_custkey, c_acctbal,
+      |    TIMESTAMP '2024-01-01' AS dbt_valid_from,
+      |    CASE WHEN c_nationkey = 2 THEN TIMESTAMP '2024-02-01' END
+      |      AS dbt_valid_to,
+      |    'False' AS dbt_is_deleted
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, TIMESTAMP '2024-02-01',
+      |    TIMESTAMP '2024-03-01', 'True'
+      |  FROM customer WHERE c_nationkey = 2
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, TIMESTAMP '2024-03-01',
+      |    CAST(NULL AS TIMESTAMP), 'False'
+      |  FROM customer WHERE c_nationkey = 2
+      |) ORDER BY c_custkey, dbt_valid_from""".stripMargin
+
   // ---------------------------------------------------------------- O4 part
   /** Same SCD2 scenario as snap_scd2 but with history partitioned by close
     * date (the 100 TB layout: a run scans/rewrites only the open partition
@@ -1774,6 +1823,7 @@ object MaterializationQueries {
     "snap_scd2" -> (snapScd2 _),
     "snap_scd2_part" -> (snapScd2Part _),
     "snap_scd2_deletes" -> (snapScd2Deletes _),
+    "snap_scd2_new_record" -> (snapScd2NewRecord _),
     "lf_secured_view" -> (lfSecuredView _),
     "seed_types" -> (seedTypes _),
     "dq_accepted_values" -> (dqAcceptedValues _),
@@ -1821,6 +1871,7 @@ object MaterializationQueries {
     "snap_scd2" -> snapScd2Sql,
     "snap_scd2_part" -> snapScd2Sql, // identical logical result by design
     "snap_scd2_deletes" -> snapScd2DeletesSql,
+    "snap_scd2_new_record" -> snapScd2NewRecordSql,
     "lf_secured_view" -> lfSecuredViewSql,
     "seed_types" -> seedTypesSql,
     "dq_accepted_values" -> dqAcceptedValuesSql,

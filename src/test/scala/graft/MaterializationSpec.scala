@@ -469,6 +469,45 @@ class MaterializationSpec extends AnyFunSuite {
     }
   }
 
+  test("new_record hard deletes: tombstone once, restore re-opens") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val t = freshTable()
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    def cfg(ts: String) = SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("v")),
+      hardDeletes = HardDeletes.NewRecord,
+      clock = () => Timestamp.valueOf(ts))
+    SnapshotMaterialization.run(spark, t, src, cfg("2024-01-01 00:00:00"))
+    // id 2 vanishes → close + tombstone.
+    SnapshotMaterialization.run(spark, t, src.filter(col("id") === 1),
+      cfg("2024-02-01 00:00:00"))
+    // STILL missing → idempotent: no second tombstone, nothing re-closed.
+    SnapshotMaterialization.run(spark, t, src.filter(col("id") === 1),
+      cfg("2024-02-15 00:00:00"))
+    val afterTwo = spark.table(t).filter(col("id") === 2)
+      .select("dbt_valid_from", "dbt_valid_to", "dbt_is_deleted")
+      .collect().map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)),
+        r.getString(2))).toSet
+    assert(afterTwo === Set(
+      ("2024-01-01 00:00:00.0", "2024-02-01 00:00:00.0", "False"),
+      ("2024-02-01 00:00:00.0", "null", "True")))
+    // Restore with IDENTICAL check values: is_deleted diff must re-open.
+    SnapshotMaterialization.run(spark, t, src, cfg("2024-03-01 00:00:00"))
+    val restored = spark.table(t).filter(col("id") === 2)
+      .select("dbt_valid_from", "dbt_valid_to", "dbt_is_deleted")
+      .collect().map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)),
+        r.getString(2))).toSet
+    assert(restored === Set(
+      ("2024-01-01 00:00:00.0", "2024-02-01 00:00:00.0", "False"),
+      ("2024-02-01 00:00:00.0", "2024-03-01 00:00:00.0", "True"),
+      ("2024-03-01 00:00:00.0", "null", "False")))
+    // Legacy boolean still selects Invalidate when the enum is unset.
+    assert(SnapshotConfig(Seq("id"), SnapshotStrategy.ByCheckAll,
+      invalidateHardDeletes = true).deleteMode === HardDeletes.Invalidate)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("contracts: reorder, type/column/constraint failures are tagged") {
     import spark.implicits._
     import Contracts.ColumnSpec

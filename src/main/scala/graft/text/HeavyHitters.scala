@@ -66,28 +66,45 @@ object HeavyHitters {
     * > n/(capacity+1), and a too-small capacity silently degrades top-k
     * completeness (the classic sketch trade-off, made explicit here).
     */
-  def topTokens(docs: DataFrame, textCol: String, k: Int,
+  /** Pass 1 alone: the distinct per-partition MG survivors — a bounded
+    * (token)-frame. Exposed because the candidate pass COMPOSES: a
+    * rolling/streaming ingestion can union each batch's candidates into a
+    * persisted set (pigeonhole: a token globally above n/(capacity+1)
+    * must be above the same ratio in at least one batch, so the union
+    * retains every global heavy hitter) and pay the exact recount once at
+    * read time — the same accumulate-then-settle shape as the dedup
+    * ledger.
+    */
+  def candidates(docs: DataFrame, textCol: String,
       capacity: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    require(capacity >= k, s"capacity $capacity must be >= k $k")
-    val spark = docs.sparkSession
-    import spark.implicits._
+    require(capacity >= 1, s"capacity must be >= 1: $capacity")
     val tokenized = docs
       .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(col("__toks").isNotNull)
-    val candidates = tokenized
+    tokenized
       .mapPartitions { rows =>
         misraGries(
           rows.flatMap(_.getSeq[String](0).iterator.filter(_.nonEmpty)),
           capacity)
       }(org.apache.spark.sql.Encoders.STRING)
       .toDF("token").distinct()
-    tokenized
-      .select(explode(col("__toks")).as("token"))
+  }
+
+  /** Exact recount of `cands` tokens only, true top-k among them. */
+  def recount(docs: DataFrame, textCol: String, cands: DataFrame,
+      k: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .join(broadcast(cands.select(col(cands.columns.head).as("token"))
+        .distinct()), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  def topTokens(docs: DataFrame, textCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(capacity >= k, s"capacity $capacity must be >= k $k")
+    recount(docs, textCol, candidates(docs, textCol, capacity), k)
   }
 }

@@ -276,6 +276,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MG candidate accumulation settles to the batch top-k") {
+    import graft.text.HeavyHitters
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_hh")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_hh_out")
+    // Per micro-batch, run ONLY the bounded MG candidate pass and append
+    // the survivors (the streaming half of the accumulate-then-settle
+    // shape); the pigeonhole bound guarantees the union retains every
+    // global heavy hitter no matter how the files batch. The settle step
+    // recounts ONCE over the full corpus — the result must equal the
+    // one-shot batch operator's top-k exactly.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val accumulated = EventStreams.runBoundedForeachBatch(
+      spark, srcDir.toString, schema,
+      df => HeavyHitters.candidates(df, "text", capacity = 64),
+      outDir.toString, readOptions = Map("maxFilesPerTrigger" -> "1"))
+    val settled = HeavyHitters.recount(docs, "text", accumulated, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val oneShot = HeavyHitters.topTokens(docs, "text", k = 10, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(settled === oneShot,
+      "accumulated candidates + one settle recount = batch top-k")
+  }
+
   test("streaming NB scoring with a batch-trained model equals batch predictions") {
     import graft.text.NbClassifier
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_nb")

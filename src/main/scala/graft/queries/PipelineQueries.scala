@@ -225,6 +225,35 @@ object PipelineQueries {
       count(when(col("doc_id") >= 6000000L, 1)).as("n_noisy_survivors"))
   }
 
+  /** Hard-negative mining — the retrieval-training composition over BM25:
+    * per query, the rank-1 hit is the positive and ranks 6–10 are the
+    * hard negatives (relevant enough to rank, wrong enough to teach the
+    * margin — the standard dense-retriever training recipe). Shares the
+    * BM25 gate's queries AND its oracle CTE block, so both gates replay
+    * the identical model; only the final role/filter differs.
+    */
+  def pipeHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq((1L, "spark window sort"), (2L, "hash join merge batch"),
+      (3L, "customer stream query zzqzzq")).toDF("query_id", "qtext")
+    Bm25.search(Tables.documents(spark, dir), "doc_id", "text",
+      qs, "query_id", "qtext", k = 10, k1 = 1.5, b = 0.75)
+      .withColumn("role",
+        when(col("rank") === 1, lit("pos"))
+          .when(col("rank") >= 6, lit("hard_neg")))
+      .filter(col("role").isNotNull)
+      .select(col("query_id"), col("doc_id"), col("role"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val pipeHardNegativesSql = bm25RankedCtes +
+    """
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  CASE WHEN rank = 1 THEN 'pos' ELSE 'hard_neg' END AS role,
+      |  CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank = 1 OR (rank >= 6 AND rank <= 10)
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Curriculum staging: documents bucketed into 4 difficulty stages by
     * EXACT score quartiles (difficulty proxy: BPE-ish token count; the
     * thresholds are SELECTED elements via [[graft.operators.Quantiles]],
@@ -3243,7 +3272,13 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val txtBm25Sql =
+  /** BM25 oracle CTE block through `ranked` (query_id, doc_id, s, rank)
+    * — shared by the retrieval gate and the hard-negative composition so
+    * both replay the identical model (the NB-block precedent). A def, not
+    * a val: the consuming SQL vals sit at different points of the object
+    * body, and a val would read as null from any earlier initializer.
+    */
+  private def bm25RankedCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, t FROM (
       |    SELECT doc_id,
@@ -3289,7 +3324,10 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY query_id
       |                       ORDER BY s DESC, doc_id ASC) AS rank
       |  FROM scored
-      |)
+      |)""".stripMargin
+
+  private val txtBm25Sql = bm25RankedCtes +
+    """
       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
       |  s / 1000000.0 AS score, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 10
@@ -3667,6 +3705,7 @@ object PipelineQueries {
     "pipe_corpus_diff" -> (pipeCorpusDiff _),
     "txt_heavy_hitters" -> (txtHeavyHitters _),
     "pipe_curriculum" -> (pipeCurriculum _),
+    "pipe_hard_negatives" -> (pipeHardNegatives _),
     "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -3760,6 +3799,7 @@ object PipelineQueries {
     "pipe_corpus_diff" -> pipeCorpusDiffSql,
     "txt_heavy_hitters" -> txtHeavyHittersSql,
     "pipe_curriculum" -> pipeCurriculumSql,
+    "pipe_hard_negatives" -> pipeHardNegativesSql,
     "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

@@ -292,4 +292,39 @@ object Sampling {
       }
     df.withColumn(splitCol, when(bucket.isNotNull, expr))
   }
+
+  /** Multi-epoch repetition schedule — the quality-aware "repeat good
+    * data" mixing step (scaling-law practice: high-quality sources run
+    * several epochs while bulk crawl runs a fraction of one). Each row is
+    * replicated once per training epoch it participates in: a row with
+    * `epochsCol` = e appears in epochs 1..⌊e⌋ unconditionally and in the
+    * final partial epoch ⌈e⌉ by content-addressed draw at rate e − ⌊e⌋
+    * (the same md5-bucket primitive as every sampler here, salted with
+    * the epoch index so the partial-epoch subset is its own independent
+    * deterministic draw). e ≤ 0 or null drops the row; e = 2.0 yields
+    * exactly two instances. Scan-local: one explode against a row-local
+    * sequence — no shuffle, no join; downstream shuffling sees `epoch` as
+    * an ordinary column.
+    */
+  def epochRepeat(df: DataFrame, keyCol: String, epochsCol: Column,
+      epochOut: String = "epoch", salt: Long = 0L): DataFrame = {
+    val full = floor(epochsCol).cast("long")
+    val frac = epochsCol - floor(epochsCol)
+    val nInstances = full + when(frac > 0, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n_inst", when(epochsCol.isNotNull && epochsCol > 0,
+        nInstances).otherwise(lit(0L)))
+      .withColumn("__full", full)
+      .withColumn("__frac_thr", round(frac * Space).cast("long"))
+      .withColumn(epochOut,
+        // sequence(1, 0) would generate a DESCENDING [1, 0] — rows with
+        // zero instances need an explicit empty array, not a backwards
+        // range.
+        explode(when(col("__n_inst") >= 1,
+          sequence(lit(1L), col("__n_inst")))
+          .otherwise(array().cast("array<bigint>"))))
+      .filter(col(epochOut) <= col("__full") ||
+        hashBucket(concat(col(keyCol).cast("string"), lit("#"),
+          col(epochOut).cast("string")), salt) < col("__frac_thr"))
+      .drop("__n_inst", "__full", "__frac_thr")
+  }
 }

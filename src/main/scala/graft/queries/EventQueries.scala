@@ -450,6 +450,51 @@ object EventQueries {
       |  ON hh.event_type = s.event_type AND hh.h = s.h
       |ORDER BY s.event_type, s.h""".stripMargin
 
+  /** Multi-step funnel view → click → purchase: each step's timestamp is
+    * the user's FIRST qualifying event strictly after the previous step
+    * (the ordered-sequence semantics a 2-step min/max trick cannot
+    * express). Implemented as a chain of conditional-min aggregations
+    * joined back per user — each link is one map-side-combined agg + one
+    * per-user join, no window, no self-join explosion. Output: per-step
+    * completion counts.
+    */
+  def evtFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"))
+  }
+
+  private val evtFunnelStepsSql =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT COUNT(*) AS n_step1, COUNT(t2) AS n_step2, COUNT(t3) AS n_step3
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+      .stripMargin
+
   /** Cohort retention: users grouped by their FIRST event's day; for
     * each day-offset, how many of the cohort came back. The classic
     * engagement rollup — and a deliberately join-reuse-shaped plan: the
@@ -526,6 +571,7 @@ object EventQueries {
     "evt_anomaly" -> (evtAnomaly _),
     "evt_winsorize" -> (evtWinsorize _),
     "evt_gap_fill" -> (evtGapFill _),
+    "evt_funnel_steps" -> (evtFunnelSteps _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -542,6 +588,7 @@ object EventQueries {
     "evt_anomaly" -> evtAnomalySql,
     "evt_winsorize" -> evtWinsorizeSql,
     "evt_gap_fill" -> evtGapFillSql,
+    "evt_funnel_steps" -> evtFunnelStepsSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

@@ -225,6 +225,50 @@ object PipelineQueries {
       count(when(col("doc_id") >= 6000000L, 1)).as("n_noisy_survivors"))
   }
 
+  /** Multi-epoch repetition plan ([[Sampling.epochRepeat]]): sources get
+    * a quality-tier epoch budget (2.5 / 1.0 / 0.25 / 1.5 by source id mod
+    * 4 — a stand-in for a quality-score lookup), and every document
+    * materializes once per epoch it participates in; fractional epochs
+    * draw content-addressed. The oracle replays the tier mapping, the
+    * instance spine, and the salted per-epoch draw hash-for-hash.
+    */
+  def pipeEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tier = pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+    val epochs = when(tier === 0, 2.5).when(tier === 1, 1.0)
+      .when(tier === 2, 0.25).otherwise(1.5)
+    Sampling.epochRepeat(docs.withColumn("__e", epochs), "doc_id",
+      col("__e"), salt = 21L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_instances"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("epoch")).as("max_epoch"))
+      .orderBy(col("source"))
+  }
+
+  private val pipeEpochPlanSql =
+    """WITH tiers AS (
+      |  SELECT doc_id, source,
+      |    CASE CAST(substr(source, 4) AS INT) % 4
+      |      WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.25
+      |      ELSE 1.5 END AS e
+      |  FROM documents
+      |), inst AS (
+      |  SELECT doc_id, source, e,
+      |    unnest(range(1, CAST(floor(e) AS BIGINT) +
+      |      CASE WHEN e - floor(e) > 0 THEN 1 ELSE 0 END + 1)) AS epoch
+      |  FROM tiers
+      |), kept AS (
+      |  SELECT * FROM inst
+      |  WHERE epoch <= CAST(floor(e) AS BIGINT)
+      |     OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+      |          CAST(epoch AS VARCHAR) || ':21'), 1, 8)) AS BIGINT)
+      |        < CAST(round((e - floor(e)) * 4294967296) AS BIGINT)
+      |)
+      |SELECT source, COUNT(*) AS n_instances,
+      |  COUNT(DISTINCT doc_id) AS n_docs, MAX(epoch) AS max_epoch
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   /** Hard-negative mining — the retrieval-training composition over BM25:
     * per query, the rank-1 hit is the positive and ranks 6–10 are the
     * hard negatives (relevant enough to rank, wrong enough to teach the
@@ -3706,6 +3750,7 @@ object PipelineQueries {
     "txt_heavy_hitters" -> (txtHeavyHitters _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_hard_negatives" -> (pipeHardNegatives _),
+    "pipe_epoch_plan" -> (pipeEpochPlan _),
     "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -3800,6 +3845,7 @@ object PipelineQueries {
     "txt_heavy_hitters" -> txtHeavyHittersSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_hard_negatives" -> pipeHardNegativesSql,
+    "pipe_epoch_plan" -> pipeEpochPlanSql,
     "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

@@ -1473,6 +1473,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.length === 2 && r1.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("epoch repeat: whole epochs exact, fractional pure, zero/null drop") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 1.0), (3L, 0.0), (4L, 2.5),
+      (5L, Double.NaN)).toDF("id", "e")
+      .withColumn("e", when(col("id") === 5L, lit(null)).otherwise(col("e")))
+    val out = Sampling.epochRepeat(df, "id", col("e"), salt = 9L)
+    val byId = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Whole epochs are exact; zero and null produce no instances at all.
+    assert(byId.getOrElse(1L, 0L) === 2L)
+    assert(byId.getOrElse(2L, 0L) === 1L)
+    assert(!byId.contains(3L) && !byId.contains(5L))
+    // 2.5 → epochs 1,2 guaranteed plus a deterministic half-draw of 3.
+    val id4 = out.filter(col("id") === 4L).select("epoch").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(id4.take(2) === Seq(1L, 2L) && id4.length <= 3)
+    // Pure function of (id, epoch, salt): replay identical.
+    val replay = Sampling.epochRepeat(df, "id", col("e"), salt = 9L)
+      .filter(col("id") === 4L).select("epoch").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(replay === id4)
+    // A different salt may flip the fractional draw but never the whole
+    // epochs.
+    val salted = Sampling.epochRepeat(df, "id", col("e"), salt = 10L)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted(1L) === 2L && salted(2L) === 1L)
+    assert(salted(4L) >= 2L && salted(4L) <= 3L)
+  }
+
   test("heavy hitters: MG retention bound, top-k exactness, guards") {
     import graft.text.HeavyHitters
     // MG kernel: capacity 2 over a stream where 'a' has frequency 6/12 —

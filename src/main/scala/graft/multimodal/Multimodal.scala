@@ -203,6 +203,68 @@ object Multimodal {
     }(enc)
   }
 
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("sig", LongType, nullable = true)))
+
+  /** Perceptual average-hash (aHash) signatures: decode → nearest-neighbor
+    * resize to an 8×8 luma grid → one bit per cell (luma ≥ integer grid
+    * mean), packed row-major into a 64-bit signature. Uniform brightness
+    * shifts move every cell AND the mean together, so small global
+    * perturbations (re-encodes, gamma nudges) keep the signature stable —
+    * the classic image near-dup key. Flat images all hash to the all-ones
+    * signature (every cell equals the mean): visually they ARE
+    * near-identical flat frames, which is aHash's documented behavior,
+    * not a bug. Non-image payloads get a null signature. Scan-local
+    * mapPartitions like [[decode]]; only (id, 8-byte sig) ever needs to
+    * leave the scan.
+    */
+  def aHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(aHashSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        MediaCodecs.lumaGrid(bytes) match {
+          case Some(g) =>
+            val cells = MediaCodecs.resizeNearest(g, 8, 8)
+            val mean = cells.map(_.toLong).sum / 64
+            var sig = 0L
+            var i = 0
+            while (i < 64) {
+              if (cells(i) >= mean) sig |= (1L << i)
+              i += 1
+            }
+            Row(id, g.format, Long.box(sig))
+          case None => Row(id, "raw", null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-dup dedup: group decodable payloads by aHash signature,
+    * keep each group's minimum id (with the group size); non-image rows
+    * are their own survivors. The same one-hash-aggregation scale shape
+    * as [[graft.dedup.Dedup.exact]] — 8-byte signatures in the exchange,
+    * never pixels or payloads.
+    */
+  def nearDupSurvivors(spark: SparkSession, media: DataFrame): DataFrame = {
+    val sigs = aHash(spark, media)
+    val images = sigs.filter(col("sig").isNotNull)
+      .groupBy(col("sig"))
+      .agg(min(col("media_id")).as("media_id"),
+        // min, not first: two flat images in DIFFERENT containers share
+        // the all-ones signature, and first() would pick an arbitrary
+        // partition's format.
+        min(col("format")).as("format"),
+        count(lit(1)).as("n_dups"))
+      .select(col("media_id"), col("format"), col("n_dups"))
+    val raws = sigs.filter(col("sig").isNull)
+      .select(col("media_id"), col("format"), lit(1L).as("n_dups"))
+    images.unionByName(raws)
+  }
+
   /** Frame sampling stub: slice `n` evenly-spaced byte windows out of the
     * payload ("frames"); real video sampling swaps the slicer, keeps the
     * explode shape.

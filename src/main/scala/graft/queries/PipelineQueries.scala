@@ -1732,6 +1732,64 @@ object PipelineQueries {
     * gate emits only scalar columns — the driver's comparator sorts rows
     * through pandas, which cannot order array cells (r07 lesson).
     */
+  /** Image near-dup dedup ([[Multimodal.nearDupSurvivors]]): aHash
+    * signatures collapse a brightness-perturbed PPM copy into its
+    * original (uniform +2 moves every cell and the mean together) and a
+    * repainted flat BMP into the original gray (flat images share the
+    * all-ones signature); an INVERTED gradient and a non-image payload
+    * survive. Every survivor row and group size is a hand-derived
+    * literal in the oracle.
+    */
+  def mmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Uniform luma shift: bump every raster byte (saturating) past the
+    // 13-byte PPM header. The 8x8 resample of the 16x16 gradient only
+    // reads values <= 238, so the shift never saturates a sampled cell
+    // and the signature is bit-identical to the original's.
+    def shiftPpm(bytes: Array[Byte], delta: Int): Array[Byte] = {
+      val out = bytes.clone()
+      var i = 13
+      while (i < out.length) {
+        out(i) = math.min(255, (out(i) & 0xff) + delta).toByte
+        i += 1
+      }
+      out
+    }
+    // Repaint the flat BMP's pixels (offset 54+) to a different gray.
+    def repaintBmp(bytes: Array[Byte], gray: Int): Array[Byte] = {
+      val out = bytes.clone()
+      var i = 54
+      while (i < out.length) { out(i) = gray.toByte; i += 1 }
+      out
+    }
+    // Inverted gradient: a distinct image that must NOT merge.
+    def invertPpm(bytes: Array[Byte]): Array[Byte] = {
+      val out = bytes.clone()
+      var i = 13
+      while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
+      out
+    }
+    val g = Multimodal.Fixtures.ppmGradient16
+    val b = Multimodal.Fixtures.bmpGray4
+    val fixtures = Seq[(Long, Array[Byte])](
+      (1L, g), (2L, shiftPpm(g, 2)),
+      (3L, b), (4L, repaintBmp(b, 130)),
+      (5L, Multimodal.Fixtures.wavAlternating8),
+      (6L, invertPpm(g)))
+      .toDF("media_id", "media")
+    Multimodal.nearDupSurvivors(spark, fixtures)
+      .orderBy(col("media_id"))
+  }
+
+  private val mmNearDupSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'ppm', CAST(2 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'bmp', CAST(2 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 'raw', CAST(1 AS BIGINT)),
+      |  (CAST(6 AS BIGINT), 'ppm', CAST(1 AS BIGINT))
+      |) AS v(media_id, format, n_dups)
+      |ORDER BY media_id""".stripMargin
+
   def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fixtures = Seq[(Long, Array[Byte])](
@@ -3751,6 +3809,7 @@ object PipelineQueries {
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_hard_negatives" -> (pipeHardNegatives _),
     "pipe_epoch_plan" -> (pipeEpochPlan _),
+    "mm_near_dup" -> (mmNearDup _),
     "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -3846,6 +3905,7 @@ object PipelineQueries {
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_hard_negatives" -> pipeHardNegativesSql,
     "pipe_epoch_plan" -> pipeEpochPlanSql,
+    "mm_near_dup" -> mmNearDupSql,
     "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

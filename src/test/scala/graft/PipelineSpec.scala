@@ -1473,6 +1473,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.length === 2 && r1.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("aHash: shift-invariant, flat all-ones, raw null, inversion distinct") {
+    import spark.implicits._
+    val g = Multimodal.Fixtures.ppmGradient16
+    def mapped(bytes: Array[Byte], f: Int => Int): Array[Byte] = {
+      val out = bytes.clone()
+      var i = 13
+      while (i < out.length) { out(i) = f(out(i) & 0xff).toByte; i += 1 }
+      out
+    }
+    val fx = Seq[(Long, Array[Byte])](
+      (1L, g),
+      (2L, mapped(g, v => math.min(255, v + 2))),
+      (3L, mapped(g, v => 255 - v)),
+      (4L, Multimodal.Fixtures.bmpGray4),
+      (5L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    val sigs = Multimodal.aHash(spark, fx).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(sigs(1L).isDefined && sigs(1L) === sigs(2L),
+      "uniform +2 shifts cells and mean together")
+    assert(sigs(3L).isDefined && sigs(3L) !== sigs(1L),
+      "inversion is a different image")
+    assert(sigs(4L) === Some(-1L), "flat image: every cell >= mean")
+    assert(sigs(5L) === None, "non-image: null signature")
+  }
+
   test("epoch repeat: whole epochs exact, fractional pure, zero/null drop") {
     import spark.implicits._
     val df = Seq((1L, 2.0), (2L, 1.0), (3L, 0.0), (4L, 2.5),

@@ -1493,7 +1493,7 @@ class PipelineSpec extends AnyFunSuite {
       .toMap
     assert(sigs(1L).isDefined && sigs(1L) === sigs(2L),
       "uniform +2 shifts cells and mean together")
-    assert(sigs(3L).isDefined && sigs(3L) !== sigs(1L),
+    assert(sigs(3L).isDefined && sigs(3L) != sigs(1L),
       "inversion is a different image")
     assert(sigs(4L) === Some(-1L), "flat image: every cell >= mean")
     assert(sigs(5L) === None, "non-image: null signature")

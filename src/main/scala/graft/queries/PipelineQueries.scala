@@ -1346,6 +1346,34 @@ object PipelineQueries {
       |FROM best ORDER BY query_id""".stripMargin
 
   // ---------------------------------------------------------------- knn
+  /** Radius search ([[Knn.rangeSearch]]): planted query copies (+5M ids)
+    * must pull their originals at cosine 1 plus every corpus vector in
+    * the ≥ 0.3 band — a SET result (no rank cut), so the oracle replays
+    * membership exactly; scores round to 6 dp (cosine-gate precedent).
+    */
+  def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+    val probes = vecs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    Knn.rangeSearch(probes, vecs, "vec_id", "embedding", minCosine = 0.3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  private val simRangeSearchSql =
+    """WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), probes AS (
+      |  SELECT vec_id + 5000000 AS query_id, v FROM vecs WHERE vec_id < 5
+      |)
+      |SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+      |FROM probes q JOIN vecs c ON c.vec_id <> q.query_id
+      |WHERE list_cosine_similarity(q.v, c.v) >= 0.3
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   def simKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
@@ -3810,6 +3838,7 @@ object PipelineQueries {
     "pipe_hard_negatives" -> (pipeHardNegatives _),
     "pipe_epoch_plan" -> (pipeEpochPlan _),
     "mm_near_dup" -> (mmNearDup _),
+    "sim_range_search" -> (simRangeSearch _),
     "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -3906,6 +3935,7 @@ object PipelineQueries {
     "pipe_hard_negatives" -> pipeHardNegativesSql,
     "pipe_epoch_plan" -> pipeEpochPlanSql,
     "mm_near_dup" -> mmNearDupSql,
+    "sim_range_search" -> simRangeSearchSql,
     "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

@@ -34,6 +34,30 @@ object Knn {
     topK(scored, k)
   }
 
+  /** Radius (range) search — ALL neighbors at cosine ≥ `minCosine`, the
+    * ANN mode top-k cannot express (dedup-threshold pulls, "everything
+    * this similar" audits): set membership by threshold has no rank cut,
+    * so the result is partition-order independent by construction.
+    * Same broadcast-queries scan shape as [[bruteForceTopK]]; at scale
+    * the scan side composes with the banded/IVF candidate generators
+    * exactly like the top-k paths (a threshold survives candidate
+    * pruning unchanged, unlike a global rank).
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine out of [-1,1]: $minCosine")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        GraftFunctions.cosineSim(col("q_vec"), col("c_vec")))
+      .filter(col("cosine") >= lit(minCosine))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: candidates share ≥1 signature band with the query;
     * exact cosine re-ranks. Returns up to k neighbors per query (fewer when
     * buckets are sparse).

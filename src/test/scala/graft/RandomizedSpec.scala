@@ -677,4 +677,35 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got === want, s"trial=$trial vocabSize=$vocabSize classes=$classes")
     }
   }
+
+  test("pagerank: equals a driver-side reference on random graphs") {
+    import graft.operators.PageRank
+    val rnd = new Random(91)
+    for (trial <- 1 to 3) {
+      val nNodes = 6 + rnd.nextInt(12)
+      val edges = (for {
+        s <- 0 until nNodes; d <- 0 until nNodes
+        if s != d && rnd.nextDouble() < 0.25
+      } yield (s.toLong, d.toLong)).distinct
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(4)
+        // Reference: same integer recurrence, plain Scala maps.
+        val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val nodes = edges.map(_._1).distinct
+        var ranks = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to iters) {
+          val in = scala.collection.mutable.Map.empty[Long, Long]
+            .withDefaultValue(0L)
+          edges.foreach { case (s, d) =>
+            if (ranks.contains(s))
+              in(d) += ranks(s) / outdeg(s)
+          }
+          ranks = nodes.map(n => n -> (150000L + 85L * in(n) / 100L)).toMap
+        }
+        val got = PageRank.run(edges.toDF("s", "d"), "s", "d", iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === ranks, s"trial=$trial nodes=$nNodes iters=$iters")
+      }
+    }
+  }
 }

@@ -1668,6 +1668,78 @@ object MaterializationQueries {
       |FROM vals v JOIN ranges r USING (event_type)
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- drift
+  /** PSI drift monitor ([[graft.quality.Drift.psi]]): baseline = even
+    * event_ids, current = odd event_ids with the 'click'
+    * values PLANTED onto a 3x scale — click must flag drifted, the untouched types must
+    * not (even/odd halves of the same distribution). The oracle replays
+    * bins, smoothing, the micro-quantized ln terms, and the integer sum.
+    */
+  def audDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val baseline = ev.filter(col("event_id") % 2 === 0)
+    val current = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("value",
+        when(col("event_type") === "click", col("value") * 3)
+          .otherwise(col("value")))
+    graft.quality.Drift.psi(baseline, current, "value",
+      Seq("event_type"), nBins = 8)
+      .orderBy(col("event_type"))
+  }
+
+  private val audDriftSql =
+    """WITH base AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE value IS NOT NULL AND event_id % 2 = 0
+      |), cur AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_type = 'click' THEN value * 3 ELSE value END AS value
+      |  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1
+      |), ranges AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM base GROUP BY 1
+      |), bb AS (
+      |  SELECT b.event_type,
+      |    CASE WHEN r.hi = r.lo THEN 0
+      |         ELSE GREATEST(0, LEAST(7, CAST(floor(((b.value - r.lo) * 8)
+      |           / (r.hi - r.lo)) AS BIGINT))) END AS b,
+      |    COUNT(*) AS cb
+      |  FROM base b JOIN ranges r USING (event_type) GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT c.event_type,
+      |    CASE WHEN r.hi = r.lo THEN 0
+      |         ELSE GREATEST(0, LEAST(7, CAST(floor(((c.value - r.lo) * 8)
+      |           / (r.hi - r.lo)) AS BIGINT))) END AS b,
+      |    COUNT(*) AS cc
+      |  FROM cur c JOIN ranges r USING (event_type) GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type, unnest(range(0, 8)) AS b FROM ranges
+      |), j AS (
+      |  SELECT s.event_type, s.b,
+      |    COALESCE(bb.cb, 0) AS cb, COALESCE(cc.cc, 0) AS ccnt
+      |  FROM spine s
+      |  LEFT JOIN bb ON bb.event_type = s.event_type AND bb.b = s.b
+      |  LEFT JOIN cc ON cc.event_type = s.event_type AND cc.b = s.b
+      |), t AS (
+      |  SELECT event_type, CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(SUM(ccnt) AS BIGINT) AS nc
+      |  FROM j GROUP BY 1
+      |), terms AS (
+      |  SELECT j.event_type, t.nb, t.nc,
+      |    CAST(round(
+      |      ((CAST(cb + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE)) -
+      |       (CAST(ccnt + 1 AS DOUBLE) / CAST(nc + 8 AS DOUBLE))) *
+      |      ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE)) /
+      |         (CAST(ccnt + 1 AS DOUBLE) / CAST(nc + 8 AS DOUBLE))) *
+      |      1000000.0) AS BIGINT) AS term
+      |  FROM j JOIN t USING (event_type)
+      |)
+      |SELECT event_type, MAX(nb) AS n_base, MAX(nc) AS n_cur,
+      |  CAST(SUM(term) AS BIGINT) AS psi_micro,
+      |  CAST(SUM(term) AS BIGINT) / 1000000.0 AS psi,
+      |  CAST(SUM(term) AS BIGINT) > 100000 AS drifted
+      |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- contracts
   /** Model contracts (reference table.sql:39 persist_constraints; dbt
     * `contract: enforced`): a conforming model materializes with its
@@ -1809,6 +1881,7 @@ object MaterializationQueries {
     "mat_hooks" -> (matHooks _),
     "gov_erasure" -> (govErasure _),
     "aud_histogram" -> (audHistogram _),
+    "aud_drift" -> (audDrift _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "rel_compact" -> (relCompact _),
     "rel_zorder" -> (relZorder _),
@@ -1857,6 +1930,7 @@ object MaterializationQueries {
     "mat_hooks" -> matHooksSql,
     "gov_erasure" -> govErasureSql,
     "aud_histogram" -> audHistogramSql,
+    "aud_drift" -> audDriftSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "rel_compact" -> relCompactSql,
     "rel_zorder" -> relZorderSql,

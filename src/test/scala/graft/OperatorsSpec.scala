@@ -611,6 +611,25 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.histogram(df, "v", 4, Nil))
   }
 
+  test("psi drift: identical zero, disjoint large, clamped out-of-range") {
+    import graft.quality.Drift
+    val base = (1 to 100).map(v => ("g", v.toDouble)).toDF("g", "v")
+    // Identical distribution: every term is (p-p)·ln(1) = 0 exactly.
+    val same = Drift.psi(base, base, "v", Seq("g"), 8).collect()(0)
+    assert(same.getAs[Long]("psi_micro") === 0L &&
+      !same.getAs[Boolean]("drifted"))
+    // Disjoint mass (current far beyond the baseline range clamps into
+    // the top bin): must flag loudly.
+    val far = (1 to 100).map(v => ("g", v.toDouble + 1000)).toDF("g", "v")
+    val moved = Drift.psi(base, far, "v", Seq("g"), 8).collect()(0)
+    assert(moved.getAs[Boolean]("drifted") &&
+      moved.getAs[Long]("psi_micro") > 1000000L)
+    assert(moved.getAs[Long]("n_base") === 100L &&
+      moved.getAs[Long]("n_cur") === 100L)
+    intercept[IllegalArgumentException](Drift.psi(base, far, "v", Seq("g"), 1))
+    intercept[IllegalArgumentException](Drift.psi(base, far, "v", Nil, 8))
+  }
+
   test("eraseKeys: purges across partitions; fully-erased partition dies") {
     import graft.quality.Governance
     val t = s"default.erase_spec_${System.nanoTime()}"

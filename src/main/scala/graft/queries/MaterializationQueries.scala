@@ -841,6 +841,47 @@ object MaterializationQueries {
       |  CAST(SUM(length(text)) AS BIGINT) AS chars_sum
       |FROM documents""".stripMargin
 
+  /** CSV round-trip with quarantine ([[graft.sources.Csv]]) — the
+    * [[srcJsonlRoundtrip]] contract on the reference's other interchange
+    * format (seeds arrive as CSV): explicit schema, one planted line with
+    * an uncastable doc_id that must land QUARANTINED (doc_id null, raw
+    * line in `_corrupt_record`, parseable fields still extracted — the
+    * univocity PERMISSIVE semantics) while every clean row survives
+    * byte-identical.
+    */
+  def srcCsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    Staging.withDir(spark, "csvq") { d =>
+      graft.sources.Csv.write(docs, s"$d/corpus", header = false)
+      val corrupt = new org.apache.hadoop.fs.Path(s"$d/corpus/zz_corrupt.csv")
+      val fs = corrupt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(corrupt)
+      out.write("notanumber,xx,zz\n".getBytes("UTF-8"))
+      out.close()
+      val schema = new StructType()
+        .add("doc_id", "long").add("lang", "string").add("text", "string")
+      val back = graft.sources.Csv.read(spark, schema, header = false,
+        s"$d/corpus")
+      val result = back.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(graft.sources.Csv.CorruptCol)).as("n_corrupt"),
+        count(when(col(graft.sources.Csv.CorruptCol).isNotNull &&
+          col("doc_id").isNull && col("lang") === "xx", 1))
+          .as("n_quarantined_partial"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text"))).as("chars_sum")).cache()
+      result.count() // materialize before the staging dir vanishes
+      result
+    }
+  }
+
+  private val srcCsvQuarantineSql =
+    """SELECT COUNT(*) + 1 AS n_rows, CAST(1 AS BIGINT) AS n_corrupt,
+      |  CAST(1 AS BIGINT) AS n_quarantined_partial,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(length(text)) + 2 AS BIGINT) AS chars_sum
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- O7
   /** Partition-spec evolution (reference python_utils.sql:197-230, iceberg
     * metadata evolution; parquet analog = one-time staged relayout): CTAS
@@ -1886,6 +1927,7 @@ object MaterializationQueries {
     "rel_compact" -> (relCompact _),
     "rel_zorder" -> (relZorder _),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip _),
+    "src_csv_quarantine" -> (srcCsvQuarantine _),
     "aud_star" -> (audStar _),
     "aud_profile" -> (audProfile _),
     "src_freshness" -> (srcFreshness _),
@@ -1935,6 +1977,7 @@ object MaterializationQueries {
     "rel_compact" -> relCompactSql,
     "rel_zorder" -> relZorderSql,
     "src_jsonl_roundtrip" -> srcJsonlRoundtripSql,
+    "src_csv_quarantine" -> srcCsvQuarantineSql,
     "aud_star" -> audStarSql,
     "aud_profile" -> audProfileSql,
     "src_freshness" -> srcFreshnessSql,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lineage-graph closure — the dbt DAG primitive behind `state:modified+`
+  * selective rebuilds, impact analysis ("what breaks if this source
+  * changes"), and erasure propagation planning. Frontier-expansion BFS
+  * over (parent, child) edges: each round joins the frontier to the edge
+  * list, anti-joins what's already reached, and stops at an empty
+  * frontier — O(diameter) rounds, and each round's exchanges carry node
+  * ids only. Same checkpoint hygiene as [[PageRank]]/Clusters: rounds are
+  * lineage-cut and superseded frames freed eagerly, so a deep DAG holds
+  * two node-frames in storage, not one per level.
+  *
+  * A dbt project's graph is metadata-sized (thousands of nodes) — this
+  * shape exists because the SAME closure runs over data-scale graphs
+  * (erasure across fact tables keyed by lineage, derived-corpus
+  * dependency sweeps), where a driver-side BFS would not.
+  */
+object Lineage {
+
+  /** All nodes reachable from `seeds` (INCLUDING the seeds) following
+    * parent→child edges. `edges` columns: (parent, child); `seeds`: one
+    * column of node ids.
+    */
+  def downstreamClosure(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = edges.select(col(edges.columns(0)).as("parent"),
+      col(edges.columns(1)).as("child")).localCheckpoint()
+    var reached = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().localCheckpoint()
+    var frontier = reached
+    var round = 0
+    var done = e.isEmpty
+    while (!done && round < maxRounds) {
+      val next = e
+        .join(frontier.withColumnRenamed("node", "parent"), "parent")
+        .select(col("child").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) {
+        freeCheckpoint(next)
+        done = true
+      } else {
+        val grown = reached.unionByName(next).localCheckpoint()
+        // grown is materialized; the old reached and (non-seed) frontier
+        // can never be read again.
+        if (!(frontier eq reached)) freeCheckpoint(frontier)
+        freeCheckpoint(reached)
+        reached = grown
+        frontier = next
+      }
+      round += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"downstreamClosure did not converge in $maxRounds rounds — " +
+          "graph deeper than the bound (raise maxRounds)")
+    if (!(frontier eq reached)) freeCheckpoint(frontier)
+    freeCheckpoint(e)
+    graft.core.ScopedStorage.registerCheckpoint(reached)
+    reached
+  }
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -1709,6 +1709,57 @@ object MaterializationQueries {
       |FROM vals v JOIN ranges r USING (event_type)
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- state
+  /** dbt `state:modified+` selective rebuild: diff two manifest versions
+    * by definition hash ([[graft.operators.SnapshotDiff]] — the same
+    * operator that diffs corpora), then expand the changed set through
+    * the DAG with [[graft.operators.Lineage.downstreamClosure]]. A
+    * 6-model project where one staging model changed and one model is
+    * new must rebuild exactly {changed} ∪ {downstream(changed)} — the
+    * untouched branch and the standalone model stay out.
+    */
+  def matStateRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val oldManifest = Seq(
+      ("stg_orders", "select * from raw.orders"),
+      ("stg_customers", "select * from raw.customers"),
+      ("fct_sales", "select ... join ..."),
+      ("dim_cust", "select ... from stg_customers"),
+      ("rpt_weekly", "select ... from fct_sales"),
+      ("standalone", "select 1")).toDF("model", "definition")
+    val newManifest = Seq(
+      ("stg_orders", "select * from raw.orders where not is_test"), // changed
+      ("stg_customers", "select * from raw.customers"),
+      ("fct_sales", "select ... join ..."),
+      ("dim_cust", "select ... from stg_customers"),
+      ("rpt_weekly", "select ... from fct_sales"),
+      ("standalone", "select 1"),
+      ("new_model", "select 2")).toDF("model", "definition") // added
+    val edges = Seq(
+      ("stg_orders", "fct_sales"), ("stg_customers", "fct_sales"),
+      ("stg_customers", "dim_cust"), ("fct_sales", "rpt_weekly"))
+      .toDF("parent", "child")
+    val modified = graft.operators.SnapshotDiff
+      .diff(oldManifest, newManifest, "model", Seq("definition"))
+      .filter(col("status").isin("changed", "added"))
+      .select(col("key").as("node"))
+    graft.operators.Lineage.downstreamClosure(edges, modified)
+      .join(modified.withColumnRenamed("node", "__m"),
+        col("node") === col("__m"), "left")
+      .select(col("node").as("model"),
+        when(col("__m").isNotNull, lit("modified"))
+          .otherwise(lit("downstream")).as("reason"))
+      .orderBy(col("model"))
+  }
+
+  private val matStateRebuildSql =
+    """SELECT * FROM (VALUES
+      |  ('fct_sales', 'downstream'),
+      |  ('new_model', 'modified'),
+      |  ('rpt_weekly', 'downstream'),
+      |  ('stg_orders', 'modified')
+      |) AS v(model, reason) ORDER BY model""".stripMargin
+
   // ---------------------------------------------------------------- drift
   /** PSI drift monitor ([[graft.quality.Drift.psi]]): baseline = even
     * event_ids, current = odd event_ids with the 'click'
@@ -1923,6 +1974,7 @@ object MaterializationQueries {
     "gov_erasure" -> (govErasure _),
     "aud_histogram" -> (audHistogram _),
     "aud_drift" -> (audDrift _),
+    "mat_state_rebuild" -> (matStateRebuild _),
     "rel_partition_evolution" -> (relPartitionEvolution _),
     "rel_compact" -> (relCompact _),
     "rel_zorder" -> (relZorder _),
@@ -1973,6 +2025,7 @@ object MaterializationQueries {
     "gov_erasure" -> govErasureSql,
     "aud_histogram" -> audHistogramSql,
     "aud_drift" -> audDriftSql,
+    "mat_state_rebuild" -> matStateRebuildSql,
     "rel_partition_evolution" -> relPartitionEvolutionSql,
     "rel_compact" -> relCompactSql,
     "rel_zorder" -> relZorderSql,

@@ -611,6 +611,29 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.histogram(df, "v", 4, Nil))
   }
 
+  test("lineage closure: diamond, deep chain, cycle, convergence guard") {
+    import graft.operators.Lineage
+    def closure(edges: Seq[(String, String)], seeds: Seq[String],
+        maxRounds: Int = 30) =
+      Lineage.downstreamClosure(edges.toDF("p", "c"), seeds.toDF("n"),
+        maxRounds).collect().map(_.getString(0)).toSet
+    // Diamond: a → {b, c} → d; seed a reaches everything, seed b only d.
+    val diamond = Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+    assert(closure(diamond, Seq("a")) === Set("a", "b", "c", "d"))
+    assert(closure(diamond, Seq("b")) === Set("b", "d"))
+    // Deep chain: 40 levels needs 40 frontier rounds > default? No —
+    // rounds = depth; bound must trip when too small and pass when not.
+    val chain = (0 until 20).map(i => s"n$i" -> s"n${i + 1}")
+    assert(closure(chain, Seq("n0")).size === 21)
+    intercept[IllegalStateException](closure(chain, Seq("n0"), maxRounds = 5))
+    // A cycle must not loop forever: the anti-join stops re-reaching.
+    val cyc = Seq("x" -> "y", "y" -> "z", "z" -> "x")
+    assert(closure(cyc, Seq("y")) === Set("x", "y", "z"))
+    // Seeds outside the graph are their own closure; empty edges too.
+    assert(closure(diamond, Seq("zz")) === Set("zz"))
+    assert(closure(Nil, Seq("q")) === Set("q"))
+  }
+
   test("psi drift: identical zero, disjoint large, clamped out-of-range") {
     import graft.quality.Drift
     val base = (1 to 100).map(v => ("g", v.toDouble)).toDF("g", "v")

@@ -666,7 +666,12 @@ object Kernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i); val y = b.getFloat(i)
+      // Widen BEFORE multiplying: `Float * Float` is a single-precision
+      // product (relative error ~6e-8 per term) that a declarative
+      // double replay can drift a 6-dp rounding boundary across; the
+      // double product matches any engine computing over widened floats
+      // to the last ulp.
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

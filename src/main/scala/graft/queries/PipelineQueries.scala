@@ -1346,6 +1346,89 @@ object PipelineQueries {
       |FROM best ORDER BY query_id""".stripMargin
 
   // ---------------------------------------------------------------- knn
+  /** Train/val leakage check — the eval-integrity screen every training
+    * run owes its benchmark numbers: split the corpus content-addressed,
+    * then count val documents whose TEXT also appears in train (planted
+    * duplicate ids guarantee cross-split copies exist at every scale;
+    * which side each copy lands on is itself deterministic in the md5
+    * split). The probe joins on md5(text) computed scan-local, left_semi
+    * — text never rides an exchange and val rows count once regardless
+    * of how many train copies match. At 100 TB the same check runs with
+    * the near-dup operators in place of exact-hash equality.
+    */
+  def pipeSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 9100000L))
+    val split = Sampling.withSplit(corpus, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2), salt = 17L)
+    val train = split.filter(col("split") === "train")
+    val va = split.filter(col("split") === "val")
+    val leaked = va
+      .select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(train.select(md5(col("text")).as("__h")).distinct(),
+        Seq("__h"), "left_semi")
+    va.agg(count(lit(1)).as("n_val")).crossJoin(
+      train.agg(count(lit(1)).as("n_train"))).crossJoin(
+      leaked.agg(count(lit(1)).as("n_leaked_val_docs")))
+      .select(col("n_train"), col("n_val"), col("n_leaked_val_docs"))
+  }
+
+  private val pipeSplitLeakageSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 9100000, text FROM documents WHERE doc_id < 50
+       |), sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${bucketSql("doc_id", 17L)} < ${Sampling.threshold(0.8)}
+       |         THEN 'train' ELSE 'val' END AS split
+       |  FROM corpus
+       |)
+       |SELECT
+       |  (SELECT COUNT(*) FROM sp WHERE split = 'train') AS n_train,
+       |  (SELECT COUNT(*) FROM sp WHERE split = 'val') AS n_val,
+       |  (SELECT COUNT(*) FROM (
+       |     SELECT DISTINCT v.doc_id FROM sp v
+       |     JOIN sp t ON t.split = 'train' AND md5(t.text) = md5(v.text)
+       |     WHERE v.split = 'val'
+       |  )) AS n_leaked_val_docs""".stripMargin
+
+  /** Filtered/hybrid KNN ([[Knn.filteredTopK]]): per query, top-3 among
+    * ONLY label-0 corpus vectors (pre-filter semantics — always 3 rows
+    * per query). The oracle applies the same predicate before ranking.
+    */
+  def simKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+    Knn.filteredTopK(vecs.filter(col("vec_id") < 5), vecs,
+      "vec_id", "embedding", k = 3, corpusFilter = col("label") === 0)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simKnnFilteredSql =
+    """WITH vecs AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.v, c.v) AS cos_raw
+      |  FROM vecs q JOIN vecs c
+      |    ON c.vec_id <> q.vec_id AND c.label = 0
+      |  WHERE q.vec_id < 5
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cos_raw,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+      |  CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Radius search ([[Knn.rangeSearch]]): planted query copies (+5M ids)
     * must pull their originals at cosine 1 plus every corpus vector in
     * the ≥ 0.3 band — a SET result (no rank cut), so the oracle replays
@@ -3839,6 +3922,8 @@ object PipelineQueries {
     "pipe_epoch_plan" -> (pipeEpochPlan _),
     "mm_near_dup" -> (mmNearDup _),
     "sim_range_search" -> (simRangeSearch _),
+    "sim_knn_filtered" -> (simKnnFiltered _),
+    "pipe_split_leakage" -> (pipeSplitLeakage _),
     "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -3936,6 +4021,8 @@ object PipelineQueries {
     "pipe_epoch_plan" -> pipeEpochPlanSql,
     "mm_near_dup" -> mmNearDupSql,
     "sim_range_search" -> simRangeSearchSql,
+    "sim_knn_filtered" -> simKnnFilteredSql,
+    "pipe_split_leakage" -> pipeSplitLeakageSql,
     "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

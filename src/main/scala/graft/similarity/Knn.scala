@@ -34,6 +34,21 @@ object Knn {
     topK(scored, k)
   }
 
+  /** Filtered (hybrid) KNN — top-k under a metadata predicate on the
+    * corpus side, the "vector search WHERE label = x" every production
+    * vector store exposes. PRE-filter semantics by construction: the
+    * predicate prunes the corpus before any distance is computed, so k
+    * results are k results (post-filtering a plain top-k returns fewer
+    * than k whenever the filter bites — the classic hybrid-search bug).
+    * The filter composes with the scan (predicate pushdown reaches the
+    * parquet reader), so a selective filter makes the search CHEAPER,
+    * not approximate.
+    */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      corpusFilter: org.apache.spark.sql.Column): DataFrame =
+    bruteForceTopK(queries, corpus.filter(corpusFilter), idCol, vecCol, k)
+
   /** Radius (range) search — ALL neighbors at cosine ≥ `minCosine`, the
     * ANN mode top-k cannot express (dedup-threshold pulls, "everything
     * this similar" audits): set membership by threshold has no rank cut,

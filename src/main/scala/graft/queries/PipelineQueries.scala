@@ -1346,6 +1346,87 @@ object PipelineQueries {
       |FROM best ORDER BY query_id""".stripMargin
 
   // ---------------------------------------------------------------- knn
+  /** Dataset card — the release-documentation rollup every published
+    * corpus ships (datasheet/data-statement practice): volume, language
+    * composition, duplication rate, and length distribution in ONE
+    * (section, metric, value) frame. Each number is an exact count, a
+    * selected element (discrete median via [[graft.operators.Quantiles]]),
+    * or one division of exact integers — the whole card replays
+    * bit-for-bit. Every sub-aggregate is map-side combined; the unioned
+    * result is metadata-sized.
+    */
+  def pipeDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__tok", TextAnalysis.tokenCount(col("text")))
+    val volume = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("__tok").cast("long")).as("n_tokens"))
+      .selectExpr("stack(3, 'n_docs', CAST(n_docs AS DOUBLE), " +
+        "'n_chars', CAST(n_chars AS DOUBLE), " +
+        "'n_tokens', CAST(n_tokens AS DOUBLE)) AS (metric, value)")
+      .withColumn("section", lit("volume"))
+    val langs = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("language").as("section"),
+        concat(lit("docs:"), col("lang")).as("metric"),
+        col("n").cast("double").as("value"))
+    val dup = docs
+      .agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text"))).as("nd"))
+      .selectExpr(
+        "stack(2, 'distinct_texts', CAST(nd AS DOUBLE), " +
+          "'dup_rate', 1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "AS (metric, value)")
+      .withColumn("section", lit("duplication"))
+    val lengths = graft.operators.Quantiles
+      .groupQuantiles(docs.withColumn("__g", lit(1)), "__g", "n_chars",
+        "doc_id", Seq(("p50", 1, 2)))
+      .join(docs.agg(min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx")))
+      .selectExpr("stack(3, 'chars_min', CAST(mn AS DOUBLE), " +
+        "'chars_p50', CAST(p50 AS DOUBLE), " +
+        "'chars_max', CAST(mx AS DOUBLE)) AS (metric, value)")
+      .withColumn("section", lit("length"))
+    volume.unionByName(langs).unionByName(dup).unionByName(lengths)
+      .select(col("section"), col("metric"), col("value"))
+      .orderBy(col("section"), col("metric"))
+  }
+
+  private val pipeDatasetCardSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM toks
+      |)
+      |SELECT section, metric, value FROM (
+      |  SELECT 'volume' AS section, 'n_docs' AS metric,
+      |    CAST(COUNT(*) AS DOUBLE) AS value FROM toks
+      |  UNION ALL SELECT 'volume', 'n_chars',
+      |    CAST(SUM(n_chars) AS DOUBLE) FROM toks
+      |  UNION ALL SELECT 'volume', 'n_tokens',
+      |    CAST(SUM(tok) AS DOUBLE) FROM toks
+      |  UNION ALL SELECT 'language', 'docs:' || lang,
+      |    CAST(COUNT(*) AS DOUBLE) FROM toks GROUP BY lang
+      |  UNION ALL SELECT 'duplication', 'distinct_texts',
+      |    CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) FROM toks
+      |  UNION ALL SELECT 'duplication', 'dup_rate',
+      |    1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE) FROM toks
+      |  UNION ALL SELECT 'length', 'chars_min',
+      |    CAST(MIN(n_chars) AS DOUBLE) FROM toks
+      |  UNION ALL SELECT 'length', 'chars_p50',
+      |    CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_chars END)
+      |      AS DOUBLE) FROM ranked
+      |  UNION ALL SELECT 'length', 'chars_max',
+      |    CAST(MAX(n_chars) AS DOUBLE) FROM toks
+      |) ORDER BY section, metric""".stripMargin
+
   /** Train/val leakage check — the eval-integrity screen every training
     * run owes its benchmark numbers: split the corpus content-addressed,
     * then count val documents whose TEXT also appears in train (planted
@@ -3924,6 +4005,7 @@ object PipelineQueries {
     "sim_range_search" -> (simRangeSearch _),
     "sim_knn_filtered" -> (simKnnFiltered _),
     "pipe_split_leakage" -> (pipeSplitLeakage _),
+    "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_triplets" -> (pipeTriplets _),
     "pipe_cluster_best" -> (pipeClusterBest _),
     "pipe_clean_corpus" -> (pipeCleanCorpus _),
@@ -4023,6 +4105,7 @@ object PipelineQueries {
     "sim_range_search" -> simRangeSearchSql,
     "sim_knn_filtered" -> simKnnFilteredSql,
     "pipe_split_leakage" -> pipeSplitLeakageSql,
+    "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_triplets" -> pipeTripletsSql,
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,

@@ -678,6 +678,59 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("lineage closure: equals driver-side BFS on random digraphs") {
+    import graft.operators.Lineage
+    val rnd = new Random(47)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(20)
+      val edges = (for {
+        s <- 0 until n; d <- 0 until n
+        if s != d && rnd.nextDouble() < 0.12
+      } yield (s.toLong, d.toLong)).distinct
+      val seeds = (0 until n).filter(_ => rnd.nextDouble() < 0.2)
+        .map(_.toLong) match { case Nil => Seq(0L); case s => s }
+      // Reference BFS.
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = scala.collection.mutable.Set(seeds: _*)
+      var frontier = seeds.toSet
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil)) -- want
+        want ++= next
+        frontier = next
+      }
+      val got = Lineage.downstreamClosure(
+        edges.toDF("p", "c"), seeds.toDF("n"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want.toSet, s"trial=$trial n=$n seeds=$seeds")
+    }
+  }
+
+  test("heavy hitters: equals exact top-k under the MG retention bound") {
+    import graft.text.HeavyHitters
+    val rnd = new Random(83)
+    for (trial <- 1 to 3) {
+      // Zipf-ish corpus: token t has weight ~ 1/(rank+1).
+      val vocab = (0 until 40).map(i => s"w$i")
+      val docs = (0 until 200).map { d =>
+        val words = (0 until 20).map { _ =>
+          val r = math.min((1.0 / (rnd.nextDouble() + 0.03)).toInt, 39)
+          vocab(r)
+        }
+        (d.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text").repartition(7)
+      // Exact truth.
+      val exact = docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS t")
+        .groupBy("t").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy { case (t, c) => (-c, t) }
+      val k = 5
+      // capacity ≥ vocab → MG retention total → top-k must be exact.
+      val got = HeavyHitters.topTokens(docs, "text", k, capacity = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(got === exact.take(k).toSeq, s"trial=$trial")
+    }
+  }
+
   test("pagerank: equals a driver-side reference on random graphs") {
     import graft.operators.PageRank
     val rnd = new Random(91)

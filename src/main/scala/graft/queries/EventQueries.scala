@@ -495,6 +495,46 @@ object EventQueries {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
       .stripMargin
 
+  /** Rolling active users: per observed day, DAU plus the rolling 7-day
+    * distinct-user count (WAU). The scalable formulation: each (day,
+    * user) activity row EXPLODES into the ≤7 report days it contributes
+    * to and the rolling distinct becomes a plain per-day aggregation —
+    * a non-equi range join of a day spine against the activity frame
+    * (the obvious SQL) would nested-loop-scan |days| × |activity|, and
+    * a window over a user-bitmap needs state no engine shares. The ×7
+    * fan-out is the price, paid scan-local on 12-byte rows.
+    */
+  def evtActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .scopedCheckpoint(false) // feeds DAU, the spine, and the fan-out
+    val days = ud.select(col("d")).distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val contrib = ud
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d"),
+        col("user_id"))
+      .distinct()
+    val wau = contrib.join(days, Seq("d"), "left_semi")
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d")).orderBy(col("d"))
+  }
+
+  private val evtActiveUsersSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      |), days AS (SELECT DISTINCT d FROM ud),
+      |dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+      |contrib AS (
+      |  SELECT DISTINCT ud.d + CAST(g.g AS INTEGER) AS d, user_id
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS g) g
+      |), wau AS (
+      |  SELECT c.d, COUNT(*) AS wau
+      |  FROM contrib c JOIN days USING (d) GROUP BY c.d
+      |)
+      |SELECT d.d, dau.dau, wau.wau
+      |FROM days d JOIN dau USING (d) JOIN wau USING (d)
+      |ORDER BY d.d""".stripMargin
+
   /** Cohort retention: users grouped by their FIRST event's day; for
     * each day-offset, how many of the cohort came back. The classic
     * engagement rollup — and a deliberately join-reuse-shaped plan: the
@@ -572,6 +612,7 @@ object EventQueries {
     "evt_winsorize" -> (evtWinsorize _),
     "evt_gap_fill" -> (evtGapFill _),
     "evt_funnel_steps" -> (evtFunnelSteps _),
+    "evt_active_users" -> (evtActiveUsers _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -589,6 +630,7 @@ object EventQueries {
     "evt_winsorize" -> evtWinsorizeSql,
     "evt_gap_fill" -> evtGapFillSql,
     "evt_funnel_steps" -> evtFunnelStepsSql,
+    "evt_active_users" -> evtActiveUsersSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

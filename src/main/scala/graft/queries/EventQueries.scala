@@ -495,6 +495,79 @@ object EventQueries {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
       .stripMargin
 
+  /** Structured-Streaming tumbling aggregation as a DRIVER GATE: the
+    * events table staged as a bounded file stream, the watermarked
+    * windowed aggregation run to completion (complete mode — append
+    * would withhold the tail windows still above the watermark, and a
+    * hash oracle cannot tolerate a withheld suffix), decimal-cast sums
+    * so the result is partition- and batch-order exact. The oracle is
+    * the BATCH tumbling SQL — the strongest streaming statement the
+    * driver contract can express: stream result ≡ batch result.
+    */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    graft.materialize.Staging.withDir(spark, "stream_tumbling") { d =>
+      Tables.events(spark, dir).write.parquet(s"$d/src")
+      val schema = spark.read.parquet(s"$d/src").schema
+      val transform: DataFrame => DataFrame = df =>
+        df.withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(D2)).cast(DoubleType).as("total_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value"))
+      val sink = "stream_tumbling_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(10)
+      val res = graft.streaming.EventStreams.runBoundedToMemory(
+        spark, s"$d/src", schema, transform, sink, outputMode = "complete")
+        .orderBy(col("window_start"), col("event_type"))
+        .cache()
+      res.count() // materialize before the staging dir vanishes
+      res
+    }
+
+  // Stream ≡ batch: the oracle is the batch tumbling query verbatim.
+  private val streamTumblingSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Rolling-ledger ingestion as a DRIVER GATE: the documents corpus
+    * split into 4 files streamed one file per micro-batch, each batch
+    * run through the SAME [[graft.dedup.Dedup.ledgerIngest]] a
+    * production loop runs. Which copy of a duplicate text survives
+    * depends on arrival order — but the surviving CONTENT SET, its
+    * total length, and the ledger cardinality are batching-independent,
+    * so those are what the oracle pins (distinct texts of the corpus).
+    */
+  def streamLedger(spark: SparkSession, dir: String): DataFrame = {
+    val db = MaterializationQueries.scratchDb(spark)
+    val ledger = s"$db.stream_ledger"
+    graft.materialize.Staging.withDir(spark, "stream_ledger") { d =>
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(s"$d/src")
+      val schema = spark.read.parquet(s"$d/src").schema
+      val survivors = graft.streaming.EventStreams.runBoundedForeachBatch(
+        spark, s"$d/src", schema,
+        df => graft.dedup.Dedup.ledgerIngest(ledger, df, Seq("text"),
+          Seq(col("doc_id"))),
+        s"$d/out", readOptions = Map("maxFilesPerTrigger" -> "1"))
+      val res = survivors.agg(
+        count(lit(1)).as("n_survivors"),
+        sum(length(col("text"))).as("chars_sum"))
+        .crossJoin(spark.table(ledger).agg(count(lit(1)).as("n_ledger")))
+        .select(col("n_survivors"), col("n_ledger"), col("chars_sum"))
+        .cache()
+      res.count() // materialize before the staging dir vanishes
+      res
+    }
+  }
+
+  private val streamLedgerSql =
+    """SELECT COUNT(*) AS n_survivors, COUNT(*) AS n_ledger,
+      |  CAST(SUM(length(text)) AS BIGINT) AS chars_sum
+      |FROM (SELECT DISTINCT text FROM documents)""".stripMargin
+
   /** Rolling active users: per observed day, DAU plus the rolling 7-day
     * distinct-user count (WAU). The scalable formulation: each (day,
     * user) activity row EXPLODES into the ≤7 report days it contributes
@@ -613,6 +686,8 @@ object EventQueries {
     "evt_gap_fill" -> (evtGapFill _),
     "evt_funnel_steps" -> (evtFunnelSteps _),
     "evt_active_users" -> (evtActiveUsers _),
+    "stream_tumbling" -> (streamTumbling _),
+    "stream_ledger" -> (streamLedger _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
     "evt_hopping" -> (evtHopping _),
@@ -631,6 +706,8 @@ object EventQueries {
     "evt_gap_fill" -> evtGapFillSql,
     "evt_funnel_steps" -> evtFunnelStepsSql,
     "evt_active_users" -> evtActiveUsersSql,
+    "stream_tumbling" -> streamTumblingSql,
+    "stream_ledger" -> streamLedgerSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,
     "evt_hopping" -> evtHoppingSql,

@@ -158,10 +158,10 @@ object EventStreams {
     */
   def runBoundedToMemory(spark: SparkSession, sourceDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
-      sinkName: String): DataFrame = {
+      sinkName: String, outputMode: String = "append"): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q: StreamingQuery = transform(stream).writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(sinkName)
       .trigger(Trigger.AvailableNow())

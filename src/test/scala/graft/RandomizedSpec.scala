@@ -731,6 +731,72 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch repeat: instance counts equal the per-row reference") {
+    import graft.operators.Sampling
+    val rnd = new Random(29)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 150).map { i =>
+        val e = rnd.nextInt(4) match {
+          case 0 => 0.0
+          case 1 => rnd.nextInt(3) + 1.0           // whole epochs
+          case 2 => rnd.nextInt(3) + rnd.nextDouble() // fractional
+          case 3 => rnd.nextDouble()               // sub-epoch
+        }
+        (i.toLong, e)
+      }
+      val df = rows.toDF("id", "e")
+      val salt = 100L + trial
+      val got = Sampling.epochRepeat(df, "id", col("e"), salt = salt)
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Reference: replicate the md5-bucket draw per (id, epoch) exactly.
+      def bucket(key: String): Long =
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$key:$salt".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16)
+      rows.foreach { case (id, e) =>
+        val full = math.floor(e).toLong
+        val frac = e - math.floor(e)
+        val extra =
+          if (frac > 0 &&
+            bucket(s"$id#${full + 1}") < math.round(frac * Sampling.Space)) 1L
+          else 0L
+        val want = full + extra
+        assert(got.getOrElse(id, 0L) === want,
+          s"trial=$trial id=$id e=$e")
+      }
+    }
+  }
+
+  test("mad outliers: flags equal a sort-based driver reference") {
+    import graft.operators.Anomaly
+    val rnd = new Random(59)
+    for (trial <- 1 to 3) {
+      val data = (0 until 120).map { i =>
+        val g = s"g${i % 3}"
+        val v = if (rnd.nextDouble() < 0.1) rnd.nextDouble() * 1000
+                else rnd.nextDouble() * 10
+        (g, v, i.toLong)
+      }
+      val got = Anomaly.madOutliers(data.toDF("g", "v", "id"),
+        "g", "v", "id", k = 3)
+        .select("g", "id", "is_outlier").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+      // Reference: discrete type-1 median via sorted index, same rule.
+      data.groupBy(_._1).foreach { case (g, rows) =>
+        val vs = rows.map(_._2).sorted
+        def med(xs: Seq[Double]) = xs((xs.size - 1) / 2)
+        val m = med(vs)
+        val mad = med(rows.map(r => math.abs(r._2 - m)).sorted)
+        rows.foreach { case (_, v, id) =>
+          assert(got((g, id)) === (math.abs(v - m) > 3 * mad),
+            s"trial=$trial g=$g id=$id")
+        }
+      }
+    }
+  }
+
   test("pagerank: equals a driver-side reference on random graphs") {
     import graft.operators.PageRank
     val rnd = new Random(91)

@@ -568,6 +568,61 @@ object EventQueries {
       |  CAST(SUM(length(text)) AS BIGINT) AS chars_sum
       |FROM (SELECT DISTINCT text FROM documents)""".stripMargin
 
+  /** The STATEFUL streaming sessionizer (flatMapGroupsWithState) as a
+    * driver gate. Append-mode state flushing would withhold every
+    * still-open session at stream end, so the gate plants one SENTINEL
+    * event per user two days past that user's last real event: the
+    * in-batch gap fold closes every real session immediately (emission
+    * does not wait for the watermark), while the sentinel's own
+    * singleton session stays open and is filtered out by timestamp. The
+    * oracle is the batch sessionizer on floor-second bounds — the
+    * stateful stream must reproduce it exactly, session for session.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.materialize.Staging.withDir(spark, "stream_sess") { d =>
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      val maxReal = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // Sentinels sit at the GLOBAL max + 2 days — a per-user max would
+      // let an early-quitting user's sentinel land before the global max
+      // and slip past the timestamp filter as a phantom session.
+      val sentinels = ev.select(col("user_id")).distinct()
+        .withColumn("ts", lit(maxReal) + expr("INTERVAL 2 DAYS"))
+      ev.unionByName(sentinels).write.parquet(s"$d/src")
+      val schema = spark.read.parquet(s"$d/src").schema
+      val sink = "stream_sess_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(10)
+      val res = graft.streaming.EventStreams.runBoundedToMemory(
+        spark, s"$d/src", schema,
+        df => graft.streaming.EventStreams.sessionize(df).toDF(), sink)
+        .filter(col("session_start") <= lit(maxReal))
+        .orderBy(col("user_id"), col("session_start"))
+        .cache()
+      res.count() // materialize before the staging dir vanishes
+      res
+    }
+
+  private val streamSessionizeSql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+      |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, sec,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+      |  FROM marked
+      |)
+      |SELECT user_id,
+      |  CAST(to_timestamp(MIN(sec)) AS TIMESTAMP) AS session_start,
+      |  CAST(to_timestamp(MAX(sec)) AS TIMESTAMP) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, si
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Rolling active users: per observed day, DAU plus the rolling 7-day
     * distinct-user count (WAU). The scalable formulation: each (day,
     * user) activity row EXPLODES into the ≤7 report days it contributes
@@ -687,6 +742,7 @@ object EventQueries {
     "evt_funnel_steps" -> (evtFunnelSteps _),
     "evt_active_users" -> (evtActiveUsers _),
     "stream_tumbling" -> (streamTumbling _),
+    "stream_sessionize" -> (streamSessionize _),
     "stream_ledger" -> (streamLedger _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
@@ -707,6 +763,7 @@ object EventQueries {
     "evt_funnel_steps" -> evtFunnelStepsSql,
     "evt_active_users" -> evtActiveUsersSql,
     "stream_tumbling" -> streamTumblingSql,
+    "stream_sessionize" -> streamSessionizeSql,
     "stream_ledger" -> streamLedgerSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,

@@ -623,6 +623,42 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, si
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** The watermarked stream-stream interval join as a driver gate: two
+    * branches of one bounded event stream (clicks × view-anchored 1-hour
+    * windows). An inner stream-stream join emits matches on arrival —
+    * the watermark only bounds state — so the bounded drain produces the
+    * COMPLETE pair set with no sentinel games; the oracle is the plain
+    * containment join.
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.materialize.Staging.withDir(spark, "stream_ij") { d =>
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .write.parquet(s"$d/src")
+      val schema = spark.read.parquet(s"$d/src").schema
+      val transform: DataFrame => DataFrame = df =>
+        graft.streaming.EventStreams.intervalJoin(
+          df.filter(col("event_type") === "click"),
+          df.filter(col("event_type") === "view"))
+      val sink = "stream_ij_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(10)
+      val res = graft.streaming.EventStreams.runBoundedToMemory(
+        spark, s"$d/src", schema, transform, sink)
+        .select(col("user_id"), col("view_id"), col("click_id"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+        .cache()
+      res.count() // materialize before the staging dir vanishes
+      res
+    }
+
+  private val streamIntervalJoinSql =
+    """SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, view_id, click_id""".stripMargin
+
   /** Rolling active users: per observed day, DAU plus the rolling 7-day
     * distinct-user count (WAU). The scalable formulation: each (day,
     * user) activity row EXPLODES into the ≤7 report days it contributes
@@ -743,6 +779,7 @@ object EventQueries {
     "evt_active_users" -> (evtActiveUsers _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_interval_join" -> (streamIntervalJoin _),
     "stream_ledger" -> (streamLedger _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_tumbling" -> (evtTumbling _),
@@ -764,6 +801,7 @@ object EventQueries {
     "evt_active_users" -> evtActiveUsersSql,
     "stream_tumbling" -> streamTumblingSql,
     "stream_sessionize" -> streamSessionizeSql,
+    "stream_interval_join" -> streamIntervalJoinSql,
     "stream_ledger" -> streamLedgerSql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_tumbling" -> evtTumblingSql,

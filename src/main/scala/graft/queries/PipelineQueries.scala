@@ -428,6 +428,33 @@ object PipelineQueries {
       |)
       |SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 10""".stripMargin
 
+  /** Exact top-10 BIGRAMS via the same two-pass sketch
+    * ([[graft.text.HeavyHitters.topGrams]]) — the boilerplate-phrase
+    * miner over a gram vocabulary larger than the unigram one. Capacity
+    * sizing is the operator's REAL contract and this gate proves it the
+    * hard way: at 512 the corpus's 10th bigram frequency (~n/545) sits
+    * BELOW the n/(cap+1) retention bound and the top-10 silently loses
+    * members — the bound is scale-invariant here (both sides linear in
+    * corpus size), so 2048 restores exactness at every sf. The oracle
+    * recomputes the full exact bigram top-k.
+    */
+  def txtHeavyBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.topGrams(
+      Tables.documents(spark, dir), "text", n = 2, k = 10, capacity = 2048)
+
+  private val txtHeavyBigramsSql =
+    """WITH toks AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), grams AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS gram
+      |  FROM toks
+      |), counts AS (
+      |  SELECT gram, COUNT(*) AS n FROM grams WHERE gram <> ''
+      |  GROUP BY gram
+      |)
+      |SELECT gram, n FROM counts ORDER BY n DESC, gram LIMIT 10""".stripMargin
+
   /** Corpus snapshot diff ([[graft.operators.SnapshotDiff]]): v1 is a
     * deterministic past version of the documents corpus — every doc_id%5==0
     * doc not yet ingested (→ added), every (kept) doc_id%3==0 doc carrying
@@ -3998,6 +4025,7 @@ object PipelineQueries {
     "pipe_normalize_dedup" -> (pipeNormalizeDedup _),
     "pipe_corpus_diff" -> (pipeCorpusDiff _),
     "txt_heavy_hitters" -> (txtHeavyHitters _),
+    "txt_heavy_bigrams" -> (txtHeavyBigrams _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_hard_negatives" -> (pipeHardNegatives _),
     "pipe_epoch_plan" -> (pipeEpochPlan _),
@@ -4098,6 +4126,7 @@ object PipelineQueries {
     "pipe_normalize_dedup" -> pipeNormalizeDedupSql,
     "pipe_corpus_diff" -> pipeCorpusDiffSql,
     "txt_heavy_hitters" -> txtHeavyHittersSql,
+    "txt_heavy_bigrams" -> txtHeavyBigramsSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_hard_negatives" -> pipeHardNegativesSql,
     "pipe_epoch_plan" -> pipeEpochPlanSql,

@@ -59,13 +59,6 @@ object HeavyHitters {
     counters.keysIterator
   }
 
-  /** (token, n) for the exact top `k` whitespace tokens of `textCol`,
-    * ordered (n desc, token asc). `capacity` is the per-partition counter
-    * budget — size it comfortably above the expected head (k ≪ capacity);
-    * the MG bound only guarantees candidates with global frequency
-    * > n/(capacity+1), and a too-small capacity silently degrades top-k
-    * completeness (the classic sketch trade-off, made explicit here).
-    */
   /** Pass 1 alone: the distinct per-partition MG survivors — a bounded
     * (token)-frame. Exposed because the candidate pass COMPOSES: a
     * rolling/streaming ingestion can union each batch's candidates into a
@@ -101,10 +94,59 @@ object HeavyHitters {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** (token, n) for the exact top `k` whitespace tokens of `textCol`,
+    * ordered (n desc, token asc). `capacity` is the per-partition counter
+    * budget — size it comfortably above the expected head (k ≪ capacity);
+    * the MG bound only guarantees candidates with global frequency
+    * > n/(capacity+1), and a too-small capacity silently degrades top-k
+    * completeness (the classic sketch trade-off, made explicit here).
+    */
   def topTokens(docs: DataFrame, textCol: String, k: Int,
       capacity: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(capacity >= k, s"capacity $capacity must be >= k $k")
     recount(docs, textCol, candidates(docs, textCol, capacity), k)
+  }
+
+  /** Exact top-k word n-grams via the same two-pass sketch — the
+    * boilerplate-phrase miner ("click here to", cookie banners, footer
+    * text): phrase frequency is what the span-dedup and C4 policies act
+    * on, and at corpus scale the n-gram stream is n× the token stream,
+    * which makes the bounded-candidate pass MORE valuable, not less.
+    * Same retention bound, over the n-gram vocabulary.
+    */
+  def topGrams(docs: DataFrame, textCol: String, n: Int, k: Int,
+      capacity: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(capacity >= k, s"capacity $capacity must be >= k $k")
+    // grams[i] = toks[i..i+n-1] space-joined — scan-local higher-order
+    // array functions, no explode until after the candidate filter. The
+    // short-doc case needs the explicit empty branch: sequence(1, 0)
+    // generates a DESCENDING [1, 0], not an empty range.
+    val tokenized = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(expr(
+        s"CASE WHEN size(__toks) >= $n THEN " +
+          s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> array_join(slice(__toks, i, $n), ' ')) " +
+          "ELSE CAST(array() AS array<string>) END").as("__toks"))
+      .filter(col("__toks").isNotNull)
+
+    val cands = tokenized
+      .mapPartitions { rows =>
+        misraGries(
+          rows.flatMap(_.getSeq[String](0).iterator.filter(_.nonEmpty)),
+          capacity)
+      }(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token").distinct()
+    tokenized
+      .select(explode(col("__toks")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .select(col("token").as("gram"), col("n"))
   }
 }

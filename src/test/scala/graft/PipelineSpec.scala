@@ -1552,5 +1552,13 @@ class PipelineSpec extends AnyFunSuite {
       HeavyHitters.topTokens(docs, "text", k = 0, capacity = 8))
     intercept[IllegalArgumentException](
       HeavyHitters.topTokens(docs, "text", k = 9, capacity = 8))
+    // n-grams: hand-checked bigram counts; docs SHORTER than n must
+    // contribute nothing (sequence(1, 0) is a descending [1, 0] trap).
+    val tiny = Seq((1L, "a b c a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val bi = HeavyHitters.topGrams(tiny, "text", n = 2, k = 10, capacity = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi === Map("a b" -> 2L, "b c" -> 1L, "c a" -> 1L))
+    intercept[IllegalArgumentException](
+      HeavyHitters.topGrams(tiny, "text", n = 0, k = 1, capacity = 8))
   }
 }

@@ -428,6 +428,40 @@ object PipelineQueries {
       |)
       |SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 10""".stripMargin
 
+  /** The stateless quality filter as a STREAM gate: the lined corpus
+    * streamed through the Gopher keep-rules inside the streaming planner
+    * (scan-local codegen'd conjuncts apply to a stream unchanged — the
+    * filter-at-ingest deployment), surviving doc_ids pinned against the
+    * batch rule replay. Stateless ⇒ batching-independent by construction;
+    * the gate makes that a hash-checked contract instead of a spec claim.
+    */
+  def streamQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.materialize.Staging.withDir(spark, "stream_gq") { d =>
+      val docs = linedDocs(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text"))
+      docs.write.parquet(s"$d/src")
+      val schema = spark.read.parquet(s"$d/src").schema
+      val transform: DataFrame => DataFrame = df => df.filter(
+        QualityRules.gopherQualityKeep(col("text")) &&
+          QualityRules.gopherRepetitionKeep(col("text")))
+      val sink = "stream_gq_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(10)
+      val res = graft.streaming.EventStreams.runBoundedToMemory(
+        spark, s"$d/src", schema, transform, sink)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+        .cache()
+      res.count() // materialize before the staging dir vanishes
+      res
+    }
+
+  private def streamQualityFilterSql: String =
+    s"""WITH $linedDocsSql,
+       |${gopherRuleCtes("lined")}
+       |SELECT doc_id FROM __gk
+       |WHERE quality_keep AND repetition_keep
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact top-10 BIGRAMS via the same two-pass sketch
     * ([[graft.text.HeavyHitters.topGrams]]) — the boilerplate-phrase
     * miner over a gram vocabulary larger than the unigram one. Capacity
@@ -4026,6 +4060,7 @@ object PipelineQueries {
     "pipe_corpus_diff" -> (pipeCorpusDiff _),
     "txt_heavy_hitters" -> (txtHeavyHitters _),
     "txt_heavy_bigrams" -> (txtHeavyBigrams _),
+    "stream_quality_filter" -> (streamQualityFilter _),
     "pipe_curriculum" -> (pipeCurriculum _),
     "pipe_hard_negatives" -> (pipeHardNegatives _),
     "pipe_epoch_plan" -> (pipeEpochPlan _),
@@ -4127,6 +4162,7 @@ object PipelineQueries {
     "pipe_corpus_diff" -> pipeCorpusDiffSql,
     "txt_heavy_hitters" -> txtHeavyHittersSql,
     "txt_heavy_bigrams" -> txtHeavyBigramsSql,
+    "stream_quality_filter" -> streamQualityFilterSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_hard_negatives" -> pipeHardNegativesSql,
     "pipe_epoch_plan" -> pipeEpochPlanSql,

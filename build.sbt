@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// HiveFormatSpec needs spark.sql.catalogImplementation=hive, a STATIC
+// conf fixed at first-session creation per JVM — fork it into its own
+// test JVM so the main suites keep the in-memory catalog. Both groups
+// inherit the full javaOptions (add-opens etc.).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val fo = ForkOptions().withRunJVMOptions(opts)
+  val (hive, rest) = tests.partition(_.name.contains("HiveFormatSpec"))
+  Seq(
+    new Tests.Group("graft", rest, Tests.SubProcess(fo)),
+    new Tests.Group("hive-catalog", hive, Tests.SubProcess(fo)),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
+import graft.core.Relation
+
 /** Model contracts — dbt's `contract: enforced` as applied by the
   * reference's table materialization (table.sql:39 `persist_constraints`,
   * inherited from dbt-spark). A contracted model declares its output
@@ -41,6 +43,17 @@ object Contracts {
     * Throws IllegalStateException tagged CONTRACT_* on any deviation.
     */
   def enforce(df: DataFrame, contract: Seq[ColumnSpec]): DataFrame = {
+    val ordered = validateShape(df, contract)
+    checkConstraints(ordered, contract)
+    ordered
+  }
+
+  /** Driver-side (metadata-only) half of the contract: column set, types,
+    * contract-order reprojection. Throws CONTRACT_COLUMNS_MISMATCH /
+    * CONTRACT_TYPE_MISMATCH; never runs a job.
+    */
+  private def validateShape(df: DataFrame,
+      contract: Seq[ColumnSpec]): DataFrame = {
     require(contract.nonEmpty, "empty contract")
     val declared = contract.map(_.name)
     val produced = df.columns.toSeq
@@ -60,11 +73,17 @@ object Contracts {
     if (typeErrors.nonEmpty)
       throw new IllegalStateException(
         s"CONTRACT_TYPE_MISMATCH: ${typeErrors.mkString("; ")}")
-    val ordered = df.select(declared.map(col): _*)
-    // All constraint violation counts in ONE aggregate job. sum(cond) on a
-    // boolean needs an int cast; count(when) skips nulls — use the latter
-    // so a NULL check-expression result counts as a violation only for
-    // not_null (CHECK follows SQL semantics: NULL passes).
+    df.select(declared.map(col): _*)
+  }
+
+  /** Data half of the contract: all constraint violation counts in ONE
+    * aggregate job. sum(cond) on a boolean needs an int cast; count(when)
+    * skips nulls — use the latter so a NULL check-expression result counts
+    * as a violation only for not_null (CHECK follows SQL semantics: NULL
+    * passes). Throws CONTRACT_CONSTRAINT_VIOLATION.
+    */
+  private def checkConstraints(df: DataFrame,
+      contract: Seq[ColumnSpec]): Unit = {
     val probes = contract.flatMap { c =>
       val nn = if (c.notNull)
         Seq(count(when(col(c.name).isNull, lit(1)))
@@ -74,7 +93,7 @@ object Contracts {
       nn ++ ck
     }
     if (probes.nonEmpty) {
-      val row = ordered.agg(probes.head, probes.tail: _*).head()
+      val row = df.agg(probes.head, probes.tail: _*).head()
       val violated = row.schema.fieldNames.zipWithIndex
         .map { case (n, i) => n -> row.getLong(i) }
         .filter(_._2 > 0)
@@ -82,19 +101,41 @@ object Contracts {
         throw new IllegalStateException("CONTRACT_CONSTRAINT_VIOLATION: " +
           violated.map { case (n, c) => s"$n ($c rows)" }.mkString("; "))
     }
-    ordered
   }
 
-  /** Contract-enforced table build: validate, then CTAS. Nothing is
-    * written when the contract fails (the reference's order: constraints
-    * are applied to the finished relation table.sql:39, but a dbt contract
-    * failure aborts before the model's DDL runs).
+  /** Contract-enforced table build, single-evaluation: validate the shape
+    * driver-side, CTAS into a STAGING table, run the constraint scan over
+    * the staged (materialized) data, then rename into place. Validating
+    * the lazy frame and then CTAS-ing it evaluated the model TWICE — a
+    * source changing between the passes (or a nondeterministic
+    * expression) could pass validation yet write contract-violating rows;
+    * here the scan and the final table read the same parquet bytes. The
+    * target name never exists on a failed build (staging is dropped), and
+    * the model is evaluated exactly once at any scale — the constraint
+    * scan re-reads only the constrained columns, column-pruned, from
+    * what was written.
     */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
       contract: Seq[ColumnSpec],
-      partitionBy: Seq[String] = Nil): Unit =
-    TableMaterialization.run(spark, table, enforce(df, contract),
+      partitionBy: Seq[String] = Nil): Unit = {
+    val ordered = validateShape(df, contract)
+    val rel = Relation.parse(table)
+    val stage = Relation(rel.schema, s"${rel.identifier}__contract_stage")
+    spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+    TableMaterialization.run(spark, stage.name, ordered,
       partitionBy = partitionBy)
+    try checkConstraints(spark.table(stage.quoted), contract)
+    catch { case e: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+      throw e
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+    RelationOps.rename(spark, stage.name, table)
+    // A partitioned staging table's catalog partition entries still point
+    // under the staging directory after the rename — re-discover them
+    // (metadata-only), or the contracted table reads empty.
+    RelationOps.repairIfPartitioned(spark, rel)
+  }
 }
 
 /** Pre/post hooks — the reference brackets every materialization with

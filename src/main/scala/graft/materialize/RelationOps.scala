@@ -270,7 +270,7 @@ object RelationOps {
   def repair(spark: SparkSession, name: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE ${Relation.parse(name).quoted}")
 
-  private def repairIfPartitioned(spark: SparkSession, rel: Relation): Unit = {
+  private[graft] def repairIfPartitioned(spark: SparkSession, rel: Relation): Unit = {
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(
       rel.identifier, Option(rel.schema).filter(_.nonEmpty))
     if (spark.sessionState.catalog.getTableMetadata(ident)

@@ -253,13 +253,16 @@ object Multimodal {
     val sigs = aHash(spark, media)
     val images = sigs.filter(col("sig").isNotNull)
       .groupBy(col("sig"))
-      .agg(min(col("media_id")).as("media_id"),
-        // min, not first: two flat images in DIFFERENT containers share
-        // the all-ones signature, and first() would pick an arbitrary
-        // partition's format.
-        min(col("format")).as("format"),
+      // One min_by over a (media_id, format) struct, not independent
+      // mins: two flat images in DIFFERENT containers (a PPM and a BMP)
+      // share the all-ones signature, and separate min()s would report
+      // the surviving media_id with the OTHER row's format — the
+      // survivor's columns must come from one row.
+      .agg(min_by(struct(col("media_id"), col("format")), col("media_id"))
+        .as("best"),
         count(lit(1)).as("n_dups"))
-      .select(col("media_id"), col("format"), col("n_dups"))
+      .select(col("best.media_id").as("media_id"),
+        col("best.format").as("format"), col("n_dups"))
     val raws = sigs.filter(col("sig").isNull)
       .select(col("media_id"), col("format"), lit(1L).as("n_dups"))
     images.unionByName(raws)

@@ -34,30 +34,41 @@ object Lineage {
     var frontier = reached
     var round = 0
     var done = e.isEmpty
-    while (!done && round < maxRounds) {
-      val next = e
-        .join(frontier.withColumnRenamed("node", "parent"), "parent")
-        .select(col("child").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) {
-        freeCheckpoint(next)
-        done = true
-      } else {
-        val grown = reached.unionByName(next).localCheckpoint()
-        // grown is materialized; the old reached and (non-seed) frontier
-        // can never be read again.
-        if (!(frontier eq reached)) freeCheckpoint(frontier)
-        freeCheckpoint(reached)
-        reached = grown
-        frontier = next
+    // try/finally so the non-convergence throw frees e/reached/frontier
+    // like every success path does — an un-freed localCheckpoint is
+    // invisible to clearCache and leaks storage for the session's life
+    // (the PageRank/Clusters discipline, which free on all paths).
+    try {
+      while (!done && round < maxRounds) {
+        val next = e
+          .join(frontier.withColumnRenamed("node", "parent"), "parent")
+          .select(col("child").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) {
+          freeCheckpoint(next)
+          done = true
+        } else {
+          val grown = reached.unionByName(next).localCheckpoint()
+          // grown is materialized; the old reached and (non-seed) frontier
+          // can never be read again.
+          if (!(frontier eq reached)) freeCheckpoint(frontier)
+          freeCheckpoint(reached)
+          reached = grown
+          frontier = next
+        }
+        round += 1
       }
-      round += 1
+      if (!done)
+        throw new IllegalStateException(
+          s"downstreamClosure did not converge in $maxRounds rounds — " +
+            "graph deeper than the bound (raise maxRounds)")
+    } catch { case t: Throwable =>
+      if (!(frontier eq reached)) freeCheckpoint(frontier)
+      freeCheckpoint(reached)
+      freeCheckpoint(e)
+      throw t
     }
-    if (!done)
-      throw new IllegalStateException(
-        s"downstreamClosure did not converge in $maxRounds rounds — " +
-          "graph deeper than the bound (raise maxRounds)")
     if (!(frontier eq reached)) freeCheckpoint(frontier)
     freeCheckpoint(e)
     graft.core.ScopedStorage.registerCheckpoint(reached)

@@ -42,7 +42,12 @@ object Drift {
     def bucketed(df: DataFrame, out: String): DataFrame = {
       val raw = floor(((col(valueCol) - col("lo")) * lit(nBins)) /
         (col("hi") - col("lo")))
-      val b = when(col("hi") === col("lo"), lit(0L))
+      // Constant baseline (hi == lo) has no range to scale into — bucket
+      // by EQUALITY with the constant: matches in bin 0, departures in
+      // the far edge bin. Mapping everything to bin 0 (the old rule) made
+      // any shift away from a constant baseline report psi = 0.
+      val b = when(col("hi") === col("lo"),
+          when(col(valueCol) === col("lo"), lit(0L)).otherwise(lit(nBins - 1L)))
         .otherwise(greatest(lit(0L), least(lit(nBins - 1L), raw)))
       df.join(ranges, groupCols)
         .withColumn("__b", b)

@@ -27,39 +27,48 @@ object Governance {
     *
     * Mechanics: the deletion list is small by nature (one row per
     * requesting subject) → broadcast anti-join, so the rewrite is one
-    * scan of the table with no shuffle. The survivor frame is
-    * LOCAL-CHECKPOINTED before the overwrite — an INSERT whose source
-    * still carries the target's scan in its lineage is rejected by Spark
-    * (the rolling-ledger lesson) — and the insert runs under STATIC
-    * partition-overwrite: under the session's default dynamic mode a
-    * partition whose every row was erased would be silently left intact,
-    * which for erasure is not an optimization but a compliance bug. The
-    * checkpoint makes the rewrite two-phase (materialize survivors, then
-    * overwrite) — at lakehouse scale the same call maps onto
+    * scan of the table with no shuffle. Survivors are staged to a DURABLE
+    * sibling table first, and only then overwrite the target (a
+    * checkpoint-only formulation held the sole copy of the survivors in
+    * executor blocks across the truncate — an executor loss mid-overwrite
+    * destroyed the whole table, a severe failure mode for a
+    * compliance-grade primitive). If the overwrite itself fails, the
+    * staging table is deliberately LEFT IN PLACE as the recovery copy and
+    * the error says so. The staging write also cuts the target's scan out
+    * of the insert's lineage (an INSERT whose source still reads the
+    * target is rejected by Spark — the rolling-ledger lesson). The insert
+    * runs under STATIC partition-overwrite: under the session's default
+    * dynamic mode a partition whose every row was erased would be
+    * silently left intact, which for erasure is not an optimization but a
+    * compliance bug. At lakehouse scale the same call maps onto
     * format-native DELETE WHERE; this is the parquet-table analog.
     */
   def eraseKeys(spark: SparkSession, table: String, keyCol: String,
       keys: DataFrame): (Long, Long, Long) = {
     require(keys.columns.length == 1,
       s"keys must be a single-column frame, got ${keys.columns.mkString(",")}")
+    val rel = Relation.parse(table)
+    val stage = Relation(rel.schema, s"${rel.identifier}__erase_stage")
     val target = spark.table(table)
     val nBefore = target.count()
     val keyFrame = keys.toDF(keyCol).distinct()
-    val survivors = target
+    spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+    target
       .join(broadcast(keyFrame), Seq(keyCol), "left_anti")
       .select(target.columns.map(col): _*)
-      .localCheckpoint()
-    graft.core.Engine.withConf(spark,
-      Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {
-      survivors.write.mode("overwrite").insertInto(table)
+      .write.saveAsTable(stage.name)
+    try
+      graft.core.Engine.withConf(spark,
+        Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {
+        spark.table(stage.quoted).write.mode("overwrite").insertInto(table)
+      }
+    catch { case e: Throwable =>
+      throw new IllegalStateException(
+        s"erasure overwrite of $table failed mid-rewrite; survivors are " +
+          s"preserved in staging table ${stage.name} — re-run the insert " +
+          "from it to recover", e)
     }
-    // The checkpoint's blocks served exactly the insert — free them now
-    // rather than holding a survivor-sized copy until the harness boundary.
-    survivors.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
     spark.catalog.refreshTable(table)
     val nAfter = spark.table(table).count()
     (nBefore, nBefore - nAfter, nAfter)

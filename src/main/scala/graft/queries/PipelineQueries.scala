@@ -967,13 +967,51 @@ object PipelineQueries {
       |  ('varied_higher', TRUE)
       |) AS t(item, ok) ORDER BY item""".stripMargin
 
-  /** Rolling-hash fingerprint (custom codegen'd expression) — rows-only. */
+  /** Rolling-hash fingerprint (custom codegen'd expression). Formerly a
+    * rows-only value dump; now fully oracle-checked (r10 verdict item 3)
+    * on the function's checkable CONTRACT over the planted corpus:
+    * fingerprints must refine text-equality classes (`class_consistent` —
+    * every class of byte-identical docs, including the 25 planted copy
+    * classes, shares ONE fingerprint), must vary across the corpus
+    * (`fp_varies` — a constant kernel would pass the first check
+    * vacuously), and the class structure itself (`n_docs`,
+    * `n_text_classes`, `n_multi_doc_classes`) is replayed exactly by the
+    * oracle. The raw 64-bit values stay sketch-dependent and are pinned
+    * per-row by txt_fingerprint_planted plus specs.
+    */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-      .orderBy(col("doc_id"))
+    val docs = plantedDocs(Tables.documents(spark, dir))
+    val fps = ScopedStorage.persist(docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("fp")))
+    val classes = fps.groupBy(col("text"))
+      .agg(countDistinct(col("fp")).as("__nfp"), count(lit(1)).as("__n"))
+    classes.agg(
+      count(lit(1)).as("n_text_classes"),
+      sum(col("__n")).cast("long").as("n_docs"),
+      count(when(col("__n") > 1, 1)).as("n_multi_doc_classes"),
+      (max(col("__nfp")) === 1L).as("class_consistent"))
+      .crossJoin(fps.agg((countDistinct(col("fp")) > 1).as("fp_varies")))
   }
+
+  private val txtFingerprintSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' zq zq' FROM documents
+      |  WHERE doc_id >= 25 AND doc_id < 50
+      |), classes AS (
+      |  SELECT text, COUNT(*) AS n FROM corpus GROUP BY text
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_text_classes,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+      |    AS n_multi_doc_classes,
+      |  TRUE AS class_consistent, TRUE AS fp_varies
+      |FROM classes""".stripMargin
 
   /** The deterministic slice of the fingerprint (the dd_simhash_planted
     * recipe): identical text MUST fingerprint identically (planted exact
@@ -1057,20 +1095,63 @@ object PipelineQueries {
        |JOIN sizes nb ON nb.doc_id = id_b
        |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= $threshold""".stripMargin
 
-  /** Bounded corpus prefix (1000 docs ⊇ all 50 planted ids): this row is
-    * rows-only (sketch output, no SQL oracle) — its correctness is pinned
-    * by dd_minhash_planted and dd_minhash_recall — so spending the
-    * suite's largest per-gate bench cost re-running the full corpus here
-    * bought the least verification per second (r07 verdict). The full
-    * corpus still runs through the same pipeline in the composed gates
-    * (pipe_neardup_clusters, pipe_clean_corpus).
+  /** Bounded corpus prefix (1000 docs ⊇ all 50 planted ids; the full
+    * corpus still runs through the same pipeline in the composed gates —
+    * pipe_neardup_clusters, pipe_clean_corpus). Formerly a rows-only
+    * sketch dump; now fully oracle-checked (r10 verdict item 3) on the
+    * parts DuckDB CAN derive from the SAME full-pipeline output:
+    * per-planted-pair rows (each copy must pair its original at jaccard
+    * exactly 1.0 — the exact-collapse pre-route), `n_exact_pairs` = the
+    * count of retrieved pairs at jaccard 1.0, which the oracle replays
+    * as the brute-force count of identical-shingle-SET pairs (identical
+    * sets ⇒ identical signatures ⇒ all-band collision ⇒ retrieval is
+    * structural, not probabilistic), and `sound` = every retrieved pair
+    * is at or above the verify threshold. The statistical recall story
+    * stays in dd_minhash_recall; per-row planted identity stays in
+    * dd_minhash_planted.
     */
   def ddMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = plantedDocs(Tables.documents(spark, dir)
       .filter(col("doc_id") < 1000))
-    Dedup.minhashNearDupPairs(docs, "doc_id", "text")
-      .orderBy(col("id_a"), col("id_b"))
+    val pairs = ScopedStorage.persist(
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text"))
+    val planted = pairs
+      .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val summary = pairs.agg(
+      count(when(col("jaccard") === 1.0, 1)).as("n_exact_pairs"),
+      (min(col("jaccard")) >= 0.7).as("sound")) // MinHashConfig threshold
+    planted.crossJoin(summary).orderBy(col("id_a"))
   }
+
+  private val ddMinhashSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' zq zq' FROM documents
+      |  WHERE doc_id >= 25 AND doc_id < 50
+      |), toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS sh
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+      |        FROM toks)
+      |), sets AS (
+      |  SELECT doc_id, array_agg(sh ORDER BY sh) AS sig FROM sh GROUP BY doc_id
+      |), classes AS (
+      |  SELECT sig, COUNT(*) AS n FROM sets GROUP BY sig
+      |), summary AS (
+      |  SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT)
+      |    AS n_exact_pairs, TRUE AS sound
+      |  FROM classes
+      |)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS jaccard, n_exact_pairs, sound
+      |FROM documents CROSS JOIN summary
+      |WHERE doc_id < 25 ORDER BY id_a""".stripMargin
 
   /** The recall harness's sample bound. 300 docs keeps the QUADRATIC
     * ground-truth machinery (not the operator under test) well inside the
@@ -1117,12 +1198,57 @@ object PipelineQueries {
     s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok
        |FROM (${bruteJaccardSql(0.7, sample = true)})""".stripMargin
 
+  /** Formerly a rows-only sketch dump; now fully oracle-checked (r10
+    * verdict item 3) on the parts DuckDB CAN derive from the same
+    * full-pipeline output: the planted copy pairs at hamming 0,
+    * `n_identical_found` = the count of retrieved pairs whose TEXTS are
+    * byte-equal (the exact-collapse pre-route makes finding every
+    * byte-identical pair structural — immune to bucket caps — so the
+    * oracle replays it as the corpus's identical-text pair count), and
+    * `all_within` = no retrieved pair exceeds the hamming bound. The full
+    * sketch-dependent pair set stays covered by dd_simhash_planted and
+    * the ScalaTest distance-bound spec.
+    */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = plantedDocs(Tables.documents(spark, dir))
-    Dedup.simhashNearDupPairs(docs, "doc_id", "text")
-      .orderBy(col("id_a"), col("id_b"))
+    val pairs = ScopedStorage.persist(
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text"))
+    val planted = pairs
+      .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    val identFound = pairs
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+      .filter(col("__ta") === col("__tb"))
+    val summary = identFound.agg(
+      count(lit(1)).as("n_identical_found"),
+      coalesce(max(col("hamming")) === 0, lit(true)).as("identical_h0"))
+      .crossJoin(pairs.agg((max(col("hamming")) <= 3).as("all_within")))
+    planted.crossJoin(summary).orderBy(col("id_a"))
   }
+
+  private val ddSimhashSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' zq zq' FROM documents
+      |  WHERE doc_id >= 25 AND doc_id < 50
+      |), classes AS (
+      |  SELECT text, COUNT(*) AS n FROM corpus GROUP BY text
+      |), summary AS (
+      |  SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT)
+      |    AS n_identical_found, TRUE AS identical_h0, TRUE AS all_within
+      |  FROM classes
+      |)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |  CAST(0 AS INTEGER) AS hamming, n_identical_found, identical_h0,
+      |  all_within
+      |FROM documents CROSS JOIN summary
+      |WHERE doc_id < 25 ORDER BY id_a""".stripMargin
 
   /** The deterministic slice of the simhash output (the same pattern as
     * sim_knn_lsh's rank-1 contract): an exact copy shares every signature
@@ -3282,16 +3408,49 @@ object PipelineQueries {
     * whitespace count. No SQL engine can replay BPE training, so this is
     * a rows-only gate — the planted twin above pins the algorithm.
     */
+  /** Trained-BPE tokenization of the real corpus. Formerly rows-only (no
+    * SQL engine can replay BPE training); now fully oracle-checked (r10
+    * verdict item 3) on the tokenizer's algebraic CONTRACT, which holds
+    * for ANY merge table and is replayable per-doc: subword tokens
+    * concatenate back to the lowercased whitespace-stripped text
+    * (`reconstructs` — BPE merges never add or remove characters), the
+    * `</w>` markers count the words exactly (`marker_count_ok`), and the
+    * token count sits in [n_words, n_chars + n_words] (`tokens_bounded` —
+    * at worst one token per character with the marker fused to the last).
+    * `n_words` is a replayed VALUE per doc. The exact merge sequence and
+    * tokenizations stay pinned by txt_bpe_planted.
+    */
   def txtBpe(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val model = graft.text.Bpe.train(docs, "text", numMerges = 50,
       maxWords = 1000)
-    docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_words"),
-        graft.text.Bpe.tokenCount(model, col("text")).as("n_bpe_tokens"))
+    docs
+      .select(col("doc_id"),
+        graft.text.Bpe.tokens(model, col("text")).as("__toks"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", "").as("__norm"),
+        when(trim(col("text")) === "", lit(0L))
+          .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+          .as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        (regexp_replace(concat_ws("", col("__toks")), "</w>", "") ===
+          col("__norm")).as("reconstructs"),
+        (size(expr("filter(__toks, t -> t LIKE '%</w>')")).cast("long") ===
+          col("n_words")).as("marker_count_ok"),
+        size(col("__toks")).cast("long").between(col("n_words"),
+          length(col("__norm")).cast("long") + col("n_words"))
+          .as("tokens_bounded"))
       .orderBy(col("doc_id"))
   }
+
+  private val txtBpeSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+      |         AS BIGINT) END AS n_words,
+      |  TRUE AS reconstructs, TRUE AS marker_count_ok,
+      |  TRUE AS tokens_bounded
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Cross-corpus embedding near-dup (semantic decontamination,
     * [[Dedup.embeddingNearDupPairsAgainst]]): the reference set is 25
@@ -4175,8 +4334,12 @@ object PipelineQueries {
     "pipe_cluster_best" -> pipeClusterBestSql,
     "pipe_clean_corpus" -> pipeCleanCorpusSql,
     "dd_exact" -> ddExactSql,
+    "dd_minhash" -> ddMinhashSql,
     "dd_minhash_planted" -> ddMinhashPlantedSql,
     "dd_minhash_recall" -> ddMinhashRecallSql,
+    "dd_simhash" -> ddSimhashSql,
+    "txt_bpe" -> txtBpeSql,
+    "txt_fingerprint" -> txtFingerprintSql,
     "txt_fingerprint_planted" -> txtFingerprintPlantedSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_compression" -> txtCompressionSql,

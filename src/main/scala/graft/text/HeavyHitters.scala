@@ -105,7 +105,30 @@ object HeavyHitters {
       capacity: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(capacity >= k, s"capacity $capacity must be >= k $k")
-    recount(docs, textCol, candidates(docs, textCol, capacity), k)
+    // The candidate and recount passes both start from the tokenized
+    // corpus — share ONE tokenization via a scoped persist (spills,
+    // freed at the harness boundary) instead of tokenizing twice. The
+    // two passes over the tokens themselves are inherent to exactness;
+    // at full corpus scale where persisting a token-array copy is worse
+    // than re-tokenizing, call candidates()/recount() directly — they
+    // keep the recompute-each-pass shape.
+    val tokenized = graft.core.ScopedStorage.persist(docs
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(col("__toks").isNotNull))
+    val cands = tokenized
+      .mapPartitions { rows =>
+        misraGries(
+          rows.flatMap(_.getSeq[String](0).iterator.filter(_.nonEmpty)),
+          capacity)
+      }(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token").distinct()
+    tokenized
+      .select(explode(col("__toks")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
   }
 
   /** Exact top-k word n-grams via the same two-pass sketch — the
@@ -124,14 +147,16 @@ object HeavyHitters {
     // array functions, no explode until after the candidate filter. The
     // short-doc case needs the explicit empty branch: sequence(1, 0)
     // generates a DESCENDING [1, 0], not an empty range.
-    val tokenized = docs
+    // Shared gram-array frame for both passes (same trade-off note as
+    // [[topTokens]]): one tokenize+gram computation, scoped-persisted.
+    val tokenized = graft.core.ScopedStorage.persist(docs
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(expr(
         s"CASE WHEN size(__toks) >= $n THEN " +
           s"transform(sequence(1, size(__toks) - ${n - 1}), " +
           s"i -> array_join(slice(__toks, i, $n), ' ')) " +
           "ELSE CAST(array() AS array<string>) END").as("__toks"))
-      .filter(col("__toks").isNotNull)
+      .filter(col("__toks").isNotNull))
 
     val cands = tokenized
       .mapPartitions { rows =>

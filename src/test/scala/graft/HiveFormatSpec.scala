@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1 format matrix, hive-SerDe cell — `hive` is in the reference's
+  * accepted file-format list (validate.sql:4) and was the one
+  * `mat_file_formats` cell still unexercised: a Derby-metastore session
+  * round-trips hive-SerDe tables (TEXTFILE via the `hive` writer format
+  * and a SQL `STORED AS SEQUENCEFILE` DDL) through the catalog.
+  *
+  * Runs in its OWN forked JVM (build.sbt `Test / testGrouping` splits
+  * this suite out): `spark.sql.catalogImplementation` is a STATIC conf
+  * baked into SharedState at first-session creation, so a hive-catalog
+  * session cannot coexist with the main suite's in-memory-catalog
+  * session in one JVM — exactly why the cell stayed unexercised until
+  * now (r10 verdict item 4).
+  */
+class HiveFormatSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hive").toString
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-hive-format")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
+      // Private Derby metastore: a fixed derby home would collide with
+      // any other suite run on the host.
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$tmp/metastore_db;create=true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("hive-SerDe round-trip: TEXTFILE writer format + STORED AS DDL") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") === "hive")
+    val db = "graft_hive_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    import spark.implicits._
+    val src = Seq((1L, "alpha", 10.5), (2L, "beta", -3.25), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+
+    // Cell 1: the `hive` datasource-writer format (what the reference's
+    // file_format=hive materializes through).
+    src.write.format("hive").option("fileFormat", "textfile")
+      .saveAsTable(s"$db.t_text")
+    val back = spark.table(s"$db.t_text")
+    assert(back.count() === 3)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("alpha", "beta", "gamma"))
+    // It must be a REAL hive-SerDe table, not a datasource table in
+    // disguise: serde recorded in the catalog metadata.
+    val desc = spark.sql(s"DESCRIBE FORMATTED $db.t_text")
+      .collect().map(r => s"${r.getString(0)}|${Option(r.getString(1)).getOrElse("")}")
+    assert(desc.exists(l => l.toLowerCase.contains("lazysimpleserde")),
+      s"expected a hive TEXTFILE serde in:\n${desc.mkString("\n")}")
+
+    // Cell 2: SQL DDL with STORED AS + INSERT, a second serde family.
+    spark.sql(
+      s"""CREATE TABLE $db.t_seq (id BIGINT, name STRING, score DOUBLE)
+         |STORED AS SEQUENCEFILE""".stripMargin)
+    src.write.mode("append").insertInto(s"$db.t_seq")
+    assert(spark.table(s"$db.t_seq").orderBy("id").collect().toSeq ===
+      src.orderBy("id").collect().toSeq)
+
+    // The catalog sees both as hive tables (provider hive).
+    val provider = spark.sql(s"DESCRIBE FORMATTED $db.t_seq").collect()
+      .find(_.getString(0).toLowerCase.startsWith("provider"))
+      .map(_.getString(1).trim.toLowerCase)
+    assert(provider === Some("hive"))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+}

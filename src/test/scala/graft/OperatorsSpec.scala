@@ -651,6 +651,22 @@ class OperatorsSpec extends AnyFunSuite {
       moved.getAs[Long]("n_cur") === 100L)
     intercept[IllegalArgumentException](Drift.psi(base, far, "v", Seq("g"), 1))
     intercept[IllegalArgumentException](Drift.psi(base, far, "v", Nil, 8))
+    // Constant baseline (hi == lo): departures from the constant must
+    // register — the old all-to-bin-0 rule reported psi = 0 for ANY
+    // current distribution. Equality buckets to bin 0, departures to the
+    // far edge bin.
+    val const = (1 to 100).map(_ => ("g", 5.0)).toDF("g", "v")
+    val constSame = Drift.psi(const, const, "v", Seq("g"), 8).collect()(0)
+    assert(constSame.getAs[Long]("psi_micro") === 0L)
+    val constMoved = Drift.psi(const, far, "v", Seq("g"), 8).collect()(0)
+    assert(constMoved.getAs[Boolean]("drifted") &&
+      constMoved.getAs[Long]("psi_micro") > 1000000L)
+    // Mixed current: the matching half stays in bin 0, the departed half
+    // lands in the edge bin — partial shift still registers.
+    val mixed = ((1 to 50).map(_ => ("g", 5.0)) ++
+      (1 to 50).map(_ => ("g", 9.0))).toDF("g", "v")
+    val constMixed = Drift.psi(const, mixed, "v", Seq("g"), 8).collect()(0)
+    assert(constMixed.getAs[Long]("psi_micro") > 0L)
   }
 
   test("eraseKeys: purges across partitions; fully-erased partition dies") {

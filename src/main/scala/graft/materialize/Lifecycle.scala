@@ -113,7 +113,10 @@ object Contracts {
     * target name never exists on a failed build (staging is dropped), and
     * the model is evaluated exactly once at any scale — the constraint
     * scan re-reads only the constrained columns, column-pruned, from
-    * what was written.
+    * what was written. The drop-old/rename-in commit is two metadata
+    * operations, not atomic: a crash exactly between them loses the
+    * target NAME but never the data (the staging table holds the fully
+    * validated build — re-run the rename to recover).
     */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
       contract: Seq[ColumnSpec],

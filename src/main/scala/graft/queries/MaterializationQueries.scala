@@ -962,7 +962,7 @@ object MaterializationQueries {
     // lazy plan would re-read the REWRITTEN files) and require multiset
     // equality after both rewrites, so a driver-side content divergence
     // turns into a loud gate error instead of a silent hash mismatch.
-    val pre = spark.table(t).localCheckpoint()
+    val pre = ScopedStorage.checkpoint(spark.table(t))
     RelationOps.compact(spark, t) // well under one 128 MB target file here
     val after = RelationOps.dataFiles(spark, t).size.toLong
     // Strict: a 24-way-fragmented small table MUST collapse — `after <
@@ -1016,7 +1016,7 @@ object MaterializationQueries {
       RelationOps.dataFiles(spark, t).map(_._2).sum / 4)
     // Content-invariance witness (same contract as rel_compact): eager
     // pre-rewrite snapshot, multiset equality after the rewrite.
-    val pre = spark.table(t).localCheckpoint()
+    val pre = ScopedStorage.checkpoint(spark.table(t))
     RelationOps.zOrderLayout(spark, t, Seq("l_orderkey", "l_partkey"),
       targetFileBytes = target)
     val files = RelationOps.dataFiles(spark, t).size

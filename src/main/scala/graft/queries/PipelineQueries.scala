@@ -982,10 +982,14 @@ object PipelineQueries {
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = plantedDocs(Tables.documents(spark, dir))
+    // Text-equality classes keyed by a scan-local 128-bit content hash,
+    // not the raw text — the exchange carries 32 bytes per row, never
+    // documents (the Dedup discipline; md5 equality stands in for byte
+    // equality here exactly as it does in Dedup.exact).
     val fps = ScopedStorage.persist(docs
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), md5(col("text")).as("__ch"),
         TextAnalysis.fingerprint(col("text")).as("fp")))
-    val classes = fps.groupBy(col("text"))
+    val classes = fps.groupBy(col("__ch"))
       .agg(countDistinct(col("fp")).as("__nfp"), count(lit(1)).as("__n"))
     classes.agg(
       count(lit(1)).as("n_text_classes"),
@@ -1217,11 +1221,14 @@ object PipelineQueries {
     val planted = pairs
       .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
       .select(col("id_a"), col("id_b"), col("hamming"))
-    val texts = docs.select(col("doc_id"), col("text"))
+    // Byte-equality via scan-local 128-bit content hashes — the joins
+    // exchange (id, 32-byte hash), never document text.
+    val texts = docs.select(col("doc_id"),
+      md5(col("text")).as("__ch"))
     val identFound = pairs
-      .join(texts.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
-      .join(texts.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
-      .filter(col("__ta") === col("__tb"))
+      .join(texts.select(col("doc_id").as("id_a"), col("__ch").as("__ca")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("__ch").as("__cb")), "id_b")
+      .filter(col("__ca") === col("__cb"))
     val summary = identFound.agg(
       count(lit(1)).as("n_identical_found"),
       coalesce(max(col("hamming")) === 0, lit(true)).as("identical_h0"))

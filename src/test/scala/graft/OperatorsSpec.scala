@@ -684,6 +684,37 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(parts === Set("p1"))
     assert(spark.table(t).filter(col("uid") === 3L).count() === 0)
+    // The durable survivor staging table is a rewrite-window artifact:
+    // it must be gone after a successful erase (it is deliberately LEFT
+    // in place only when the overwrite itself fails, as the recovery
+    // copy).
+    assert(!spark.catalog.tableExists(s"${t}__erase_stage"),
+      "staging table must be dropped after a successful erase")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("contracts: staged build leaves no staging table on success or failure") {
+    import graft.materialize.Contracts, Contracts.ColumnSpec
+    val t = s"default.contract_stage_spec_${System.nanoTime()}"
+    val stage = s"${t}__contract_stage"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val good = Seq(ColumnSpec("k", "bigint", notNull = true),
+      ColumnSpec("s", "string"))
+    Contracts.materialize(spark, t, df, good)
+    assert(spark.table(t).count() === 2)
+    assert(!spark.catalog.tableExists(stage),
+      "staging table must be gone after a successful contracted build")
+    // A constraint violation happens AFTER the staging write — the
+    // staging table must still be cleaned up, and the (pre-existing)
+    // target must survive untouched.
+    val bad = Seq(ColumnSpec("k", "bigint", check = Some("k > 100")),
+      ColumnSpec("s", "string"))
+    intercept[IllegalStateException] {
+      Contracts.materialize(spark, t, df, bad)
+    }
+    assert(!spark.catalog.tableExists(stage),
+      "staging table must be gone after a failed contracted build")
+    assert(spark.table(t).count() === 2, "failed rebuild must not touch the target")
     spark.sql(s"DROP TABLE $t")
   }
 }

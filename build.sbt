@@ -17,8 +17,10 @@ run / fork := true
 // inherit the full javaOptions (add-opens etc.).
 Test / testGrouping := {
   val tests = (Test / definedTests).value
-  val opts = (Test / javaOptions).value.toVector
-  val fo = ForkOptions().withRunJVMOptions(opts)
+  // Inherit the FULL default fork options (envVars, workingDirectory,
+  // javaHome, output strategy) — a bare ForkOptions().withRunJVMOptions
+  // would silently drop any future Test/envVars for every suite.
+  val fo = (Test / forkOptions).value
   val (hive, rest) = tests.partition(_.name.contains("HiveFormatSpec"))
   Seq(
     new Tests.Group("graft", rest, Tests.SubProcess(fo)),

@@ -57,17 +57,35 @@ def render(v):
 
 
 def numeric(v):
-    """Lenient numeric view for the diagnostic value comparison."""
-    if isinstance(v, (decimal.Decimal, int, float)) and not isinstance(v, bool):
+    """Lenient numeric view for the diagnostic value comparison. Anything
+    float() accepts is numeric — numpy int64 is NOT a Python int subclass,
+    so an isinstance check would misclassify a Spark int64 against a
+    DuckDB float64 (a NULL anywhere floats the whole pandas column) as a
+    VALUE mismatch when only the dtype rendering differs. Bools stay
+    strings so True never equates to 1."""
+    if v is None or isinstance(v, bool):
+        return ("str", render(v))
+    try:
         f = float(v)
         return ("num", "nan") if math.isnan(f) else ("num", f)
-    return ("str", render(v))
+    except (TypeError, ValueError):
+        return ("str", render(v))
 
 
 def table_key(rows, cols, cell):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple(map(str, t)))
+    # Sort key: numeric cells order by a 12-significant-digit rendering so
+    # two near-equal floats with different shortest reprs land on the SAME
+    # row position on both sides (str() of the raw float could interleave
+    # them differently and misalign the zip comparison).
+    def k(t):
+        return tuple(
+            ("num", "%.12g" % c[1])
+            if isinstance(c, tuple) and c[0] == "num" and isinstance(c[1], float)
+            else ("str", str(c))
+            for c in t)
+    out.sort(key=k)
     return out
 
 

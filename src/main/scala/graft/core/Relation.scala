@@ -43,4 +43,15 @@ object Relation {
       throw new IllegalArgumentException(
         s"expected [schema.]identifier, got '$name'")
   }
+
+  /** A sibling relation of `name` with `suffix` appended to the
+    * identifier, PRESERVING the parse semantics — staging/scratch tables
+    * derived with `Relation(rel.schema, id + suffix)` broke unqualified
+    * (current-database) names: the empty schema rendered as
+    * ``` `` ```.`id_suffix` instead of resolving in the current database.
+    */
+  def sibling(name: String, suffix: String): Relation = {
+    val r = parse(name)
+    r.copy(identifier = r.identifier + suffix)
+  }
 }

@@ -123,7 +123,7 @@ object Contracts {
       partitionBy: Seq[String] = Nil): Unit = {
     val ordered = validateShape(df, contract)
     val rel = Relation.parse(table)
-    val stage = Relation(rel.schema, s"${rel.identifier}__contract_stage")
+    val stage = Relation.sibling(table, "__contract_stage")
     spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
     TableMaterialization.run(spark, stage.name, ordered,
       partitionBy = partitionBy)
@@ -133,6 +133,12 @@ object Contracts {
       throw e
     }
     spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+    // The rename moves the staging table's managed directory onto the
+    // target's default location — an orphan directory there (a previous
+    // crashed write with no catalog entry) would fail the rename forever,
+    // with the target name already dropped. Same self-heal as the CTAS
+    // path.
+    TableMaterialization.clearOrphanLocation(spark, rel)
     RelationOps.rename(spark, stage.name, table)
     // A partitioned staging table's catalog partition entries still point
     // under the staging directory after the rename — re-discover them

@@ -58,18 +58,7 @@ object TableMaterialization {
     val rel = Relation.parse(table)
     spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
     spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
-    // Crash recovery: a managed-table directory with no catalog entry (a
-    // write died between file output and catalog commit) would otherwise
-    // fail CTAS forever with LOCATION_ALREADY_EXISTS. With no catalog
-    // entry the default managed path is by definition an orphan — clear it.
-    if (location.isEmpty) {
-      val ident = org.apache.spark.sql.catalyst.TableIdentifier(
-        rel.identifier, Option(rel.schema).filter(_.nonEmpty))
-      val default = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(ident))
-      val fs = default.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(default)) fs.delete(default, true)
-    }
+    if (location.isEmpty) clearOrphanLocation(spark, rel)
     var w = df.write.format(format).mode(SaveMode.Overwrite)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     bucketBy.foreach { case (n, cols) => w = w.bucketBy(n, cols.head, cols.tail: _*) }
@@ -87,6 +76,24 @@ object TableMaterialization {
       spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES ($clause)")
     }
     PersistDocs(spark, table, comment, columnComments)
+  }
+
+  /** Crash recovery: a managed-table directory with no catalog entry (a
+    * write died between file output and catalog commit) would otherwise
+    * fail CTAS — or a rename-into-place commit — forever with
+    * LOCATION_ALREADY_EXISTS. With no catalog entry the default managed
+    * path is by definition an orphan — clear it. Shared by the CTAS path
+    * and the staged contract build (whose rename moves a managed
+    * directory onto the target's default location).
+    */
+  private[graft] def clearOrphanLocation(spark: SparkSession,
+      rel: Relation): Unit = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      rel.identifier, Option(rel.schema).filter(_.nonEmpty))
+    val default = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = default.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(default)) fs.delete(default, true)
   }
 }
 

@@ -98,7 +98,7 @@ object RelationOps {
   private def relayoutWith(spark: SparkSession, name: String,
       partitionBy: Seq[String], shape: DataFrame => DataFrame): Unit = {
     val rel = Relation.parse(name)
-    val tmp = Relation(rel.schema, s"${rel.identifier}__evolve_src")
+    val tmp = Relation.sibling(name, "__evolve_src")
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
     rename(spark, name, tmp.name)
     // The rename moves the table DIRECTORY, but a partitioned table's

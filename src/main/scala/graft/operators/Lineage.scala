@@ -49,13 +49,16 @@ object Lineage {
           freeCheckpoint(next)
           done = true
         } else {
-          val grown = reached.unionByName(next).localCheckpoint()
-          // grown is materialized; the old reached and (non-seed) frontier
-          // can never be read again.
+          // next is materialized, so the old frontier can never be read
+          // again — free it and take ownership of next BEFORE the union
+          // checkpoint, so a failure there leaves only frontier/reached/e
+          // live (all freed by the catch below); the old order leaked
+          // next's blocks on exactly that path.
           if (!(frontier eq reached)) freeCheckpoint(frontier)
+          frontier = next
+          val grown = reached.unionByName(next).localCheckpoint()
           freeCheckpoint(reached)
           reached = grown
-          frontier = next
         }
         round += 1
       }

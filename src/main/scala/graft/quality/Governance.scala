@@ -47,8 +47,7 @@ object Governance {
       keys: DataFrame): (Long, Long, Long) = {
     require(keys.columns.length == 1,
       s"keys must be a single-column frame, got ${keys.columns.mkString(",")}")
-    val rel = Relation.parse(table)
-    val stage = Relation(rel.schema, s"${rel.identifier}__erase_stage")
+    val stage = Relation.sibling(table, "__erase_stage")
     val target = spark.table(table)
     val nBefore = target.count()
     val keyFrame = keys.toDF(keyCol).distinct()

@@ -1109,7 +1109,9 @@ object PipelineQueries {
     * count of retrieved pairs at jaccard 1.0, which the oracle replays
     * as the brute-force count of identical-shingle-SET pairs (identical
     * sets ⇒ identical signatures ⇒ all-band collision ⇒ retrieval is
-    * structural, not probabilistic), and `sound` = every retrieved pair
+    * structural, not probabilistic, PROVIDED no duplicate class nears
+    * the operator's group/bucket caps — an in-gate require guards that
+    * precondition loudly), and `sound` = every retrieved pair
     * is at or above the verify threshold. The statistical recall story
     * stays in dd_minhash_recall; per-row planted identity stays in
     * dd_minhash_planted.
@@ -1125,6 +1127,17 @@ object PipelineQueries {
     val summary = pairs.agg(
       count(when(col("jaccard") === 1.0, 1)).as("n_exact_pairs"),
       (min(col("jaccard")) >= 0.7).as("sound")) // MinHashConfig threshold
+    // The n_exact_pairs oracle replays an UNCAPPED n·(n−1)/2 over
+    // identical-shingle-set classes; the operator's dup-group and bucket
+    // caps (maxBucketSize = 10000) would silently drop pairs past them.
+    // Guard the precondition loudly: no identical-text class in this
+    // corpus may approach the cap (planted classes are size 2; a corpus
+    // change that violates this should error, not hash-mismatch).
+    val maxClass = docs.groupBy(md5(col("text"))).count()
+      .agg(max(col("count"))).head.getLong(0)
+    require(maxClass < 1000,
+      s"identical-text class of $maxClass docs nears the dedup caps — " +
+        "the uncapped-pair oracle no longer replays this corpus")
     planted.crossJoin(summary).orderBy(col("id_a"))
   }
 
@@ -1233,6 +1246,13 @@ object PipelineQueries {
       count(lit(1)).as("n_identical_found"),
       coalesce(max(col("hamming")) === 0, lit(true)).as("identical_h0"))
       .crossJoin(pairs.agg((max(col("hamming")) <= 3).as("all_within")))
+    // Same cap-precondition guard as dd_minhash: the identical-pair
+    // oracle assumes uncapped fan-out of duplicate groups.
+    val maxClass = texts.groupBy(col("__ch")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    require(maxClass < 1000,
+      s"identical-text class of $maxClass docs nears the dedup caps — " +
+        "the uncapped-pair oracle no longer replays this corpus")
     planted.crossJoin(summary).orderBy(col("id_a"))
   }
 

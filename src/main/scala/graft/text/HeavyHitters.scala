@@ -71,9 +71,23 @@ object HeavyHitters {
   def candidates(docs: DataFrame, textCol: String,
       capacity: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1: $capacity")
-    val tokenized = docs
+    candidatesFromTokens(docs
       .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .filter(col("__toks").isNotNull)
+      .filter(col("__toks").isNotNull), capacity)
+  }
+
+  /** Exact recount of `cands` tokens only, true top-k among them. */
+  def recount(docs: DataFrame, textCol: String, cands: DataFrame,
+      k: Int): DataFrame =
+    recountFromTokens(docs
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks")), cands, k)
+
+  /** Both passes over a pre-built `__toks` array frame — the single
+    * definition all four entry points share (a fix to the empty-token
+    * filter or the tie-break must land exactly once).
+    */
+  private def candidatesFromTokens(tokenized: DataFrame,
+      capacity: Int): DataFrame =
     tokenized
       .mapPartitions { rows =>
         misraGries(
@@ -81,12 +95,11 @@ object HeavyHitters {
           capacity)
       }(org.apache.spark.sql.Encoders.STRING)
       .toDF("token").distinct()
-  }
 
-  /** Exact recount of `cands` tokens only, true top-k among them. */
-  def recount(docs: DataFrame, textCol: String, cands: DataFrame,
+  private def recountFromTokens(tokenized: DataFrame, cands: DataFrame,
       k: Int): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    tokenized
+      .select(explode(col("__toks")).as("token"))
       .filter(col("token") =!= "")
       .join(broadcast(cands.select(col(cands.columns.head).as("token"))
         .distinct()), Seq("token"), "left_semi")
@@ -115,20 +128,8 @@ object HeavyHitters {
     val tokenized = graft.core.ScopedStorage.persist(docs
       .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(col("__toks").isNotNull))
-    val cands = tokenized
-      .mapPartitions { rows =>
-        misraGries(
-          rows.flatMap(_.getSeq[String](0).iterator.filter(_.nonEmpty)),
-          capacity)
-      }(org.apache.spark.sql.Encoders.STRING)
-      .toDF("token").distinct()
-    tokenized
-      .select(explode(col("__toks")).as("token"))
-      .filter(col("token") =!= "")
-      .join(broadcast(cands), Seq("token"), "left_semi")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
+    recountFromTokens(tokenized,
+      candidatesFromTokens(tokenized, capacity), k)
   }
 
   /** Exact top-k word n-grams via the same two-pass sketch — the
@@ -157,21 +158,8 @@ object HeavyHitters {
           s"i -> array_join(slice(__toks, i, $n), ' ')) " +
           "ELSE CAST(array() AS array<string>) END").as("__toks"))
       .filter(col("__toks").isNotNull))
-
-    val cands = tokenized
-      .mapPartitions { rows =>
-        misraGries(
-          rows.flatMap(_.getSeq[String](0).iterator.filter(_.nonEmpty)),
-          capacity)
-      }(org.apache.spark.sql.Encoders.STRING)
-      .toDF("token").distinct()
-    tokenized
-      .select(explode(col("__toks")).as("token"))
-      .filter(col("token") =!= "")
-      .join(broadcast(cands), Seq("token"), "left_semi")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
+    recountFromTokens(tokenized,
+      candidatesFromTokens(tokenized, capacity), k)
       .select(col("token").as("gram"), col("n"))
   }
 }

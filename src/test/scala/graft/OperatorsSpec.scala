@@ -693,6 +693,26 @@ class OperatorsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("staged rewrites accept unqualified (current-database) table names") {
+    // Relation.sibling must preserve parse semantics: a staging relation
+    // derived with Relation(rel.schema, id + suffix) rendered an empty
+    // schema as ``.`t__stage` and broke every unqualified-name caller.
+    import graft.materialize.Contracts, Contracts.ColumnSpec
+    import graft.quality.Governance
+    val t = s"unqual_stage_spec_${System.nanoTime()}"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    Contracts.materialize(spark, t,
+      df, Seq(ColumnSpec("k", "bigint", notNull = true),
+        ColumnSpec("s", "string")))
+    assert(spark.table(t).count() === 3)
+    val (before, purged, after) =
+      Governance.eraseKeys(spark, t, "k", Seq(2L).toDF("k"))
+    assert((before, purged, after) === ((3L, 1L, 2L)))
+    graft.materialize.RelationOps.evolvePartitioning(spark, t, Seq("s"))
+    assert(spark.table(t).count() === 2)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("contracts: staged build leaves no staging table on success or failure") {
     import graft.materialize.Contracts, Contracts.ColumnSpec
     val t = s"default.contract_stage_spec_${System.nanoTime()}"

@@ -31,6 +31,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -57,13 +58,16 @@ def render(v):
 
 
 def numeric(v):
-    """Lenient numeric view for the diagnostic value comparison. Anything
-    float() accepts is numeric — numpy int64 is NOT a Python int subclass,
-    so an isinstance check would misclassify a Spark int64 against a
-    DuckDB float64 (a NULL anywhere floats the whole pandas column) as a
-    VALUE mismatch when only the dtype rendering differs. Bools stay
-    strings so True never equates to 1."""
-    if v is None or isinstance(v, bool):
+    """Lenient numeric view for the diagnostic value comparison. Numeric
+    OBJECTS coerce through float() — numpy int64 is NOT a Python int
+    subclass, so an isinstance check would misclassify a Spark int64
+    against a DuckDB float64 (a NULL anywhere floats the whole pandas
+    column) as a VALUE mismatch when only the dtype rendering differs.
+    Bools (incl. numpy.bool_, which is NOT a Python bool) and STRINGS
+    stay strings: float('1')/float(np.True_) coercion would mislabel a
+    genuine value difference ('1' vs '1.0', True vs 1) as rendering-only.
+    """
+    if v is None or isinstance(v, (bool, np.bool_, str)):
         return ("str", render(v))
     try:
         f = float(v)

@@ -132,7 +132,10 @@ object Contracts {
       spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
       throw e
     }
-    spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+    // Type-aware drop, like the CTAS path: the target name may currently
+    // be bound to a VIEW (re-materializing a view as a contracted table),
+    // and Spark 4's DROP TABLE throws on views even with IF EXISTS.
+    TableMaterialization.dropExisting(spark, rel)
     // The rename moves the staging table's managed directory onto the
     // target's default location — an orphan directory there (a previous
     // crashed write with no catalog entry) would fail the rename forever,

@@ -56,8 +56,7 @@ object TableMaterialization {
       comment: Option[String] = None,
       columnComments: Map[String, String] = Map.empty): Unit = {
     val rel = Relation.parse(table)
-    spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
-    spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
+    dropExisting(spark, rel)
     if (location.isEmpty) clearOrphanLocation(spark, rel)
     var w = df.write.format(format).mode(SaveMode.Overwrite)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
@@ -77,6 +76,22 @@ object TableMaterialization {
     }
     PersistDocs(spark, table, comment, columnComments)
   }
+
+  /** Type-aware pre-materialization drop: Spark 4 raises
+    * WRONG_COMMAND_FOR_OBJECT_TYPE when DROP TABLE hits a VIEW (and vice
+    * versa) even with IF EXISTS, so the old unconditional
+    * DROP TABLE + DROP VIEW pair failed whenever the target name was
+    * currently bound to a view. One catalog probe picks the right
+    * statement; DROP VIEW also covers temp views.
+    */
+  private[graft] def dropExisting(spark: SparkSession, rel: Relation): Unit =
+    if (spark.catalog.tableExists(rel.quoted)) {
+      if (spark.catalog.getTable(rel.quoted).tableType.equalsIgnoreCase("VIEW")
+          || spark.catalog.getTable(rel.quoted).tableType
+            .equalsIgnoreCase("TEMPORARY"))
+        spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
+      else spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
+    }
 
   /** Crash recovery: a managed-table directory with no catalog entry (a
     * write died between file output and catalog commit) would otherwise

@@ -45,17 +45,17 @@ object Lineage {
           .select(col("child").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
           .localCheckpoint()
+        // next is materialized, so the old frontier can never be read
+        // again — free it and take ownership of next IMMEDIATELY (before
+        // even the isEmpty probe), so any later failure leaves exactly
+        // frontier/reached/e live, all freed by the catch below. The old
+        // orderings leaked next's blocks when the union checkpoint (or
+        // the probe itself) threw.
+        if (!(frontier eq reached)) freeCheckpoint(frontier)
+        frontier = next
         if (next.isEmpty) {
-          freeCheckpoint(next)
-          done = true
+          done = true // frontier (= next) is freed after the loop
         } else {
-          // next is materialized, so the old frontier can never be read
-          // again — free it and take ownership of next BEFORE the union
-          // checkpoint, so a failure there leaves only frontier/reached/e
-          // live (all freed by the catch below); the old order leaked
-          // next's blocks on exactly that path.
-          if (!(frontier eq reached)) freeCheckpoint(frontier)
-          frontier = next
           val grown = reached.unionByName(next).localCheckpoint()
           freeCheckpoint(reached)
           reached = grown

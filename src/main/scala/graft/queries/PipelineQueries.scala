@@ -1133,8 +1133,9 @@ object PipelineQueries {
     // Guard the precondition loudly: no identical-text class in this
     // corpus may approach the cap (planted classes are size 2; a corpus
     // change that violates this should error, not hash-mismatch).
-    val maxClass = docs.groupBy(md5(col("text"))).count()
-      .agg(max(col("count"))).head.getLong(0)
+    val maxClassRow = docs.groupBy(md5(col("text"))).count()
+      .agg(max(col("count"))).head()
+    val maxClass = if (maxClassRow.isNullAt(0)) 0L else maxClassRow.getLong(0)
     require(maxClass < 1000,
       s"identical-text class of $maxClass docs nears the dedup caps — " +
         "the uncapped-pair oracle no longer replays this corpus")
@@ -1248,8 +1249,9 @@ object PipelineQueries {
       .crossJoin(pairs.agg((max(col("hamming")) <= 3).as("all_within")))
     // Same cap-precondition guard as dd_minhash: the identical-pair
     // oracle assumes uncapped fan-out of duplicate groups.
-    val maxClass = texts.groupBy(col("__ch")).count()
-      .agg(max(col("count"))).head.getLong(0)
+    val maxClassRow = texts.groupBy(col("__ch")).count()
+      .agg(max(col("count"))).head()
+    val maxClass = if (maxClassRow.isNullAt(0)) 0L else maxClassRow.getLong(0)
     require(maxClass < 1000,
       s"identical-text class of $maxClass docs nears the dedup caps — " +
         "the uncapped-pair oracle no longer replays this corpus")

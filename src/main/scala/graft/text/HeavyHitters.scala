@@ -76,11 +76,16 @@ object HeavyHitters {
       .filter(col("__toks").isNotNull), capacity)
   }
 
-  /** Exact recount of `cands` tokens only, true top-k among them. */
+  /** Exact recount of `cands` tokens only, true top-k among them. The
+    * caller-supplied candidate frame is normalized here (single column
+    * named `token`, distinct); the internal paths pass
+    * [[candidatesFromTokens]] output, which is already in that form.
+    */
   def recount(docs: DataFrame, textCol: String, cands: DataFrame,
       k: Int): DataFrame =
     recountFromTokens(docs
-      .select(TextAnalysis.tokens(col(textCol)).as("__toks")), cands, k)
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks")),
+      cands.select(col(cands.columns.head).as("token")).distinct(), k)
 
   /** Both passes over a pre-built `__toks` array frame — the single
     * definition all four entry points share (a fix to the empty-token
@@ -96,13 +101,16 @@ object HeavyHitters {
       }(org.apache.spark.sql.Encoders.STRING)
       .toDF("token").distinct()
 
+  /** `cands` contract: one `token` column, already distinct (the
+    * [[candidatesFromTokens]] output shape) — no re-normalization here,
+    * so the internal paths don't plan a redundant dedup exchange.
+    */
   private def recountFromTokens(tokenized: DataFrame, cands: DataFrame,
       k: Int): DataFrame =
     tokenized
       .select(explode(col("__toks")).as("token"))
       .filter(col("token") =!= "")
-      .join(broadcast(cands.select(col(cands.columns.head).as("token"))
-        .distinct()), Seq("token"), "left_semi")
+      .join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)

@@ -736,5 +736,19 @@ class OperatorsSpec extends AnyFunSuite {
       "staging table must be gone after a failed contracted build")
     assert(spark.table(t).count() === 2, "failed rebuild must not touch the target")
     spark.sql(s"DROP TABLE $t")
+    // A target currently bound to a VIEW must re-materialize cleanly
+    // (the CTAS path drops both kinds; the staged path must too).
+    val v = s"default.contract_view_spec_${System.nanoTime()}"
+    spark.sql(s"CREATE VIEW $v AS SELECT 9L AS k, 'z' AS s")
+    Contracts.materialize(spark, v, df, good)
+    assert(spark.table(v).count() === 2)
+    // The plain CTAS path shares the type-aware drop — a view-bound name
+    // must re-materialize as a table there too (Spark 4's DROP TABLE
+    // throws on views even with IF EXISTS, so the old drop pair failed).
+    spark.sql(s"DROP TABLE $v")
+    spark.sql(s"CREATE VIEW $v AS SELECT 9L AS k, 'z' AS s")
+    graft.materialize.TableMaterialization.run(spark, v, df)
+    assert(spark.table(v).count() === 2)
+    spark.sql(s"DROP TABLE $v")
   }
 }

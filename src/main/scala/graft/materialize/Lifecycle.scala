@@ -124,7 +124,8 @@ object Contracts {
     val ordered = validateShape(df, contract)
     val rel = Relation.parse(table)
     val stage = Relation.sibling(table, "__contract_stage")
-    spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+    // run() performs its own type-aware drop + orphan-location self-heal
+    // for the staging name — no separate pre-drop needed.
     TableMaterialization.run(spark, stage.name, ordered,
       partitionBy = partitionBy)
     try checkConstraints(spark.table(stage.quoted), contract)

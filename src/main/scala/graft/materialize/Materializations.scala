@@ -86,9 +86,8 @@ object TableMaterialization {
     */
   private[graft] def dropExisting(spark: SparkSession, rel: Relation): Unit =
     if (spark.catalog.tableExists(rel.quoted)) {
-      if (spark.catalog.getTable(rel.quoted).tableType.equalsIgnoreCase("VIEW")
-          || spark.catalog.getTable(rel.quoted).tableType
-            .equalsIgnoreCase("TEMPORARY"))
+      val kind = spark.catalog.getTable(rel.quoted).tableType
+      if (kind.equalsIgnoreCase("VIEW") || kind.equalsIgnoreCase("TEMPORARY"))
         spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
       else spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
     }

@@ -29,16 +29,20 @@ object Lineage {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val e = edges.select(col(edges.columns(0)).as("parent"),
       col(edges.columns(1)).as("child")).localCheckpoint()
-    var reached = seeds.select(col(seeds.columns.head).as("node"))
-      .distinct().localCheckpoint()
-    var frontier = reached
+    var reached: DataFrame = null
+    var frontier: DataFrame = null
     var round = 0
-    var done = e.isEmpty
-    // try/finally so the non-convergence throw frees e/reached/frontier
-    // like every success path does — an un-freed localCheckpoint is
-    // invisible to clearCache and leaks storage for the session's life
-    // (the PageRank/Clusters discipline, which free on all paths).
+    var done = false
+    // Everything after the edge checkpoint — INCLUDING the seeds
+    // checkpoint and the initial isEmpty probe, both Spark jobs — runs
+    // inside the cleanup scope, so any failure frees every live
+    // localCheckpoint (invisible to clearCache; leaks for the session's
+    // life otherwise — the PageRank/Clusters discipline).
     try {
+      reached = seeds.select(col(seeds.columns.head).as("node"))
+        .distinct().localCheckpoint()
+      frontier = reached
+      done = e.isEmpty
       while (!done && round < maxRounds) {
         val next = e
           .join(frontier.withColumnRenamed("node", "parent"), "parent")
@@ -67,8 +71,8 @@ object Lineage {
           s"downstreamClosure did not converge in $maxRounds rounds — " +
             "graph deeper than the bound (raise maxRounds)")
     } catch { case t: Throwable =>
-      if (!(frontier eq reached)) freeCheckpoint(frontier)
-      freeCheckpoint(reached)
+      if (frontier != null && !(frontier eq reached)) freeCheckpoint(frontier)
+      if (reached != null) freeCheckpoint(reached)
       freeCheckpoint(e)
       throw t
     }

@@ -51,11 +51,14 @@ object Governance {
     val target = spark.table(table)
     val nBefore = target.count()
     val keyFrame = keys.toDF(keyCol).distinct()
-    spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
-    target
+    // Stage through the CTAS materialization, not a raw saveAsTable: it
+    // type-aware-drops a staging name bound to a view AND self-heals an
+    // orphan staging directory (a crash mid-staging-write would
+    // otherwise brick every future erase of this table with
+    // LOCATION_ALREADY_EXISTS — no catalog entry for DROP to clear).
+    graft.materialize.TableMaterialization.run(spark, stage.name, target
       .join(broadcast(keyFrame), Seq(keyCol), "left_anti")
-      .select(target.columns.map(col): _*)
-      .write.saveAsTable(stage.name)
+      .select(target.columns.map(col): _*))
     try
       graft.core.Engine.withConf(spark,
         Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {

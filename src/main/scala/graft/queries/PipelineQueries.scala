@@ -3452,6 +3452,16 @@ object PipelineQueries {
   def txtBpe(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
+    // Corpus precondition, guarded loudly (the dd_minhash cap-guard
+    // pattern): the reconstruction check strips the literal `</w>` marker
+    // from the concatenated tokens, so a document whose RAW text contains
+    // that 4-char sequence would inflate the marker count and corrupt the
+    // reconstruction on the Spark side while the oracle hardcodes TRUE —
+    // an opaque driver red. Error instead.
+    val nMarker = docs.filter(col("text").contains("</w>")).count()
+    require(nMarker == 0,
+      s"$nMarker docs contain the literal '</w>' marker — the BPE " +
+        "reconstruction oracle cannot replay this corpus")
     val model = graft.text.Bpe.train(docs, "text", numMerges = 50,
       maxWords = 1000)
     docs

@@ -827,4 +827,81 @@ class RandomizedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("psi drift: equals a plain-Scala PSI reference, incl. constant baselines") {
+    import graft.quality.Drift
+    val rnd = new Random(131)
+    for (trial <- 1 to 3) {
+      val nBins = 4 + rnd.nextInt(8)
+      val groups = Seq("a", "b", "const")
+      def draw(g: String, side: Int): Seq[Double] = g match {
+        // One genuinely constant-baseline group per trial: the current
+        // side shifts half its mass away, exercising the equality rule.
+        case "const" =>
+          if (side == 0) Seq.fill(30)(5.0)
+          else Seq.fill(15)(5.0) ++ Seq.fill(15)(5.0 + rnd.nextInt(9) + 1)
+        case _ =>
+          val shift = if (side == 0) 0.0 else rnd.nextDouble() * 40
+          (1 to 40).map(_ => rnd.nextDouble() * 100 + shift)
+      }
+      val base = groups.flatMap(g => draw(g, 0).map(v => (g, v)))
+      val cur = groups.flatMap(g => draw(g, 1).map(v => (g, v)))
+      // Plain-Scala reference replaying the operator's exact arithmetic:
+      // explicit IEEE bucket over the BASELINE range, clamp, equality
+      // rule for constant baselines, Laplace +1, micro-quantized terms.
+      def ref(g: String): Long = {
+        val b = base.filter(_._1 == g).map(_._2)
+        val c = cur.filter(_._1 == g).map(_._2)
+        val (lo, hi) = (b.min, b.max)
+        def bin(v: Double): Long =
+          if (hi == lo) { if (v == lo) 0L else (nBins - 1).toLong }
+          else math.max(0L, math.min((nBins - 1).toLong,
+            math.floor(((v - lo) * nBins) / (hi - lo)).toLong))
+        val cb = b.groupBy(bin).view.mapValues(_.size.toLong).toMap
+        val cc = c.groupBy(bin).view.mapValues(_.size.toLong).toMap
+        (0L until nBins.toLong).map { i =>
+          val p = (cb.getOrElse(i, 0L) + 1L).toDouble / (b.size + nBins)
+          val q = (cc.getOrElse(i, 0L) + 1L).toDouble / (c.size + nBins)
+          math.round((p - q) * math.log(p / q) * 1e6)
+        }.sum
+      }
+      val got = Drift.psi(base.toDF("g", "v"), cur.toDF("g", "v"), "v",
+        Seq("g"), nBins).collect()
+        .map(r => r.getAs[String]("g") -> r.getAs[Long]("psi_micro")).toMap
+      groups.foreach { g =>
+        assert(got(g) === ref(g), s"trial=$trial g=$g nBins=$nBins")
+      }
+      // The shifted constant-baseline group must actually register.
+      assert(got("const") > 0L, s"trial=$trial constant-baseline shift invisible")
+    }
+  }
+
+  test("eraseKeys: equals a plain filter for random tables and key sets") {
+    import graft.quality.Governance
+    val rnd = new Random(167)
+    for (trial <- 1 to 2) {
+      val t = s"default.erase_rand_${trial}_${System.nanoTime()}"
+      val parts = Seq("p0", "p1", "p2")
+      val rows = (1 to 60).map { i =>
+        (rnd.nextInt(20).toLong, parts(rnd.nextInt(3)), rnd.nextInt(1000))
+      }
+      val partitioned = rnd.nextBoolean()
+      val df = rows.toDF("uid", "part", "v")
+      if (partitioned) df.write.partitionBy("part").saveAsTable(t)
+      else df.write.saveAsTable(t)
+      val victims = (0 until 20).filter(_ => rnd.nextDouble() < 0.3)
+        .map(_.toLong)
+      val (before, purged, after) = Governance.eraseKeys(spark, t, "uid",
+        victims.toDF("k"))
+      val want = rows.filterNot(r => victims.contains(r._1))
+      assert(before === rows.size.toLong && after === want.size.toLong &&
+        purged === (rows.size - want.size).toLong,
+        s"trial=$trial partitioned=$partitioned")
+      val got = spark.table(t).select("uid", "part", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(got.sorted === want.sorted, s"trial=$trial content")
+      assert(!spark.catalog.tableExists(s"${t}__erase_stage"))
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

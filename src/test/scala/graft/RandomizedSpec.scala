@@ -904,4 +904,40 @@ class RandomizedSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("microbatch: random event sets split to per-window truth; retries idempotent") {
+    import java.sql.Timestamp
+    import graft.materialize.Microbatch
+    val rnd = new Random(211)
+    for (trial <- 1 to 2) {
+      val t = s"default.micro_rand_${trial}_${System.nanoTime()}"
+      // Random events across 5 days, some OUTSIDE the covered range.
+      val rows = (1 to 80).map { i =>
+        val day = rnd.nextInt(5) // day 0..4; range covers [1, 4)
+        val ts = Timestamp.valueOf(f"2024-03-0${day + 1}%s " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+        (i.toLong, ts, rnd.nextInt(100))
+      }
+      val src = rows.toDF("id", "ts", "v")
+      val begin = Timestamp.valueOf("2024-03-02 00:00:00")
+      val end = Timestamp.valueOf("2024-03-04 00:00:00")
+      val n = Microbatch.run(spark, t, src, "ts", begin, end, "day")
+      assert(n === 2, s"trial=$trial expected 2 daily batches")
+      val want = rows.filter(r => !r._2.before(begin) && r._2.before(end))
+        .map(r => (r._1, r._3, r._2.toLocalDateTime.toLocalDate.toString))
+        .sorted
+      def contents() = spark.table(t)
+        .selectExpr("id", "v", "CAST(batch_start AS STRING)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq.sorted
+      assert(contents() === want, s"trial=$trial split")
+      // Retry a random covered window from the SAME source: idempotent.
+      val day = 2 + rnd.nextInt(2) // day 2 or 3
+      Microbatch.run(spark, t, src, "ts",
+        Timestamp.valueOf(f"2024-03-0$day%s 00:00:00"),
+        Timestamp.valueOf(f"2024-03-0${day + 1}%s 00:00:00"), "day")
+      assert(contents() === want, s"trial=$trial retry changed contents")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -113,10 +113,14 @@ object Contracts {
     * target name never exists on a failed build (staging is dropped), and
     * the model is evaluated exactly once at any scale — the constraint
     * scan re-reads only the constrained columns, column-pruned, from
-    * what was written. The drop-old/rename-in commit is two metadata
-    * operations, not atomic: a crash exactly between them loses the
-    * target NAME but never the data (the staging table holds the fully
-    * validated build — re-run the rename to recover).
+    * what was written. The commit mirrors [[RelationOps]]'s rename-aside
+    * relayout: the current target renames ASIDE (never dropped first), the
+    * stage renames in, then the aside copy drops — so a TABLE is bound to
+    * the target name at every step, and a failure in the rename-in window
+    * restores the original and rethrows (FaultInjectionSpec injects into
+    * exactly that window). The one un-asided case is a target currently
+    * bound to a VIEW: views are definition-only (no data to lose), so the
+    * view is dropped outright before the rename-in.
     */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
       contract: Seq[ColumnSpec],
@@ -124,6 +128,7 @@ object Contracts {
     val ordered = validateShape(df, contract)
     val rel = Relation.parse(table)
     val stage = Relation.sibling(table, "__contract_stage")
+    val aside = Relation.sibling(table, "__contract_old")
     // run() performs its own type-aware drop + orphan-location self-heal
     // for the staging name — no separate pre-drop needed.
     TableMaterialization.run(spark, stage.name, ordered,
@@ -133,21 +138,49 @@ object Contracts {
       spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
       throw e
     }
-    // Type-aware drop, like the CTAS path: the target name may currently
-    // be bound to a VIEW (re-materializing a view as a contracted table),
-    // and Spark 4's DROP TABLE throws on views even with IF EXISTS.
-    TableMaterialization.dropExisting(spark, rel)
+    // Move the current target ASIDE instead of dropping it: the data
+    // survives every failure window of the commit below. A target bound
+    // to a VIEW can't rename via ALTER TABLE (and has no directory to
+    // preserve) — type-aware drop it like the CTAS path does.
+    val asideMade =
+      if (!spark.catalog.tableExists(rel.quoted)) false
+      else {
+        val kind = spark.catalog.getTable(rel.quoted).tableType
+        if (kind.equalsIgnoreCase("VIEW") || kind.equalsIgnoreCase("TEMPORARY")) {
+          spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
+          false
+        } else {
+          TableMaterialization.dropExisting(spark, aside)
+          RelationOps.rename(spark, table, aside.name)
+          true
+        }
+      }
     // The rename moves the staging table's managed directory onto the
     // target's default location — an orphan directory there (a previous
-    // crashed write with no catalog entry) would fail the rename forever,
-    // with the target name already dropped. Same self-heal as the CTAS
-    // path.
+    // crashed write with no catalog entry) would fail the rename forever.
+    // The aside rename above moved a live target's directory away, so
+    // anything still at the default path is by definition an orphan.
     TableMaterialization.clearOrphanLocation(spark, rel)
-    RelationOps.rename(spark, stage.name, table)
+    try {
+      graft.core.Failpoints.check("contract.rename_in")
+      RelationOps.rename(spark, stage.name, table)
+    } catch { case e: Throwable =>
+      // Restore the original under the target name (rename breaks a
+      // partitioned table's per-partition locations both ways — repair),
+      // and retire the stage: the build is reproducible and the original
+      // is intact, so nothing is lost.
+      if (asideMade) {
+        RelationOps.rename(spark, aside.name, table)
+        RelationOps.repairIfPartitioned(spark, rel)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+      throw e
+    }
     // A partitioned staging table's catalog partition entries still point
     // under the staging directory after the rename — re-discover them
     // (metadata-only), or the contracted table reads empty.
     RelationOps.repairIfPartitioned(spark, rel)
+    if (asideMade) spark.sql(s"DROP TABLE IF EXISTS ${aside.quoted}")
   }
 }
 

@@ -108,10 +108,11 @@ object RelationOps {
     // sources (evolving a flat table INTO a partitioned layout) have no
     // partition entries to fix, and MSCK rejects them.
     repairIfPartitioned(spark, tmp)
-    try
+    try {
+      graft.core.Failpoints.check("relayout.rebuild")
       TableMaterialization.run(spark, name, shape(spark.table(tmp.quoted)),
         partitionBy = partitionBy)
-    catch { case e: Throwable =>
+    } catch { case e: Throwable =>
       spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
       rename(spark, tmp.name, name)
       // The rollback rename breaks partition locations exactly like the

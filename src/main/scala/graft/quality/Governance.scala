@@ -48,6 +48,18 @@ object Governance {
     require(keys.columns.length == 1,
       s"keys must be a single-column frame, got ${keys.columns.mkString(",")}")
     val stage = Relation.sibling(table, "__erase_stage")
+    // A live staging table means a PREVIOUS erasure died mid-overwrite and
+    // the stage is the only trustworthy copy of that erasure's survivors —
+    // the target may be truncated or partial. Re-running eraseKeys here
+    // would rebuild the stage FROM that damaged target, silently
+    // destroying the recovery copy while appearing to succeed with fewer
+    // rows. Fail fast and route the caller to [[recoverErasure]].
+    if (spark.catalog.tableExists(stage.quoted))
+      throw new IllegalStateException(
+        s"erasure recovery stage ${stage.name} exists — a previous erasure " +
+          s"of $table failed mid-overwrite and the stage holds the only " +
+          s"sound copy of its survivors; call Governance.recoverErasure(" +
+          s"spark, \"$table\") to restore before erasing again")
     val target = spark.table(table)
     val nBefore = target.count()
     val keyFrame = keys.toDF(keyCol).distinct()
@@ -62,18 +74,38 @@ object Governance {
     try
       graft.core.Engine.withConf(spark,
         Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {
+        graft.core.Failpoints.check("erase.overwrite")
         spark.table(stage.quoted).write.mode("overwrite").insertInto(table)
       }
     catch { case e: Throwable =>
       throw new IllegalStateException(
         s"erasure overwrite of $table failed mid-rewrite; survivors are " +
-          s"preserved in staging table ${stage.name} — re-run the insert " +
-          "from it to recover", e)
+          s"preserved in staging table ${stage.name} — call " +
+          s"Governance.recoverErasure(spark, \"$table\") to restore", e)
     }
     spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
     spark.catalog.refreshTable(table)
     val nAfter = spark.table(table).count()
     (nBefore, nBefore - nAfter, nAfter)
+  }
+
+  /** Recovery half of [[eraseKeys]]: re-run the overwrite from a staging
+    * table a failed erasure left behind, then retire the stage. Safe to
+    * call repeatedly — the stage is dropped only after the insert
+    * succeeds, so a recovery that itself dies mid-overwrite leaves the
+    * stage in place for the next attempt. Returns the restored row count.
+    */
+  def recoverErasure(spark: SparkSession, table: String): Long = {
+    val stage = Relation.sibling(table, "__erase_stage")
+    require(spark.catalog.tableExists(stage.quoted),
+      s"no erasure recovery stage for $table (${stage.name} does not exist)")
+    graft.core.Engine.withConf(spark,
+      Map("spark.sql.sources.partitionOverwriteMode" -> "static")) {
+      spark.table(stage.quoted).write.mode("overwrite").insertInto(table)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+    spark.catalog.refreshTable(table)
+    spark.table(table).count()
   }
 
   /** C7: a data-cell filter — mirrors FilterConfig (lakeformation.py:167):

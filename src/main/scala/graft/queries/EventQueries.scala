@@ -518,7 +518,8 @@ object EventQueries {
       val sink = "stream_tumbling_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(10)
       val res = graft.streaming.EventStreams.runBoundedToMemory(
-        spark, s"$d/src", schema, transform, sink, outputMode = "complete")
+        spark, s"$d/src", schema, transform, sink, outputMode = "complete",
+        statePartitions = Some(8), noDataBatch = false)
         .orderBy(col("window_start"), col("event_type"))
         .cache()
       res.count() // materialize before the staging dir vanishes
@@ -551,7 +552,8 @@ object EventQueries {
         spark, s"$d/src", schema,
         df => graft.dedup.Dedup.ledgerIngest(ledger, df, Seq("text"),
           Seq(col("doc_id"))),
-        s"$d/out", readOptions = Map("maxFilesPerTrigger" -> "1"))
+        s"$d/out", readOptions = Map("maxFilesPerTrigger" -> "1"),
+        statePartitions = Some(8), noDataBatch = false)
       val res = survivors.agg(
         count(lit(1)).as("n_survivors"),
         sum(length(col("text"))).as("chars_sum"))
@@ -593,7 +595,8 @@ object EventQueries {
         java.util.UUID.randomUUID.toString.replace("-", "").take(10)
       val res = graft.streaming.EventStreams.runBoundedToMemory(
         spark, s"$d/src", schema,
-        df => graft.streaming.EventStreams.sessionize(df).toDF(), sink)
+        df => graft.streaming.EventStreams.sessionize(df).toDF(), sink,
+        statePartitions = Some(8), noDataBatch = false)
         .filter(col("session_start") <= lit(maxReal))
         .orderBy(col("user_id"), col("session_start"))
         .cache()
@@ -632,7 +635,13 @@ object EventQueries {
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     graft.materialize.Staging.withDir(spark, "stream_ij") { d =>
+      // Stage only the two event types the join consumes: every other
+      // type would be scanned per JOIN BRANCH (each side of a
+      // stream-stream join reads the source independently) and then
+      // filtered — pure harness overhead on the bounded drain, and at
+      // production scale the same predicate belongs at ingest anyway.
       Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "view"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
         .write.parquet(s"$d/src")
       val schema = spark.read.parquet(s"$d/src").schema
@@ -643,7 +652,8 @@ object EventQueries {
       val sink = "stream_ij_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(10)
       val res = graft.streaming.EventStreams.runBoundedToMemory(
-        spark, s"$d/src", schema, transform, sink)
+        spark, s"$d/src", schema, transform, sink,
+        statePartitions = Some(8), noDataBatch = false)
         .select(col("user_id"), col("view_id"), col("click_id"))
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
         .cache()

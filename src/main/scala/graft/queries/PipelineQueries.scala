@@ -447,7 +447,8 @@ object PipelineQueries {
       val sink = "stream_gq_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(10)
       val res = graft.streaming.EventStreams.runBoundedToMemory(
-        spark, s"$d/src", schema, transform, sink)
+        spark, s"$d/src", schema, transform, sink,
+        statePartitions = Some(8), noDataBatch = false)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
         .cache()
@@ -1128,17 +1129,23 @@ object PipelineQueries {
       count(when(col("jaccard") === 1.0, 1)).as("n_exact_pairs"),
       (min(col("jaccard")) >= 0.7).as("sound")) // MinHashConfig threshold
     // The n_exact_pairs oracle replays an UNCAPPED n·(n−1)/2 over
-    // identical-shingle-set classes; the operator's dup-group and bucket
+    // identical-shingle-SET classes; the operator's dup-group and bucket
     // caps (maxBucketSize = 10000) would silently drop pairs past them.
-    // Guard the precondition loudly: no identical-text class in this
-    // corpus may approach the cap (planted classes are size 2; a corpus
-    // change that violates this should error, not hash-mismatch).
-    val maxClassRow = docs.groupBy(md5(col("text"))).count()
+    // Guard the precondition on the SAME equivalence the oracle counts:
+    // shingle-set classes MERGE texts that differ only in whitespace/token
+    // runs, so an md5(text) guard (the r11 shape) could stay quiet while
+    // a shingle-set class silently crossed the caps — exactly the opaque
+    // hash mismatch the guard exists to prevent. `Dedup.shingles` is the
+    // operator's own shingle function, so identical guard-class ⇔
+    // identical signature ⇔ structural retrieval.
+    val shingleClass = md5(concat_ws("\u0001",
+      array_sort(graft.dedup.Dedup.shingles(col("text"), 3))))
+    val maxClassRow = docs.groupBy(shingleClass).count()
       .agg(max(col("count"))).head()
     val maxClass = if (maxClassRow.isNullAt(0)) 0L else maxClassRow.getLong(0)
     require(maxClass < 1000,
-      s"identical-text class of $maxClass docs nears the dedup caps — " +
-        "the uncapped-pair oracle no longer replays this corpus")
+      s"identical-shingle-set class of $maxClass docs nears the dedup caps" +
+        " — the uncapped-pair oracle no longer replays this corpus")
     planted.crossJoin(summary).orderBy(col("id_a"))
   }
 

@@ -130,7 +130,59 @@ object EventStreams {
     */
   def runBoundedForeachBatch(spark: SparkSession, sourceDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
-      outDir: String, readOptions: Map[String, String] = Map.empty): DataFrame = {
+      outDir: String, readOptions: Map[String, String] = Map.empty,
+      statePartitions: Option[Int] = None,
+      noDataBatch: Boolean = true): DataFrame =
+    withStatePartitions(spark, statePartitions) {
+      withNoDataBatch(spark, noDataBatch) {
+        runBoundedForeachBatchImpl(spark, sourceDir, schema, transform,
+          outDir, readOptions)
+      }
+    }
+
+  /** Scope `spark.sql.shuffle.partitions` for one bounded drain: a
+    * streaming query materializes a STATE STORE INSTANCE per shuffle
+    * partition per stateful operator, and each instance pays per-batch
+    * commit I/O regardless of how little state it holds — on a bounded
+    * smoke run sized in the thousands-to-millions of rows, 32 partitions
+    * is pure fixed overhead (measured: the stream-stream join gate spends
+    * most of its wall time committing near-empty stores). Callers size
+    * this to the bounded input; production streams size it to state
+    * volume and leave it None. The conf is read at query PLANNING, so
+    * scoping the whole start→drain window is sufficient and the session
+    * value is restored after.
+    */
+  private def withStatePartitions[T](spark: SparkSession,
+      n: Option[Int])(f: => T): T = n match {
+    case Some(p) => graft.core.Engine.withConf(spark,
+      Map("spark.sql.shuffle.partitions" -> p.toString))(f)
+    case None => f
+  }
+
+  /** Scope `spark.sql.streaming.noDataMicroBatches.enabled=false` for one
+    * bounded drain. After the last data batch advances the watermark, the
+    * engine runs one more ZERO-ROW micro-batch purely to let stateful
+    * operators evict/flush against the new watermark — on a bounded drain
+    * whose state holds the whole corpus, that empty batch full-scans every
+    * state store and can cost as much as the data batch itself (measured:
+    * 7 of the interval-join gate's 11 s). Disabling it is sound ONLY when
+    * the final no-data batch cannot add output rows: inner stream-stream
+    * joins (matches emit on arrival), complete-mode aggregations (every
+    * batch emits the full result), stateless transforms, and
+    * sentinel-flushed sessionization (closure is driven by planted data
+    * rows, not the terminal watermark). Callers whose OUTPUT depends on a
+    * terminal watermark flush — append-mode windowed aggs, timeout-driven
+    * state emission without sentinels — must leave this enabled.
+    */
+  private def withNoDataBatch[T](spark: SparkSession,
+      enabled: Boolean)(f: => T): T =
+    if (enabled) f
+    else graft.core.Engine.withConf(spark,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(f)
+
+  private def runBoundedForeachBatchImpl(spark: SparkSession, sourceDir: String,
+      schema: StructType, transform: DataFrame => DataFrame,
+      outDir: String, readOptions: Map[String, String]): DataFrame = {
     // Seed the sink with the ZERO-ROW transformed frame first: an empty
     // source produces no micro-batches, and reading back a directory no
     // batch ever wrote would fail schema inference — the seed pins the
@@ -158,7 +210,10 @@ object EventStreams {
     */
   def runBoundedToMemory(spark: SparkSession, sourceDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
-      sinkName: String, outputMode: String = "append"): DataFrame = {
+      sinkName: String, outputMode: String = "append",
+      statePartitions: Option[Int] = None,
+      noDataBatch: Boolean = true): DataFrame =
+    withStatePartitions(spark, statePartitions) { withNoDataBatch(spark, noDataBatch) {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q: StreamingQuery = transform(stream).writeStream
       .outputMode(outputMode)
@@ -169,5 +224,5 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
     spark.table(sinkName)
-  }
+  } }
 }

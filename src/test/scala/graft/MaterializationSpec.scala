@@ -557,4 +557,33 @@ class MaterializationSpec extends AnyFunSuite {
     assert(e.getMessage.startsWith("HOOK_FAILED"))
     assert(spark.table(t2).count() === 1)
   }
+
+  test("content witness: layout-invariant, moves on any row edit/drop/dup") {
+    import spark.implicits._
+    import graft.queries.MaterializationQueries.contentWitness
+    val base = Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "b", 0.0))
+      .toDF("k", "s", "v")
+    val w = contentWitness(base)
+    // Layout-only changes (the thing the witness must TOLERATE): row
+    // order, partitioning, file count all leave it fixed.
+    assert(contentWitness(base.orderBy(desc("k")).repartition(7)) === w)
+    assert(contentWitness(base.coalesce(1)) === w)
+    // Content changes (the thing it must CATCH): an edited cell, a
+    // dropped row, a duplicated row — each with the count unchanged or
+    // the sum unchanged being the trap the other component covers.
+    val edited = base.withColumn("v",
+      when(col("k") === 2L, lit(99.0)).otherwise(col("v")))
+    assert(contentWitness(edited) !== w, "edited cell must move the sum")
+    assert(contentWitness(base.filter(col("k") =!= 3L)) !== w)
+    assert(contentWitness(base.unionAll(base.limit(1))) !== w,
+      "a duplicated row must move count AND sum")
+    // Null-bearing rows hash, not vanish: the witness still counts them
+    // and distinguishes null placements.
+    val withNull = base.withColumn("s",
+      when(col("k") === 1L, lit(null: String)).otherwise(col("s")))
+    assert(contentWitness(withNull) !== w)
+    assert(contentWitness(withNull)._1 === 3L)
+    // Empty frame: defined, zeroed — not a null-sum crash.
+    assert(contentWitness(base.limit(0)) === ((0L, BigInt(0))))
+  }
 }

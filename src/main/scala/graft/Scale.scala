@@ -1,0 +1,385 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.MaterializationQueries.contentWitness
+
+/** Off-gate scale stress: self-replicate the sf0.1 corpus ×k with shifted
+  * ids and run the scale-critical operators at ×1 and ×k, asserting
+  * DERIVABLE ground truth at the amplified scale.
+  *
+  * Replication is the amplifier precisely because it makes the big-scale
+  * answer computable from the small-scale one with no oracle engine in the
+  * loop:
+  *   - ids shift by `replica · Offset`, so every id projects back to its
+  *     original via `id % Offset`, and each replica is a disjoint,
+  *     bit-identical copy of the corpus;
+  *   - content-keyed operators (exact dedup, minhash) see the SAME distinct
+  *     contents at every k — survivor sets are invariant, pair counts
+  *     decompose in closed form (cross-content pairs scale by k², identical
+  *     classes of size c become C(k·c, 2));
+  *   - per-replica-disjoint operators (as-of with shifted users, CC and
+  *     PageRank over shifted node ids, erasure) produce exactly k
+  *     independent copies of the ×1 answer — counts and projected hash-sums
+  *     scale by exactly k, component-size histograms scale their
+  *     multiplicities by exactly k, integer PageRank values are preserved
+  *     per copy;
+  *   - the HOT variant replicates events WITHOUT shifting the key, making
+  *     every (user, time-bucket) k× heavier while tie-break determinism
+  *     keeps the matched payload identical — the skew path with a derivable
+  *     answer.
+  *
+  * Each operator's ×1 and ×k runs read parquet written through the same
+  * amplify path (k = 1 is the identity), so the timed work is scan → operator
+  * → aggregate on both sides and the ratio is meaningful. Timings include the
+  * invariant-side aggregates (count/hash-sum), which are one map-side-combined
+  * pass each. Storage is released (blocking) after every run and the
+  * post-release watermark must be 0 — the bench discipline, applied at ×k.
+  *
+  * Usage: runMain graft.Scale <sfDir> <scratchDir> <k> [op,op,...]
+  * Prints one `SCALE-OP` line per operator and a final `SCALE-JSON` line.
+  */
+object Scale {
+
+  /** Id shift per replica — above every source id (max observed id at sf0.1
+    * is l_orderkey ≈ 1.5e5; PageRank dst nodes sit at partkey + 2³³ < 2³⁴).
+    */
+  val Offset: Long = 1L << 36
+
+  /** k disjoint shifted copies: `idCols` gain `replica · Offset`, all other
+    * columns replicate byte-identically. k = 1 is the identity (modulo one
+    * extra narrow projection).
+    */
+  def amplify(df: DataFrame, k: Int, idCols: Seq[String]): DataFrame = {
+    val reps = broadcast(df.sparkSession.range(k.toLong).toDF("__r"))
+    val cols = df.columns.map { c =>
+      if (idCols.contains(c)) (col(c) + col("__r") * lit(Offset)).as(c)
+      else col(c)
+    }
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .crossJoin(reps).select(cols.toIndexedSeq: _*)
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** (count, Σ xxhash64(row)) over a projection — the multiset witness.
+    * For replica-disjoint operators the ×k witness is exactly k × the ×1
+    * witness when the projection maps ids back to original space.
+    */
+  private def w(df: DataFrame): (Long, BigInt) = contentWitness(df)
+
+  private def scaled(w1: (Long, BigInt), wk: (Long, BigInt), k: Int): Boolean =
+    wk._1 == w1._1 * k && wk._2 == w1._2 * k
+
+  final case class OpResult(name: String, k: Int, rows1: Long, rowsK: Long,
+      sec1: Double, secK: Double, storageAfter: Long, invariant: String)
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, scratch, k, only) = args match {
+      case Array(s, d, kk)        => (s, d, kk.toInt, None)
+      case Array(s, d, kk, names) => (s, d, kk.toInt, Some(names.split(",").toSet))
+    }
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.crossJoin.enabled", "true")
+      .config("spark.sql.warehouse.dir", s"$scratch/x$k/warehouse")
+      // File-split sizing for THIS corpus's CPU-per-byte profile: the
+      // synthetic text compresses ~60× (a ~31-token shared vocabulary), so
+      // the default 128 MB split packs an 80k-doc, CPU-heavy tokenize into
+      // ONE scan task and serializes it (measured: heavy-bigrams ×30 wall
+      // at ×16 data before this). At 100 TB a scan has thousands of file
+      // splits and the per-task compute is what scales — 2 MB splits with
+      // a small open cost restore that regime at amplifier scale. This is
+      // the same lever a production deployment tunes per-table.
+      .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ------------------------------------------------------------ staging
+    // Both scales read parquet written through the same amplifier so the
+    // timed shape (scan → operator → aggregate) is identical.
+    def stage(name: String, df: DataFrame, idCols: Seq[String]): Unit = {
+      amplify(df, 1, idCols).write.mode("overwrite")
+        .parquet(s"$scratch/x1/$name.parquet")
+      amplify(df, k, idCols).write.mode("overwrite")
+        .parquet(s"$scratch/x$k/$name.parquet")
+    }
+    def rd(scale: String, name: String): DataFrame =
+      spark.read.parquet(s"$scratch/$scale/$name.parquet")
+
+    val docs0 = graft.core.Tables.documents(spark, sfDir)
+    val li0 = graft.core.Tables.lineitem(spark, sfDir)
+    val ev0 = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    // PageRank/CC node space: orders on one side, parts shifted to 2^33 on
+    // the other — disjoint within a replica, and Offset-disjoint across.
+    val edges0 = li0.select(col("l_orderkey").as("src"),
+      (col("l_partkey") + lit(1L << 33)).as("dst"))
+
+    log(s"staging ×1 and ×$k corpora under $scratch")
+    stage("documents", docs0, Seq("doc_id"))
+    stage("lineitem", li0, Seq("l_orderkey"))
+    stage("events_disjoint", ev0, Seq("event_id", "user_id"))
+    stage("events_hot", ev0, Seq("event_id")) // user_id SHARED: k× hot keys
+    stage("edges", edges0, Seq("src", "dst"))
+
+    val results = scala.collection.mutable.ArrayBuffer[OpResult]()
+    def release(): Long = {
+      spark.catalog.clearCache()
+      graft.core.ScopedStorage.releaseAll(blocking = true)
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    }
+    def run(name: String)(body: => (Long, Long, Double, Double, String)): Unit = {
+      if (only.exists(!_.contains(name))) return
+      val (r1, rk, s1, sk, inv) = body
+      val storage = release()
+      require(storage == 0L, s"$name left $storage bytes in executor storage")
+      val res = OpResult(name, k, r1, rk, s1, sk, storage, inv)
+      results += res
+      println(f"SCALE-OP ${res.name}%-18s k=$k%-3d rows ${r1}%,d -> ${rk}%,d  " +
+        f"sec ${s1}%.2f -> ${sk}%.2f (×${sk / math.max(s1, 1e-9)}%.1f)  $inv")
+    }
+    def check(cond: Boolean, msg: String): String = {
+      require(cond, s"SCALE invariant failed: $msg")
+      "OK"
+    }
+
+    // -------------------------------------------------------- 1. dd_exact
+    // k-replicated corpus ⇒ the survivor SET is invariant: replica 0 keeps
+    // original ids and the min-id tie-break picks exactly the ×1 winners.
+    run("dd_exact") {
+      def survivors(scale: String) = graft.dedup.Dedup.exact(
+        rd(scale, "documents"), Seq("text"), Seq(col("doc_id")))
+        .select("doc_id", "text")
+      val (w1, s1) = timed(w(survivors("x1")))
+      val (wk, sk) = timed(w(survivors(s"x$k")))
+      (w1._1, wk._1, s1, sk,
+        check(wk == w1, s"survivor set must be k-invariant: $w1 vs $wk"))
+    }
+
+    // -------------------------------------------- 2. dd_exact_bloom (cross)
+    // Scrubbing a ×k corpus against a FIXED reference applies the identical
+    // per-replica filter: survivors scale by exactly k (projected witness).
+    run("dd_exact_bloom") {
+      val ref = docs0.filter(col("doc_id") % 10 === 0).select("text")
+      def surv(scale: String) = graft.dedup.Dedup.exactAgainstBloom(
+        rd(scale, "documents"), Seq("text"), ref, Seq("text"),
+        expectedDistinct = 1L << 16)
+        .select((col("doc_id") % Offset).as("doc_id"), col("text"))
+      val (w1, s1) = timed(w(surv("x1")))
+      val (wk, sk) = timed(w(surv(s"x$k")))
+      (w1._1, wk._1, s1, sk,
+        check(scaled(w1, wk, k), s"bloom survivors must scale ×$k: $w1 vs $wk"))
+    }
+
+    // ------------------------------------------------------ 3. dd_minhash
+    // Identical texts collapse before signing, so rep-level near-dup pairs
+    // are k-invariant; the member fan-out decomposes in closed form:
+    //   pairs(×k) = k²·crossContentPairs(×1) + Σ_classes C(k·c, 2).
+    // The projected distinct pair set (ids mod Offset, self-pairs dropped)
+    // must equal the ×1 pair set exactly.
+    run("dd_minhash") {
+      val cfg = graft.dedup.Dedup.MinHashConfig()
+      val classes = docs0.groupBy(col("text")).count()
+        .groupBy(col("count").as("c")).count().as[(Long, Long)].collect()
+      val cMax = classes.map(_._1).max
+      require(cMax * k <= cfg.maxBucketSize,
+        s"class of $cMax docs × $k crosses the dedup cap ${cfg.maxBucketSize}")
+      def pairs(scale: String) = graft.dedup.Dedup.minhashNearDupPairs(
+        rd(scale, "documents"), "doc_id", "text", cfg)
+      val (n1, s1) = timed(pairs("x1").count())
+      val (nk, sk) = timed(pairs(s"x$k").count())
+      val same1 = classes.collect { case (c, n) if c >= 2 => n * c * (c - 1) / 2 }.sum
+      val predicted = k.toLong * k * (n1 - same1) +
+        classes.map { case (c, n) => n * (k * c) * (k * c - 1) / 2 }.sum
+      val inv1 = check(nk == predicted,
+        s"pair count $nk != closed-form $predicted (n1=$n1, same1=$same1)")
+      val p1 = pairs("x1").select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b")).distinct()
+      val pk = pairs(s"x$k").select(
+        least(col("id_a") % Offset, col("id_b") % Offset).as("a"),
+        greatest(col("id_a") % Offset, col("id_b") % Offset).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val inv2 = check(
+        pk.exceptAll(p1).isEmpty && p1.exceptAll(pk).isEmpty,
+        "projected ×k pair set must equal the ×1 pair set")
+      (n1, nk, s1, sk, s"$inv1+$inv2")
+    }
+
+    // ------------------------------------------------------ 4. dd_cluster
+    // CC over k disjoint shifted copies of a 600k-edge bipartite graph:
+    // the component-size histogram keeps its sizes and multiplies every
+    // multiplicity by exactly k.
+    run("dd_cluster") {
+      def hist(scale: String) = graft.dedup.Clusters.connectedComponents(
+        rd(scale, "edges").toDF("id_a", "id_b"))
+        .groupBy(col("cluster")).count()
+        .groupBy(col("count").as("size")).count()
+        .as[(Long, Long)].collect().toMap
+      val (h1, s1) = timed(hist("x1"))
+      val (hk, sk) = timed(hist(s"x$k"))
+      val n1 = h1.values.sum
+      val nk = hk.values.sum
+      (n1, nk, s1, sk,
+        check(hk == h1.map { case (sz, n) => sz -> n * k },
+          s"component histogram must scale multiplicities ×$k: $h1 vs $hk"))
+    }
+
+    // ------------------------------------------------ 5. txt_heavy_bigrams
+    // Replication multiplies every gram count by exactly k: same top-10
+    // set, counts ×k (the gate's capacity bound is scale-invariant — both
+    // sides of the n/(cap+1) retention inequality are linear in corpus
+    // size).
+    run("txt_heavy_bigrams") {
+      def top(scale: String) = graft.text.HeavyHitters.topGrams(
+        rd(scale, "documents"), "text", n = 2, k = 10, capacity = 2048)
+        .as[(String, Long)].collect().toMap
+      val (t1, s1) = timed(top("x1"))
+      val (tk, sk) = timed(top(s"x$k"))
+      (t1.size.toLong, tk.size.toLong, s1, sk,
+        check(tk == t1.map { case (g, n) => g -> n * k },
+          s"top-10 bigrams must be the ×1 set with counts ×$k"))
+    }
+
+    // -------------------------------------------------------- 6. pipe_pack
+    // ×k docs through the gate's packing layout: per-shard offsets must
+    // tile [0, shard total) with no gap or overlap, and global rows/tokens
+    // scale by exactly k. (Shard hashes include the shifted ids, so the
+    // layout itself legitimately differs between scales — the invariant is
+    // the packing CONTRACT, not the byte layout.)
+    run("pipe_pack") {
+      def packed(scale: String) = graft.operators.Packing.packSequences(
+        rd(scale, "documents"), "doc_id", "n_chars",
+        seqLen = 4096L, nShards = 8, salt = 13L)
+      def audit(scale: String): (Long, Long) = {
+        val p = packed(scale)
+        val toks = coalesce(col("n_chars").cast("long"), lit(0L))
+        val perShard = p.groupBy(col("shard")).agg(
+          max(col("off") + toks).as("hi"), sum(toks).as("tot"),
+          min(col("off")).as("lo"), count(lit(1)).as("n"))
+        val bad = perShard
+          .filter(col("hi") =!= col("tot") || col("lo") =!= lit(0L)).count()
+        require(bad == 0L, s"$bad shards fail the offset-tiling contract")
+        val t = perShard.agg(sum(col("n")), sum(col("tot")))
+          .as[(Long, Long)].head()
+        t
+      }
+      val ((n1, tok1), s1) = timed(audit("x1"))
+      val ((nk, tokK), sk) = timed(audit(s"x$k"))
+      (n1, nk, s1, sk,
+        check(nk == n1 * k && tokK == tok1 * k,
+          s"rows/tokens must scale ×$k: ($n1,$tok1) vs ($nk,$tokK)"))
+    }
+
+    // --------------------------------------------------------- 7. evt_asof
+    // Disjoint users: ×k is k independent copies — the projected witness
+    // (ids mod Offset, match payload included) scales by exactly k.
+    def asofRun(table: String, name: String): Unit = run(name) {
+      def matched(scale: String) = {
+        val ev = rd(scale, table)
+        val clicks = ev.filter(col("event_type") === "click")
+        val views = ev.filter(col("event_type") === "view")
+        graft.operators.AsofJoin.asof(clicks, views, Seq("user_id"),
+          "ts", "ts", Seq("value"), tieBreak = Seq("event_id"),
+          toleranceSec = Some(3600L), direction = "backward")
+          .select((col("user_id") % Offset).as("u"), col("ts"),
+            col("value"), col("ts_asof"), col("value_asof"))
+      }
+      val (w1, s1) = timed(w(matched("x1")))
+      val (wk, sk) = timed(w(matched(s"x$k")))
+      (w1._1, wk._1, s1, sk,
+        check(scaled(w1, wk, k), s"as-of witness must scale ×$k: $w1 vs $wk"))
+    }
+    asofRun("events_disjoint", "evt_asof")
+    // Hot keys: user_id is SHARED across replicas — every (user, tolerance
+    // bucket) is k× heavier. Tie-break determinism (greatest event_id at
+    // equal ts) keeps each row's matched (ts, value) payload identical to
+    // ×1, so the same ×k witness law holds THROUGH the skew path.
+    asofRun("events_hot", "evt_asof_hot")
+
+    // --------------------------------------------------- 8. graph_pagerank
+    // k disjoint graph copies: integer PageRank is bit-deterministic, so
+    // every replica node carries exactly its original's rank — witness over
+    // (node mod Offset, rank) scales by exactly k.
+    run("graph_pagerank") {
+      def ranks(scale: String) = graft.operators.PageRank.run(
+        rd(scale, "edges"), "src", "dst", iterations = 5)
+        .select((col("node") % Offset).as("n"), col("rank"))
+      val (w1, s1) = timed(w(ranks("x1")))
+      val (wk, sk) = timed(w(ranks(s"x$k")))
+      (w1._1, wk._1, s1, sk,
+        check(scaled(w1, wk, k), s"rank witness must scale ×$k: $w1 vs $wk"))
+    }
+
+    // ----------------------------------------------------- 9. gov_erasure
+    // Erase the same original key set (all replica copies of it) from a ×k
+    // table: the (before, purged, after) triple and the survivor witness
+    // both scale by exactly k.
+    run("gov_erasure") {
+      val keys0 = li0.select(col("l_orderkey")).distinct()
+        .filter(col("l_orderkey") % 97 === 0)
+      def erase(scale: String, kk: Int): ((Long, Long, Long), (Long, BigInt)) = {
+        val t = s"scale_erase_$scale"
+        rd(scale, "lineitem").write.mode("overwrite").saveAsTable(t)
+        val triple = graft.quality.Governance.eraseKeys(spark, t,
+          "l_orderkey", amplify(keys0, kk, Seq("l_orderkey")))
+        val wit = w(spark.table(t)
+          .select((col("l_orderkey") % Offset).as("k"), col("l_extendedprice")))
+        spark.sql(s"DROP TABLE $t")
+        (triple, wit)
+      }
+      val ((t1, w1), s1) = timed(erase("x1", 1))
+      val ((tk, wk), sk) = timed(erase(s"x$k", k))
+      (t1._1, tk._1, s1, sk,
+        check(tk == ((t1._1 * k, t1._2 * k, t1._3 * k)) && scaled(w1, wk, k),
+          s"erasure must scale ×$k: $t1/$w1 vs $tk/$wk"))
+    }
+
+    // ------------------------------------------------------ 10. rel_zorder
+    // Layout rewrite at ×k: the multiset content witness is invariant
+    // across the rewrite at BOTH scales (the same loud-error contract the
+    // gate carries, here at 38M rows), and files respect the 128 MB target.
+    run("rel_zorder") {
+      def rewrite(scale: String): (Long, Double) = {
+        val t = s"scale_zorder_$scale"
+        rd(scale, "lineitem").write.mode("overwrite").saveAsTable(t)
+        val pre = w(spark.table(t))
+        val (_, sec) = timed(graft.materialize.RelationOps.zOrderLayout(
+          spark, t, Seq("l_orderkey", "l_partkey")))
+        require(w(spark.table(t)) == pre,
+          s"z-order rewrite changed contents of $t")
+        spark.sql(s"DROP TABLE $t")
+        (pre._1, sec)
+      }
+      val (n1, s1) = rewrite("x1")
+      val (nk, sk) = rewrite(s"x$k")
+      (n1, nk, s1, sk, check(nk == n1 * k, s"row count must scale ×$k"))
+    }
+
+    // ------------------------------------------------------------- report
+    val json = results.map { r =>
+      s""""${r.name}":{"rows_x1":${r.rows1},"rows_xk":${r.rowsK},""" +
+        f""""sec_x1":${r.sec1}%.2f,"sec_xk":${r.secK}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""SCALE-JSON {"k":$k,"ops":$json,"all_invariants":"OK"}""")
+    spark.stop()
+  }
+
+  private def log(msg: String): Unit = println(s"[scale] $msg")
+}

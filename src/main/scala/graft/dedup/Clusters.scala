@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   * cluster id, jump or no jump (the jump only accelerates).
   *
   * Each round is two equi-joins (neighbor labels, then the jump) plus one
-  * min-aggregation. The neighbor phase is shuffle-partitioned by node id —
-  * a hot 100M-member cluster stays spread across the cluster there (unlike
-  * a groupBy-component formulation). The jump routes through the distinct
+  * min-aggregation. The doubled edge list — the big static side of every
+  * round's neighbor join — is persisted pre-partitioned and pre-sorted on
+  * the join key, so the per-round sort-merge join pays no exchange and no
+  * sort on it; only the (node, label) frames ride exchanges. The neighbor
+  * phase is shuffle-partitioned by node id — a hot 100M-member cluster
+  * stays spread across the cluster there (unlike a groupBy-component
+  * formulation). The jump routes through the distinct
   * probed labels rather than a label-keyed self-join, so a converged giant
   * component's hot label is collapsed by map-side partial aggregation
   * before any exchange and the probe side never shuffles on it once the
@@ -82,15 +86,33 @@ object Clusters {
     // edge list a cheap projection of one materialization.
     val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    // The doubled edge list is the BIG static side of every round's join —
+    // persist it hash-partitioned AND sorted on the join key so each
+    // round's sort-merge join reuses the layout outright: zero exchanges
+    // and zero sorts on this side per round (at 64× sf0.1 that is ~77M
+    // rows NOT re-shuffled ~10 times). persist, not localCheckpoint,
+    // because a checkpoint under AQE records UnknownPartitioning and
+    // every round would re-shuffle; the partition count is pinned so AQE
+    // cannot coalesce the layout into one later joins cannot reuse. The
+    // trade: no AQE skew-split on this static side — safe here because
+    // the pair generators feeding CC cap per-bucket fan-out, bounding any
+    // node's degree by design.
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    // `edges` is materialized (eager checkpoint), so `p`'s blocks are
-    // already unreachable by any future computation — free them now.
-    // Checkpoint blocks are NOT tracked by the catalog cache manager
-    // (spark.catalog.clearCache() never frees them), so without explicit
-    // release every retained round would pin a full frame copy in
-    // executor storage for the life of the RDD.
+      .repartition(nPart, col("src"))
+      .sortWithinPartitions(col("src"))
+      .persist()
+    edges.count() // materialize the cache, then free what only it read.
+    // `p`'s blocks are now unreachable by any future computation — free
+    // them. (The cached plan nominally retains p in its recompute lineage,
+    // but MEMORY_AND_DISK spills rather than evicts-to-recompute; losing a
+    // cached block means executor loss, the failure class local
+    // checkpoints never survived either.) Checkpoint blocks are NOT
+    // tracked by the catalog cache manager (spark.catalog.clearCache()
+    // never frees them), so without explicit release every retained round
+    // would pin a full frame copy in executor storage for the life of the
+    // RDD.
     freeCheckpoint(p)
 
     var labels = edges.select(col("src").as("id")).distinct()
@@ -112,6 +134,7 @@ object Clusters {
       val fromNbrs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("__nbr"))
+      graft.core.PlanProbe.offer("cc_neighbor", fromNbrs)
       // Every node has ≥1 neighbor (it came from an edge), so the join is
       // inner; least() keeps the node's own label when it is the minimum.
       // Lazily checkpointed because the jump below consumes it TWICE (both
@@ -182,8 +205,8 @@ object Clusters {
           "instead.")
     }
     // The edge list is only needed by the rounds (and the diagnostic
-    // above); the returned labels read their own checkpoint blocks.
-    freeCheckpoint(edges)
+    // above); cached blocks release through the cache manager directly.
+    edges.unpersist(blocking = false)
     // The RETURNED labels checkpoint outlives this call by design (the
     // caller reads it), so it cannot be freed here — register it with the
     // gate-scoped registry so the harness releases it at the query

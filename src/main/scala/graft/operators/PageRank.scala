@@ -22,16 +22,29 @@ import graft.core.ScopedStorage
   * PageRank variant; callers wanting the stochastic-matrix variant
   * symmetrize their graph first, which also guarantees outdeg ≥ 1).
   *
-  * Scale shape per iteration: one equi-join of ranks to edges on src (both
-  * hash-partitioned on the same key — AQE keeps the exchange reused), one
-  * map-side-combinable SUM per dst, one left join back to the node list.
-  * Only (node, rank) — 16 bytes — rides any exchange; the edge list is
-  * checkpointed ONCE and re-read per round. Iterations are lineage-cut via
-  * localCheckpoint with superseded rounds freed eagerly (two rank frames
-  * live at any time, not k), the [[graft.dedup.Clusters]] discipline. Skew:
-  * a mega-in-degree node (every real web graph has one) concentrates its
-  * SUM — partial aggregation collapses it map-side before the exchange, so
-  * the hot dst never funnels raw edges into one reducer.
+  * Scale shape per iteration: one equi-join of ranks to the static
+  * adjacency frame on src, one map-side-combinable SUM per dst, one left
+  * join back to the node list. The adjacency frame — (src, dst, outdeg),
+  * with the outdeg join folded in ONCE up front — is persisted
+  * hash-partitioned AND sorted on src, so every iteration's sort-merge
+  * join reuses that layout outright: the big static side pays ZERO
+  * exchanges and ZERO sorts per round, and only (node, rank) — 16 bytes —
+  * rides the exchanges that remain (measured at 64× sf0.1: 38.4M edges ×
+  * 5 rounds stopped re-shuffling ~3 GB). localCheckpoint cannot provide
+  * this: under AQE it records UnknownPartitioning, which is why the
+  * static side is cached (partitioning- and ordering-preserving through
+  * InMemoryTableScan) while the EVOLVING ranks frame stays lineage-cut
+  * via localCheckpoint with superseded rounds freed eagerly (two rank
+  * frames live at any time, not k), the [[graft.dedup.Clusters]]
+  * discipline. Skew: a mega-in-degree node (every real web graph has one)
+  * concentrates its SUM — partial aggregation collapses it map-side
+  * before the exchange, so the hot dst never funnels raw edges into one
+  * reducer. The static pre-partitioning does forgo AQE's skew-split on
+  * the adjacency side of the join — the deliberate trade for zero
+  * per-round exchanges; a pathological out-degree hub (the only key that
+  * could overfill one static partition) is bounded by construction in
+  * the dedup pipelines that feed this (per-bucket pair caps) and absent
+  * under replication (ids shift per replica).
   */
 object PageRank {
 
@@ -56,18 +69,33 @@ object PageRank {
       .distinct()
       .localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint()
+    // The static per-iteration join input, built ONCE: outdeg folded in
+    // (one fewer join per round), hash-partitioned AND sorted on the join
+    // key, then CACHED — InMemoryTableScan preserves both properties, so
+    // every round's sort-merge join consumes this side with no exchange
+    // and no sort. The partition count is pinned (repartition with an
+    // explicit N) because an AQE-coalesced exchange would report a
+    // partitioning the later joins cannot reuse — same reason this is
+    // persist, not localCheckpoint (a checkpoint under AQE records
+    // UnknownPartitioning).
+    val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
+    val adj = e.join(outdeg, "src")
+      .repartition(nPart, col("src"))
+      .sortWithinPartitions(col("src"))
+      .persist()
+    adj.count() // materialize before freeing the checkpoint it reads
     val baseRank = ((dampDen - dampNum) * unit) / dampDen
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(unit))
       .localCheckpoint()
+    freeCheckpoint(e)
     var i = 0
     while (i < iterations) {
-      val contrib = e
-        .join(outdeg, "src")
+      val contrib = adj
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div __deg")).as("__in"))
+      graft.core.PlanProbe.offer("pagerank_contrib", contrib)
       val prev = ranks
       ranks = prev.select(col("node"))
         .join(contrib, Seq("node"), "left")
@@ -78,8 +106,13 @@ object PageRank {
       freeCheckpoint(prev)
       i += 1
     }
-    freeCheckpoint(e)
-    freeCheckpoint(outdeg)
+    // Cached blocks release through the cache manager directly — unlike
+    // checkpoint blocks they need no scoped registry. (The cached plan's
+    // lineage nominally reaches e's freed checkpoint, but MEMORY_AND_DISK
+    // spills rather than evicts-to-recompute, so the only way to lose a
+    // block is executor loss — the failure class local checkpoints never
+    // survived either.)
+    adj.unpersist(blocking = false)
     // The returned frame reads its own checkpoint blocks — harness-scoped
     // release, never a leak (the r08 lesson, same as Clusters' labels).
     ScopedStorage.registerCheckpoint(ranks)

@@ -212,6 +212,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("iterative graph ops: the static cached side rides no per-round exchange or sort") {
+    // PageRank's adjacency frame and CC's doubled edge list are persisted
+    // pre-partitioned AND pre-sorted on the join key precisely so each
+    // round's sort-merge join pays nothing for the big static side (a
+    // localCheckpoint under AQE records UnknownPartitioning and would
+    // re-shuffle it every round — the regression this pins out). Captured
+    // via PlanProbe: the operators checkpoint each round, so the per-round
+    // join shape is invisible from the returned frame.
+    import graft.core.{Engine, PlanProbe}
+    PlanProbe.enable()
+    try {
+      Engine.withConf(spark, Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+        val pairs = (1L to 400L).map(i => (i, i % 20 + 1000L)).toDF("id_a", "id_b")
+        Clusters.connectedComponents(pairs).count()
+        val edges = (1L to 400L).map(i => (i % 50, i % 31))
+          .filter(p => p._1 != p._2).toDF("s", "d")
+        graft.operators.PageRank.run(edges, "s", "d", iterations = 2).count()
+      }
+      // The InMemoryRelation node renders the CACHE-BUILD plan (one shuffle
+      // + one sort, paid once at materialization) nested beneath it; only
+      // lines OUTSIDE that subtree describe per-round work, so strip the
+      // deeper-indented block under each InMemoryRelation before counting.
+      def perRoundLines(plan: String): Seq[String] = {
+        var skipBeyond = -1
+        plan.linesIterator.filter { l =>
+          val payload = l.indexWhere(_.isLetter)
+          if (skipBeyond >= 0 && payload > skipBeyond) false
+          else {
+            skipBeyond = if (l.contains("InMemoryRelation"))
+              l.indexOf("InMemoryRelation") else -1
+            true
+          }
+        }.toSeq
+      }
+      for (point <- Seq("cc_neighbor", "pagerank_contrib")) {
+        val plan = PlanProbe.get(point)
+          .getOrElse(fail(s"$point was never offered to the probe"))
+        assert(plan.contains("InMemoryTableScan"),
+          s"$point must read the cached static frame:\n$plan")
+        val outer = perRoundLines(plan)
+        // Exactly two exchanges may remain: the evolving labels/ranks side
+        // of the join and the dst-keyed aggregation. The static side must
+        // contribute NONE (pre-fix this plan carried its re-shuffle too).
+        val exchanges = outer.count(_.contains("Exchange hashpartitioning"))
+        assert(exchanges <= 2,
+          s"$point: expected <= 2 per-round hash exchanges, got $exchanges:\n$plan")
+        // The cached side is pre-sorted, so at most the evolving side sorts.
+        val sorts = outer.count(_.contains("Sort ["))
+        assert(sorts <= 1,
+          s"$point: expected <= 1 per-round sort (static side pre-sorted), got $sorts:\n$plan")
+      }
+    } finally PlanProbe.disable()
+  }
+
   test("operators tolerate empty and degenerate inputs") {
     import graft.dedup.Dedup
     import graft.text.TfIdf

@@ -797,6 +797,42 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: equals driver-side union-find on random graphs") {
+    import graft.dedup.Clusters
+    val rnd = new Random(47)
+    for (trial <- 1 to 4) {
+      // Density swings from many small components to one giant; duplicate
+      // edges, reversed duplicates, and self-loops are all legal input.
+      val nNodes = 20 + rnd.nextInt(60)
+      val density = Seq(0.02, 0.05, 0.15, 0.6)(trial - 1)
+      val edges = (for {
+        _ <- 1 to (nNodes * nNodes * density).toInt.max(1)
+      } yield {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = if (rnd.nextInt(20) == 0) a else rnd.nextInt(nNodes).toLong
+        (a, b)
+      })
+      // Reference: plain union-find, cluster = min id per component.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+      val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = members.map { n =>
+        val root = find(n)
+        n -> members.filter(m => find(m) == root).min
+      }.toMap
+      val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial=$trial nodes=$nNodes density=$density")
+    }
+  }
+
   test("pagerank: equals a driver-side reference on random graphs") {
     import graft.operators.PageRank
     val rnd = new Random(91)

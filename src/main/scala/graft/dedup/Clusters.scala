@@ -29,22 +29,35 @@ import org.apache.spark.sql.functions._
   * cluster id, jump or no jump (the jump only accelerates).
   *
   * Each round is two equi-joins (neighbor labels, then the jump) plus one
-  * min-aggregation. The doubled edge list — the big static side of every
-  * round's neighbor join — is persisted pre-partitioned and pre-sorted on
-  * the join key, so the per-round sort-merge join pays no exchange and no
-  * sort on it; only the (node, label) frames ride exchanges. The neighbor
-  * phase is shuffle-partitioned by node id — a hot 100M-member cluster
-  * stays spread across the cluster there (unlike a groupBy-component
-  * formulation). The jump routes through the distinct
-  * probed labels rather than a label-keyed self-join, so a converged giant
-  * component's hot label is collapsed by map-side partial aggregation
-  * before any exchange and the probe side never shuffles on it once the
-  * (per-distinct-label) parent map is broadcast-sized — see the in-loop
-  * comment for the regime analysis. Per round the labels frame is lazily
+  * min-aggregation — but the neighbor phase is DELTA-DRIVEN: only labels
+  * that changed last round (the frontier) are joined to the edge list, the
+  * Pregel vote-to-halt discipline. Label propagation is monotone (labels
+  * only decrease), so a label needs to be offered to a node's neighbors
+  * exactly once — the round after it was adopted; re-offering stable labels
+  * every round is pure waste. Round 1's frontier is every node, so the
+  * first rounds pay the full O(E) join; once the bulk of the graph has
+  * converged the frontier collapses and the per-round join input is the
+  * few still-active edges — AQE broadcasts the shrunken frontier and
+  * candidate frames, so the full label state stops riding exchanges
+  * entirely. At a fixed point the frontier is EMPTY, which doubles as the
+  * exact convergence test (changed-row count = 0; one tiny aggregate, the
+  * single action that materializes each round).
+  *
+  * The doubled edge list — the big static side of the neighbor join — is
+  * persisted pre-partitioned and pre-sorted on the join key, so the
+  * per-round sort-merge join pays no exchange and no sort on it; only the
+  * evolving (node, label) frames ride exchanges. The neighbor phase is
+  * shuffle-partitioned by node id — a hot 100M-member cluster stays spread
+  * across the cluster there (unlike a groupBy-component formulation). The
+  * jump routes through the distinct probed labels rather than a label-keyed
+  * self-join, so a converged giant component's hot label is collapsed by
+  * map-side partial aggregation before any exchange, and only NON-ROOT
+  * parents (label(label) ≠ label — the chains the jump still has to
+  * flatten) enter the parent map, which therefore shrinks to EMPTY at
+  * convergence and is broadcast-sized long before — see the in-loop comment
+  * for the regime analysis. Per round the state frame is lazily
   * localCheckpoint()ed — iterative plans otherwise stack the full lineage
-  * (Catalyst re-optimizes a 2^rounds tree) — and the convergence probe (the
-  * monotonically decreasing exact label sum, one tiny aggregate) doubles as
-  * the action that materializes it: ONE job per round. Checkpoint blocks
+  * (Catalyst re-optimizes a 2^rounds tree). Checkpoint blocks
   * of superseded rounds are freed deterministically as soon as the next
   * round materializes (the catalog cache manager never tracks checkpoint
   * RDDs), so a k-round run holds two label copies in executor storage,
@@ -115,73 +128,89 @@ object Clusters {
     // RDD.
     freeCheckpoint(p)
 
-    var labels = edges.select(col("src").as("id")).distinct()
+    var state = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
-    // Exact decimal sum: a wrapped long sum could (astronomically rarely)
-    // alias two different label states; null when the graph is empty.
-    def labelSum(df: DataFrame): BigDecimal = {
-      val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().get(0)
-      if (v == null) BigDecimal(0) else BigDecimal(v.toString)
-    }
-    var lastSum = labelSum(labels)
+    var labels = state.select(col("id"), col("cluster"))
+    // The frontier: labels adopted last round and not yet offered to their
+    // neighbors. Round 1 offers everything (every label is new); later
+    // rounds offer only the changed rows — a projection of the state
+    // checkpoint, never a separate materialization.
+    var frontier = state.select(col("id").as("src"), col("cluster"))
 
     var round = 0
     // Probe the checkpointed edges, not `pairs`: isEmpty on the raw input
     // would re-run the (possibly expensive) upstream pair pipeline.
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      val fromNbrs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      // Neighbor phase over ACTIVE edges only: the static cached edge side
+      // pays no exchange/sort (see above); the frontier side shrinks to
+      // broadcast size as the graph converges, so a late round's join
+      // touches only the edges incident to still-moving labels.
+      val cand = edges.join(frontier, "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("__nbr"))
-      graft.core.PlanProbe.offer("cc_neighbor", fromNbrs)
-      // Every node has ≥1 neighbor (it came from an edge), so the join is
-      // inner; least() keeps the node's own label when it is the minimum.
-      // Lazily checkpointed because the jump below consumes it TWICE (both
-      // sides of a self-join) — Catalyst would re-evaluate the
-      // join+agg+join subtree per side; the checkpoint shares one
-      // materialization.
-      val stepped = labels.join(fromNbrs, "id")
-        .select(col("id"), least(col("cluster"), col("__nbr")).as("cluster"))
+      graft.core.PlanProbe.offer("cc_neighbor", cand)
+      // Merge phase: LEFT join — only nodes adjacent to the frontier have a
+      // candidate; everyone else keeps their label. `__old` is carried so
+      // the round's change set falls out of the same frame with no extra
+      // join against the previous state. Lazily checkpointed because the
+      // jump below consumes it TWICE (probe side and parent-map source) —
+      // Catalyst would re-evaluate the join subtree per side; the
+      // checkpoint shares one materialization.
+      val stepped = labels.join(cand, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__old"),
+          least(col("cluster"), coalesce(col("__nbr"), col("cluster")))
+            .as("cluster"))
         .localCheckpoint(false)
       // Pointer jump: label(u) ← label(label(u)). Every label value is a
       // node id of the same component (labels start as ids and only adopt
-      // other members' labels), so the join is inner and total; the
-      // parent's label is ≤ its own id by monotonicity, so least() is just
-      // defensive clarity.
+      // other members' labels); the parent's label is ≤ its own id by
+      // monotonicity, so least() is just defensive clarity.
       //
       // Skew shape: a naive self-join keyed by label would funnel a
       // converged giant component's rows (all sharing one label) into ONE
       // shuffle partition. Instead the jump goes through the DISTINCT
       // probed labels: the distinct's partial aggregation collapses the
-      // hot label map-side before any exchange, and the resulting parent
-      // map (one row per distinct label, both join keys unique — no skew)
-      // SHRINKS exactly as components converge, i.e. precisely when a hot
-      // label can exist. By then it is a per-component-sized frame AQE
-      // broadcasts, so the skewed probe never shuffles on the hot key;
-      // in the in-between regime (many labels, sort-merge chosen) labels
-      // are still diverse and AQE's skew-join split remains the backstop.
+      // hot label map-side before any exchange, and only NON-ROOT parents
+      // (__pp ≠ cluster — chains the jump still has to flatten) survive
+      // into the parent map. Both its join keys are unique — no skew — and
+      // it SHRINKS TO EMPTY exactly as components converge, i.e. precisely
+      // when a hot label could exist. By then it is a frame AQE
+      // broadcasts, so the skewed probe never shuffles on the hot key; in
+      // the in-between regime (many labels, sort-merge chosen) labels are
+      // still diverse and AQE's skew-join split remains the backstop.
       val parentOf = stepped.select(col("cluster")).distinct()
         .join(stepped.select(col("id").as("cluster"), col("cluster").as("__pp")),
           Seq("cluster"))
-      val jumped = stepped.join(parentOf, Seq("cluster"))
-        .select(col("id"), least(col("cluster"), col("__pp")).as("cluster"))
-      // Lazy checkpoint: the labelSum probe below is the single action that
-      // materializes this round's labels — two jobs per round would double
-      // the scheduling constant of every round.
-      val prev = labels
-      labels = jumped.localCheckpoint(false)
-      val s = labelSum(labels)
-      // This round's labels are now materialized into their own checkpoint
-      // (lineage truncated), so the previous round's labels and this
+        .filter(col("__pp") =!= col("cluster"))
+      val jumped = stepped.join(parentOf, Seq("cluster"), "left")
+        .select(col("id"), col("__old"),
+          least(col("cluster"), coalesce(col("__pp"), col("cluster")))
+            .as("cluster"))
+        .select(col("id"), col("cluster"),
+          (col("cluster") =!= col("__old")).as("__chg"))
+      // Lazy checkpoint: the changed-row count below is the single action
+      // that materializes this round's state — two jobs per round would
+      // double the scheduling constant of every round. Zero changed rows
+      // IS the fixed point: monotone labels mean every change strictly
+      // decreases a label, and an empty change set means every label has
+      // been offered to all neighbors and held.
+      val prev = state
+      state = jumped.localCheckpoint(false)
+      val nChanged = state.filter(col("__chg")).count()
+      // This round's state is now materialized into its own checkpoint
+      // (lineage truncated), so the previous round's state and this
       // round's intermediate `stepped` can never be read again — free both
       // so a k-round run holds TWO label-frame copies in executor storage,
       // not k+1 (at 10^9 nodes × 10 rounds the difference is the whole
       // storage pool).
       freeCheckpoint(prev)
       freeCheckpoint(stepped)
-      converged = s == lastSum
-      lastSum = s
+      labels = state.select(col("id"), col("cluster"))
+      frontier = state.filter(col("__chg"))
+        .select(col("id").as("src"), col("cluster"))
+      converged = nChanged == 0L
       round += 1
     }
     if (!converged && !returnPartial) {
@@ -207,12 +236,13 @@ object Clusters {
     // The edge list is only needed by the rounds (and the diagnostic
     // above); cached blocks release through the cache manager directly.
     edges.unpersist(blocking = false)
-    // The RETURNED labels checkpoint outlives this call by design (the
-    // caller reads it), so it cannot be freed here — register it with the
-    // gate-scoped registry so the harness releases it at the query
-    // boundary instead of leaking it until driver GC (the r08 class of
-    // leak: clearCache() never sees checkpoint blocks).
-    graft.core.ScopedStorage.registerCheckpoint(labels)
+    // The RETURNED state checkpoint outlives this call by design (the
+    // caller reads the labels projection of it), so it cannot be freed
+    // here — register it with the gate-scoped registry so the harness
+    // releases it at the query boundary instead of leaking it until driver
+    // GC (the r08 class of leak: clearCache() never sees checkpoint
+    // blocks).
+    graft.core.ScopedStorage.registerCheckpoint(state)
     labels
   }
 

@@ -80,9 +80,14 @@ object Scale {
       sec1: Double, secK: Double, storageAfter: Long, invariant: String)
 
   def main(args: Array[String]): Unit = {
+    val usage = "usage: graft.Scale <sfDir> <scratchDir> <k>[,op,op,...] — " +
+      "k must be an integer >= 2"
     val (sfDir, scratch, k, only) = args match {
-      case Array(s, d, kk)        => (s, d, kk.toInt, None)
-      case Array(s, d, kk, names) => (s, d, kk.toInt, Some(names.split(",").toSet))
+      case Array(s, d, kk) if kk.forall(_.isDigit) =>
+        (s, d, kk.toInt, None)
+      case Array(s, d, kk, names) if kk.forall(_.isDigit) =>
+        (s, d, kk.toInt, Some(names.split(",").toSet))
+      case _ => sys.error(s"$usage (got: ${args.mkString(" ")})")
     }
     require(k >= 2, s"k must be >= 2 (got $k)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -209,16 +214,24 @@ object Scale {
         classes.map { case (c, n) => n * (k * c) * (k * c - 1) / 2 }.sum
       val inv1 = check(nk == predicted,
         s"pair count $nk != closed-form $predicted (n1=$n1, same1=$same1)")
+      // Persist both projected pair sets: each feeds BOTH exceptAll
+      // directions, and without a persist every direction re-runs the
+      // whole LSH pipeline (the most expensive op here) from scratch —
+      // ~3 redundant full evaluations at the ×k scale this harness
+      // exists to stress. The timed counts above stay persist-free on
+      // purpose: they time one fresh end-to-end run of the operator.
       val p1 = pairs("x1").select(
         least(col("id_a"), col("id_b")).as("a"),
-        greatest(col("id_a"), col("id_b")).as("b")).distinct()
+        greatest(col("id_a"), col("id_b")).as("b")).distinct().persist()
       val pk = pairs(s"x$k").select(
         least(col("id_a") % Offset, col("id_b") % Offset).as("a"),
         greatest(col("id_a") % Offset, col("id_b") % Offset).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b")).distinct().persist()
       val inv2 = check(
         pk.exceptAll(p1).isEmpty && p1.exceptAll(pk).isEmpty,
         "projected ×k pair set must equal the ×1 pair set")
+      p1.unpersist(blocking = true)
+      pk.unpersist(blocking = true)
       (n1, nk, s1, sk, s"$inv1+$inv2")
     }
 

@@ -115,12 +115,18 @@ object Contracts {
     * scan re-reads only the constrained columns, column-pruned, from
     * what was written. The commit mirrors [[RelationOps]]'s rename-aside
     * relayout: the current target renames ASIDE (never dropped first), the
-    * stage renames in, then the aside copy drops — so a TABLE is bound to
-    * the target name at every step, and a failure in the rename-in window
-    * restores the original and rethrows (FaultInjectionSpec injects into
-    * exactly that window). The one un-asided case is a target currently
-    * bound to a VIEW: views are definition-only (no data to lose), so the
-    * view is dropped outright before the rename-in.
+    * stage renames in, then the aside copy drops — so the original DATA
+    * survives every failure window (the name itself is briefly unbound
+    * between the two renames: a concurrent reader can see
+    * TABLE_OR_VIEW_NOT_FOUND, and a crash inside that window parks the
+    * data under the aside name for manual rename-back — never loses it).
+    * A failure in the rename-in window restores the original and rethrows
+    * (FaultInjectionSpec injects into exactly that window). The one
+    * un-asided case is a target currently bound to a VIEW: views are
+    * definition-only (no data to lose), so the view is dropped outright
+    * before the rename-in — and because nothing can be restored on that
+    * path, a rename-in failure there PRESERVES the staged build as the
+    * named recovery artifact instead of dropping it.
     */
   def materialize(spark: SparkSession, table: String, df: DataFrame,
       contract: Seq[ColumnSpec],
@@ -150,8 +156,23 @@ object Contracts {
           spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
           false
         } else {
+          // A STALE aside (prior crash between its rename and repair) may
+          // still carry partition entries pointing under the LIVE target's
+          // directory — under a Hive catalog, dropping a managed table
+          // deletes each partition location, which would delete the live
+          // table's data. Re-point its partitions at its own directory
+          // first, then drop.
+          if (spark.catalog.tableExists(aside.quoted))
+            RelationOps.repairIfPartitioned(spark, aside)
           TableMaterialization.dropExisting(spark, aside)
           RelationOps.rename(spark, table, aside.name)
+          // Same hazard forward: the rename moved the directory but a
+          // partitioned aside's catalog entries still point under the
+          // target's path — and the SUCCESS path ends by dropping the
+          // aside, which under Hive would delete those locations out from
+          // under the freshly committed table. Repair immediately
+          // (metadata-only), exactly as relayoutWith does for its tmp.
+          RelationOps.repairIfPartitioned(spark, aside)
           true
         }
       }
@@ -165,16 +186,25 @@ object Contracts {
       graft.core.Failpoints.check("contract.rename_in")
       RelationOps.rename(spark, stage.name, table)
     } catch { case e: Throwable =>
-      // Restore the original under the target name (rename breaks a
-      // partitioned table's per-partition locations both ways — repair),
-      // and retire the stage: the build is reproducible and the original
-      // is intact, so nothing is lost.
       if (asideMade) {
+        // Restore the original under the target name (rename breaks a
+        // partitioned table's per-partition locations both ways — repair),
+        // and retire the stage: the build is reproducible and the
+        // original is intact, so nothing is lost.
         RelationOps.rename(spark, aside.name, table)
         RelationOps.repairIfPartitioned(spark, rel)
+        spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+        throw e
+      } else {
+        // Nothing to restore — the target was a view (already dropped) or
+        // absent, so the staged build is the ONLY copy of the validated
+        // data. Keep it as the named recovery artifact; destroying it
+        // here would turn a transient rename failure into total loss.
+        throw new IllegalStateException(
+          s"contract commit for ${rel.quoted} failed after the target " +
+            s"name was unbound; the validated build is preserved at " +
+            s"${stage.quoted} — rename it into place to recover", e)
       }
-      spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
-      throw e
     }
     // A partitioned staging table's catalog partition entries still point
     // under the staging directory after the rename — re-discover them

@@ -147,6 +147,28 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("contract commit over a VIEW target: rename-in failure preserves the staged build") {
+    val t = fresh("contract_view_fail")
+    spark.sql(s"CREATE VIEW $t AS SELECT 1L AS k, 'v' AS s")
+    // A view has no data to rename aside, so when the rename-in dies the
+    // staged build is the ONLY copy of the validated data — the commit
+    // must surface it as the named recovery artifact, never drop it.
+    Failpoints.arm("contract.rename_in")
+    val e = intercept[IllegalStateException] {
+      Contracts.materialize(spark, t, Seq((5L, "t")).toDF("k", "s"), contract)
+    }
+    assert(e.getMessage.contains("__contract_stage"))
+    assert(e.getCause.isInstanceOf[Failpoints.Injected])
+    assert(!spark.catalog.tableExists(t), "target name stays unbound")
+    val stage = s"${t}__contract_stage"
+    assert(spark.catalog.tableExists(stage), "staged build preserved")
+    assert(spark.table(stage).select("k").as[Long].head() === 5L)
+    // The documented recovery — rename the stage into place — completes.
+    RelationOps.rename(spark, stage, t)
+    assert(spark.table(t).select("k").as[Long].head() === 5L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   // ----------------------------------------------------------- relayout
 
   test("relayout crash window: original table renames back with contents") {

@@ -240,7 +240,12 @@ class OperatorsSpec extends AnyFunSuite {
         var skipBeyond = -1
         plan.linesIterator.filter { l =>
           val payload = l.indexWhere(_.isLetter)
-          if (skipBeyond >= 0 && payload > skipBeyond) false
+          // A letterless line (blank, tree-art only) carries no payload:
+          // keep it WITHOUT touching the skip state — treating its -1 as
+          // an indent would end an InMemoryRelation skip mid-subtree and
+          // leak cache-build Exchange/Sort lines into the per-round count.
+          if (payload < 0) true
+          else if (skipBeyond >= 0 && payload > skipBeyond) false
           else {
             skipBeyond = if (l.contains("InMemoryRelation"))
               l.indexOf("InMemoryRelation") else -1

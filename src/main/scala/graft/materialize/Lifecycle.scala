@@ -156,23 +156,19 @@ object Contracts {
           spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
           false
         } else {
-          // A STALE aside (prior crash between its rename and repair) may
-          // still carry partition entries pointing under the LIVE target's
-          // directory — under a Hive catalog, dropping a managed table
-          // deletes each partition location, which would delete the live
-          // table's data. Re-point its partitions at its own directory
-          // first, then drop.
-          if (spark.catalog.tableExists(aside.quoted))
-            RelationOps.repairIfPartitioned(spark, aside)
           TableMaterialization.dropExisting(spark, aside)
           RelationOps.rename(spark, table, aside.name)
-          // Same hazard forward: the rename moved the directory but a
-          // partitioned aside's catalog entries still point under the
-          // target's path — and the SUCCESS path ends by dropping the
-          // aside, which under Hive would delete those locations out from
-          // under the freshly committed table. Repair immediately
-          // (metadata-only), exactly as relayoutWith does for its tmp.
-          RelationOps.repairIfPartitioned(spark, aside)
+          // No partition repair on the aside here, deliberately: the aside
+          // is only ever READ on the restore path, which renames it back
+          // and repairs then. Under the hive catalog a managed-table
+          // rename re-points partition locations itself (probe-verified:
+          // both the table and every partition track the moved directory,
+          // and the renamed table reads its rows — HiveFormatSpec pins the
+          // full partitioned re-materialization end-to-end), and the
+          // in-memory catalog's drop removes only the table's own
+          // directory — so the success-path drop below never touches the
+          // committed table's data, and an MSCK here (a full directory
+          // listing per commit) would buy nothing.
           true
         }
       }

@@ -77,4 +77,47 @@ class HiveFormatSpec extends AnyFunSuite {
     assert(provider === Some("hive"))
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
+
+  test("contracted PARTITIONED re-materialization survives the aside drop under the hive catalog") {
+    // The contract commit renames the live target ASIDE, renames the stage
+    // in, then DROPS the aside. A review pass flagged a plausible hive-side
+    // hazard: if the rename left the aside's partition entries pointing
+    // under the TARGET's directory, dropping the managed aside could
+    // delete the committed table's partition data. A probe disproved it —
+    // under the hive catalog a managed-table rename re-points every
+    // partition location at the moved directory (and the renamed table
+    // reads its rows), so the commit needs no aside repair. This test pins
+    // that end-to-end: FaultInjectionSpec runs on the in-memory catalog,
+    // whose drop semantics (table directory only) could not catch a
+    // hive-side regression in this sequence.
+    import graft.materialize.Contracts
+    import graft.materialize.Contracts.ColumnSpec
+    import spark.implicits._
+    val db = "graft_hive_contract"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.c_part"
+    val contract =
+      Seq(ColumnSpec("k", "bigint", notNull = true), ColumnSpec("s", "string"))
+    Contracts.materialize(spark, t,
+      Seq((1L, "p1"), (2L, "p2")).toDF("k", "s"), contract,
+      partitionBy = Seq("s"))
+    assert(spark.table(t).count() === 2)
+    // Re-materialize OVER the live partitioned target: the full
+    // rename-aside → rename-in → drop-aside sequence runs.
+    Contracts.materialize(spark, t,
+      Seq((9L, "p1"), (8L, "p3"), (7L, "p2")).toDF("k", "s"), contract,
+      partitionBy = Seq("s"))
+    // Every partition of the committed table must still read after the
+    // aside dropped (pre-repair-fix, the drop deleted them out from under
+    // the new table).
+    assert(spark.table(t).count() === 3)
+    assert(spark.table(t).select("k").as[Long].collect().sorted.toSeq
+      === Seq(7L, 8L, 9L))
+    assert(spark.table(t).select("s").distinct().as[String].collect().sorted
+      .toSeq === Seq("p1", "p2", "p3"))
+    assert(!spark.catalog.tableExists(s"${t}__contract_old"))
+    assert(!spark.catalog.tableExists(s"${t}__contract_stage"))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
 }

@@ -80,7 +80,7 @@ object Scale {
       sec1: Double, secK: Double, storageAfter: Long, invariant: String)
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: graft.Scale <sfDir> <scratchDir> <k>[,op,op,...] — " +
+    val usage = "usage: graft.Scale <sfDir> <scratchDir> <k> [op,op,...] — " +
       "k must be an integer >= 2"
     val (sfDir, scratch, k, only) = args match {
       case Array(s, d, kk) if kk.forall(_.isDigit) =>
@@ -136,18 +136,55 @@ object Scale {
     val edges0 = li0.select(col("l_orderkey").as("src"),
       (col("l_partkey") + lit(1L << 33)).as("dst"))
 
+    // Which ops read which staged table — staging is the dominant cost of
+    // a FILTERED run (a ×64 edges write is ~77M rows), so an `only` set
+    // skips every table no selected op reads. Doubles as the registry the
+    // post-loop check validates requested names against.
+    val tableOps = Seq(
+      "documents" -> Seq("dd_exact", "dd_exact_bloom", "dd_minhash",
+        "txt_heavy_bigrams", "pipe_pack"),
+      "lineitem" -> Seq("gov_erasure", "rel_zorder"),
+      "events_disjoint" -> Seq("evt_asof"),
+      "events_hot" -> Seq("evt_asof_hot"),
+      "edges" -> Seq("dd_cluster", "graph_pagerank"))
+    val knownOps = tableOps.flatMap(_._2).toSet
+    only.foreach { names =>
+      val unknown = names.diff(knownOps)
+      require(unknown.isEmpty,
+        s"unknown op name(s): ${unknown.mkString(", ")} — known: " +
+          knownOps.toSeq.sorted.mkString(", "))
+    }
+    def wanted(ops: Seq[String]): Boolean =
+      only.forall(names => ops.exists(names.contains))
+
     log(s"staging ×1 and ×$k corpora under $scratch")
-    stage("documents", docs0, Seq("doc_id"))
-    stage("lineitem", li0, Seq("l_orderkey"))
-    stage("events_disjoint", ev0, Seq("event_id", "user_id"))
-    stage("events_hot", ev0, Seq("event_id")) // user_id SHARED: k× hot keys
-    stage("edges", edges0, Seq("src", "dst"))
+    val opsOf = tableOps.toMap
+    if (wanted(opsOf("documents"))) stage("documents", docs0, Seq("doc_id"))
+    if (wanted(opsOf("lineitem"))) stage("lineitem", li0, Seq("l_orderkey"))
+    if (wanted(opsOf("events_disjoint")))
+      stage("events_disjoint", ev0, Seq("event_id", "user_id"))
+    if (wanted(opsOf("events_hot")))
+      stage("events_hot", ev0, Seq("event_id")) // user_id SHARED: k× hot keys
+    if (wanted(opsOf("edges"))) stage("edges", edges0, Seq("src", "dst"))
 
     val results = scala.collection.mutable.ArrayBuffer[OpResult]()
     def release(): Long = {
       spark.catalog.clearCache()
       graft.core.ScopedStorage.releaseAll(blocking = true)
-      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      // clearCache() and the operators' own unpersist(blocking = false)
+      // calls remove blocks ASYNCHRONOUSLY — sampling storage while a
+      // RemoveRdd message is still in flight would abort a multi-hour ×k
+      // run as a phantom leak. Poll briefly: an in-flight release drains
+      // in milliseconds; a real leak stays nonzero and still fails fast.
+      def sample() = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      var storage = sample()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (storage > 0L && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        storage = sample()
+      }
+      storage
     }
     def run(name: String)(body: => (Long, Long, Double, Double, String)): Unit = {
       if (only.exists(!_.contains(name))) return

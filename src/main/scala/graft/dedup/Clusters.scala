@@ -226,6 +226,14 @@ object Clusters {
       val nUnstable = unstable.count()
       val sample = unstable.select(col("src"), col("dst")).limit(5).collect()
         .map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+      // The throw path must not leak what the success path releases: the
+      // edge cache unpersists (the diagnostic above was its last reader)
+      // and the final round's checkpoint registers with the scoped
+      // registry — checkpoint blocks are invisible to clearCache(), so an
+      // unregistered throw would pin a full label frame until driver GC
+      // (the r08 leak class) every time a pathological graph errors out.
+      edges.unpersist(blocking = false)
+      graft.core.ScopedStorage.registerCheckpoint(state)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds: " +
           s"$nUnstable edge(s) still span two provisional clusters " +

@@ -172,13 +172,18 @@ object Contracts {
           true
         }
       }
-    // The rename moves the staging table's managed directory onto the
-    // target's default location — an orphan directory there (a previous
-    // crashed write with no catalog entry) would fail the rename forever.
-    // The aside rename above moved a live target's directory away, so
-    // anything still at the default path is by definition an orphan.
-    TableMaterialization.clearOrphanLocation(spark, rel)
     try {
+      // The rename moves the staging table's managed directory onto the
+      // target's default location — an orphan directory there (a previous
+      // crashed write with no catalog entry) would fail the rename
+      // forever. The aside rename above moved a live target's directory
+      // away, so anything still at the default path is by definition an
+      // orphan. Inside the try: the name is already unbound here, so a
+      // filesystem failure in the clear must take the same restore /
+      // named-artifact path as a rename-in failure — outside it, a
+      // transient IOException would strand the commit with the original
+      // parked under the aside name and no recovery message.
+      TableMaterialization.clearOrphanLocation(spark, rel)
       graft.core.Failpoints.check("contract.rename_in")
       RelationOps.rename(spark, stage.name, table)
     } catch { case e: Throwable =>

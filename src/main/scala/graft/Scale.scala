@@ -187,6 +187,12 @@ object Scale {
       storage
     }
     def run(name: String)(body: => (Long, Long, Double, Double, String)): Unit = {
+      // An op absent from the staging registry would run against a table a
+      // FILTERED invocation never staged — fail loudly on every run instead
+      // of only when someone happens to pass a filter.
+      require(knownOps.contains(name),
+        s"op '$name' is not in the staging registry (tableOps) — register " +
+          "which table it reads before adding the run block")
       if (only.exists(!_.contains(name))) return
       val (r1, rk, s1, sk, inv) = body
       val storage = release()

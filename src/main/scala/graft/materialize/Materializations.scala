@@ -17,16 +17,206 @@ import graft.core.Relation
   */
 object Staging {
   def withDir[T](spark: SparkSession, tag: String)(f: String => T): T = {
+    val dir = newDir(spark, tag)
+    try f(dir)
+    finally delete(spark, dir)
+  }
+
+  private def newDir(spark: SparkSession, tag: String): String = {
     val warehouse = spark.conf.get(
       "spark.sql.warehouse.dir").stripSuffix("/")
-    val dir = s"$warehouse/_graft_staging/${tag}_" +
+    s"$warehouse/_graft_staging/${tag}_" +
       java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    try f(dir)
-    finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+  }
+
+  private def fsOf(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def delete(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fsOf(spark, p).delete(p, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // Staged commit: the stage-then-overwrite discipline with a crash-window
+  // recovery contract (the same contract eraseKeys carries, generalized).
+  //
+  // Four writers (unpartitioned merge, partition-scoped merge, and both
+  // snapshot paths) materialize their result to a staging directory and
+  // then destructively overwrite the target. Once the overwrite has begun,
+  // the staged parquet is the ONLY sound copy of the post-commit content —
+  // the pre-commit target rows it was computed from are being destroyed —
+  // so a plain `finally delete(staging)` turns any mid-overwrite failure
+  // into data loss, and a naive retry re-merges from the damaged target
+  // and "succeeds" with wrong rows. stagedCommit instead:
+  //   1. fails fast if a recovery artifact for the table already exists
+  //      (the eraseKeys retry lesson: never rebuild from a damaged target);
+  //   2. writes a sidecar into the staging dir describing how to replay
+  //      the commit from the staged content alone, BEFORE touching the
+  //      target — the artifact is self-describing;
+  //   3. on a commit failure, MOVES the staging dir to a deterministic
+  //      per-table recovery location and names it (and the recovery call)
+  //      in the error, instead of deleting it;
+  //   4. exposes recoverStagedCommit to replay the commit from the
+  //      artifact and retire it — safe to re-run until it succeeds.
+  // On a lakehouse format the commit would be a metadata-only atomic swap
+  // and none of this machinery would exist; this is the parquet analog.
+  // ---------------------------------------------------------------------
+
+  /** How to replay the destructive half of a staged commit from the staged
+    * parquet content alone. `mode` is `replace_table` (drop-and-recreate
+    * via saveAsTable — the whole-table swap) or `dynamic_overwrite`
+    * (dynamic-partition INSERT OVERWRITE of exactly the staged partitions,
+    * then the recorded partition drops for partitions the operation
+    * drained empty). `format = None` preserves the session default. */
+  private[graft] final case class CommitSpec(
+      mode: String,
+      format: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      dropPartitions: Seq[String] = Nil)
+
+  private val Sidecar = "_graft_commit.properties" // "_" prefix: invisible
+                                                   // to parquet file listing
+  private val Sep = "" // unit separator — cannot occur in SQL idents
+
+  private[graft] def recoveryDir(spark: SparkSession, rel: Relation): String = {
+    val warehouse = spark.conf.get(
+      "spark.sql.warehouse.dir").stripSuffix("/")
+    s"$warehouse/_graft_recovery/${rel.schema}_${rel.identifier}"
+  }
+
+  private def writeSpec(spark: SparkSession, dir: String,
+      spec: CommitSpec): Unit = {
+    // Idents can't contain U+001F; a partition VALUE theoretically could —
+    // refuse rather than write an artifact that would replay wrong.
+    require((spec.partitionBy ++ spec.dropPartitions).forall(!_.contains(Sep)),
+      "staged-commit spec entry contains the U+001F list separator")
+    val props = new java.util.Properties()
+    props.setProperty("mode", spec.mode)
+    spec.format.foreach(props.setProperty("format", _))
+    props.setProperty("partitionBy", spec.partitionBy.mkString(Sep))
+    props.setProperty("dropPartitions", spec.dropPartitions.mkString(Sep))
+    val p = new org.apache.hadoop.fs.Path(dir, Sidecar)
+    val out = fsOf(spark, p).create(p, true)
+    try props.store(out, "graft staged-commit replay spec")
+    finally out.close()
+  }
+
+  private def readSpec(spark: SparkSession, dir: String): CommitSpec = {
+    val p = new org.apache.hadoop.fs.Path(dir, Sidecar)
+    val fs = fsOf(spark, p)
+    require(fs.exists(p),
+      s"$dir is not a staged-commit artifact ($Sidecar missing)")
+    val in = fs.open(p)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    def list(k: String) =
+      props.getProperty(k, "").split(Sep).toSeq.filter(_.nonEmpty)
+    CommitSpec(props.getProperty("mode"),
+      Option(props.getProperty("format")),
+      list("partitionBy"), list("dropPartitions"))
+  }
+
+  /** Replay the destructive half of a staged commit from `dir` per `spec`.
+    * Used by both the in-line commit and crash recovery — one code path,
+    * so recovery cannot drift from what the commit would have done. */
+  private def replay(spark: SparkSession, rel: Relation, dir: String,
+      spec: CommitSpec): Unit = {
+    val fresh = spark.read.parquet(dir)
+    spec.mode match {
+      case "replace_table" =>
+        // Replay must land from ANY crash point of the original commit —
+        // including "target dropped, managed dir half-written": type-aware
+        // drop plus orphan-location self-heal, the same preamble CTAS uses.
+        TableMaterialization.dropExisting(spark, rel)
+        TableMaterialization.clearOrphanLocation(spark, rel)
+        var w = fresh.write.mode(SaveMode.Overwrite)
+        spec.format.foreach(f => w = w.format(f))
+        if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
+        w.saveAsTable(rel.quoted)
+      case "dynamic_overwrite" =>
+        // insertInto is positional — align the staged columns to the
+        // target's order (the target still exists in this mode).
+        val aligned = fresh.select(
+          spark.table(rel.quoted).columns.map(col).toSeq: _*)
+        graft.core.Engine.withConf(spark,
+          Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+          aligned.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
+        }
+        spec.dropPartitions.foreach { s =>
+          spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS PARTITION ($s)")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown commit mode '$other'")
     }
+    spark.catalog.refreshTable(rel.quoted) // SURVEY §2.5 O8
+  }
+
+  /** Stage-then-overwrite with the recovery contract above. `stage` writes
+    * the complete post-commit content (for `dynamic_overwrite`: the FULL
+    * replacement content of every partition it will touch — nothing may be
+    * unioned in from the live target at commit time, the target may be
+    * mid-destruction by then) as parquet into the directory it is given
+    * and returns the replay spec; everything destructive happens after it
+    * returns. */
+  private[graft] def stagedCommit(spark: SparkSession, rel: Relation,
+      tag: String)(stage: String => CommitSpec): Unit = {
+    val rec = recoveryDir(spark, rel)
+    val recPath = new org.apache.hadoop.fs.Path(rec)
+    val fs = fsOf(spark, recPath)
+    if (fs.exists(recPath))
+      throw new IllegalStateException(
+        s"pending staged-commit recovery artifact for ${rel.name} at " +
+          s"$rec — a previous commit died mid-overwrite and the artifact " +
+          "holds the only sound copy of its result (the target may be " +
+          "truncated); call Staging.recoverStagedCommit(spark, " +
+          s""""${rel.name}") to finish that commit before mutating this """ +
+          "table again")
+    val dir = newDir(spark, tag)
+    val spec =
+      try {
+        val s = stage(dir)
+        writeSpec(spark, dir, s)
+        s
+      } catch { case e: Throwable =>
+        // Nothing destructive has run — the staging content is worthless.
+        delete(spark, dir); throw e
+      }
+    try {
+      graft.core.Failpoints.check("staged.commit")
+      replay(spark, rel, dir, spec)
+    } catch { case e: Throwable =>
+      // The staged dir is now the only sound copy — move it to the named
+      // recovery location (never delete). If even the rename fails, leave
+      // it in place and name the raw path instead.
+      val moved =
+        try { fs.mkdirs(recPath.getParent); fs.rename(
+          new org.apache.hadoop.fs.Path(dir), recPath) }
+        catch { case _: Throwable => false }
+      val at = if (moved) rec else dir
+      throw new IllegalStateException(
+        s"staged commit of ${rel.name} failed mid-overwrite; the complete " +
+          s"post-commit content is preserved at $at — call " +
+          s"""Staging.recoverStagedCommit(spark, "${rel.name}"""" +
+          (if (moved) ")" else s""", Some("$dir"))""") +
+          " to finish the commit", e)
+    }
+    delete(spark, dir)
+  }
+
+  /** Recovery half of [[stagedCommit]]: replay the interrupted commit from
+    * its artifact, then retire the artifact. Safe to call repeatedly — the
+    * artifact is deleted only after the replay succeeds, so a recovery
+    * that itself dies leaves it in place for the next attempt. */
+  def recoverStagedCommit(spark: SparkSession, table: String,
+      artifactDir: Option[String] = None): Unit = {
+    val rel = Relation.parse(table)
+    val dir = artifactDir.getOrElse(recoveryDir(spark, rel))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    require(fsOf(spark, p).exists(p),
+      s"no staged-commit recovery artifact for $table ($dir does not exist)")
+    replay(spark, rel, dir, readSpec(spark, dir))
+    delete(spark, dir)
   }
 }
 
@@ -336,30 +526,27 @@ object IncrementalMaterialization {
     val merged = MergeOps.merge(scopedTarget, aligned,
       cfg.uniqueKey, cfg.mergeUpdateColumns, cfg.mergeExcludeColumns,
       cfg.matchedPredicate)
-    Staging.withDir(spark, s"merge_${rel.identifier}") { staging =>
-      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    Staging.stagedCommit(spark, rel, s"merge_${rel.identifier}") { staging =>
+      merged.select(tgt.columns.map(col).toSeq: _*)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
       val fresh = spark.read.parquet(staging)
-        .select(spark.table(rel.quoted).columns.map(col).toSeq: _*)
-      // Snapshot the affected-partition list BEFORE the overwrite: the plan
-      // reads the target table, and evaluating it after insertInto would
-      // see post-merge state (a moved row's OLD partition would vanish from
-      // the list and never get dropped). Partition lists are metadata
-      // scale, so the collects are bounded.
+      // Both partition lists are computed HERE, before anything destructive
+      // runs (the target is untouched during staging; evaluating `affected`
+      // after the overwrite would see post-merge state — a moved row's OLD
+      // partition would vanish from the list and never get dropped).
+      // Partition lists are metadata scale, so the collects are bounded.
       val affectedVals = affected.collect().map(_.toSeq).toSet
       val writtenVals = fresh.select(pcols.map(col): _*).distinct()
         .collect().map(_.toSeq).toSet
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      fresh.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
-      // Drop partitions the merge drained (rows moved out by a key update):
-      // affected-but-absent from the output.
-      (affectedVals -- writtenVals).foreach { vals =>
-        val spec = pcols.zip(vals)
+      // Partitions the merge drained (rows moved out by a key update):
+      // affected-but-absent from the output, dropped at commit time.
+      val drops = (affectedVals -- writtenVals).toSeq.map { vals =>
+        pcols.zip(vals)
           .map { case (c, v) => s"`$c` = ${Relation.sqlLiteral(v)}" }
           .mkString(", ")
-        spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS PARTITION ($spec)")
       }
+      Staging.CommitSpec("dynamic_overwrite", dropPartitions = drops)
     }
-    spark.catalog.refreshTable(rel.quoted)
   }
 
   /** Atomic-ish replace for non-ACID formats: materialize the merged result
@@ -372,13 +559,10 @@ object IncrementalMaterialization {
     */
   private def atomicReplace(spark: SparkSession, rel: Relation,
       merged: DataFrame, cfg: IncrementalConfig): Unit =
-    Staging.withDir(spark, s"merge_${rel.identifier}") { staging =>
+    Staging.stagedCommit(spark, rel, s"merge_${rel.identifier}") { staging =>
       merged.write.mode(SaveMode.Overwrite).parquet(staging)
-      val fresh = spark.read.parquet(staging)
-      var w = fresh.write.format(cfg.fileFormat).mode(SaveMode.Overwrite)
-      if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
-      w.saveAsTable(rel.quoted)
-      spark.catalog.refreshTable(rel.quoted) // SURVEY §2.5 O8
+      Staging.CommitSpec("replace_table",
+        format = Some(cfg.fileFormat), partitionBy = cfg.partitionBy)
     }
 }
 

@@ -141,14 +141,16 @@ object SnapshotMaterialization {
     val merged = MergeOps.snapshotMerge(snapshotted, staging,
       openPredicate = cfg.isOpen(col("dbt_valid_to")))
 
-    // Same staging-then-swap discipline as incremental merge — staged on
-    // shared storage (Staging), never a driver-local temp dir.
+    // Same staged-commit discipline as incremental merge — staged on shared
+    // storage, and if the destructive swap dies the staged copy is preserved
+    // as the named recovery artifact (Staging.recoverStagedCommit) instead
+    // of deleted: once the overwrite starts, the pre-merge target rows the
+    // result was computed from are being destroyed, so a retry would
+    // re-merge from a damaged target.
     val rel = Relation.parse(target)
-    Staging.withDir(spark, s"snap_${rel.identifier}") { dir =>
+    Staging.stagedCommit(spark, rel, s"snap_${rel.identifier}") { dir =>
       merged.write.mode(SaveMode.Overwrite).parquet(dir)
-      spark.read.parquet(dir).write.mode(SaveMode.Overwrite)
-        .saveAsTable(rel.quoted)
-      spark.catalog.refreshTable(rel.quoted)
+      Staging.CommitSpec("replace_table")
     }
   }
 
@@ -263,23 +265,39 @@ object SnapshotMaterialization {
     val merged = MergeOps.snapshotMerge(current, staging,
       openPredicate = cfg.isOpen(col("dbt_valid_to")))
 
-    Staging.withDir(spark, s"snap_${rel.identifier}") { dir =>
+    // Two-level staging: the merged result materializes once to an
+    // intermediate dir (it feeds both the partition-list collect and the
+    // commit content — recomputing the full-outer join twice would double
+    // the run), then the COMPLETE replacement content of every touched
+    // partition — merged rows PLUS the pre-existing rows of the close-date
+    // partitions this run adds to — is staged through stagedCommit, so the
+    // recovery artifact replays without reading the (possibly damaged)
+    // target. The intermediate is a plain withDir: worthless on failure.
+    Staging.withDir(spark, s"snap_pre_${rel.identifier}") { pre =>
       merged.withColumn(CloseDateCol, closeDate(col("dbt_valid_to"), cfg))
-        .write.mode(SaveMode.Overwrite).parquet(dir)
-      val fresh = spark.read.parquet(dir)
+        .write.mode(SaveMode.Overwrite).parquet(pre)
+      val fresh = spark.read.parquet(pre)
       // Close-date partitions touched this run (metadata-scale collect);
       // their existing rows ride along so dynamic overwrite keeps them.
-      val touchedDates = fresh
-        .filter(col(CloseDateCol) =!= to_date(lit(OpenSentinel)))
-        .select(CloseDateCol).distinct().collect().map(_.getDate(0))
+      val allDates = fresh.select(CloseDateCol).distinct()
+        .collect().map(_.getDate(0))
+      val openDate = java.sql.Date.valueOf(OpenSentinel)
+      val touchedDates = allDates.filterNot(_ == openDate)
       val existingClosed = full.filter(
         col(CloseDateCol).isin(touchedDates.toSeq: _*))
       val outCols = full.columns.toSeq
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      fresh.select(outCols.map(col): _*)
-        .unionByName(existingClosed.select(outCols.map(col): _*))
-        .write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
+      Staging.stagedCommit(spark, rel, s"snap_${rel.identifier}") { dir =>
+        fresh.select(outCols.map(col): _*)
+          .unionByName(existingClosed.select(outCols.map(col): _*))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+        // A run that leaves NO open rows (every key invalidated) writes
+        // nothing under the open sentinel, so dynamic overwrite would keep
+        // the now-stale open partition — drop it at commit time instead.
+        val drops =
+          if (allDates.contains(openDate)) Nil
+          else Seq(s"`$CloseDateCol` = ${Relation.sqlLiteral(openDate)}")
+        Staging.CommitSpec("dynamic_overwrite", dropPartitions = drops)
+      }
     }
-    spark.catalog.refreshTable(rel.quoted)
   }
 }

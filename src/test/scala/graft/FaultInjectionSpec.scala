@@ -5,7 +5,7 @@ import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Failpoints
-import graft.materialize.{Contracts, RelationOps}
+import graft.materialize.{Contracts, IncrementalConfig, IncrementalMaterialization, IncrementalStrategy, RelationOps, SnapshotConfig, SnapshotMaterialization, SnapshotStrategy, Staging}
 import graft.materialize.Contracts.ColumnSpec
 import graft.quality.Governance
 
@@ -23,6 +23,10 @@ import graft.quality.Governance
   *                           was renamed aside (Lifecycle)
   *   - `relayout.rebuild`  — relayout CTAS dies after the rename-aside
   *                           (RelationOps.evolvePartitioning/compact)
+  *   - `staged.commit`     — a staged merge/snapshot commit dies at the top
+  *                           of its destructive window (Staging.stagedCommit;
+  *                           covers unpartitioned merge, partition-scoped
+  *                           merge, and both snapshot paths)
   */
 class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
   import SparkTestSession._
@@ -203,5 +207,153 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     // Rollback repaired the partition entries — the restored table reads.
     assert(spark.table(t).count() === 3, "restored partitioned table reads")
     spark.sql(s"DROP TABLE $t")
+  }
+
+  // ------------------------------------------------------- staged commits
+
+  private def recoveryExists(table: String): Boolean = {
+    val dir = Staging.recoveryDir(spark, graft.core.Relation.parse(table))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  test("merge commit crash window: artifact survives, retry fails fast, recovery lands the merge") {
+    val t = fresh("merge_commit")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))
+    IncrementalMaterialization.run(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), cfg) // first run: CTAS path
+
+    Failpoints.arm("staged.commit")
+    val e1 = intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), cfg)
+    }
+    assert(e1.getMessage.contains("recoverStagedCommit"))
+    assert(e1.getCause.isInstanceOf[Failpoints.Injected])
+    assert(recoveryExists(t), "recovery artifact must survive")
+    // This window fired before anything destructive — the target still reads.
+    assert(spark.table(t).count() === 2)
+
+    // The natural retry must NOT re-merge over a possibly-damaged target
+    // (the staged artifact is the only sound copy of the merge result).
+    val e2 = intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), cfg)
+    }
+    assert(e2.getMessage.contains("pending staged-commit recovery artifact"))
+    assert(recoveryExists(t), "retry must not touch the artifact")
+
+    Staging.recoverStagedCommit(spark, t)
+    assert(!recoveryExists(t), "recovery retires the artifact")
+    assert(spark.table(t).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // Usable again after recovery.
+    IncrementalMaterialization.run(spark, t, Seq((4L, "d")).toDF("k", "v"), cfg)
+    assert(spark.table(t).count() === 4)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("partition-scoped merge crash window: recovery replays the overwrite AND the drained-partition drop") {
+    val t = fresh("pmerge_commit")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("k"), partitionBy = Seq("p"))
+    IncrementalMaterialization.run(spark, t,
+      Seq((1L, "a", "x1"), (2L, "b", "x2")).toDF("k", "p", "v"), cfg)
+
+    // Key 1 moves partition a→b: a drains and must be dropped at commit —
+    // the drop is recorded IN the artifact, so recovery must replay it too.
+    Failpoints.arm("staged.commit")
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((1L, "b", "x1new")).toDF("k", "p", "v"), cfg)
+    }
+    assert(recoveryExists(t))
+    Staging.recoverStagedCommit(spark, t)
+    assert(spark.table(t).select("k", "p", "v").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+      === Seq((1L, "b", "x1new"), (2L, "b", "x2")))
+    val parts = spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq
+    assert(parts === Seq("p=b"), s"drained partition must be dropped, got $parts")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("snapshot commit crash window: recovery lands the SCD2 rewrite") {
+    val t = fresh("snap_commit")
+    def cfg(ts: String) = SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("val")),
+      clock = () => java.sql.Timestamp.valueOf(ts))
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "val"), cfg("2024-01-01 00:00:00"))
+
+    Failpoints.arm("staged.commit")
+    val e = intercept[IllegalStateException] {
+      SnapshotMaterialization.run(spark, t,
+        Seq((1L, "a2"), (2L, "b")).toDF("id", "val"), cfg("2024-02-01 00:00:00"))
+    }
+    assert(e.getMessage.contains("recoverStagedCommit"))
+    assert(recoveryExists(t))
+    Staging.recoverStagedCommit(spark, t)
+    val snap = spark.table(t)
+    assert(snap.count() === 3)
+    assert(snap.filter(col("id") === 1 && col("dbt_valid_to").isNull)
+      .select("val").as[String].head() === "a2")
+    assert(snap.filter(col("id") === 1 && col("dbt_valid_to").isNotNull)
+      .count() === 1)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("partitioned snapshot crash window: recovery replays the touched partitions") {
+    val t = fresh("snap_part_commit")
+    def cfg(ts: String) = SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("val")),
+      clock = () => java.sql.Timestamp.valueOf(ts), partitionHistory = true)
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "val"), cfg("2024-01-01 00:00:00"))
+
+    Failpoints.arm("staged.commit")
+    intercept[IllegalStateException] {
+      SnapshotMaterialization.run(spark, t,
+        Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "val"),
+        cfg("2024-02-01 00:00:00"))
+    }
+    assert(recoveryExists(t))
+    Staging.recoverStagedCommit(spark, t)
+    val snap = spark.table(t)
+    assert(snap.count() === 4)
+    // Open partition holds a2/b/c; id=1 v1 closed under its close date.
+    assert(snap.filter(col("dbt_valid_to_date") === to_date(lit("9999-12-31")))
+      .count() === 3)
+    assert(snap.filter(col("dbt_valid_to_date") === to_date(lit("2024-02-01")))
+      .select("val").as[String].head() === "a")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("partitioned snapshot that closes EVERY open row drops the stale open partition") {
+    val t = fresh("snap_drain")
+    def cfg(ts: String) = SnapshotConfig(Seq("id"),
+      SnapshotStrategy.ByCheck(Seq("val")),
+      clock = () => java.sql.Timestamp.valueOf(ts),
+      partitionHistory = true, invalidateHardDeletes = true)
+    SnapshotMaterialization.run(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "val"), cfg("2024-01-01 00:00:00"))
+    // Every key vanishes: the run writes only close-date partitions, so
+    // dynamic overwrite alone would KEEP the stale open partition and
+    // duplicate both rows — the commit's recorded drop must remove it.
+    SnapshotMaterialization.run(spark, t,
+      Seq.empty[(Long, String)].toDF("id", "val"), cfg("2024-02-01 00:00:00"))
+    val snap = spark.table(t)
+    assert(snap.count() === 2, "no stale open-partition duplicates")
+    assert(snap.filter(col("dbt_valid_to").isNull).count() === 0)
+    val parts = spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq
+    assert(parts === Seq("dbt_valid_to_date=2024-02-01"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("recoverStagedCommit without an artifact refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Staging.recoverStagedCommit(spark, "default.fi_no_artifact")
+    }
+    assert(e.getMessage.contains("no staged-commit recovery artifact"))
   }
 }

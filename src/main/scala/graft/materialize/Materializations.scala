@@ -85,13 +85,14 @@ object Staging {
     s"$warehouse/_graft_recovery/${rel.schema}_${rel.identifier}"
   }
 
-  private def writeSpec(spark: SparkSession, dir: String,
+  private def writeSpec(spark: SparkSession, dir: String, table: Relation,
       spec: CommitSpec): Unit = {
     // Idents can't contain U+001F; a partition VALUE theoretically could —
     // refuse rather than write an artifact that would replay wrong.
     require((spec.partitionBy ++ spec.dropPartitions).forall(!_.contains(Sep)),
       "staged-commit spec entry contains the U+001F list separator")
     val props = new java.util.Properties()
+    props.setProperty("table", table.name)
     props.setProperty("mode", spec.mode)
     spec.format.foreach(props.setProperty("format", _))
     props.setProperty("partitionBy", spec.partitionBy.mkString(Sep))
@@ -102,7 +103,8 @@ object Staging {
     finally out.close()
   }
 
-  private def readSpec(spark: SparkSession, dir: String): CommitSpec = {
+  private def readSpec(spark: SparkSession, dir: String,
+      table: Relation): CommitSpec = {
     val p = new org.apache.hadoop.fs.Path(dir, Sidecar)
     val fs = fsOf(spark, p)
     require(fs.exists(p),
@@ -110,6 +112,14 @@ object Staging {
     val in = fs.open(p)
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
+    // The recovery path is keyed by a flattened `schema_identifier` dir
+    // name, where `a.b_c` and `a_b.c` collide — the recorded table name is
+    // the authority, so a recovery can never replay one table's artifact
+    // onto another.
+    val recorded = props.getProperty("table")
+    require(recorded == table.name,
+      s"staged-commit artifact at $dir belongs to table '$recorded', not " +
+        s"'${table.name}' — recover it under its own name first")
     def list(k: String) =
       props.getProperty(k, "").split(Sep).toSeq.filter(_.nonEmpty)
     CommitSpec(props.getProperty("mode"),
@@ -176,7 +186,7 @@ object Staging {
     val spec =
       try {
         val s = stage(dir)
-        writeSpec(spark, dir, s)
+        writeSpec(spark, dir, rel, s)
         s
       } catch { case e: Throwable =>
         // Nothing destructive has run — the staging content is worthless.
@@ -215,7 +225,7 @@ object Staging {
     val p = new org.apache.hadoop.fs.Path(dir)
     require(fsOf(spark, p).exists(p),
       s"no staged-commit recovery artifact for $table ($dir does not exist)")
-    replay(spark, rel, dir, readSpec(spark, dir))
+    replay(spark, rel, dir, readSpec(spark, dir, rel))
     delete(spark, dir)
   }
 }

@@ -356,4 +356,28 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
     assert(e.getMessage.contains("no staged-commit recovery artifact"))
   }
+
+  test("recoverStagedCommit refuses an artifact recorded for another table") {
+    val t = fresh("mismatch")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))
+    IncrementalMaterialization.run(spark, t,
+      Seq((1L, "a")).toDF("k", "v"), cfg)
+    Failpoints.arm("staged.commit")
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((1L, "a2")).toDF("k", "v"), cfg)
+    }
+    // The recovery dir name flattens schema+identifier, so two distinct
+    // tables CAN collide on it — the artifact's recorded table name is the
+    // authority and a mismatched recovery must refuse, never replay.
+    val dir = Staging.recoveryDir(spark, graft.core.Relation.parse(t))
+    val e = intercept[IllegalArgumentException] {
+      Staging.recoverStagedCommit(spark, "default.fi_other_table", Some(dir))
+    }
+    assert(e.getMessage.contains("belongs to table"))
+    assert(recoveryExists(t), "mismatched recovery must not consume the artifact")
+    Staging.recoverStagedCommit(spark, t) // the rightful owner recovers
+    assert(spark.table(t).select("v").as[String].head() === "a2")
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -77,8 +77,6 @@ object Staging {
 
   private val Sidecar = "_graft_commit.properties" // "_" prefix: invisible
                                                    // to parquet file listing
-  private val Sep = "" // unit separator — cannot occur in SQL idents
-
   private[graft] def recoveryDir(spark: SparkSession, rel: Relation): String = {
     val warehouse = spark.conf.get(
       "spark.sql.warehouse.dir").stripSuffix("/")
@@ -87,24 +85,27 @@ object Staging {
 
   private def writeSpec(spark: SparkSession, dir: String, table: Relation,
       spec: CommitSpec): Unit = {
-    // Idents can't contain U+001F; a partition VALUE theoretically could —
-    // refuse rather than write an artifact that would replay wrong.
-    require((spec.partitionBy ++ spec.dropPartitions).forall(!_.contains(Sep)),
-      "staged-commit spec entry contains the U+001F list separator")
     val props = new java.util.Properties()
     props.setProperty("table", table.name)
     props.setProperty("mode", spec.mode)
     spec.format.foreach(props.setProperty("format", _))
-    props.setProperty("partitionBy", spec.partitionBy.mkString(Sep))
-    props.setProperty("dropPartitions", spec.dropPartitions.mkString(Sep))
+    // List entries are numbered properties (partitionBy.0, ...) — entries
+    // are arbitrary strings (partition VALUES appear in drop specs), so no
+    // joining separator is safe; Properties escapes each value on its own.
+    def listProps(key: String, vals: Seq[String]): Unit =
+      vals.zipWithIndex.foreach { case (v, i) =>
+        props.setProperty(s"$key.$i", v)
+      }
+    listProps("partitionBy", spec.partitionBy)
+    listProps("dropPartitions", spec.dropPartitions)
     val p = new org.apache.hadoop.fs.Path(dir, Sidecar)
     val out = fsOf(spark, p).create(p, true)
     try props.store(out, "graft staged-commit replay spec")
     finally out.close()
   }
 
-  private def readSpec(spark: SparkSession, dir: String,
-      table: Relation): CommitSpec = {
+  private def loadProps(spark: SparkSession,
+      dir: String): java.util.Properties = {
     val p = new org.apache.hadoop.fs.Path(dir, Sidecar)
     val fs = fsOf(spark, p)
     require(fs.exists(p),
@@ -112,6 +113,18 @@ object Staging {
     val in = fs.open(p)
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
+    props
+  }
+
+  /** The table an artifact was staged FOR, best effort (None when the dir
+    * holds no readable sidecar). Used to name the true owner in errors. */
+  private def recordedOwner(spark: SparkSession, dir: String): Option[String] =
+    try Option(loadProps(spark, dir).getProperty("table"))
+    catch { case _: Throwable => None }
+
+  private def readSpec(spark: SparkSession, dir: String,
+      table: Relation): CommitSpec = {
+    val props = loadProps(spark, dir)
     // The recovery path is keyed by a flattened `schema_identifier` dir
     // name, where `a.b_c` and `a_b.c` collide — the recorded table name is
     // the authority, so a recovery can never replay one table's artifact
@@ -120,8 +133,9 @@ object Staging {
     require(recorded == table.name,
       s"staged-commit artifact at $dir belongs to table '$recorded', not " +
         s"'${table.name}' — recover it under its own name first")
-    def list(k: String) =
-      props.getProperty(k, "").split(Sep).toSeq.filter(_.nonEmpty)
+    def list(k: String): Seq[String] =
+      Iterator.from(0).map(i => Option(props.getProperty(s"$k.$i")))
+        .takeWhile(_.isDefined).flatten.toSeq
     CommitSpec(props.getProperty("mode"),
       Option(props.getProperty("format")),
       list("partitionBy"), list("dropPartitions"))
@@ -169,19 +183,40 @@ object Staging {
     * mid-destruction by then) as parquet into the directory it is given
     * and returns the replay spec; everything destructive happens after it
     * returns. */
+  /** Resolve what sits at the recovery location: the artifact dir itself,
+    * or — when the post-failure rename could not move the staging dir — a
+    * POINTER FILE whose single line names the artifact's raw staging path.
+    * Either way `fs.exists(recoveryDir)` blocks re-entry. */
+  private def resolveArtifact(spark: SparkSession, at: String): String = {
+    val p = new org.apache.hadoop.fs.Path(at)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p) && fs.getFileStatus(p).isFile) {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+    } else at
+  }
+
   private[graft] def stagedCommit(spark: SparkSession, rel: Relation,
       tag: String)(stage: String => CommitSpec): Unit = {
     val rec = recoveryDir(spark, rel)
     val recPath = new org.apache.hadoop.fs.Path(rec)
     val fs = fsOf(spark, recPath)
-    if (fs.exists(recPath))
+    if (fs.exists(recPath)) {
+      // The flattened dir name can collide across tables (`a.b_c` vs
+      // `a_b.c`) — name the artifact's RECORDED owner so the operator
+      // recovers the right table on the first try.
+      val owner = recordedOwner(spark, resolveArtifact(spark, rec))
+        .getOrElse(rel.name)
       throw new IllegalStateException(
-        s"pending staged-commit recovery artifact for ${rel.name} at " +
-          s"$rec — a previous commit died mid-overwrite and the artifact " +
-          "holds the only sound copy of its result (the target may be " +
-          "truncated); call Staging.recoverStagedCommit(spark, " +
-          s""""${rel.name}") to finish that commit before mutating this """ +
-          "table again")
+        s"pending staged-commit recovery artifact at $rec (recorded owner: " +
+          s"'$owner') — a previous commit died mid-overwrite and the " +
+          "artifact holds the only sound copy of its result (the owner " +
+          "table may be truncated); call Staging.recoverStagedCommit(" +
+          s"""spark, "$owner") to finish that commit before mutating """ +
+          "this table again")
+    }
     val dir = newDir(spark, tag)
     val spec =
       try {
@@ -197,36 +232,52 @@ object Staging {
       replay(spark, rel, dir, spec)
     } catch { case e: Throwable =>
       // The staged dir is now the only sound copy — move it to the named
-      // recovery location (never delete). If even the rename fails, leave
-      // it in place and name the raw path instead.
-      val moved =
-        try { fs.mkdirs(recPath.getParent); fs.rename(
-          new org.apache.hadoop.fs.Path(dir), recPath) }
-        catch { case _: Throwable => false }
-      val at = if (moved) rec else dir
+      // recovery location (never delete). If the rename itself fails, PLANT
+      // A POINTER FILE at the recovery location naming the raw path, so the
+      // fail-fast re-entry gate still blocks the retry that would re-merge
+      // from the damaged target; only if even that fails does the error
+      // fall back to naming the raw path alone.
+      val at =
+        try {
+          graft.core.Failpoints.check("staged.rename_failed")
+          fs.mkdirs(recPath.getParent)
+          if (fs.rename(new org.apache.hadoop.fs.Path(dir), recPath)) rec
+          else throw new java.io.IOException(s"rename $dir -> $rec refused")
+        } catch { case _: Throwable =>
+          try {
+            val out = fs.create(recPath, false)
+            try out.write(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            rec
+          } catch { case _: Throwable => dir }
+        }
       throw new IllegalStateException(
         s"staged commit of ${rel.name} failed mid-overwrite; the complete " +
           s"post-commit content is preserved at $at — call " +
           s"""Staging.recoverStagedCommit(spark, "${rel.name}"""" +
-          (if (moved) ")" else s""", Some("$dir"))""") +
+          (if (at == rec) ")" else s""", Some("$dir"))""") +
           " to finish the commit", e)
     }
     delete(spark, dir)
   }
 
   /** Recovery half of [[stagedCommit]]: replay the interrupted commit from
-    * its artifact, then retire the artifact. Safe to call repeatedly — the
-    * artifact is deleted only after the replay succeeds, so a recovery
-    * that itself dies leaves it in place for the next attempt. */
+    * its artifact, then retire the artifact (and its pointer, when the
+    * artifact could not be moved and is reached through one). Safe to call
+    * repeatedly — retirement happens only after the replay succeeds, so a
+    * recovery that itself dies leaves everything in place for the next
+    * attempt. */
   def recoverStagedCommit(spark: SparkSession, table: String,
       artifactDir: Option[String] = None): Unit = {
     val rel = Relation.parse(table)
-    val dir = artifactDir.getOrElse(recoveryDir(spark, rel))
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val at = artifactDir.getOrElse(recoveryDir(spark, rel))
+    val p = new org.apache.hadoop.fs.Path(at)
     require(fsOf(spark, p).exists(p),
-      s"no staged-commit recovery artifact for $table ($dir does not exist)")
+      s"no staged-commit recovery artifact for $table ($at does not exist)")
+    val dir = resolveArtifact(spark, at)
     replay(spark, rel, dir, readSpec(spark, dir, rel))
     delete(spark, dir)
+    if (dir != at) delete(spark, at) // retire the pointer too
   }
 }
 
@@ -493,8 +544,11 @@ object IncrementalMaterialization {
       case IncrementalStrategy.InsertOverwrite =>
         // Dynamic mode: only partitions present in the batch are replaced;
         // unpartitioned target → whole-table overwrite (README.md:549-553).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        aligned.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
+        // Scoped, not set: the caller's session must not keep the mode.
+        graft.core.Engine.withConf(spark,
+          Map("spark.sql.sources.partitionOverwriteMode" -> "dynamic")) {
+          aligned.write.mode(SaveMode.Overwrite).insertInto(rel.quoted)
+        }
 
       case IncrementalStrategy.Merge if cfg.partitionBy.nonEmpty =>
         partitionScopedMerge(spark, rel, aligned, cfg)

@@ -150,7 +150,9 @@ object SnapshotMaterialization {
     val rel = Relation.parse(target)
     Staging.stagedCommit(spark, rel, s"snap_${rel.identifier}") { dir =>
       merged.write.mode(SaveMode.Overwrite).parquet(dir)
-      Staging.CommitSpec("replace_table")
+      // Pin the format the first-run CTAS used: replay under a session whose
+      // default source differs must not silently convert the table.
+      Staging.CommitSpec("replace_table", format = Some("parquet"))
     }
   }
 

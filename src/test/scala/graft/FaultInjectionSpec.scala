@@ -357,6 +357,34 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(e.getMessage.contains("no staged-commit recovery artifact"))
   }
 
+  test("staged-commit rename fallback: a pointer still blocks re-entry and recovery resolves it") {
+    val t = fresh("pointer_commit")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))
+    IncrementalMaterialization.run(spark, t, Seq((1L, "a")).toDF("k", "v"), cfg)
+
+    // The commit dies mid-overwrite AND the artifact rename also fails: a
+    // POINTER FILE at the recovery location must still block the naive
+    // retry (which would re-merge from the damaged target).
+    Failpoints.arm("staged.commit")
+    Failpoints.arm("staged.rename_failed")
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((1L, "a2")).toDF("k", "v"), cfg)
+    }
+    assert(recoveryExists(t), "pointer must occupy the recovery location")
+    val e2 = intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((1L, "a2")).toDF("k", "v"), cfg)
+    }
+    assert(e2.getMessage.contains("pending staged-commit recovery artifact"))
+    assert(e2.getMessage.contains(t), "gate names the recorded owner")
+
+    Staging.recoverStagedCommit(spark, t) // resolves the pointer indirection
+    assert(!recoveryExists(t), "pointer and artifact both retired")
+    assert(spark.table(t).select("v").as[String].head() === "a2")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("recoverStagedCommit refuses an artifact recorded for another table") {
     val t = fresh("mismatch")
     val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))

@@ -120,4 +120,57 @@ class HiveFormatSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists(s"${t}__contract_stage"))
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
+
+  test("staged-commit crash recovery replays under the hive catalog") {
+    // FaultInjectionSpec pins the staged-commit recovery contract on the
+    // in-memory catalog; both replay modes lean on catalog-specific
+    // semantics (dynamic-partition insertInto, ALTER TABLE DROP PARTITION,
+    // drop-and-recreate saveAsTable), so the same crash → recover sequence
+    // is pinned once under the Derby hive metastore too.
+    import graft.core.Failpoints
+    import graft.materialize.{IncrementalConfig, IncrementalMaterialization, IncrementalStrategy, Staging}
+    import spark.implicits._
+    val db = "graft_hive_staged"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    try {
+      // dynamic_overwrite replay: partition-scoped merge whose key update
+      // moves the only row out of partition a — recovery must land the
+      // overwrite AND the recorded drained-partition drop.
+      val t = s"$db.m_part"
+      val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+        uniqueKey = Seq("k"), partitionBy = Seq("p"))
+      IncrementalMaterialization.run(spark, t,
+        Seq((1L, "a", "x1"), (2L, "b", "x2")).toDF("k", "p", "v"), cfg)
+      Failpoints.arm("staged.commit")
+      intercept[IllegalStateException] {
+        IncrementalMaterialization.run(spark, t,
+          Seq((1L, "b", "x1new")).toDF("k", "p", "v"), cfg)
+      }
+      Staging.recoverStagedCommit(spark, t)
+      assert(spark.table(t).select("k", "p", "v").orderBy("k")
+        .as[(Long, String, String)].collect().toSeq
+        === Seq((1L, "b", "x1new"), (2L, "b", "x2")))
+      assert(spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq
+        === Seq("p=b"))
+
+      // replace_table replay: unpartitioned merge recovery.
+      val u = s"$db.m_flat"
+      val cfgF = IncrementalConfig(IncrementalStrategy.Merge,
+        uniqueKey = Seq("k"))
+      IncrementalMaterialization.run(spark, u,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), cfgF)
+      Failpoints.arm("staged.commit")
+      intercept[IllegalStateException] {
+        IncrementalMaterialization.run(spark, u,
+          Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), cfgF)
+      }
+      Staging.recoverStagedCommit(spark, u)
+      assert(spark.table(u).orderBy("k").as[(Long, String)].collect().toSeq
+        === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    } finally {
+      Failpoints.disarmAll()
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
 }

@@ -83,9 +83,9 @@ object Scale {
     val usage = "usage: graft.Scale <sfDir> <scratchDir> <k> [op,op,...] — " +
       "k must be an integer >= 2"
     val (sfDir, scratch, k, only) = args match {
-      case Array(s, d, kk) if kk.forall(_.isDigit) =>
+      case Array(s, d, kk) if kk.toIntOption.isDefined =>
         (s, d, kk.toInt, None)
-      case Array(s, d, kk, names) if kk.forall(_.isDigit) =>
+      case Array(s, d, kk, names) if kk.toIntOption.isDefined =>
         (s, d, kk.toInt, Some(names.split(",").toSet))
       case _ => sys.error(s"$usage (got: ${args.mkString(" ")})")
     }

@@ -151,12 +151,17 @@ object Contracts {
     val asideMade =
       if (!spark.catalog.tableExists(rel.quoted)) false
       else {
-        val kind = spark.catalog.getTable(rel.quoted).tableType
-        if (kind.equalsIgnoreCase("VIEW") || kind.equalsIgnoreCase("TEMPORARY")) {
+        if (TableMaterialization.isViewLike(spark, rel)) {
           spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
           false
         } else {
           TableMaterialization.dropExisting(spark, aside)
+          // An orphan directory AT THE ASIDE's default path (a crash
+          // between a previous aside drop's catalog removal and its
+          // directory delete) has no catalog entry for dropExisting to
+          // clear and would fail this rename forever — same self-heal the
+          // target and stage locations already get.
+          TableMaterialization.clearOrphanLocation(spark, aside)
           RelationOps.rename(spark, table, aside.name)
           // No partition repair on the aside here, deliberately: the aside
           // is only ever READ on the restore path, which renames it back

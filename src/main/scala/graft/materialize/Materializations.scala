@@ -335,10 +335,17 @@ object TableMaterialization {
     * currently bound to a view. One catalog probe picks the right
     * statement; DROP VIEW also covers temp views.
     */
+  /** Is the existing relation bound to a view (incl. temp)? One catalog
+    * probe, shared by every type-aware drop/rename dispatch so a future
+    * catalog quirk fix lands once. Caller guarantees the relation exists. */
+  private[graft] def isViewLike(spark: SparkSession, rel: Relation): Boolean = {
+    val kind = spark.catalog.getTable(rel.quoted).tableType
+    kind.equalsIgnoreCase("VIEW") || kind.equalsIgnoreCase("TEMPORARY")
+  }
+
   private[graft] def dropExisting(spark: SparkSession, rel: Relation): Unit =
     if (spark.catalog.tableExists(rel.quoted)) {
-      val kind = spark.catalog.getTable(rel.quoted).tableType
-      if (kind.equalsIgnoreCase("VIEW") || kind.equalsIgnoreCase("TEMPORARY"))
+      if (isViewLike(spark, rel))
         spark.sql(s"DROP VIEW IF EXISTS ${rel.quoted}")
       else spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
     }

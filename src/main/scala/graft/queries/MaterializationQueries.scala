@@ -930,17 +930,25 @@ object MaterializationQueries {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- maintenance
-  /** One-pass multiset content witness: (row count, Σ xxhash64 over every
-    * column, summed in DECIMAL(38,0) — ANSI sum over raw longs would
-    * overflow-throw on a few hundred 2⁶³-scale hashes). Equal witnesses ⇒
+  /** One-pass multiset content witness: (row count, Σ per-row hash, summed
+    * in DECIMAL(38,0) — ANSI sum over raw longs would overflow-throw on a
+    * few hundred 2⁶³-scale hashes). The per-row hash is xxhash64 over the
+    * PER-COLUMN xxhash64s, not over the raw columns: a flat
+    * xxhash64(c1, c2, ...) silently SKIPS null inputs (the seed threads
+    * through unchanged), so ('x', null) and (null, 'x') would hash
+    * identically and a column-transposition bug could ship undetected.
+    * Hashing each column first maps a null to the seed constant AT ITS
+    * POSITION, so null placement changes the outer hash. Equal witnesses ⇒
     * same multiset up to an engineered 64-bit hash-sum cancellation — far
     * beyond anything a layout-rewrite bug produces — and any single added/
-    * dropped/edited/duplicated row always moves the count or the sum.
-    * Map-side combined, no shuffle beyond the 2-column partial aggregate.
+    * dropped/edited/duplicated row (including value↔null moves across
+    * columns) always moves the count or the sum. All codegen'd; map-side
+    * combined, no shuffle beyond the 2-column partial aggregate.
     */
   private[graft] def contentWitness(df: DataFrame): (Long, BigInt) = {
     val r = df.agg(count(lit(1)),
-      sum(xxhash64(df.columns.map(col): _*).cast(DecimalType(38, 0)))).head()
+      sum(xxhash64(df.columns.map(c => xxhash64(col(c))): _*)
+        .cast(DecimalType(38, 0)))).head()
     (r.getLong(0),
       if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger))
   }

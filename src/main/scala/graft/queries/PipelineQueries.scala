@@ -1139,7 +1139,11 @@ object PipelineQueries {
     // operator's own shingle function, so identical guard-class ⇔
     // identical signature ⇔ structural retrieval.
     val shingleClass = md5(concat_ws("\u0001",
-      array_sort(graft.dedup.Dedup.shingles(col("text"), 3))))
+      array_sort(graft.dedup.Dedup.shingles(col("text"),
+        // derive from the config the operator under test runs with:
+        // a literal here would silently decouple the guard's
+        // equivalence from the signature equivalence if tuned
+        graft.dedup.Dedup.MinHashConfig().shingleSize))))
     val maxClassRow = docs.groupBy(shingleClass).count()
       .agg(max(col("count"))).head()
     val maxClass = if (maxClassRow.isNullAt(0)) 0L else maxClassRow.getLong(0)

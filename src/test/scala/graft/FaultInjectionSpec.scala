@@ -173,6 +173,27 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("contract commit self-heals an orphan directory at the aside location") {
+    val t = fresh("contract_orphan")
+    Contracts.materialize(spark, t, Seq((1L, "old")).toDF("k", "s"), contract)
+    // Plant an orphan at the aside's default managed path: no catalog
+    // entry binds it, so only the commit's own self-heal can clear it —
+    // without the heal, the rename-aside fails forever on every future
+    // contract materialization of this table.
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      s"${t.split('.').last}__contract_old", Some("default"))
+    val orphan = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "junk")).close()
+
+    Contracts.materialize(spark, t, Seq((2L, "new")).toDF("k", "s"), contract)
+    assert(spark.table(t).select("s").as[String].head() === "new")
+    assert(!spark.catalog.tableExists(s"${t}__contract_old"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   // ----------------------------------------------------------- relayout
 
   test("relayout crash window: original table renames back with contents") {

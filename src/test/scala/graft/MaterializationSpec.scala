@@ -583,6 +583,14 @@ class MaterializationSpec extends AnyFunSuite {
       when(col("k") === 1L, lit(null: String)).otherwise(col("s")))
     assert(contentWitness(withNull) !== w)
     assert(contentWitness(withNull)._1 === 3L)
+    // Cross-column value↔null TRANSPOSITION must move the sum: a flat
+    // xxhash64(c1, c2, ...) silently skips null inputs, so ('x', null)
+    // and (null, 'x') would collide — the review case the per-column
+    // pre-hash exists for.
+    val ab = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    val ba = Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+    assert(contentWitness(ab) !== contentWitness(ba),
+      "null placement across same-typed columns must change the witness")
     // Empty frame: defined, zeroed — not a null-sum crash.
     assert(contentWitness(base.limit(0)) === ((0L, BigInt(0))))
   }

@@ -400,9 +400,13 @@ object Dedup {
     require(corpusCols.length == referenceCols.length,
       "corpusCols and referenceCols must align")
     GraftFunctions.register(corpus.sparkSession)
-    val refKeys = reference
+    // Persisted: three consumers (the empty probe, the bloom build, the
+    // verify anti-join) would otherwise each re-run the reference
+    // aggregation — a full extra pass over the multi-TB reference this
+    // API targets.
+    val refKeys = scopedPersist(reference
       .select(hashKeys(referenceCols.map(col)): _*)
-      .distinct()
+      .distinct())
     // An empty reference has nothing to scrub (and stat.bloomFilter's
     // aggregate returns null bytes over zero rows) — short-circuit.
     if (refKeys.isEmpty) return corpus
@@ -654,7 +658,18 @@ object Dedup {
     val matched = minhashNearDupPairsAgainst(corpus, idCol, textCol,
       reference, refIdCol, refTextCol, cfg)
       .select(col("id").as(idCol)).distinct()
-    corpus.join(matched, Seq(idCol), "left_anti")
+    // Removal must be TOTAL past the member-enumeration cap: the pair
+    // fan-out lists at most maxBucketSize ids per identical-content group,
+    // but every byte-identical copy of a matched doc matches the same
+    // reference — so translate matched ids to their CONTENT identity and
+    // anti-join on that (the group's rep is always among the matched ids
+    // and carries the identity for every copy, enumerated or not).
+    val keyed = corpus.select(col("*") +: hashKeys(Seq(col(textCol))): _*)
+    val matchedKeys = keyed
+      .join(matched, Seq(idCol), "left_semi")
+      .select("__h1", "__h2").distinct()
+    keyed.join(matchedKeys, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
   }
 
   /** Two-sided capped bucket join: candidate (id, ref_id) pairs sharing any
@@ -947,15 +962,26 @@ object Dedup {
       refVecCol: String, threshold: Double = 0.95,
       maxBucketSize: Int = 10000): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    // The content key rides the collapse as payload (__k1/__k2) so the
+    // byte-identity pre-route can run REP-level: the raw-corpus hash join
+    // it replaces materialized (copies × matching refs) rows — quadratic
+    // under a byte-dup-heavy crawl, violating the module's "never
+    // materialize the O(n²) pair space" invariant (the minhash twin routes
+    // rep-level for the same reason). Rep-level it is
+    // (distinct contents × matching refs); the member fan-out at the end
+    // restores per-copy pairs under the usual enumeration cap, and the
+    // drop wrapper below removes by content identity, so REMOVAL stays
+    // total past the cap.
     val c = collapseKeyed(
       corpus.select(col(idCol).as("id") +: hashKeys(Seq(col(vecCol))) :+
-        GraftFunctions.signProjection(col(vecCol)).as("sig"): _*),
+        GraftFunctions.signProjection(col(vecCol)).as("sig"): _*)
+        .withColumn("__k1", col("__h1")).withColumn("__k2", col("__h2")),
       maxBucketSize)
     val refKeyed = scopedPersist(reference.select(
       col(refIdCol).as("ref_id") +: hashKeys(Seq(col(refVecCol))) :+
         GraftFunctions.signProjection(col(refVecCol)).as("sig"): _*))
-    val candExact = corpus
-      .select(col(idCol).as("id") +: hashKeys(Seq(col(vecCol))): _*)
+    val candExact = c.reps
+      .select(col("id"), col("__k1").as("__h1"), col("__k2").as("__h2"))
       .join(refKeyed.select("ref_id", "__h1", "__h2"), Seq("__h1", "__h2"))
       .select("id", "ref_id")
     val candLsh = bucketPairsBetween(
@@ -967,21 +993,19 @@ object Dedup {
     val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
     val rvecs = reference.select(col(refIdCol).as("ref_id"),
       col(refVecCol).as("__rv"))
-    val repPairs = candLsh.join(cvecs, "id").join(rvecs, "ref_id")
+    // One verify pass over the candidate union: exact-pre-route candidates
+    // are cosine-verified by the same kernel (identical vectors score
+    // identically), then rep matches fan out to members.
+    val repPairs = candExact.unionByName(candLsh).distinct()
+      .join(cvecs, "id").join(rvecs, "ref_id")
       .withColumn("cosine", GraftFunctions.cosineSim(col("__cv"), col("__rv")))
       .filter(col("cosine") >= threshold)
       .select("id", "ref_id", "cosine")
-    val fanned = repPairs
+    repPairs
       .join(c.members.select(col("__rep").as("id"), col("id").as("__m")),
         Seq("id"), "left")
       .select(coalesce(col("__m"), col("id")).as("id"),
         col("ref_id"), col("cosine"))
-    val exactVerified = candExact.join(cvecs, "id").join(rvecs, "ref_id")
-      .withColumn("cosine", GraftFunctions.cosineSim(col("__cv"), col("__rv")))
-      .filter(col("cosine") >= threshold)
-      .select("id", "ref_id", "cosine")
-    fanned.unionByName(exactVerified)
-      .groupBy("id", "ref_id").agg(max(col("cosine")).as("cosine"))
   }
 
   /** The filter use-case of [[embeddingNearDupPairsAgainst]]: the corpus
@@ -995,7 +1019,15 @@ object Dedup {
     val matched = embeddingNearDupPairsAgainst(corpus, idCol, vecCol,
       reference, refIdCol, refVecCol, threshold, maxBucketSize)
       .select(col("id").as(idCol)).distinct()
-    corpus.join(matched, Seq(idCol), "left_anti")
+    // Same cap-immunity construction as [[dropNearDupsAgainst]]: removal
+    // extends from matched ids to their VECTOR identity, so byte-identical
+    // copies past the member-enumeration cap drop too.
+    val keyed = corpus.select(col("*") +: hashKeys(Seq(col(vecCol))): _*)
+    val matchedKeys = keyed
+      .join(matched, Seq(idCol), "left_semi")
+      .select("__h1", "__h2").distinct()
+    keyed.join(matchedKeys, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
   }
 
   // ------------------------------------------------------------ semantic dedup
@@ -1066,9 +1098,32 @@ object Dedup {
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 256, maxClusterSize: Int = 10000,
       seed: Long = 42L, maxIter: Int = 4): DataFrame = {
-    val removed = semanticNearDupPairs(vectors, idCol, vecCol, threshold,
-      nlist, maxClusterSize, seed, maxIter)
-      .select(col("id_b").as(idCol)).distinct()
-    vectors.join(removed, Seq(idCol), "left_anti")
+    // Persisted: the flagged frame below feeds two consumers (the group
+    // aggregate and the final join), which would otherwise re-run the
+    // whole pairs pipeline.
+    val removed = scopedPersist(
+      semanticNearDupPairs(vectors, idCol, vecCol, threshold,
+        nlist, maxClusterSize, seed, maxIter)
+        .select(col("id_b").as(idCol)).distinct())
+    // Extend removal past the member-enumeration cap by VECTOR identity:
+    // the pair fan-out lists at most maxClusterSize members per
+    // byte-identical group, but the contract ("drop every vector with a
+    // smaller-id near-duplicate") binds every copy. Per identical-vector
+    // group: if the group's MIN id was removed, every copy shares its
+    // smaller near-neighbor — drop all; else if ANY enumerated member was
+    // removed, the identity pairs fired, so every non-min copy has the min
+    // as a smaller identical neighbor — keep only the min; else (no
+    // removals — e.g. degenerate vectors whose identity cosine misses the
+    // threshold) keep all copies.
+    val keyed = vectors.select(col("*") +: hashKeys(Seq(col(vecCol))): _*)
+    val flagged = keyed.join(
+      removed.select(col(idCol), lit(1).as("__rm")), Seq(idCol), "left")
+    val groups = flagged.groupBy("__h1", "__h2").agg(
+      min(col(idCol)).as("__min_id"),
+      min(when(col("__rm") === 1, col(idCol))).as("__min_rm"))
+    flagged.join(groups, Seq("__h1", "__h2"))
+      .filter(col("__min_rm").isNull ||
+        (col("__min_rm") =!= col("__min_id") && col(idCol) === col("__min_id")))
+      .drop("__h1", "__h2", "__rm", "__min_id", "__min_rm")
   }
 }

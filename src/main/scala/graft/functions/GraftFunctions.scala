@@ -15,15 +15,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * break codegen and pay serialization per row.
   */
 
-/** cosine(array<float>, array<float>) → double. */
+/** cosine(array<float|double>, array<float|double>) → double. Dispatches
+  * the kernel on the element type at analysis time: the float kernel's
+  * getFloat over packed doubles would silently reinterpret 4-byte halves
+  * (garbage scores, no exception), so anything other than two float
+  * arrays or two double arrays is rejected loudly instead.
+  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<float> or two array<double> " +
+            s"arguments, got ${l.sql} and ${r.sql}")
+    }
+  private def kernel: String = if (isDouble) "cosineD" else "cosine"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDouble)
+      Kernels.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosine($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$kernel($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

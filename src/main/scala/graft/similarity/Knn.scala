@@ -147,6 +147,9 @@ object Knn {
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, refine: Int = 32): DataFrame = {
+    require(refine >= k,
+      s"refine ($refine) must be >= k ($k): the exact re-rank can only " +
+        "return candidates the approximate stage kept")
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
@@ -636,13 +639,18 @@ object Knn {
     * whole-stage codegen, no UDF, no custom kernel.
     */
   def withBinaryCodes(df: DataFrame, vecCol: String,
-      codeCol: String = "bq_codes"): DataFrame =
+      codeCol: String = "bq_codes"): DataFrame = {
+    // Backtick-quote the column in the SQL fragment: every other entry
+    // point takes the name through col(), which accepts non-identifier
+    // names (dashes, spaces) that a raw splice would fail to parse.
+    val v = s"`${vecCol.replace("`", "``")}`"
     df.withColumn(codeCol, expr(
-      s"""transform(sequence(0, CAST(ceil(size($vecCol) / 32.0) AS INT) - 1),
+      s"""transform(sequence(0, CAST(ceil(size($v) / 32.0) AS INT) - 1),
          |  w -> aggregate(sequence(0, 31), 0L,
-         |    (acc, b) -> CASE WHEN w * 32 + b < size($vecCol)
-         |        AND element_at($vecCol, w * 32 + b + 1) > 0
+         |    (acc, b) -> CASE WHEN w * 32 + b < size($v)
+         |        AND element_at($v, w * 32 + b + 1) > 0
          |      THEN acc + shiftleft(1L, b) ELSE acc END))""".stripMargin))
+  }
 
   /** Truncated-dimension top-k — the Matryoshka retrieval shape (MRL
     * embeddings are trained so their PREFIX is itself an embedding;

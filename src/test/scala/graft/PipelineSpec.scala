@@ -1561,4 +1561,71 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       HeavyHitters.topGrams(tiny, "text", n = 0, k = 1, capacity = 8))
   }
+
+  test("near-dup removal is total past the member-enumeration cap") {
+    import spark.implicits._
+    // 10 byte-identical copies of a reference-matched doc with the
+    // enumeration cap at 3: the pair fan-out lists at most 3 member ids,
+    // but removal extends by CONTENT identity — every copy must drop.
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 10L).map(i => (i, dupText)) :+
+      (50L, "completely unrelated content with different words entirely zz"))
+      .toDF("doc_id", "text")
+    val ref = Seq((100L, dupText)).toDF("ref_id", "text")
+    val survivors = Dedup.dropNearDupsAgainst(corpus, "doc_id", "text",
+      ref, "ref_id", "text", Dedup.MinHashConfig(maxBucketSize = 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(50L),
+      s"every identical copy must drop past the cap, got $survivors")
+
+    // Embedding twin: 10 identical matched vectors, cap 3 -> all drop.
+    val eCorpus = ((1L to 10L).map(i => (i, Array(1f, 0f, 0f))) :+
+      (50L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val eRef = Seq((100L, Array(1f, 0f, 0f))).toDF("ref_id", "ref_vec")
+    val eSurvivors = Dedup.dropEmbeddingNearDupsAgainst(eCorpus, "vec_id",
+      "embedding", eRef, "ref_id", "ref_vec", threshold = 0.98,
+      maxBucketSize = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(eSurvivors === Set(50L))
+
+    // semanticDedup: 10 identical copies + 1 distinct, cap 3 -> only the
+    // group min and the distinct vector survive (every non-min copy has
+    // the min as a smaller-id identical neighbor, enumerated or not).
+    val sKept = Dedup.semanticDedup(eCorpus, "vec_id", "embedding",
+      threshold = 0.98, nlist = 1, maxClusterSize = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sKept === Set(1L, 50L))
+  }
+
+  test("cosine kernel dispatches on element type; rejects mismatches loudly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val f = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val cf = f.select(GraftFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    val cd = d.select(GraftFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    // Same value either way (10/14) — array<double> used to read garbage
+    // through getFloat reinterpretation with no exception.
+    assert(math.abs(cf - 10.0 / 14.0) < 1e-12)
+    assert(math.abs(cd - cf) < 1e-12)
+    // Mixed float/double (and non-numeric arrays) fail ANALYSIS, not
+    // silently mis-score.
+    val mixed = Seq((Array(1f, 2f), Array(1.0, 2.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(GraftFunctions.cosineSim(col("a"), col("b"))).head
+    }
+  }
+
+  test("knn entry points: non-identifier vector column; refine >= k guards") {
+    import spark.implicits._
+    val odd = Seq((1L, Array(1f, -1f, 1f))).toDF("id", "my-vec")
+    // withBinaryCodes splices the column into SQL — must backtick-quote.
+    val codes = graft.similarity.Knn.withBinaryCodes(odd, "my-vec")
+      .select("bq_codes").head.getSeq[Long](0)
+    assert(codes === Seq(5L)) // bits 0 and 2 set (positive dims)
+    val q = Seq((100L, Array(1f, 0f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      graft.similarity.Knn.sq8TopK(q, q, "id", "v", k = 10, refine = 3)
+    }
+  }
 }

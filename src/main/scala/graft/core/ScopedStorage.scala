@@ -63,6 +63,24 @@ object ScopedStorage {
   /** Register an already-checkpointed frame (blocks outside the catalog). */
   def registerCheckpoint(df: DataFrame): DataFrame = { add(Entry(df, isCheckpoint = true)); df }
 
+  /** Free a locally-checkpointed frame's storage blocks mid-computation.
+    * Safe ONLY once nothing can read the frame again: a local checkpoint
+    * truncates lineage, so after unpersist the data is unrecoverable by
+    * design — exactly the deterministic release an iterative round loop
+    * needs (bounded storage) and the catalog cache manager cannot provide
+    * (checkpoint RDDs are persisted outside its tracking). The unpersist
+    * must target the checkpointed LogicalRDD LEAF — `df.rdd` would wrap a
+    * NEW deserialization RDD and free nothing. One definition for every
+    * iterative operator (CC, PageRank, lineage closure), so a fix to this
+    * contract lands once.
+    */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Persist (MEMORY_AND_DISK — spills, keeps lineage) + register. */
   def persist(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -97,7 +97,12 @@ object Clusters {
     // evaluate the caller's (possibly expensive — a whole LSH pipeline)
     // pair upstream twice. Checkpointing pairs first makes the doubled
     // edge list a cheap projection of one materialization.
+    // Null endpoints break silently, not loudly: null never equi-joins, so
+    // a (null, v) edge from an upstream left join would leave v a singleton
+    // AND leak an (id=null, cluster=null) row into the labels — drop such
+    // edges at the door (the PageRank entry filters identically).
     val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
     // The doubled edge list is the BIG static side of every round's join —
     // persist it hash-partitioned AND sorted on the join key so each
@@ -254,19 +259,8 @@ object Clusters {
     labels
   }
 
-  /** Free a locally-checkpointed frame's storage blocks. Safe ONLY once
-    * nothing can read the frame again: a local checkpoint truncates
-    * lineage, so after unpersist the data is unrecoverable by design —
-    * which is exactly the deterministic release the round loop needs
-    * (bounded storage) and the catalog cache manager cannot provide
-    * (checkpoint RDDs are persisted outside its tracking).
-    */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.core.ScopedStorage.freeCheckpoint(df) // one shared contract
 
   /** Pairwise near-dup output → one surviving id per duplicate cluster: the
     * cluster's canonical (minimum) id. Singleton docs never enter `pairs`

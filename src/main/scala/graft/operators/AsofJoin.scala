@@ -98,6 +98,9 @@ object AsofJoin {
     // timestamps too. Backward candidates live one bucket BEHIND the left
     // row, forward candidates one bucket AHEAD; right rows are replicated
     // into exactly the adjacent buckets the direction consults.
+    toleranceSec.foreach(tol => require(tol > 0,
+      s"toleranceSec must be positive, got $tol — zero divides the bucket " +
+        "id into Infinity/NaN and funnels every key through one partition"))
     val (r, l, partKeys) = toleranceSec match {
       case Some(tol) =>
         def bucket(c: Column) =

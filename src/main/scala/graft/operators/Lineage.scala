@@ -83,9 +83,5 @@ object Lineage {
   }
 
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.core.ScopedStorage.freeCheckpoint(df) // one shared contract
 }

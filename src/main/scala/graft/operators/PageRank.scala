@@ -119,15 +119,6 @@ object PageRank {
     ranks
   }
 
-  /** Free a locally-checkpointed frame's blocks (safe only once nothing
-    * can re-read it — see [[graft.dedup.Clusters]] for the full contract;
-    * `df.rdd` would wrap a NEW deserialization RDD, so the unpersist must
-    * target the checkpointed LogicalRDD leaf itself).
-    */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.core.ScopedStorage.freeCheckpoint(df) // one shared contract
 }

@@ -111,9 +111,11 @@ object Sampling {
     val total = targetShares.values.sum
     require(math.abs(total - 1.0) < 1e-9,
       s"target shares must sum to 1, got $total")
+    // get(0).toString, not getString: a non-string class column (int lang
+    // ids) matches isin via coercion but would ClassCastException here.
     val counts = df.filter(col(classCol).isin(targetShares.keys.toSeq: _*))
       .groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     // A targeted class with zero rows forces S = 0 (no output can honor
     // its positive share) — surface that loudly instead of returning an
     // empty frame from a typo'd class name.
@@ -284,6 +286,12 @@ object Sampling {
       fractions: Seq[(String, Double)], salt: Long = 0L,
       splitCol: String = "split"): DataFrame = {
     require(fractions.nonEmpty, "at least one split label required")
+    fractions.foreach { case (l, f) =>
+      require(f > 0.0, s"split share for '$l' must be positive, got $f")
+    }
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split shares must sum to <= 1, got ${fractions.map(_._2).sum} " +
+        "(an oversumming boundary silently empties the trailing splits)")
     val bucket = hashBucket(col(keyCol), salt)
     val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
     val expr = fractions.init.zip(bounds.tail.init).foldRight(

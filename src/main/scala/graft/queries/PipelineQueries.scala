@@ -904,7 +904,7 @@ object PipelineQueries {
   private val txtTfidfSql =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
       |), pairs AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
       |), dfs AS (
@@ -3239,7 +3239,7 @@ object PipelineQueries {
     """toks AS (
       |  SELECT doc_id,
       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
       |), cnt AS (
       |  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
       |), tot AS (
@@ -3373,7 +3373,7 @@ object PipelineQueries {
        |), toks AS (
        |  SELECT doc_id,
        |    unnest(string_split_regex(trim(lower(clean_text)), '\\s+')) AS term
-       |  FROM cleaned
+       |  FROM cleaned WHERE clean_text IS NOT NULL AND trim(clean_text) <> ''
        |), cnt AS (
        |  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
        |), tot AS (
@@ -3550,7 +3550,7 @@ object PipelineQueries {
   private val txtBigramLmSql =
     """WITH src AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents WHERE text IS NOT NULL
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
       |), toks AS (
       |  SELECT doc_id, unnest(t) AS term FROM src
       |), cnt AS (

@@ -130,8 +130,17 @@ object QualityRules {
     // and the sweep is the O(L log L) the scaladoc above promises.
     graft.functions.GraftFunctions
       .bindArray(sort_array(nonBlankLines(text))) { s =>
-        val dupChars = aggregate(sequence(lit(1), size(s)), lit(0L), (acc, i) =>
-          acc + when(i > 1 && element_at(s, i) === element_at(s, i - 1),
+        // Explicit empty branch: sequence(1, 0) on a no-line doc would be
+        // the DESCENDING [1, 0] (the repo-wide sequence pitfall —
+        // Sampling.epochRepeat, HeavyHitters.topGrams carry the same
+        // guard), leaving element_at(s, 0) one lazy-evaluation layer away
+        // from an ANSI index error. Starting at 2 also drops the per-
+        // element i > 1 test.
+        val dupChars = aggregate(
+          when(size(s) >= 2, sequence(lit(2), size(s)))
+            .otherwise(array().cast("array<int>")),
+          lit(0L), (acc, i) =>
+          acc + when(element_at(s, i) === element_at(s, i - 1),
             length(element_at(s, i)).cast("long")).otherwise(0L))
         val totChars = aggregate(s, lit(0L), (acc, x) => acc + length(x))
         when(size(s) === 0 || totChars === 0, lit(0.0))

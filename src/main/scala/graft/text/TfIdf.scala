@@ -55,9 +55,13 @@ object TfIdf {
       .select(col("id").as(idCol), col("term"), col("score"), col("rank"))
   }
 
-  /** Distinct (id, term, tf) rows — tf is the raw in-document count. */
+  /** Distinct (id, term, tf) rows — tf is the raw in-document count.
+    * Blank/whitespace-only docs are omitted like NULL-text docs: split of
+    * blank text yields the single token "", which would pollute df and
+    * surface as those docs' rank-1 'salient' term. */
   private def docTermCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
 }

@@ -39,8 +39,14 @@ object UnigramLm {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     require(oovDiscount > 0.0 && oovDiscount <= 1.0,
       s"oovDiscount must be in (0, 1], got $oovDiscount")
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
+    // Blank/whitespace-only docs are omitted like NULL-text docs: split of
+    // blank text yields the single token "" — which would enter the model
+    // as a high-count 'term', inflate N, and score blank docs as fluent.
+    // (Split of trimmed NON-blank text never yields an empty token.)
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
     val cnt = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
       .scopedCheckpoint(false) // shared by the total and the vocab cut
     // Metadata-plane scalar (one row), like the mixture thresholds. An
@@ -103,9 +109,10 @@ object UnigramLm {
     require(oovDiscount > 0.0 && oovDiscount <= 1.0,
       s"oovDiscount must be in (0, 1], got $oovDiscount")
     val ts = split(trim(lower(col(textCol))), "\\s+")
-    // NULL-text docs are omitted, matching scoreDocs (whose explode drops
-    // them); without the filter they would score one phantom OOV token.
-    val base = docs.filter(col(textCol).isNotNull)
+    // NULL-text and blank docs are omitted, matching scoreDocs; without
+    // the filter they would score one phantom ""-token.
+    val base = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("__id"), ts.as("__ts"))
       .scopedCheckpoint(false) // consumed by unigrams, pairs, and firsts
     val toks = base.select(col("__id"), explode(col("__ts")).as("__t"))

@@ -58,10 +58,28 @@ object MergeOps {
                  else cols.toSet -- keys
       base -- excludeColumns -- keys
     }
+    // Internal side references, backtick-quoted like the public tgt()/src()
+    // helpers — dotted column names must not parse as struct access.
+    def tq(c: String) = col(s"t.`${c.replace("`", "``")}`")
+    def sq(c: String) = col(s"s.`${c.replace("`", "``")}`")
     // Align source to target schema, tag both sides with presence markers.
+    // The source marker doubles as the multiple-match guard: MERGE INTO
+    // raises when several source rows match one target row (duplicating
+    // the target row would corrupt the table silently, compounding across
+    // incremental runs) — a per-key window count rides the same key
+    // shuffle the join needs, and the guard fires only on MATCHED
+    // duplicates (several unmatched same-key source rows legally all
+    // insert, exactly like MERGE's NOT MATCHED branch).
     val t = target.select(cols.map(col) :+ lit(1).as("__t"): _*).alias("t")
-    val s = source.select(cols.map(col) :+ lit(1).as("__s"): _*).alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val dupCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*))
+    val s = source.select(cols.map(col) :+ dupCount.as("__s"): _*).alias("s")
+    // Null-UNSAFE equality, matching the reference's `MERGE ON t.k = s.k`:
+    // a NULL-key source row never matches (it inserts), a NULL-key target
+    // row is never updated. (The old <=> also cross-joined multiple
+    // NULL-key rows from both sides.) partitionScopedMerge computes its
+    // affected partitions with the same null-unsafe equality.
+    val joinCond = keys.map(k => tq(k) === sq(k)).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
     val tHit = col("t.__t").isNotNull
@@ -70,14 +88,27 @@ object MergeOps {
       case Some(p) => tHit && sHit && p
       case None    => tHit && sHit
     }
-    val out = cols.map { c =>
-      val tc = col(s"t.$c"); val sc = col(s"s.$c")
-      if (keys.contains(c)) coalesce(tc, sc).as(c)
-      else if (updatable(c))
-        when(!tHit, sc)              // not matched → insert source value
-          .when(updateFires, sc)     // matched (+predicate) → update
-          .otherwise(tc).as(c)       // matched, column not updatable → keep
-      else when(tHit, tc).otherwise(sc).as(c)
+    val multiMatch = tHit && sHit && col("s.__s") > 1
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val tc = tq(c); val sc = sq(c)
+      val base =
+        if (keys.contains(c)) coalesce(tc, sc)
+        else if (updatable(c))
+          when(!tHit, sc)              // not matched → insert source value
+            .when(updateFires, sc)     // matched (+predicate) → update
+            .otherwise(tc)             // matched, column not updatable → keep
+        else when(tHit, tc).otherwise(sc)
+      // The guard rides the first output column so pruning keeps it alive.
+      val guarded =
+        if (i == 0) {
+          when(multiMatch, raise_error(concat(
+            lit("MERGE source batch has multiple rows for matched unique key ("),
+            concat_ws(", ", keys.map(k => sq(k).cast("string")): _*),
+            lit(") — the reference MERGE raises on multiple source matches; " +
+              "dedupe the batch first"))))
+            .otherwise(base)
+        } else base
+      guarded.as(c)
     }
     joined.select(out: _*)
   }

@@ -108,6 +108,10 @@ object MediaCodecs {
     */
   def resizeNearest(g: LumaGrid, tw: Int, th: Int): Array[Int] = {
     require(tw > 0 && th > 0, s"target dims must be positive, got ${tw}x$th")
+    // The long-product discipline applies to the TARGET allocation too:
+    // 65536×65536 wraps int multiplication to 0 and corrupts the index math.
+    require(tw.toLong * th <= Int.MaxValue,
+      s"target ${tw}x$th exceeds the 2^31-1 pixel addressable bound")
     val out = new Array[Int](tw * th)
     var y = 0
     while (y < th) {

@@ -62,7 +62,10 @@ object Multimodal {
     media.select("media_id", "media").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        // NULL payloads quarantine as zero-length raw rows (the schema
+        // declares media nullable and packDocuments emits NULL for
+        // NULL-text docs) — a decode must flag, never abort the job.
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
         val d = MediaCodecs.decode(bytes)
         Row(id, d.format, bytes.length,
           if (d.width < 0) null else Int.box(d.width),
@@ -273,6 +276,10 @@ object Multimodal {
     * explode shape.
     */
   def frameSample(media: DataFrame, n: Int, frameBytes: Int = 16): DataFrame = {
+    // sequence(0, -1) steps BACKWARDS ([0, -1]) — n = 0 would fabricate
+    // two garbage frames instead of none; siblings guard likewise.
+    require(n > 0 && frameBytes > 0,
+      s"need n ($n) > 0 and frameBytes ($frameBytes) > 0")
     val step = greatest((octet_length(col("media")) / n).cast("int"), lit(1))
     media.select(col("media_id"),
       posexplode(transform(sequence(lit(0), lit(n - 1)), i =>

@@ -37,8 +37,20 @@ object Drift {
     val gcols = groupCols.map(col)
     val base = baseline.filter(col(valueCol).isNotNull)
     val cur = current.filter(col(valueCol).isNotNull)
-    val ranges = base.groupBy(gcols: _*)
-      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    // Bucket ranges come from the baseline — but a group present ONLY in
+    // the current slice (a brand-new population, the strongest possible
+    // drift) must still get a row: a baseline-only range spine would
+    // silently drop its rows and a monitor would read "stable". New
+    // groups fall back to their CURRENT range (baseline counts are all
+    // zero there; the Laplace smoothing keeps every term defined) and are
+    // flagged drifted unconditionally via n_base = 0.
+    val baseRanges = base.groupBy(gcols: _*)
+      .agg(min(col(valueCol)).as("__blo"), max(col(valueCol)).as("__bhi"))
+    val curRanges = cur.groupBy(gcols: _*)
+      .agg(min(col(valueCol)).as("__clo"), max(col(valueCol)).as("__chi"))
+    val ranges = baseRanges.join(curRanges, groupCols, "full_outer")
+      .select((gcols :+ coalesce(col("__blo"), col("__clo")).as("lo") :+
+        coalesce(col("__bhi"), col("__chi")).as("hi")): _*)
     def bucketed(df: DataFrame, out: String): DataFrame = {
       val raw = floor(((col(valueCol) - col("lo")) * lit(nBins)) /
         (col("hi") - col("lo")))
@@ -74,6 +86,7 @@ object Drift {
       .agg(max(col("__nb")).as("n_base"), max(col("__nc")).as("n_cur"),
         sum(col("__term")).as("psi_micro"))
       .withColumn("psi", col("psi_micro").cast("double") / lit(1e6))
-      .withColumn("drifted", col("psi_micro") > lit(100000L))
+      .withColumn("drifted",
+        col("psi_micro") > lit(100000L) || col("n_base") === lit(0L))
   }
 }

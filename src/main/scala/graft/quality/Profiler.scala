@@ -41,7 +41,9 @@ object Profiler {
         s"profile cannot quote column name '$c' (contains ' or `)")
     }
     val aggs: Seq[Column] = cols.flatMap { c =>
-      val v = col(c)
+      // Backticked: a bare col(c) would parse a dotted name ("a.b", legal
+      // and common from JSON ingestion) as struct-field access.
+      val v = col(s"`$c`")
       Seq(
         count(lit(1)).as(s"__n_$c"),
         count(when(v.isNull, 1)).as(s"__nn_$c"),

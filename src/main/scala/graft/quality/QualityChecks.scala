@@ -27,11 +27,18 @@ object QualityChecks {
       .filter(!col(column).isin(allowed: _*))
 
   /** relationships (reference relationships.sql:1-19): child values with no
-    * matching parent — child LEFT ANTI JOIN parent on the key. */
+    * matching parent — child LEFT ANTI JOIN parent on the key. The parent
+    * side routes through a renamed key projection: a SELF-referencing FK
+    * (child eq parent — a standard dbt relationships case, e.g.
+    * employees.manager_id → employees.id) would otherwise make
+    * `child(key) === parent(key)` an ambiguous self-join; the rename also
+    * dedups the anti-join build side. */
   def relationships(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame =
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val parentKeys = parent.select(col(parentKey).as("__parent_key")).distinct()
     child.filter(col(childKey).isNotNull)
-      .join(parent, child(childKey) === parent(parentKey), "left_anti")
+      .join(parentKeys, col(childKey) === col("__parent_key"), "left_anti")
+  }
 
   /** Arbitrary-expression check (LF-style row filter surface, SURVEY §2.2
     * F6): rows violating the predicate. */

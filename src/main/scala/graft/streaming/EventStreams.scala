@@ -41,7 +41,11 @@ object EventStreams {
     * dropped, so the store is bounded by ACTIVE users, not history).
     *
     * Same second-floor gap arithmetic as the batch query so the two agree
-    * row-for-row on bounded input (StreamingSpec asserts it).
+    * row-for-row on bounded input (StreamingSpec asserts it), including
+    * within-watermark stragglers that land before the held session's
+    * start (they lower the start, or chain into their own earlier
+    * sessions). The one inherent append-mode divergence: a straggler
+    * cannot merge into a session already emitted downstream.
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800,
       watermark: String = "30 minutes"): Dataset[Session] = {
@@ -67,26 +71,64 @@ object EventStreams {
             // Events within a micro-batch are unordered; sort before folding.
             val evs = batch.map(e => math.floorDiv(e.ts.getTime, 1000L))
               .toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            evs.foreach { sec =>
-              open match {
-                case Some(s) if sec - s.end > gapSeconds =>
-                  closed += toSession(s)
-                  open = Some(SessionState(sec, sec, 1))
-                case Some(s) =>
-                  open = Some(SessionState(s.start, math.max(s.end, sec), s.n + 1))
-                case None =>
-                  open = Some(SessionState(sec, sec, 1))
-              }
-            }
+            val (open, closed) = foldBatch(state.getOption, evs, gapSeconds)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L + 1)
             }
-            closed.result().iterator
+            closed.map(toSession).iterator
           }
       }
+  }
+
+  /** One micro-batch's sessionize fold: (held state, ASCENDING event
+    * seconds) → (new held state, closed sessions in emission order).
+    * Extracted so the cross-batch straggler rules are directly unit-
+    * testable (StreamingSpec) without a streaming harness.
+    *
+    * Within-watermark stragglers OLDER than the held session's reach
+    * (sec < start - gap) chain among themselves and emit as their own
+    * closed sessions — the batch twin produces exactly these sessions.
+    * Ascending order means stragglers are a batch prefix, and a straggler
+    * chain's every member sits > gap below the held start, so the chain
+    * can never bridge into it. A straggler within reach
+    * ([start - gap, start)) LOWERS the held start, like the batch twin's
+    * min(ts). (The one inherent append-mode divergence: a straggler
+    * cannot merge into a session that was already emitted.)
+    */
+  private[streaming] def foldBatch(prior: Option[SessionState],
+      evs: Array[Long], gapSeconds: Long)
+      : (Option[SessionState], Seq[SessionState]) = {
+    var open = prior
+    val closed = Seq.newBuilder[SessionState]
+    var early: Option[SessionState] = None
+    def flushEarly(): Unit = { early.foreach(closed += _); early = None }
+    evs.foreach { sec =>
+      open match {
+        case Some(s) if sec < s.start - gapSeconds =>
+          early match {
+            case Some(e) if sec - e.end > gapSeconds =>
+              closed += e
+              early = Some(SessionState(sec, sec, 1))
+            case Some(e) =>
+              early = Some(SessionState(e.start, math.max(e.end, sec), e.n + 1))
+            case None =>
+              early = Some(SessionState(sec, sec, 1))
+          }
+        case Some(s) if sec - s.end > gapSeconds =>
+          flushEarly()
+          closed += s
+          open = Some(SessionState(sec, sec, 1))
+        case Some(s) =>
+          flushEarly()
+          open = Some(SessionState(math.min(s.start, sec),
+            math.max(s.end, sec), s.n + 1))
+        case None =>
+          open = Some(SessionState(sec, sec, 1))
+      }
+    }
+    flushEarly()
+    (open, closed.result())
   }
 
   /** Stream-stream interval join — the streaming twin of the batch range

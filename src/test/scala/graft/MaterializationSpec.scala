@@ -47,6 +47,52 @@ class MaterializationSpec extends AnyFunSuite {
     assert(merged.filter(col("o_orderstatus") === "X").count() === 0) // updated
   }
 
+  test("merge raises on multiple MATCHED source rows; unmatched duplicates insert") {
+    import spark.implicits._
+    val target = Seq((1L, "t1"), (2L, "t2")).toDF("k", "v")
+    // Two source rows for MATCHED key 1: the reference MERGE raises on
+    // multiple source matches (silently fanning out duplicated the target
+    // row, compounding across incremental runs).
+    val dupMatched = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      MergeOps.merge(target, dupMatched, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("multiple rows for matched unique key") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("multiple rows for matched unique key")))
+    // Duplicate UNMATCHED keys are legal — each inserts (MERGE's NOT
+    // MATCHED branch fires per source row).
+    val dupNew = Seq((9L, "a"), (9L, "b")).toDF("k", "v")
+    assert(MergeOps.merge(target, dupNew, Seq("k")).count() === 4)
+  }
+
+  test("merge null keys never match (reference ON equality)") {
+    import spark.implicits._
+    val target = Seq((Option(1L), "t1"), (Option.empty[Long], "tnull"))
+      .toDF("k", "v")
+    val source = Seq((Option(1L), "s1"), (Option.empty[Long], "snull"))
+      .toDF("k", "v")
+    val merged = MergeOps.merge(target, source, Seq("k")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSeq
+    // Key 1 updates; the NULL-key source row INSERTS (never matches the
+    // NULL-key target row), so both null rows survive — MERGE ON t.k = s.k
+    // semantics, and consistent with partitionScopedMerge's null-unsafe
+    // affected-partition computation.
+    assert(merged.sortBy(_._2) ===
+      Seq((Some(1L), "s1"), (None, "snull"), (None, "tnull")).sortBy(_._2))
+  }
+
+  test("relationships supports a self-referencing FK (child eq parent)") {
+    import spark.implicits._
+    val employees = Seq((1L, Option.empty[Long]), (2L, Option(1L)),
+      (3L, Option(1L)), (4L, Option(99L))).toDF("id", "manager_id")
+    // Same DataFrame on both sides — the old child(k) === parent(k)
+    // condition threw AMBIGUOUS_SELF_JOIN here.
+    val orphans = QualityChecks.relationships(
+      employees, "manager_id", employees, "id")
+    assert(orphans.select("id").collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("matched predicate gates the update branch") {
     val target = orders.filter(col("o_orderkey") <= 100)
       .withColumn("o_orderpriority", lit("STALE"))

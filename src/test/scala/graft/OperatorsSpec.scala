@@ -728,6 +728,20 @@ class OperatorsSpec extends AnyFunSuite {
       (1 to 50).map(_ => ("g", 9.0))).toDF("g", "v")
     val constMixed = Drift.psi(const, mixed, "v", Seq("g"), 8).collect()(0)
     assert(constMixed.getAs[Long]("psi_micro") > 0L)
+    // A group present ONLY in the current slice — a brand-new population,
+    // the strongest drift there is — must produce a flagged row, not
+    // silently vanish from the report (the old baseline-only spine
+    // dropped it and a monitor read "stable").
+    val withNew = base.unionByName(
+      (1 to 40).map(v => ("newgrp", v.toDouble)).toDF("g", "v"))
+    val rows = Drift.psi(base, withNew, "v", Seq("g"), 8).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows.contains("newgrp"), "current-only group must get a row")
+    assert(rows("newgrp").getAs[Long]("n_base") === 0L)
+    assert(rows("newgrp").getAs[Long]("n_cur") === 40L)
+    assert(rows("newgrp").getAs[Boolean]("drifted"))
+    // Pre-existing groups are untouched by the merged-range spine.
+    assert(rows("g").getAs[Long]("psi_micro") === 0L)
   }
 
   test("eraseKeys: purges across partitions; fully-erased partition dies") {

@@ -510,6 +510,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(hist.sum - 1.0) < 1e-9)
   }
 
+  test("multimodal: NULL payload quarantines as a raw row, never aborts") {
+    import spark.implicits._
+    // packDocuments emits media = NULL for NULL-text docs (the schema
+    // declares it nullable) — decode must flag, not NPE the task.
+    val media = Seq((1L, Some(Array[Byte](65, 66))), (2L, None))
+      .toDF("media_id", "media")
+    val feats = Multimodal.decode(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(2L).getAs[String]("format") === "raw")
+    assert(feats(2L).getAs[Int]("n_bytes") === 0)
+    assert(feats(1L).getAs[Int]("n_bytes") === 2)
+    // Degenerate parameters fail loudly, not fabricate frames:
+    // sequence(0, -1) would generate a DESCENDING [0, -1].
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(media, n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.MediaCodecs.resizeNearest(
+        graft.multimodal.MediaCodecs.LumaGrid("ppm", 1, 1, 255, Array(0)),
+        65536, 65536)
+    }
+  }
+
   test("media codecs: PPM/BMP/WAV decode hand-computed fixtures exactly") {
     import graft.multimodal.MediaCodecs
 

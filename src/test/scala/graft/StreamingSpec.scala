@@ -325,4 +325,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() === 0)
     assert(batch.except(streamed).count() === 0)
   }
+
+  test("sessionize fold: cross-batch stragglers match batch semantics") {
+    import EventStreams.{SessionState, foldBatch}
+    val held = Some(SessionState(10000, 10000, 1))
+    // Straggler beyond the gap BEFORE the held session: its own closed
+    // session; the held state is untouched (the old fold merged it in —
+    // wrong start, wrong count, one session lost).
+    val (s1, c1) = foldBatch(held, Array(9000L), gapSeconds = 500)
+    assert(c1 === Seq(SessionState(9000, 9000, 1)))
+    assert(s1 === held)
+    // Straggler chain plus a within-reach event: [9000] chains alone
+    // (emitted closed), 9800 lowers the held start — exactly the batch
+    // sessions over {9000, 9800, 10000} at gap 500.
+    val (s2, c2) = foldBatch(held, Array(9000L, 9800L), gapSeconds = 500)
+    assert(c2 === Seq(SessionState(9000, 9000, 1)))
+    assert(s2 === Some(SessionState(9800, 10000, 2)))
+    // Two stragglers chain into ONE earlier session when within gap of
+    // each other.
+    val (s3, c3) = foldBatch(held, Array(5000L, 5100L), gapSeconds = 600)
+    assert(c3 === Seq(SessionState(5000, 5100, 2)))
+    assert(s3 === held)
+    // Plain forward flow unchanged: close on gap, open the next.
+    val (s4, c4) = foldBatch(None, Array(1L, 2L, 1000L), gapSeconds = 100)
+    assert(c4 === Seq(SessionState(1, 2, 2)))
+    assert(s4 === Some(SessionState(1000, 1000, 1)))
+  }
 }

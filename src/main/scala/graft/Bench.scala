@@ -66,19 +66,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: pay JVM/codegen/IO-pool boot before the first timed query so
-    // timings reflect steady-state engine cost, not session startup.
+    // Warm-up: pay JVM/codegen/IO-pool/page-cache boot before the first
+    // timed query so timings reflect steady-state engine cost, not session
+    // startup. The tiny nation scan alone proved insufficient (the first
+    // timed gate still flagged ~7× in driver runs): touch the LARGE parquet
+    // inputs the early gates read (events, documents) with a real shuffle +
+    // codegen'd aggregate each, so disk readahead, the parquet footer
+    // cache, whole-stage codegen compilation, and the shuffle machinery are
+    // all paid off the clock.
     locally {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy(col("n_regionkey")).count().count()
+      try {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .groupBy(col("event_type")).agg(sum(col("value"))).count()
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(sum(length(col("text")))).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] heavy warm-up skipped: ${e.getMessage}")
+      }
     }
     // A failed query is recorded by name and fails the whole run (nonzero
     // exit) — a regression must never masquerade as a 0-second speedup.
     // Dev-only subset filter (driver sets no SPARK_GRAFT_ONLY): A/B one
     // query's timing without paying the full suite per iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Gate order is alphabetical by default — which means a sustained
+    // early-run host/disk stall always poisons the same (agg_/aud_/dd_)
+    // family and is indistinguishable from a real regression in those
+    // gates. SPARK_GRAFT_ORDER=reverse runs the suite back-to-front: a
+    // stall's flag set moves with position (order-dependent ⇒ host), a
+    // regression's sticks to the gate (order-independent ⇒ real).
+    val orderedQueries = {
+      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      sys.env.get("SPARK_GRAFT_ORDER") match {
+        case Some("reverse") => sorted.reverse
+        case _               => sorted
+      }
+    }
+    val results = orderedQueries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), gateIdx) =>

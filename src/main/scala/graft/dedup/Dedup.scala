@@ -613,8 +613,12 @@ object Dedup {
     // Byte-identical pre-route: 16-byte hash pairs on both sides, equi-join
     // — these matches are GUARANTEED found (immune to the LSH bucket caps)
     // regardless of how byte-dup-heavy the crawl is.
-    val repKeyed = c.reps.select(
-      col("id") +: col(textCol) +: hashKeys(Seq(col(textCol))): _*)
+    // Persisted like refKeyed below: three consumers (exact pre-route join,
+    // corpusReps → signatures, corpusReps → verification) would otherwise
+    // each re-derive the corpus collapse + 128-bit hashing — at 100 TB that
+    // is the whole corpus scanned three times.
+    val repKeyed = scopedPersist(c.reps.select(
+      col("id") +: col(textCol) +: hashKeys(Seq(col(textCol))): _*))
     val refKeyed = scopedPersist(refReps.select(
       col("ref_id") +: col("__rtext") +:
         hashKeys(Seq(col("__rtext"))): _*))

@@ -196,10 +196,26 @@ object Contracts {
         // Restore the original under the target name (rename breaks a
         // partitioned table's per-partition locations both ways — repair),
         // and retire the stage: the build is reproducible and the
-        // original is intact, so nothing is lost.
-        RelationOps.rename(spark, aside.name, table)
-        RelationOps.repairIfPartitioned(spark, rel)
-        spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+        // original is intact, so nothing is lost. The restore itself can
+        // fail (the same filesystem that just failed the rename-in) — in
+        // that window the original data is parked under the aside name and
+        // the validated build under the stage name, and the error MUST say
+        // so, with the original failure as cause, or the operator has no
+        // recovery pointer.
+        try {
+          RelationOps.rename(spark, aside.name, table)
+          RelationOps.repairIfPartitioned(spark, rel)
+          spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+        } catch { case restoreFailure: Throwable =>
+          val ise = new IllegalStateException(
+            s"contract commit for ${rel.quoted} failed AND the restore " +
+              s"rename failed (${restoreFailure.getMessage}); the original " +
+              s"data is preserved at ${aside.quoted} and the validated " +
+              s"build at ${stage.quoted} — rename either into place to " +
+              s"recover", e)
+          ise.addSuppressed(restoreFailure)
+          throw ise
+        }
         throw e
       } else {
         // Nothing to restore — the target was a view (already dropped) or

@@ -279,6 +279,57 @@ object Staging {
     delete(spark, dir)
     if (dir != at) delete(spark, at) // retire the pointer too
   }
+
+  /** O10 analog (the reference's iceberg `expire_snapshots`/vacuum,
+    * impl.py:1053-1085, re-expressed for the parquet staging discipline):
+    * sweep ABANDONED staging directories under `_graft_staging` whose
+    * modification time is older than `retentionMs`. A JVM that dies
+    * between [[withDir]]'s newDir and its scoped delete — or between
+    * [[stagedCommit]]'s staging write and its commit — leaves a dir
+    * behind; once nothing references it, its content is worthless and it
+    * accumulates forever (the orphan class this module's crash-recovery
+    * contracts deliberately create).
+    *
+    * NEVER touched, by construction:
+    *   - anything under `_graft_recovery` — a pending artifact is the
+    *     ONLY sound copy of a failed commit's result (the sweep does not
+    *     even list that tree for deletion);
+    *   - any staging dir a recovery POINTER FILE references (the
+    *     rename-failed case: the artifact physically still lives in the
+    *     staging area and only the pointer marks it) — protected
+    *     regardless of age;
+    *   - anything younger than the retention window (an in-flight
+    *     commit's live staging dir).
+    *
+    * Returns the removed paths. Listing is two shallow directory scans —
+    * metadata-scale at any table count.
+    */
+  def vacuumOrphans(spark: SparkSession,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val warehouse = spark.conf.get(
+      "spark.sql.warehouse.dir").stripSuffix("/")
+    val stagingRoot = new org.apache.hadoop.fs.Path(s"$warehouse/_graft_staging")
+    val recoveryRoot = new org.apache.hadoop.fs.Path(s"$warehouse/_graft_recovery")
+    val fs = fsOf(spark, stagingRoot)
+    // Scheme-insensitive comparison: pointer files record the raw conf-
+    // derived path ("file:/..." or "/..."), listStatus returns qualified
+    // URIs — compare the URI path component.
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val referenced: Set[String] =
+      if (!fs.exists(recoveryRoot)) Set.empty
+      else fs.listStatus(recoveryRoot).toSeq.filter(_.isFile)
+        .map(st => norm(resolveArtifact(spark, st.getPath.toString)))
+        .toSet
+    if (!fs.exists(stagingRoot)) Seq.empty
+    else {
+      val cutoff = System.currentTimeMillis() - retentionMs
+      fs.listStatus(stagingRoot).toSeq
+        .filter(_.getModificationTime < cutoff)
+        .filterNot(st => referenced.contains(norm(st.getPath.toString)))
+        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+    }
+  }
 }
 
 /** The five materialization state machines of the reference (SURVEY §0, §2.1,

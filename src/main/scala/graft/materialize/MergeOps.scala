@@ -98,9 +98,12 @@ object MergeOps {
             .when(updateFires, sc)     // matched (+predicate) → update
             .otherwise(tc)             // matched, column not updatable → keep
         else when(tHit, tc).otherwise(sc)
-      // The guard rides the first output column so pruning keeps it alive.
+      // The guard rides every KEY column (plus column 0): a consumer that
+      // projects away the first column must not let Catalyst prune the
+      // guard and silently duplicate matched target rows — key columns
+      // survive any meaningful projection of a merge result.
       val guarded =
-        if (i == 0) {
+        if (keys.contains(c) || i == 0) {
           when(multiMatch, raise_error(concat(
             lit("MERGE source batch has multiple rows for matched unique key ("),
             concat_ws(", ", keys.map(k => sq(k).cast("string")): _*),

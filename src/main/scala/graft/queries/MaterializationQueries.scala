@@ -408,6 +408,95 @@ object MaterializationQueries {
       |GROUP BY c_nationkey, c_mktsegment
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- C6
+  /** LF-tag lifecycle round-trip (reference lakeformation.py:62-118): set
+    * tags, diff-update (existing keys not in the new map are LEFT ALONE,
+    * matching the reference's diff semantics), remove (including a
+    * missing key — a no-op, not an error). A tag value carrying a single
+    * quote exercises the DDL literal escaping. The oracle is the literal
+    * expected lifecycle table.
+    */
+  def govTags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = scratchDb(spark)
+    val t = s"$db.tags_demo"
+    TableMaterialization.run(spark, t, Tables.region(spark, dir))
+    Governance.setTags(spark, t, Map("domain" -> "sales", "owner" -> "ana's team"))
+    val p1 = Governance.tags(spark, t).toSeq.map(("1_set", _))
+    // Diff update: owner changes, tier appears, domain is untouched.
+    Governance.setTags(spark, t, Map("owner" -> "core", "tier" -> "gold"))
+    val p2 = Governance.tags(spark, t).toSeq.map(("2_update", _))
+    Governance.removeTags(spark, t, Seq("domain", "never_set"))
+    val p3 = Governance.tags(spark, t).toSeq.map(("3_remove", _))
+    (p1 ++ p2 ++ p3)
+      .map { case (phase, (k, v)) => (phase, k, v) }
+      .toDF("phase", "tag_key", "tag_value")
+      .orderBy(col("phase"), col("tag_key"))
+  }
+
+  private val govTagsSql =
+    """SELECT * FROM (VALUES
+      |  ('1_set',    'domain', 'sales'),
+      |  ('1_set',    'owner',  'ana''s team'),
+      |  ('2_update', 'domain', 'sales'),
+      |  ('2_update', 'owner',  'core'),
+      |  ('2_update', 'tier',   'gold'),
+      |  ('3_remove', 'owner',  'core'),
+      |  ('3_remove', 'tier',   'gold'))
+      |AS t(phase, tag_key, tag_value)
+      |ORDER BY phase, tag_key""".stripMargin
+
+  // ---------------------------------------------------------------- O10
+  /** Vacuum/orphan-sweep ([[Staging.vacuumOrphans]], the O10 analog):
+    * plants the four orphan classes under the live warehouse — an EXPIRED
+    * abandoned staging dir (swept), a FRESH staging dir (an in-flight
+    * commit's — kept), an expired staging dir REFERENCED by a recovery
+    * pointer file (a pending artifact in place — kept), and a recovery
+    * artifact dir itself (never even listed — kept) — then runs the sweep
+    * and reports which survived. The oracle is the literal contract.
+    */
+  def relVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
+    val fs = hp(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expired = s"$warehouse/_graft_staging/vacdemo_expired"
+    val fresh = s"$warehouse/_graft_staging/vacdemo_fresh"
+    val pointed = s"$warehouse/_graft_staging/vacdemo_pointed"
+    val pointer = s"$warehouse/_graft_recovery/vacdemo_ptr"
+    val artifact = s"$warehouse/_graft_recovery/vacdemo_artifact"
+    val planted = Seq(expired, fresh, pointed, pointer, artifact)
+    planted.foreach(p => fs.delete(hp(p), true)) // idempotent re-runs
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    Seq(expired, pointed, artifact).foreach { p =>
+      fs.mkdirs(hp(p)); fs.setTimes(hp(p), old, -1)
+    }
+    fs.mkdirs(hp(fresh))
+    locally { // pointer file naming the raw staging path, rename-failed style
+      val out = fs.create(hp(pointer), true)
+      try out.write(pointed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.setTimes(hp(pointer), old, -1)
+    }
+    Staging.vacuumOrphans(spark, retentionMs = 24L * 3600 * 1000)
+    val rows = Seq(
+      ("artifact_dir", fs.exists(hp(artifact))),
+      ("expired_orphan", fs.exists(hp(expired))),
+      ("fresh_staging", fs.exists(hp(fresh))),
+      ("pointer_referenced", fs.exists(hp(pointed))))
+    planted.foreach(p => fs.delete(hp(p), true)) // leave no trace for later gates
+    rows.toDF("entry", "survived").orderBy(col("entry"))
+  }
+
+  private val relVacuumSql =
+    """SELECT * FROM (VALUES
+      |  ('artifact_dir',       TRUE),
+      |  ('expired_orphan',     FALSE),
+      |  ('fresh_staging',      TRUE),
+      |  ('pointer_referenced', TRUE))
+      |AS t(entry, survived)
+      |ORDER BY entry""".stripMargin
+
   // ---------------------------------------------------------------- S4
   /** Seed with 2-phase typing (impl.py:37-64): parse as strings, cast per
     * declared column_types, write, read back. */
@@ -2052,6 +2141,8 @@ object MaterializationQueries {
     "snap_scd2_deletes" -> (snapScd2Deletes _),
     "snap_scd2_new_record" -> (snapScd2NewRecord _),
     "lf_secured_view" -> (lfSecuredView _),
+    "gov_tags" -> (govTags _),
+    "rel_vacuum" -> (relVacuum _),
     "seed_types" -> (seedTypes _),
     "dq_accepted_values" -> (dqAcceptedValues _),
     "dq_unique" -> (dqUnique _),
@@ -2103,6 +2194,8 @@ object MaterializationQueries {
     "snap_scd2_deletes" -> snapScd2DeletesSql,
     "snap_scd2_new_record" -> snapScd2NewRecordSql,
     "lf_secured_view" -> lfSecuredViewSql,
+    "gov_tags" -> govTagsSql,
+    "rel_vacuum" -> relVacuumSql,
     "seed_types" -> seedTypesSql,
     "dq_accepted_values" -> dqAcceptedValuesSql,
     "dq_unique" -> dqUniqueSql,

@@ -87,16 +87,17 @@ object EventStreams {
     * testable (StreamingSpec) without a streaming harness.
     *
     * Within-watermark stragglers OLDER than the held session's reach
-    * (sec < start - gap) chain among themselves and emit as their own
-    * closed sessions — the batch twin produces exactly these sessions.
-    * Ascending order means stragglers are a batch prefix, and a straggler
-    * chain's every member sits > gap below the held start, so the chain
-    * can never bridge into it. A straggler within reach
-    * ([start - gap, start)) LOWERS the held start, like the batch twin's
-    * min(ts). (The one inherent append-mode divergence: a straggler
-    * cannot merge into a session that was already emitted.)
+    * (sec < start - gap) chain among themselves; a later within-reach
+    * straggler LOWERS the held start, like the batch twin's min(ts), and
+    * if that lowered start comes within gap of the early chain's end the
+    * chain is ABSORBED into the open session (batch semantics bridges
+    * through the straggler); otherwise the chain emits as its own closed
+    * session, exactly as the batch twin would. Ascending order means
+    * stragglers are a batch prefix, so nothing after a merge can re-open
+    * a gap. (The one inherent append-mode divergence: a straggler cannot
+    * merge into a session that was already emitted.)
     */
-  private[streaming] def foldBatch(prior: Option[SessionState],
+  private[graft] def foldBatch(prior: Option[SessionState],
       evs: Array[Long], gapSeconds: Long)
       : (Option[SessionState], Seq[SessionState]) = {
     var open = prior
@@ -116,13 +117,24 @@ object EventStreams {
               early = Some(SessionState(sec, sec, 1))
           }
         case Some(s) if sec - s.end > gapSeconds =>
+          // sec > s.end + gap ≥ early.end + 2·gap, so the chain can never
+          // bridge into the NEW session — flushing here is always batch-exact.
           flushEarly()
           closed += s
           open = Some(SessionState(sec, sec, 1))
         case Some(s) =>
-          flushEarly()
-          open = Some(SessionState(math.min(s.start, sec),
-            math.max(s.end, sec), s.n + 1))
+          val newStart = math.min(s.start, sec)
+          early match {
+            case Some(e) if newStart - e.end <= gapSeconds =>
+              // The lowered start bridges to the straggler chain: in batch
+              // semantics {chain, sec, held} is ONE session. Absorb.
+              early = None
+              open = Some(SessionState(e.start, math.max(s.end, sec),
+                s.n + 1 + e.n))
+            case _ =>
+              flushEarly()
+              open = Some(SessionState(newStart, math.max(s.end, sec), s.n + 1))
+          }
         case None =>
           open = Some(SessionState(sec, sec, 1))
       }

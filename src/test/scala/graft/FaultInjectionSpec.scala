@@ -275,6 +275,51 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("vacuumOrphans sweeps abandoned staging but never a pending artifact") {
+    val t = fresh("vac_commit")
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))
+    IncrementalMaterialization.run(spark, t, Seq((1L, "a")).toDF("k", "v"), cfg)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Case 1: commit dies, artifact RENAMED to the recovery location.
+    Failpoints.arm("staged.commit")
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t, Seq((1L, "a2")).toDF("k", "v"), cfg)
+    }
+    assert(recoveryExists(t))
+    // An abandoned staging dir the sweep SHOULD take.
+    val junk = new org.apache.hadoop.fs.Path(s"$warehouse/_graft_staging/vac_spec_junk")
+    fs.mkdirs(junk)
+    // Max-aggression sweep (negative retention: everything is "expired") —
+    // the artifact must survive even this.
+    val removed = Staging.vacuumOrphans(spark, retentionMs = -1000)
+    assert(removed.exists(_.endsWith("vac_spec_junk")))
+    assert(!fs.exists(junk))
+    assert(recoveryExists(t), "sweep must never touch a pending artifact")
+    Staging.recoverStagedCommit(spark, t)
+    assert(spark.table(t).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a2")))
+
+    // Case 2: commit dies AND the artifact rename fails — the artifact
+    // physically stays in _graft_staging, marked only by a recovery
+    // POINTER file. The sweep must honor the pointer.
+    Failpoints.arm("staged.commit")
+    Failpoints.arm("staged.rename_failed")
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t, Seq((1L, "a3")).toDF("k", "v"), cfg)
+    }
+    assert(recoveryExists(t), "pointer file must block re-entry")
+    val removed2 = Staging.vacuumOrphans(spark, retentionMs = -1000)
+    assert(removed2.isEmpty,
+      s"pointer-referenced staging dir must survive the sweep: $removed2")
+    Staging.recoverStagedCommit(spark, t)
+    assert(spark.table(t).orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a3")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("partition-scoped merge crash window: recovery replays the overwrite AND the drained-partition drop") {
     val t = fresh("pmerge_commit")
     val cfg = IncrementalConfig(IncrementalStrategy.Merge,

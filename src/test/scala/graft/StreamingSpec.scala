@@ -346,6 +346,22 @@ class StreamingSpec extends AnyFunSuite {
     val (s3, c3) = foldBatch(held, Array(5000L, 5100L), gapSeconds = 600)
     assert(c3 === Seq(SessionState(5000, 5100, 2)))
     assert(s3 === held)
+    // BRIDGING: a within-reach straggler lowers the held start to within
+    // gap of the early chain — batch semantics over {9400, 9600, 10000}
+    // at gap 500 is ONE session; the chain is absorbed, nothing closes.
+    val (sb, cb) = foldBatch(held, Array(9400L, 9600L), gapSeconds = 500)
+    assert(cb === Seq.empty)
+    assert(sb === Some(SessionState(9400, 10000, 3)))
+    // Multi-member chain bridges too: {9000, 9400, 9600, 10000} gaps
+    // 400/200/400 ≤ 500 → one session of 4.
+    val (sm, cm) = foldBatch(held, Array(9000L, 9400L, 9600L), gapSeconds = 500)
+    assert(cm === Seq.empty)
+    assert(sm === Some(SessionState(9000, 10000, 4)))
+    // Non-bridging chain still closes: 8000 is > gap below the lowered
+    // start 9600, so it remains its own session.
+    val (sn, cn) = foldBatch(held, Array(8000L, 9600L), gapSeconds = 500)
+    assert(cn === Seq(SessionState(8000, 8000, 1)))
+    assert(sn === Some(SessionState(9600, 10000, 2)))
     // Plain forward flow unchanged: close on gap, open the next.
     val (s4, c4) = foldBatch(None, Array(1L, 2L, 1000L), gapSeconds = 100)
     assert(c4 === Seq(SessionState(1, 2, 2)))

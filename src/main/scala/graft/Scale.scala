@@ -146,7 +146,8 @@ object Scale {
       "lineitem" -> Seq("gov_erasure", "rel_zorder"),
       "events_disjoint" -> Seq("evt_asof"),
       "events_hot" -> Seq("evt_asof_hot"),
-      "edges" -> Seq("dd_cluster", "graph_pagerank"))
+      "edges" -> Seq("dd_cluster", "graph_pagerank"),
+      "embeddings" -> Seq("sim_range", "sim_ivf", "sim_ivfpq", "sim_binary"))
     val knownOps = tableOps.flatMap(_._2).toSet
     only.foreach { names =>
       val unknown = names.diff(knownOps)
@@ -166,6 +167,8 @@ object Scale {
     if (wanted(opsOf("events_hot")))
       stage("events_hot", ev0, Seq("event_id")) // user_id SHARED: k× hot keys
     if (wanted(opsOf("edges"))) stage("edges", edges0, Seq("src", "dst"))
+    val emb0 = graft.core.Tables.embeddings(spark, sfDir)
+    if (wanted(opsOf("embeddings"))) stage("embeddings", emb0, Seq("vec_id"))
 
     val results = scala.collection.mutable.ArrayBuffer[OpResult]()
     def release(): Long = {
@@ -426,6 +429,118 @@ object Scale {
       val (n1, s1) = rewrite("x1")
       val (nk, sk) = rewrite(s"x$k")
       (n1, nk, s1, sk, check(nk == n1 * k, s"row count must scale ×$k"))
+    }
+
+    // -------------------------------------------------- 11–14. ANN family
+    // The build-once/search-many path at ×k. Shared protocol (the recall
+    // gates' own): probes are deterministic 95/5 blends of neighboring
+    // ORIGINAL corpus vectors — close to their source (cosine ≈ 0.998)
+    // but not byte-identical, so the quantizer routes a genuinely novel
+    // point; held-out ORIGINALS would not work, the synthetic corpus is
+    // isotropic and a non-blended query's true NN sits in the ≈0.3 noise
+    // floor (recall@1 ≈ 0.5 measured — that protocol gauges the corpus,
+    // not the index). Probe ids (+7M) are disjoint from every replica id.
+    // The distinct corpus vector set is scale-invariant under replication,
+    // so the ×1 brute-force top-1 cosine is the ground truth at ANY k.
+    graft.functions.GraftFunctions.register(spark)
+    val annQueries =
+      graft.queries.PipelineQueries.ivfRecallProbes(
+        emb0.filter(col("vec_id") < 500))
+    def annCorpus(scale: String) = rd(scale, "embeddings")
+    lazy val annTruth: Map[Long, Double] =
+      if (wanted(Seq("sim_ivf", "sim_ivfpq", "sim_binary")))
+        graft.similarity.Knn.bruteForceTopK(
+          annQueries, annCorpus("x1"), "vec_id", "embedding", 1)
+          .select(col("query_id"), col("cosine")).as[(Long, Double)]
+          .collect().toMap
+      else Map.empty
+    // recall@1 by DISTANCE (the FAISS protocol the sim_*_recall gates use):
+    // a hit is a returned top-1 whose exact cosine matches the brute-force
+    // optimum — identical vectors give bitwise-identical kernel doubles,
+    // the epsilon only guards reduction-order drift.
+    def annRecall(top1: Array[(Long, Double)]): Double =
+      top1.count { case (q, c) => c >= annTruth(q) - 1e-9 }.toDouble /
+        annTruth.size
+
+    // 11. Range search: an EXACT law — every ×1 neighbor has exactly k
+    // shifted copies at ×k, so the projected witness scales by exactly k.
+    run("sim_range") {
+      def hits(scale: String) = graft.similarity.Knn.rangeSearch(
+        annQueries, annCorpus(scale), "vec_id", "embedding", minCosine = 0.55)
+        .select(col("query_id"), (col("neighbor_id") % Offset).as("n"),
+          col("cosine"))
+      val (w1, s1) = timed(w(hits("x1")))
+      val (wk, sk) = timed(w(hits(s"x$k")))
+      (w1._1, wk._1, s1, sk,
+        check(w1._1 > 0 && scaled(w1, wk, k),
+          s"range witness must be nonempty and scale ×$k: $w1 vs $wk"))
+    }
+
+    // 12. IVF-Flat: build (quantizer train + corpus assignment) + one
+    // query batch, timed end-to-end per scale. The ×k quantizer trains on
+    // its own hash-order sample, so list geometry legitimately differs —
+    // the invariant is the SEARCH CONTRACT: recall@1 ≥ 0.9 at both scales
+    // (gate parity: nlist=16, nprobe=4).
+    run("sim_ivf") {
+      def top1(scale: String): Array[(Long, Double)] = {
+        val idx = graft.similarity.Knn.buildIvf(
+          annCorpus(scale), "vec_id", "embedding", nlist = 16)
+        graft.similarity.Knn.searchIvf(idx, annQueries, "vec_id", "embedding",
+          k = 1, nprobe = 4)
+          .select(col("query_id"), col("cosine")).as[(Long, Double)].collect()
+      }
+      val (t1, s1) = timed(top1("x1"))
+      val (tk, sk) = timed(top1(s"x$k"))
+      val (r1, rk) = (annRecall(t1), annRecall(tk))
+      (annCorpus("x1").count(), annCorpus(s"x$k").count(), s1, sk,
+        check(r1 >= 0.9 && rk >= 0.9,
+          f"IVF recall@1 must hold at both scales: ×1=$r1%.2f ×$k=$rk%.2f") +
+          f" recall ×1=$r1%.2f ×$k=$rk%.2f")
+    }
+
+    // 13. IVF-PQ: same contract through the quantized + ADC + refine path.
+    // The refine budget scales with k: duplicate copies tie EXACTLY on the
+    // ADC score and the (approx desc, id asc) cut takes original ids
+    // first, so a k-scaled budget's candidate VECTOR set is a superset of
+    // the ×1 set — the production rule for duplicate-heavy corpora.
+    run("sim_ivfpq") {
+      def top1(scale: String, kk: Int): Array[(Long, Double)] = {
+        val c = annCorpus(scale)
+        val idx = graft.similarity.Knn.buildIvfPq(
+          c, "vec_id", "embedding", nlist = 16, m = 8)
+        graft.similarity.Knn.searchIvfPq(idx, annQueries, c, "vec_id",
+          "embedding", k = 1, nprobe = 4, refine = 32 * kk)
+          .select(col("query_id"), col("cosine")).as[(Long, Double)].collect()
+      }
+      val (t1, s1) = timed(top1("x1", 1))
+      val (tk, sk) = timed(top1(s"x$k", k))
+      val (r1, rk) = (annRecall(t1), annRecall(tk))
+      (annCorpus("x1").count(), annCorpus(s"x$k").count(), s1, sk,
+        check(r1 >= 0.9 && rk >= 0.9,
+          f"IVF-PQ recall@1 must hold at both scales: ×1=$r1%.2f ×$k=$rk%.2f") +
+          f" recall ×1=$r1%.2f ×$k=$rk%.2f")
+    }
+
+    // 14. Binary top-k: the Hamming cut is a TOTAL order (hamming asc, id
+    // asc), and within a tied Hamming class every original id sorts before
+    // every shifted copy — so a k-scaled refine budget's vector set is a
+    // SUPERSET of ×1's (same walk, boundaries scale exactly by k), giving
+    // a per-query law on top of the recall floor: cosine(×k) ≥ cosine(×1).
+    run("sim_binary") {
+      def top1(scale: String, kk: Int): Map[Long, Double] = {
+        graft.similarity.Knn.binaryTopK(annQueries, annCorpus(scale),
+          "vec_id", "embedding", k = 1, refine = 16 * kk)
+          .select(col("query_id"), col("cosine")).as[(Long, Double)]
+          .collect().toMap
+      }
+      val (t1, s1) = timed(top1("x1", 1))
+      val (tk, sk) = timed(top1(s"x$k", k))
+      val (r1, rk) = (annRecall(t1.toArray), annRecall(tk.toArray))
+      val dominated = t1.forall { case (q, c) => tk(q) >= c - 1e-9 }
+      (annCorpus("x1").count(), annCorpus(s"x$k").count(), s1, sk,
+        check(r1 >= 0.9 && rk >= 0.9 && dominated,
+          f"binary recall/dominance must hold: ×1=$r1%.2f ×$k=$rk%.2f " +
+            s"dominated=$dominated") + f" recall ×1=$r1%.2f ×$k=$rk%.2f")
     }
 
     // ------------------------------------------------------------- report

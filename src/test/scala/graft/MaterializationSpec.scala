@@ -54,7 +54,11 @@ class MaterializationSpec extends AnyFunSuite {
     // multiple source matches (silently fanning out duplicated the target
     // row, compounding across incremental runs).
     val dupMatched = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
-    val e = intercept[org.apache.spark.SparkException] {
+    // The guard now rides every KEY column as well as column 0, so the
+    // wrapper class depends on which copy codegen evaluates first
+    // (SparkException from a task, SparkRuntimeException straight from
+    // raise_error) — the CONTRACT is the loud message, not the wrapper.
+    val e = intercept[Exception] {
       MergeOps.merge(target, dupMatched, Seq("k")).collect()
     }
     assert(e.getMessage.contains("multiple rows for matched unique key") ||

@@ -78,11 +78,17 @@ object Bench {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy(col("n_regionkey")).count().count()
+      // .head() on the aggregates, NOT .count(): a count() over an
+      // aggregate-only projection column-prunes to ReadSchema struct<> —
+      // footer-only, zero data pages touched (verified on this Spark) —
+      // and the warm-up silently warms nothing. events goes through
+      // Tables.events (TIMESTAMP(NANOS) needs the nanos-as-long session
+      // read, like every gate).
       try {
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .groupBy(col("event_type")).agg(sum(col("value"))).count()
+        graft.core.Tables.events(spark, sfDir)
+          .groupBy(col("event_type")).agg(sum(col("value"))).head()
         spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(sum(length(col("text")))).count()
+          .select(sum(length(col("text")))).head()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] heavy warm-up skipped: ${e.getMessage}")
       }
@@ -102,7 +108,15 @@ object Bench {
       val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       sys.env.get("SPARK_GRAFT_ORDER") match {
         case Some("reverse") => sorted.reverse
-        case _               => sorted
+        case Some(other) =>
+          // Loud fallback (the SPARK_GRAFT_NOISE_FLOOR discipline): a typo'd
+          // order value silently running FORWARD would corrupt the
+          // flag-set-intersection A/B protocol this knob exists for.
+          System.err.println(
+            s"[bench] ignoring unknown SPARK_GRAFT_ORDER '$other' " +
+              "(supported: reverse); running forward order")
+          sorted
+        case None => sorted
       }
     }
     val results = orderedQueries

@@ -202,11 +202,8 @@ object Contracts {
         // the validated build under the stage name, and the error MUST say
         // so, with the original failure as cause, or the operator has no
         // recovery pointer.
-        try {
-          RelationOps.rename(spark, aside.name, table)
-          RelationOps.repairIfPartitioned(spark, rel)
-          spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
-        } catch { case restoreFailure: Throwable =>
+        try RelationOps.rename(spark, aside.name, table)
+        catch { case restoreFailure: Throwable =>
           val ise = new IllegalStateException(
             s"contract commit for ${rel.quoted} failed AND the restore " +
               s"rename failed (${restoreFailure.getMessage}); the original " +
@@ -215,6 +212,16 @@ object Contracts {
               s"recover", e)
           ise.addSuppressed(restoreFailure)
           throw ise
+        }
+        // The rename-back SUCCEEDED: the original is bound to the target
+        // name again, so the aside-pointer message above would now be a
+        // lie — repair/cleanup failures ride the ORIGINAL error as
+        // suppressed context instead.
+        try {
+          RelationOps.repairIfPartitioned(spark, rel)
+          spark.sql(s"DROP TABLE IF EXISTS ${stage.quoted}")
+        } catch { case cleanupFailure: Throwable =>
+          e.addSuppressed(cleanupFailure)
         }
         throw e
       } else {

@@ -298,6 +298,13 @@ object Staging {
     *     rename-failed case: the artifact physically still lives in the
     *     staging area and only the pointer marks it) — protected
     *     regardless of age;
+    *   - any staging dir CONTAINING a commit sidecar — a staged commit
+    *     writes the sidecar before anything destructive runs and deletes
+    *     the dir only after success, so a sidecar'd dir left in staging
+    *     is a commit that died mid-replay (JVM death skips the catch
+    *     block entirely) or whose recovery rename AND pointer write both
+    *     failed: in every such case it may be the ONLY sound copy of the
+    *     commit's result, whatever its age;
     *   - anything younger than the retention window (an in-flight
     *     commit's live staging dir).
     *
@@ -327,6 +334,8 @@ object Staging {
       fs.listStatus(stagingRoot).toSeq
         .filter(_.getModificationTime < cutoff)
         .filterNot(st => referenced.contains(norm(st.getPath.toString)))
+        .filterNot(st => st.isDirectory &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Sidecar)))
         .map { st => fs.delete(st.getPath, true); st.getPath.toString }
     }
   }

@@ -79,7 +79,25 @@ object MergeOps {
     // row is never updated. (The old <=> also cross-joined multiple
     // NULL-key rows from both sides.) partitionScopedMerge computes its
     // affected partitions with the same null-unsafe equality.
-    val joinCond = keys.map(k => tq(k) === sq(k)).reduce(_ && _)
+    //
+    // The multiple-match guard rides the JOIN CONDITION, not an output
+    // column: a projection-based guard is prunable — a consumer that only
+    // aggregates (merge(...).count(), the bench driver's own shape) scans
+    // ReadSchema struct<> and evaluates NO output column, silently fanning
+    // out matched target rows. Join conditions determine the output ROW
+    // SET, so they are evaluated under any consumer. Catalyst extracts the
+    // key equalities as hash-join keys and evaluates the residual guard
+    // only on key-equal candidate pairs (never pushed to a side — this is
+    // a full outer join), so it fires exactly on MATCHED duplicates:
+    // several unmatched same-key source rows legally all insert, like
+    // MERGE's NOT MATCHED branch.
+    val guard = when(col("s.__s") > 1, raise_error(concat(
+        lit("MERGE source batch has multiple rows for matched unique key ("),
+        concat_ws(", ", keys.map(k => sq(k).cast("string")): _*),
+        lit(") — the reference MERGE raises on multiple source matches; " +
+          "dedupe the batch first"))).cast("boolean"))
+      .otherwise(lit(true))
+    val joinCond = keys.map(k => tq(k) === sq(k)).reduce(_ && _) && guard
     val joined = t.join(s, joinCond, "full_outer")
 
     val tHit = col("t.__t").isNotNull
@@ -88,8 +106,7 @@ object MergeOps {
       case Some(p) => tHit && sHit && p
       case None    => tHit && sHit
     }
-    val multiMatch = tHit && sHit && col("s.__s") > 1
-    val out = cols.zipWithIndex.map { case (c, i) =>
+    val out = cols.map { c =>
       val tc = tq(c); val sc = sq(c)
       val base =
         if (keys.contains(c)) coalesce(tc, sc)
@@ -98,20 +115,7 @@ object MergeOps {
             .when(updateFires, sc)     // matched (+predicate) → update
             .otherwise(tc)             // matched, column not updatable → keep
         else when(tHit, tc).otherwise(sc)
-      // The guard rides every KEY column (plus column 0): a consumer that
-      // projects away the first column must not let Catalyst prune the
-      // guard and silently duplicate matched target rows — key columns
-      // survive any meaningful projection of a merge result.
-      val guarded =
-        if (keys.contains(c) || i == 0) {
-          when(multiMatch, raise_error(concat(
-            lit("MERGE source batch has multiple rows for matched unique key ("),
-            concat_ws(", ", keys.map(k => sq(k).cast("string")): _*),
-            lit(") — the reference MERGE raises on multiple source matches; " +
-              "dedupe the batch first"))))
-            .otherwise(base)
-        } else base
-      guarded.as(c)
+      base.as(c)
     }
     joined.select(out: _*)
   }

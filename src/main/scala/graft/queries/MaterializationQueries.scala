@@ -463,27 +463,38 @@ object MaterializationQueries {
     val expired = s"$warehouse/_graft_staging/vacdemo_expired"
     val fresh = s"$warehouse/_graft_staging/vacdemo_fresh"
     val pointed = s"$warehouse/_graft_staging/vacdemo_pointed"
+    val sidecar = s"$warehouse/_graft_staging/vacdemo_sidecar"
     val pointer = s"$warehouse/_graft_recovery/vacdemo_ptr"
     val artifact = s"$warehouse/_graft_recovery/vacdemo_artifact"
-    val planted = Seq(expired, fresh, pointed, pointer, artifact)
+    val planted = Seq(expired, fresh, pointed, sidecar, pointer, artifact)
     planted.foreach(p => fs.delete(hp(p), true)) // idempotent re-runs
     val old = System.currentTimeMillis() - 48L * 3600 * 1000
-    Seq(expired, pointed, artifact).foreach { p =>
-      fs.mkdirs(hp(p)); fs.setTimes(hp(p), old, -1)
+    Seq(expired, pointed, sidecar, artifact).foreach { p =>
+      fs.mkdirs(hp(p))
     }
     fs.mkdirs(hp(fresh))
     locally { // pointer file naming the raw staging path, rename-failed style
       val out = fs.create(hp(pointer), true)
       try out.write(pointed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      fs.setTimes(hp(pointer), old, -1)
     }
+    locally { // commit sidecar: the dir is an unrenamable pending artifact
+      val out = fs.create(hp(s"$sidecar/_graft_commit.properties"), true)
+      try out.write("table=vacdemo\nmode=replace_table\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // Ages are set AFTER content creation (writing a child updates the
+    // parent dir's mtime and would un-expire it).
+    Seq(expired, pointed, sidecar, artifact, pointer).foreach(p =>
+      fs.setTimes(hp(p), old, -1))
     Staging.vacuumOrphans(spark, retentionMs = 24L * 3600 * 1000)
     val rows = Seq(
       ("artifact_dir", fs.exists(hp(artifact))),
       ("expired_orphan", fs.exists(hp(expired))),
       ("fresh_staging", fs.exists(hp(fresh))),
-      ("pointer_referenced", fs.exists(hp(pointed))))
+      ("pointer_referenced", fs.exists(hp(pointed))),
+      ("sidecar_commit", fs.exists(hp(sidecar))))
     planted.foreach(p => fs.delete(hp(p), true)) // leave no trace for later gates
     rows.toDF("entry", "survived").orderBy(col("entry"))
   }
@@ -493,7 +504,8 @@ object MaterializationQueries {
       |  ('artifact_dir',       TRUE),
       |  ('expired_orphan',     FALSE),
       |  ('fresh_staging',      TRUE),
-      |  ('pointer_referenced', TRUE))
+      |  ('pointer_referenced', TRUE),
+      |  ('sidecar_commit',     TRUE))
       |AS t(entry, survived)
       |ORDER BY entry""".stripMargin
 

@@ -317,6 +317,25 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     Staging.recoverStagedCommit(spark, t)
     assert(spark.table(t).orderBy("k").as[(Long, String)].collect().toSeq
       === Seq((1L, "a3")))
+
+    // Case 3: a SIDECAR'd staging dir with nothing referencing it — the
+    // double-fallback window (recovery rename AND pointer write both
+    // failed) or a JVM death mid-replay. It may be the only sound copy of
+    // the commit's result; the sweep must skip it on the sidecar alone.
+    val orphanCommit =
+      new org.apache.hadoop.fs.Path(s"$warehouse/_graft_staging/vac_spec_commit")
+    fs.mkdirs(orphanCommit)
+    locally {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(orphanCommit, "_graft_commit.properties"), true)
+      try out.write("table=default.vac_spec_commit\nmode=replace_table\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val removed3 = Staging.vacuumOrphans(spark, retentionMs = -1000)
+    assert(!removed3.exists(_.endsWith("vac_spec_commit")) && fs.exists(orphanCommit),
+      "sidecar'd staging dir must survive the sweep")
+    fs.delete(orphanCommit, true)
     spark.sql(s"DROP TABLE $t")
   }
 

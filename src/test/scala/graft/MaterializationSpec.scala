@@ -54,16 +54,25 @@ class MaterializationSpec extends AnyFunSuite {
     // multiple source matches (silently fanning out duplicated the target
     // row, compounding across incremental runs).
     val dupMatched = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
-    // The guard now rides every KEY column as well as column 0, so the
-    // wrapper class depends on which copy codegen evaluates first
-    // (SparkException from a task, SparkRuntimeException straight from
-    // raise_error) — the CONTRACT is the loud message, not the wrapper.
+    // The guard rides the JOIN CONDITION, so the wrapper class depends on
+    // where evaluation surfaces (SparkException from a task,
+    // SparkRuntimeException straight from raise_error) — the CONTRACT is
+    // the loud message, not the wrapper.
+    def matchMsg(e: Throwable): Boolean =
+      e.getMessage.contains("multiple rows for matched unique key") ||
+        Option(e.getCause).exists(_.getMessage
+          .contains("multiple rows for matched unique key"))
     val e = intercept[Exception] {
       MergeOps.merge(target, dupMatched, Seq("k")).collect()
     }
-    assert(e.getMessage.contains("multiple rows for matched unique key") ||
-      Option(e.getCause).exists(_.getMessage
-        .contains("multiple rows for matched unique key")))
+    assert(matchMsg(e))
+    // An aggregate-only consumer prunes EVERY output column (count() scans
+    // ReadSchema struct<>), which silently disarmed a projection-based
+    // guard — the join-condition guard must fire under it too.
+    val eCount = intercept[Exception] {
+      MergeOps.merge(target, dupMatched, Seq("k")).count()
+    }
+    assert(matchMsg(eCount))
     // Duplicate UNMATCHED keys are legal — each inserts (MERGE's NOT
     // MATCHED branch fires per source row).
     val dupNew = Seq((9L, "a"), (9L, "b")).toDF("k", "v")

@@ -1247,9 +1247,12 @@ object PipelineQueries {
       .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 25)
       .select(col("id_a"), col("id_b"), col("hamming"))
     // Byte-equality via scan-local 128-bit content hashes — the joins
-    // exchange (id, 32-byte hash), never document text.
-    val texts = docs.select(col("doc_id"),
-      md5(col("text")).as("__ch"))
+    // exchange (id, 32-byte hash), never document text. Persisted: THREE
+    // consumers (both join sides + the class guard) would otherwise each
+    // re-scan the documents and re-hash every text — at 100 TB that is
+    // two avoidable full-corpus scans for a 48 B/row frame.
+    val texts = ScopedStorage.persist(docs.select(col("doc_id"),
+      md5(col("text")).as("__ch")))
     val identFound = pairs
       .join(texts.select(col("doc_id").as("id_a"), col("__ch").as("__ca")), "id_a")
       .join(texts.select(col("doc_id").as("id_b"), col("__ch").as("__cb")), "id_b")

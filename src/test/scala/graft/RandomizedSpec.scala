@@ -976,4 +976,73 @@ class RandomizedSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("merge: equals a plain-Scala MERGE reference over random configs") {
+    import graft.materialize.MergeOps
+    val rnd = new Random(271)
+    def randRow(keySpace: Int): (Option[Long], Option[Long], Option[String]) = (
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(keySpace).toLong),
+      if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(50).toLong),
+      if (rnd.nextInt(6) == 0) None else Some(s"v${rnd.nextInt(5)}"))
+    (1 to 12).foreach { trial =>
+      val keySpace = 5 + rnd.nextInt(20)
+      // Target: random rows, possibly with duplicate and null keys (a
+      // MERGE target with duplicate keys legally updates each copy; the
+      // guard counts SOURCE duplicates only).
+      val target = Seq.fill(5 + rnd.nextInt(30))(randRow(keySpace))
+      // Source: at most ONE row per non-null key that exists in the
+      // target (else merge correctly raises — pinned example-side);
+      // duplicate keys among strictly-new keys are legal inserts, and
+      // null-key source rows always insert.
+      val tgtKeys = target.flatMap(_._1).toSet
+      val raw = Seq.fill(5 + rnd.nextInt(30))(randRow(keySpace))
+      val source = raw
+        .groupBy(_._1)
+        .flatMap { case (k, rows) =>
+          if (k.exists(tgtKeys.contains)) rows.take(1) else rows
+        }.toSeq
+      val upd: Seq[String] = rnd.nextInt(3) match {
+        case 0 => Nil // default: every non-key column
+        case 1 => Seq("a")
+        case _ => Seq("a", "b")
+      }
+      val excl: Seq[String] = if (rnd.nextBoolean()) Seq("b") else Nil
+      val usePred = rnd.nextBoolean()
+      val pred = if (usePred) Some(col("s.a") > col("t.a")) else None
+
+      val got = MergeOps.merge(
+          target.toDF("k", "a", "b"), source.toDF("k", "a", "b"),
+          keys = Seq("k"), updateColumns = upd, excludeColumns = excl,
+          matchedPredicate = pred)
+        .as[(Option[Long], Option[Long], Option[String])]
+        .collect().toSeq.sortBy(_.toString)
+
+      // Plain-Scala reference of the documented semantics.
+      val updatable = (if (upd.nonEmpty) upd.toSet else Set("a", "b")) --
+        excl - "k"
+      def fires(t: (Option[Long], Option[Long], Option[String]),
+          s: (Option[Long], Option[Long], Option[String])): Boolean =
+        !usePred || ((s._2, t._2) match {
+          case (Some(sa), (Some(ta))) => sa > ta // SQL: null > x is null ⇒ no fire
+          case _ => false
+        })
+      val updated = target.map { tr =>
+        val ms = tr._1.toSeq.flatMap(k =>
+          source.filter(_._1.contains(k)))
+        ms match {
+          case Seq() => tr
+          case Seq(sr) =>
+            val f = fires(tr, sr)
+            (tr._1,
+              if (updatable("a") && f) sr._2 else tr._2,
+              if (updatable("b") && f) sr._3 else tr._3)
+          case _ => fail(s"trial=$trial generator produced a matched dup")
+        }
+      }
+      val inserts = source.filter(sr => !sr._1.exists(tgtKeys.contains))
+      val want = (updated ++ inserts).sortBy(_.toString)
+      assert(got === want,
+        s"trial=$trial upd=$upd excl=$excl pred=$usePred")
+    }
+  }
 }

@@ -63,6 +63,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other entry point (Engine/Verify/Scale):
+      // Tables.events requires it exactly for MICROS-generation parquet,
+      // and gate timestamps must render the same as the DuckDB oracle's.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,10 +89,15 @@ object Bench {
       // Tables.events (TIMESTAMP(NANOS) needs the nanos-as-long session
       // read, like every gate).
       try {
+        // One pass over EVERY column the early gates read (pruning keeps
+        // unmentioned columns' pages cold — warming event_type+value alone
+        // leaves the ts/user_id/event_id chunks to the first timed gate).
         graft.core.Tables.events(spark, sfDir)
-          .groupBy(col("event_type")).agg(sum(col("value"))).head()
+          .groupBy(col("event_type")).agg(sum(col("value")),
+            max(col("ts")), max(col("user_id")), max(col("event_id"))).head()
         spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(sum(length(col("text")))).head()
+          .groupBy(col("lang")).agg(sum(length(col("text"))),
+            sum(col("n_chars")), max(col("doc_id"))).head()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] heavy warm-up skipped: ${e.getMessage}")
       }

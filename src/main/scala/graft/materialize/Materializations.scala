@@ -75,8 +75,10 @@ object Staging {
       partitionBy: Seq[String] = Nil,
       dropPartitions: Seq[String] = Nil)
 
-  private val Sidecar = "_graft_commit.properties" // "_" prefix: invisible
-                                                   // to parquet file listing
+  // "_" prefix: invisible to parquet file listing. private[graft]: the
+  // vacuum gate and the fault-injection spec plant sidecars to exercise
+  // the sweep's protection — they must track a rename of this name.
+  private[graft] val Sidecar = "_graft_commit.properties"
   private[graft] def recoveryDir(spark: SparkSession, rel: Relation): String = {
     val warehouse = spark.conf.get(
       "spark.sql.warehouse.dir").stripSuffix("/")

@@ -479,7 +479,7 @@ object MaterializationQueries {
       finally out.close()
     }
     locally { // commit sidecar: the dir is an unrenamable pending artifact
-      val out = fs.create(hp(s"$sidecar/_graft_commit.properties"), true)
+      val out = fs.create(hp(s"$sidecar/${Staging.Sidecar}"), true)
       try out.write("table=vacdemo\nmode=replace_table\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()

@@ -327,7 +327,7 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     fs.mkdirs(orphanCommit)
     locally {
       val out = fs.create(
-        new org.apache.hadoop.fs.Path(orphanCommit, "_graft_commit.properties"), true)
+        new org.apache.hadoop.fs.Path(orphanCommit, Staging.Sidecar), true)
       try out.write("table=default.vac_spec_commit\nmode=replace_table\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()

@@ -1008,7 +1008,8 @@ class RandomizedSpec extends AnyFunSuite {
       }
       val excl: Seq[String] = if (rnd.nextBoolean()) Seq("b") else Nil
       val usePred = rnd.nextBoolean()
-      val pred = if (usePred) Some(col("s.a") > col("t.a")) else None
+      val pred =
+        if (usePred) Some(MergeOps.src("a") > MergeOps.tgt("a")) else None
 
       val got = MergeOps.merge(
           target.toDF("k", "a", "b"), source.toDF("k", "a", "b"),

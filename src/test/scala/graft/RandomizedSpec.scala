@@ -1046,4 +1046,106 @@ class RandomizedSpec extends AnyFunSuite {
         s"trial=$trial upd=$upd excl=$excl pred=$usePred")
     }
   }
+
+  test("SCD2 snapshot: multi-run history equals a plain-Scala state machine") {
+    import java.sql.Timestamp
+    import graft.materialize.{HardDeletes, SnapshotConfig, SnapshotMaterialization, SnapshotStrategy}
+    val rnd = new Random(1013)
+    // Model version: (key, a, b, validFromMs, validToMs(None=open), deleted)
+    case class V(k: Long, a: Option[Long], b: Option[String],
+        from: Long, to: Option[Long], del: Boolean)
+    val sentinel = Timestamp.valueOf("9999-12-31 00:00:00")
+    val modes = Seq(HardDeletes.Ignore, HardDeletes.Invalidate,
+      HardDeletes.NewRecord)
+    (1 to 12).foreach { trial =>
+      val mode = modes((trial - 1) % 3)
+      val useSentinel = ((trial - 1) / 3) % 2 == 1
+      // Trials 7-12 run the history-PARTITIONED variant (the
+      // O(current + churn) scale path — change detection reads only the
+      // open partition); same model, same invariants.
+      val usePartition = trial > 6
+      val cfgBase = SnapshotConfig(keys = Seq("k"),
+        strategy = SnapshotStrategy.ByCheckAll, hardDeletes = mode,
+        partitionHistory = usePartition,
+        validToCurrent = if (useSentinel) Some(sentinel) else None)
+      val t = s"default.rs_scd2_${trial}"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val keySpace = 4 + rnd.nextInt(8)
+      var state = Vector.empty[V]
+      // Per-key sticky values so "unchanged" rows actually recur.
+      val sticky = scala.collection.mutable.Map.empty[Long, (Option[Long], Option[String])]
+      def randVals(): (Option[Long], Option[String]) = (
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(5).toLong),
+        if (rnd.nextInt(6) == 0) None else Some(s"s${rnd.nextInt(3)}"))
+      (1 to 4).foreach { run =>
+        val now = 86400000L * run // day `run` since epoch, strictly increasing
+        // Random source batch: unique keys; each key keeps its sticky
+        // values (no change) or rolls new ones (a change).
+        val src: Map[Long, (Option[Long], Option[String])] =
+          (0 until keySpace).filter(_ => rnd.nextBoolean()).map { k =>
+            val vals =
+              if (rnd.nextBoolean()) sticky.getOrElseUpdate(k.toLong, randVals())
+              else { val v = randVals(); sticky(k.toLong) = v; v }
+            k.toLong -> vals
+          }.toMap
+        val cfg = cfgBase.copy(clock = () => new Timestamp(now))
+        val srcDf = src.toSeq.map { case (k, (a, b)) => (k, a, b) }
+          .toDF("k", "a", "b")
+        SnapshotMaterialization.run(spark, t, srcDf, cfg)
+        // ----- reference state machine (dbt SCD2 semantics) -----
+        if (state.isEmpty && run == 1) {
+          state = src.toVector.map { case (k, (a, b)) =>
+            V(k, a, b, now, None, del = false) }
+        } else {
+          val opens = state.filter(_.to.isEmpty).map(v => v.k -> v).toMap
+          var next = state
+          def close(v: V): Unit =
+            next = next.map(x => if (x eq v) x.copy(to = Some(now)) else x)
+          src.foreach { case (k, (a, b)) =>
+            opens.get(k) match {
+              case None =>
+                next = next :+ V(k, a, b, now, None, del = false)
+              case Some(o) =>
+                val changed = o.a != a || o.b != b ||
+                  (mode == HardDeletes.NewRecord && o.del)
+                if (changed) {
+                  close(o)
+                  next = next :+ V(k, a, b, now, None, del = false)
+                }
+            }
+          }
+          opens.values.filterNot(o => src.contains(o.k)).foreach { o =>
+            mode match {
+              case HardDeletes.Ignore =>
+              case HardDeletes.Invalidate => close(o)
+              case HardDeletes.NewRecord => if (!o.del) {
+                close(o)
+                next = next :+ V(o.k, o.a, o.b, now, None, del = true)
+              }
+            }
+          }
+          state = next
+        }
+        // ----- compare the full history -----
+        val hasDel = mode == HardDeletes.NewRecord
+        val rows = spark.table(t).collect().map { r =>
+          val validTo = Option(r.getAs[Timestamp]("dbt_valid_to"))
+            .filterNot(ts => useSentinel && ts == sentinel).map(_.getTime)
+          V(r.getAs[Long]("k"),
+            Option(r.getAs[java.lang.Long]("a")).map(_.longValue),
+            Option(r.getAs[String]("b")),
+            r.getAs[Timestamp]("dbt_valid_from").getTime, validTo,
+            hasDel && r.getAs[String]("dbt_is_deleted") == "True")
+        }.toVector
+        val sortKey = (v: V) => v.toString
+        assert(rows.sortBy(sortKey) === state.sortBy(sortKey),
+          s"trial=$trial mode=$mode sentinel=$useSentinel run=$run")
+        // scd_id integrity: unique and non-null across the whole history.
+        val ids = spark.table(t).select("dbt_scd_id").collect().map(_.getString(0))
+        assert(ids.forall(_ != null) && ids.distinct.length == ids.length,
+          s"trial=$trial run=$run scd_id not unique")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -144,7 +144,7 @@ object Scale {
       "documents" -> Seq("dd_exact", "dd_exact_bloom", "dd_minhash",
         "txt_heavy_bigrams", "pipe_pack"),
       "lineitem" -> Seq("gov_erasure", "rel_zorder"),
-      "events_disjoint" -> Seq("evt_asof"),
+      "events_disjoint" -> Seq("evt_asof", "stream_sessionize"),
       "events_hot" -> Seq("evt_asof_hot"),
       "edges" -> Seq("dd_cluster", "graph_pagerank"),
       "embeddings" -> Seq("sim_range", "sim_ivf", "sim_ivfpq", "sim_binary"))
@@ -429,6 +429,44 @@ object Scale {
       val (n1, s1) = rewrite("x1")
       val (nk, sk) = rewrite(s"x$k")
       (n1, nk, s1, sk, check(nk == n1 * k, s"row count must scale ×$k"))
+    }
+
+    // ------------------------------------------- 10b. streaming sessionize
+    // The stateful-streaming leg: flatMapGroupsWithState sessionization
+    // over a ×k event stream. Disjoint shifted users ⇒ k independent
+    // copies of every session, so the projected witness scales by exactly
+    // k — and the state store is stressed with k× the ACTIVE KEYS (its
+    // scale dimension; per-key state stays constant). Same bounded-drive
+    // harness as the stream gates (AvailableNow + per-user sentinels past
+    // the global max so append mode releases every session).
+    run("stream_sessionize") {
+      def sessions(scale: String): (Long, BigInt) =
+        graft.materialize.Staging.withDir(spark, s"scale_stream_$scale") { d =>
+          val ev = rd(scale, "events_disjoint").select(col("user_id"), col("ts"))
+          val maxReal = ev.agg(max(col("ts"))).head().getTimestamp(0)
+          val sentinels = ev.select(col("user_id")).distinct()
+            .withColumn("ts", lit(maxReal) + expr("INTERVAL 2 DAYS"))
+          ev.unionByName(sentinels).write.parquet(s"$d/src")
+          val schema = spark.read.parquet(s"$d/src").schema
+          val sink = "scale_sess_" +
+            java.util.UUID.randomUUID.toString.replace("-", "").take(10)
+          val res = graft.streaming.EventStreams.runBoundedToMemory(
+            spark, s"$d/src", schema,
+            df => graft.streaming.EventStreams.sessionize(df).toDF(), sink,
+            statePartitions = Some(
+              spark.sparkContext.defaultParallelism), noDataBatch = false)
+            .filter(col("session_start") <= lit(maxReal))
+            .select((col("user_id") % Offset).as("u"), col("session_start"),
+              col("session_end"), col("n_events"))
+          val wit = w(res)
+          spark.catalog.dropTempView(sink) // memory sink holds all sessions
+          wit
+        }
+      val (w1, s1) = timed(sessions("x1"))
+      val (wk, sk) = timed(sessions(s"x$k"))
+      (w1._1, wk._1, s1, sk,
+        check(w1._1 > 0 && scaled(w1, wk, k),
+          s"session witness must be nonempty and scale ×$k: $w1 vs $wk"))
     }
 
     // -------------------------------------------------- 11–14. ANN family

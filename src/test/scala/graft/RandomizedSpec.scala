@@ -1148,4 +1148,80 @@ class RandomizedSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("SCD2 ByTimestamp: stale rows never apply; history equals the reference") {
+    import java.sql.Timestamp
+    import graft.materialize.{HardDeletes, SnapshotConfig, SnapshotMaterialization, SnapshotStrategy}
+    val rnd = new Random(1621)
+    // Model: (key, a, updatedAtMs, validFromMs, validToMs(None=open))
+    case class V(k: Long, a: Option[Long], upd: Long, from: Long, to: Option[Long])
+    val day = 86400000L
+    (1 to 4).foreach { trial =>
+      val mode = if (trial % 2 == 0) HardDeletes.Invalidate else HardDeletes.Ignore
+      val t = s"default.rs_scd2_ts_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val keySpace = 4 + rnd.nextInt(6)
+      var state = Vector.empty[V]
+      (1 to 4).foreach { run =>
+        val now = day * 100 * run // snapshot clock, far above any updated_at
+        // updated_at is a random day up to `run` — so some arriving rows
+        // are STALE (updated_at <= the stored version's) and must NOT
+        // create a new version, even when values differ.
+        val src: Map[Long, (Option[Long], Long)] =
+          (0 until keySpace).filter(_ => rnd.nextBoolean()).map { k =>
+            k.toLong -> (
+              (if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(4).toLong)),
+              day * (1 + rnd.nextInt(4 * run)))
+          }.toMap
+        val cfg = SnapshotConfig(keys = Seq("k"),
+          strategy = SnapshotStrategy.ByTimestamp("updated_at"),
+          hardDeletes = mode, clock = () => new Timestamp(now))
+        val srcDf = src.toSeq
+          .map { case (k, (a, u)) => (k, a, new Timestamp(u)) }
+          .toDF("k", "a", "updated_at")
+        SnapshotMaterialization.run(spark, t, srcDf, cfg)
+        // ----- reference -----
+        if (state.isEmpty && run == 1) {
+          state = src.toVector.map { case (k, (a, u)) => V(k, a, u, u, None) }
+        } else {
+          val opens = state.filter(_.to.isEmpty).map(v => v.k -> v).toMap
+          var next = state
+          src.foreach { case (k, (a, u)) =>
+            opens.get(k) match {
+              case None =>
+                next = next :+ V(k, a, u, u, None)
+              case Some(o) if u > o.upd =>
+                // New version opens AND the old closes at the ROW's
+                // updated_at, not the snapshot clock.
+                next = next.map(x =>
+                  if (x eq o) x.copy(to = Some(u)) else x) :+ V(k, a, u, u, None)
+              case Some(_) => // stale or equal timestamp: no change
+            }
+          }
+          if (mode == HardDeletes.Invalidate)
+            opens.values.filterNot(o => src.contains(o.k)).foreach { o =>
+              next = next.map(x =>
+                if (x eq o) x.copy(to = Some(now)) else x) // clock closes deletes
+            }
+          state = next
+        }
+        val rows = spark.table(t).collect().map { r =>
+          V(r.getAs[Long]("k"),
+            Option(r.getAs[java.lang.Long]("a")).map(_.longValue),
+            r.getAs[Timestamp]("updated_at").getTime,
+            r.getAs[Timestamp]("dbt_valid_from").getTime,
+            Option(r.getAs[Timestamp]("dbt_valid_to")).map(_.getTime))
+        }.toVector
+        val sortKey = (v: V) => v.toString
+        assert(rows.sortBy(sortKey) === state.sortBy(sortKey),
+          s"trial=$trial mode=$mode run=$run")
+        // dbt_updated_at must mirror the row's own updated_at under
+        // ByTimestamp (it IS the strategy's comparison column).
+        val mism = spark.table(t)
+          .filter(col("dbt_updated_at") =!= col("updated_at")).count()
+        assert(mism === 0, s"trial=$trial run=$run dbt_updated_at drift")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -367,4 +367,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(c4 === Seq(SessionState(1, 2, 2)))
     assert(s4 === Some(SessionState(1000, 1000, 1)))
   }
+
+  test("sessionize fold: randomized ordered-batch splits equal batch sessionize") {
+    import EventStreams.{SessionState, foldBatch}
+    // When batch boundaries respect global event order (no cross-batch
+    // stragglers), folding batch-by-batch MUST reproduce the one-shot
+    // batch sessionization exactly, for ANY split — the cross-batch
+    // continuation logic (open state extended, closed, re-opened across
+    // arbitrarily many batches) has no legal divergence there. Straggler
+    // branches are pinned by the example cases above.
+    val rnd = new scala.util.Random(733)
+    def batchSessions(evs: Seq[Long], gap: Long): Seq[SessionState] =
+      if (evs.isEmpty) Nil
+      else {
+        val sorted = evs.sorted
+        val out = Seq.newBuilder[SessionState]
+        var start = sorted.head; var end = sorted.head; var n = 1L
+        sorted.tail.foreach { sec =>
+          if (sec - end > gap) { out += SessionState(start, end, n)
+            start = sec; end = sec; n = 1 }
+          else { end = sec; n += 1 }
+        }
+        out += SessionState(start, end, n)
+        out.result()
+      }
+    (1 to 30).foreach { trial =>
+      val gap = 1 + rnd.nextInt(50)
+      val n = 1 + rnd.nextInt(60)
+      // Clustered timestamps so multi-event sessions actually form.
+      var t = 0L
+      val evs = (1 to n).map { _ =>
+        t += (if (rnd.nextInt(3) == 0) gap + 1 + rnd.nextInt(3 * gap)
+              else rnd.nextInt(gap.toInt + 1))
+        t
+      }
+      // Random ORDERED split into 1..6 batches (a batch may be empty —
+      // the runtime never calls foldBatch with an empty batch, so skip).
+      val cuts = Seq.fill(rnd.nextInt(5))(rnd.nextInt(n + 1)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(n)).sliding(2)
+        .map { case Seq(a, b) => evs.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      var open: Option[SessionState] = None
+      val closed = Seq.newBuilder[SessionState]
+      batches.foreach { b =>
+        val (o, c) = foldBatch(open, b.toArray.sorted, gap)
+        open = o; closed ++= c
+      }
+      val got = (closed.result() ++ open.toSeq).sortBy(s => (s.start, s.end))
+      val want = batchSessions(evs, gap).sortBy(s => (s.start, s.end))
+      assert(got === want,
+        s"trial=$trial gap=$gap batches=${batches.map(_.length)}")
+    }
+  }
 }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Exact per-group discrete quantiles — the distribution statistics a
   * pipeline reports next to its profiles (latency p99s, token-count
-  * medians, value-distribution drift checks). DISCRETE (type-1) quantiles
-  * by deliberate choice: the selected value is an actual element of the
-  * group — rank floor(p·(n−1))+1 in ascending order — computed with pure
+  * medians, value-distribution drift checks). DISCRETE quantiles by
+  * deliberate choice: the selected value is an actual element of the
+  * group — ascending rank floor(p·(n−1))+1, i.e. the LOWER value of the
+  * type-7 index bracket (NOT Hyndman–Fan type-1, whose rank is
+  * ceil(p·n): one element higher for most (p, n); this operator's
+  * contract is the exact rank formula stated here) — computed with pure
   * INTEGER arithmetic (p as a rational num/den, index = num·(n−1) div
   * den), so there is no interpolation and no floating-point boundary for
   * engines or partitionings to disagree on. Interpolating quantiles

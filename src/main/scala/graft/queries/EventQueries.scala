@@ -15,7 +15,16 @@ import graft.core.ScopedStorage.Ops
 object EventQueries {
   private val D2 = DecimalType(18, 2)
 
-  /** Sessionization: a session breaks after 30+ minutes of user inactivity.
+  /** Sessionization. The precise break contract: a session breaks when
+    * the FLOOR-SECOND gap between consecutive events strictly exceeds
+    * 1800 (`floor(epoch(ts)) - floor(epoch(prev))` > 1800) — NOT
+    * wall-clock "30+ minutes": a real gap of 1800.9 s whose floored
+    * difference is 1800 does not break, and exactly 1800 s never breaks.
+    * Floored-second integer arithmetic is deliberate — it is the only
+    * gap definition both engines (and the streaming twin, which shares
+    * it) replay bit-for-bit with no sub-second float boundary; the same
+    * contract is encoded in the oracle here, in `streamSessionizeSql`,
+    * and in [[graft.streaming.EventStreams.sessionize]]/foldBatch.
     * lag + conditional cumsum over a per-user window — the standard batch
     * sessionizer; one shuffle on user_id.
     */
@@ -290,7 +299,9 @@ object EventQueries {
       |ORDER BY w.user_id, w.view_id""".stripMargin
 
   /** Exact per-type value quantiles ([[graft.operators.Quantiles
-    * .groupQuantiles]]): discrete (type-1) p50/p90/p99 — the selected
+    * .groupQuantiles]]): discrete p50/p90/p99 at ascending rank
+    * floor(p·(n−1))+1 (the operator's exact contract — see its scaladoc;
+    * deliberately NOT Hyndman–Fan type-1's ceil(p·n)) — the selected
     * value is an actual element picked by pure integer rank arithmetic,
     * so both engines return the identical double bit pattern with no
     * interpolation boundary to disagree on.
@@ -526,12 +537,11 @@ object EventQueries {
       res
     }
 
-  // Stream ≡ batch: the oracle is the batch tumbling query verbatim.
-  private val streamTumblingSql =
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  // Stream ≡ batch: the oracle IS the batch tumbling oracle — by
+  // reference, not by copy, so a future fix to one cannot silently skip
+  // the other (`def`, not `val`: object vals initialize in declaration
+  // order and a val alias is a null trap for later reorderings).
+  private def streamTumblingSql = evtTumblingSql
 
   /** Rolling-ledger ingestion as a DRIVER GATE: the documents corpus
     * split into 4 files streamed one file per micro-batch, each batch

@@ -35,7 +35,10 @@ object EventStreams {
   /** Stateful streaming sessionizer — the streaming twin of the batch
     * `evt_sessionize` query, built on `flatMapGroupsWithState` (custom
     * per-key state, the shape Spark offers for semantics windows can't
-    * express). A session closes after `gapSeconds` of user inactivity:
+    * express). A session closes when the FLOOR-SECOND gap between
+    * consecutive events strictly exceeds `gapSeconds` (exactly
+    * `gapSeconds` keeps the session — the batch gate's precise contract;
+    * floored integer seconds are what both engines replay bit-for-bit):
     * closure by a newer event emits immediately; the trailing open session
     * emits when the event-time watermark passes its gap (state is then
     * dropped, so the store is bounded by ACTIVE users, not history).

@@ -13,9 +13,15 @@ object QualityChecks {
   def notNull(df: DataFrame, column: String): DataFrame =
     df.filter(col(column).isNull)
 
-  /** unique: values that occur more than once, with their count. */
+  /** unique: NON-NULL values that occur more than once, with their count.
+    * The null filter is dbt-core's default unique test contract (the
+    * reference ships no unique.sql override, so core's `where column is
+    * not null` applies): nulls are the not_null test's job — without the
+    * filter, two null keys would report a spurious duplicate group.
+    */
   def unique(df: DataFrame, column: String): DataFrame =
-    df.groupBy(col(column))
+    df.filter(col(column).isNotNull)
+      .groupBy(col(column))
       .agg(count(lit(1)).as("n_records"))
       .filter(col("n_records") > 1)
 

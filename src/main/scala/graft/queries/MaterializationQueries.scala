@@ -534,9 +534,15 @@ object MaterializationQueries {
       |) AS t(id, name, event_date, score) ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------------- O3′ p
-  /** incremental_predicates (reference strategies.sql:67-75): the extra
-    * predicate gates the MATCHED→UPDATE branch — matched rows failing it
-    * keep their target values; inserts are unaffected.
+  /** incremental_predicates, DELIBERATE divergence from the reference:
+    * strategies.sql:67-75 ANDs the predicate into the MERGE ON clause, so
+    * under dbt-spark a key-MATCHING source row that fails the predicate
+    * becomes NOT MATCHED and INSERTS a duplicate key (a documented dbt
+    * footgun — the predicate is meant for partition pruning, not row
+    * logic). Graft's contract instead gates the MATCHED→UPDATE branch —
+    * matched rows failing it keep their target values, never duplicate;
+    * inserts are unaffected ([[MergeOps.merge]] matchedPredicate). The
+    * oracle encodes graft's contract, not the reference's footgun.
     */
   def incMergePredicate(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
@@ -1063,8 +1069,11 @@ object MaterializationQueries {
     * writer task layout varies across hosts/committers, so the oracle only
     * sees data-derived columns. The layout facts — fragmented-to-one file
     * count and per-file sort-range disjointness — are asserted in
-    * MaterializationSpec, and the gate self-enforces `after <= before`
-    * (compaction must never fragment further) via require.
+    * MaterializationSpec, and the gate self-enforces STRICT `after <
+    * before` via require — this gate always builds a 24-way-fragmented
+    * input, so a non-reducing compact here is a defect (a no-op compact
+    * on an already-optimal table is legal for the OPERATOR, just not for
+    * this gate's setup).
     */
   def relCompact(spark: SparkSession, dir: String): DataFrame = {
     val db = scratchDb(spark)
@@ -1350,6 +1359,7 @@ object MaterializationQueries {
   private val dqStoreFailuresSql =
     """WITH dup AS (
       |  SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
       |  GROUP BY l_orderkey HAVING COUNT(*) > 1
       |)
       |SELECT * FROM (
@@ -1467,6 +1477,7 @@ object MaterializationQueries {
 
   private val dqUniqueSql =
     """SELECT l_orderkey, COUNT(*) AS n_records FROM lineitem
+      |WHERE l_orderkey IS NOT NULL
       |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin
 
   /** not_null data test (reference not_null.sql): offending rows. The base
@@ -1947,8 +1958,16 @@ object MaterializationQueries {
       |    CASE WHEN event_type = 'click' THEN value * 3 ELSE value END AS value
       |  FROM events WHERE value IS NOT NULL AND event_id % 2 = 1
       |), ranges AS (
-      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-      |  FROM base GROUP BY 1
+      |  -- Full-outer with current-range fallback, mirroring Drift.psi: a
+      |  -- group present ONLY in the current slice still gets a spine row
+      |  -- (it is the strongest drift — a base-only spine would drop it).
+      |  SELECT COALESCE(br.event_type, cr.event_type) AS event_type,
+      |    COALESCE(br.lo, cr.lo) AS lo, COALESCE(br.hi, cr.hi) AS hi
+      |  FROM (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |        FROM base GROUP BY 1) br
+      |  FULL OUTER JOIN (SELECT event_type, MIN(value) AS lo,
+      |        MAX(value) AS hi FROM cur GROUP BY 1) cr
+      |    ON br.event_type = cr.event_type
       |), bb AS (
       |  SELECT b.event_type,
       |    CASE WHEN r.hi = r.lo THEN
@@ -1990,7 +2009,7 @@ object MaterializationQueries {
       |SELECT event_type, MAX(nb) AS n_base, MAX(nc) AS n_cur,
       |  CAST(SUM(term) AS BIGINT) AS psi_micro,
       |  CAST(SUM(term) AS BIGINT) / 1000000.0 AS psi,
-      |  CAST(SUM(term) AS BIGINT) > 100000 AS drifted
+      |  CAST(SUM(term) AS BIGINT) > 100000 OR MAX(nb) = 0 AS drifted
       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- contracts

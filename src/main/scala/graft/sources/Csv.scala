@@ -17,8 +17,11 @@ object Csv {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Read CSV with an enforced schema; parse failures land with data
-    * columns null and the raw line in `_corrupt_record`.
+  /** Read CSV with an enforced schema; a malformed row lands with the raw
+    * line in `_corrupt_record` — its PARSEABLE fields are still extracted
+    * (PERMISSIVE nulls only the uncastable/missing ones), so route rejects
+    * by `_corrupt_record IS NOT NULL`, never by "all data columns null"
+    * (src_csv_quarantine pins a quarantined row keeping a parsed field).
     */
   def read(spark: SparkSession, schema: StructType, header: Boolean,
       paths: String*): DataFrame =

@@ -394,6 +394,14 @@ class MaterializationSpec extends AnyFunSuite {
     assert(QualityChecks.relationships(
       Tables.lineitem(spark, sf), "l_orderkey", orders, "o_orderkey").count() === 0)
     assert(QualityChecks.expression(orders, col("o_totalprice") > 0).count() === 0)
+    // dbt-core's default unique contract: NULLs are the not_null test's
+    // job — repeated nulls must NOT report a duplicate group, while a
+    // repeated real value must.
+    import spark.implicits._
+    val withNulls = Seq(Option(1L), None, None, Option(2L), Option(2L))
+      .toDF("k")
+    val dups = QualityChecks.unique(withNulls, "k").collect()
+    assert(dups.length === 1 && dups.head.getLong(0) === 2L)
   }
 
   test("profiler: nulls counted, distinct excludes null, all-null column renders ''") {

@@ -14,9 +14,13 @@ import graft.text.{Bm25, C4Rules, Decontamination, Dsir, DupSpans, LineDedup, Nb
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents` and
-  * `embeddings` tables. SQL-expressible scorers carry DuckDB oracles; the
-  * sketch/LSH operators are deterministic but not SQL-expressible, so they
-  * get the driver's rows-only check plus ScalaTest assertions.
+  * `embeddings` tables. EVERY gate here carries a DuckDB oracle (the r10
+  * conversion retired the last rows-only gates): SQL-expressible scorers
+  * are replayed directly; sketch/LSH operators gate on derivable
+  * contracts instead — planted ground truth, recall floors against
+  * brute-force, or algebraic invariants — with raw sketch values pinned
+  * by ScalaTest. The invariant is queries.keySet == oracles.keySet;
+  * never add a gate without an oracle entry.
   */
 object PipelineQueries {
 
@@ -1026,8 +1030,10 @@ object PipelineQueries {
     * small appends — the fingerprint is a rolling MIN-hash (one-permutation
     * minhash), so two distinct docs sharing their globally-minimal window
     * legitimately collide, and suffix edits usually leave the min intact;
-    * the full value set stays sketch-dependent (rows-only
-    * txt_fingerprint).
+    * the raw 64-bit values are sketch-dependent and pinned ONLY by
+    * ScalaTest specs — txt_fingerprint gates class statistics, not value
+    * dumps, so a kernel change that preserves equality classes passes the
+    * driver gates and is caught by the specs alone.
     */
   def txtFingerprintPlanted(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -1855,22 +1861,12 @@ object PipelineQueries {
     """SELECT vec_id + 5000000 AS query_id, vec_id AS neighbor_id
       |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
 
-  /** IVF recall against brute-force ground truth (the FAISS recall@1
-    * protocol, mirroring dd_minhash_recall): probes are deterministic
-    * 95/5 blends of neighboring corpus vectors — close to their source but
-    * NOT byte-identical, so the coarse quantizer must route a genuinely
-    * novel point. At nprobe=4 of nlist=16 the gate demands ≥90% of probes
-    * retrieve their true nearest neighbor. recall@1 (not @k) because the
-    * synthetic corpus is isotropic — ranks 2+ sit in the noise floor
-    * (cosine ≈ 0.3) and spread uniformly across lists, so recall@k>1
-    * would measure the corpus, not the index. Bounded 500-vector sample,
-    * sf-stable.
-    */
   /** The recall-gate probe set: deterministic 95/5 blends of neighboring
     * corpus vectors under fresh ids (+7,000,000) — close to their source
     * but NOT byte-identical. Shared with the dev probe tool
-    * (graft.tools.ProbeIvfRecall) so the maxIter justification measures
-    * the exact workload the gate runs.
+    * (graft.tools.ProbeIvfRecall) and the scale harness (graft.Scale's
+    * ANN legs) so every recall measurement runs the exact workload the
+    * gate runs.
     */
   private[graft] def ivfRecallProbes(corpus: DataFrame): DataFrame = {
     val a = corpus.select(col("vec_id").as("pid"), col("embedding").as("va"))
@@ -1882,6 +1878,17 @@ object PipelineQueries {
           v => v.cast("float")).as("embedding"))
   }
 
+  /** IVF recall against brute-force ground truth (the FAISS recall@1
+    * protocol, mirroring dd_minhash_recall): probes are the
+    * [[ivfRecallProbes]] blends — close to their source but NOT
+    * byte-identical, so the coarse quantizer must route a genuinely
+    * novel point. At nprobe=4 of nlist=16 the gate demands ≥90% of probes
+    * retrieve their true nearest neighbor. recall@1 (not @k) because the
+    * synthetic corpus is isotropic — ranks 2+ sit in the noise floor
+    * (cosine ≈ 0.3) and spread uniformly across lists, so recall@k>1
+    * would measure the corpus, not the index. Bounded 500-vector sample,
+    * sf-stable.
+    */
   def simKnnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
@@ -2141,19 +2148,6 @@ object PipelineQueries {
       |  4 AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** The REAL decoders ([[graft.multimodal.MediaCodecs]]) against planted
-    * fixtures whose features are hand-computable: a 16×16 PPM gray
-    * gradient (uniform luminance histogram), a 4×4 all-gray-128 BMP
-    * (single luminance bin), an 8-sample ±16384 WAV (two amplitude bins),
-    * and a 16-byte raw payload exercising the unknown-format fallback
-    * (one byte per high nibble — uniform byte histogram). Every decoded
-    * value — format, dimensions, sample count, and each histogram bin —
-    * is pinned row-by-row; the oracle derives them from the fixture
-    * DEFINITIONS, not from running any decoder. The histogram is
-    * posexploded into one (media_id, …, bin, p) row per bucket so the
-    * gate emits only scalar columns — the driver's comparator sorts rows
-    * through pandas, which cannot order array cells (r07 lesson).
-    */
   /** Image near-dup dedup ([[Multimodal.nearDupSurvivors]]): aHash
     * signatures collapse a brightness-perturbed PPM copy into its
     * original (uniform +2 moves every cell and the mean together) and a
@@ -2212,6 +2206,19 @@ object PipelineQueries {
       |) AS v(media_id, format, n_dups)
       |ORDER BY media_id""".stripMargin
 
+  /** The REAL decoders ([[graft.multimodal.MediaCodecs]]) against planted
+    * fixtures whose features are hand-computable: a 16×16 PPM gray
+    * gradient (uniform luminance histogram), a 4×4 all-gray-128 BMP
+    * (single luminance bin), an 8-sample ±16384 WAV (two amplitude bins),
+    * and a 16-byte raw payload exercising the unknown-format fallback
+    * (one byte per high nibble — uniform byte histogram). Every decoded
+    * value — format, dimensions, sample count, and each histogram bin —
+    * is pinned row-by-row; the oracle derives them from the fixture
+    * DEFINITIONS, not from running any decoder. The histogram is
+    * posexploded into one (media_id, …, bin, p) row per bucket so the
+    * gate emits only scalar columns — the driver's comparator sorts rows
+    * through pandas, which cannot order array cells (r07 lesson).
+    */
   def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fixtures = Seq[(Long, Array[Byte])](
@@ -3446,11 +3453,6 @@ object PipelineQueries {
       |  ('lox',    'lo x </w>',    3, '14 21 0')
       |) AS t(probe, tokens, n_tokens, token_ids) ORDER BY probe""".stripMargin
 
-  /** The trained tokenizer over the real corpus (50 merges learned from
-    * the documents table itself): per-doc subword counts next to the
-    * whitespace count. No SQL engine can replay BPE training, so this is
-    * a rows-only gate — the planted twin above pins the algorithm.
-    */
   /** Trained-BPE tokenization of the real corpus. Formerly rows-only (no
     * SQL engine can replay BPE training); now fully oracle-checked (r10
     * verdict item 3) on the tokenizer's algebraic CONTRACT, which holds

@@ -307,11 +307,16 @@ object Staging {
     *     block entirely) or whose recovery rename AND pointer write both
     *     failed: in every such case it may be the ONLY sound copy of the
     *     commit's result, whatever its age;
-    *   - anything younger than the retention window (an in-flight
-    *     commit's live staging dir).
+    *   - anything younger than the retention window, where age is the
+    *     newest touch among the dir AND its direct children (an in-flight
+    *     PARTITIONED staging write bumps partition-subdir mtimes, not the
+    *     staging dir's own — see the in-body comment for the multi-level
+    *     caveat on custom retention windows).
     *
-    * Returns the removed paths. Listing is two shallow directory scans —
-    * metadata-scale at any table count.
+    * Returns the paths actually removed (a delete the filesystem refused
+    * is excluded, not reported as reclaimed). Listing is two shallow
+    * directory scans plus one per expired candidate — metadata-scale at
+    * any table count.
     */
   def vacuumOrphans(spark: SparkSession,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
@@ -333,12 +338,36 @@ object Staging {
     if (!fs.exists(stagingRoot)) Seq.empty
     else {
       val cutoff = System.currentTimeMillis() - retentionMs
+      // Age = the NEWEST touch among the dir and its direct children, not
+      // the dir's own mtime: a PARTITIONED staging write streams files into
+      // partition subdirs, which bumps the subdirs' mtimes but (on HDFS and
+      // local FS alike) not the staging dir's own — judged by root mtime
+      // alone, an in-flight write outliving retentionMs could be swept
+      // mid-write (spurious commit failure, and the rename-failure fallback
+      // could then plant a pointer at a dir this sweep just deleted). One
+      // extra shallow listStatus per EXPIRED-by-root-mtime candidate —
+      // still metadata-scale. Caveat this cannot close: a MULTI-LEVEL
+      // partition layout only bumps the deepest dir, so callers passing a
+      // custom retentionMs must keep it comfortably above the longest
+      // expected staging write (the 7-day default dwarfs any sane write).
+      def newestTouch(st: org.apache.hadoop.fs.FileStatus): Long =
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +:
+          fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
       fs.listStatus(stagingRoot).toSeq
         .filter(_.getModificationTime < cutoff)
         .filterNot(st => referenced.contains(norm(st.getPath.toString)))
         .filterNot(st => st.isDirectory &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Sidecar)))
-        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+        .filter(newestTouch(_) < cutoff)
+        // Report only what was ACTUALLY removed: fs.delete returns false on
+        // failure, and echoing a failed delete into the result would
+        // mislead operators (and tests) into believing the space was
+        // reclaimed.
+        .flatMap { st =>
+          if (fs.delete(st.getPath, true)) Some(st.getPath.toString)
+          else None
+        }
     }
   }
 }

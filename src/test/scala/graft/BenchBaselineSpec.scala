@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench regression guard's baseline parse/selection path
+  * (Bench.baselineQueries / baselineSf / selectBaselines). Driver-recorded
+  * BENCH_r*.json files are bounded stdout excerpts and HAVE arrived
+  * truncated (BASELINE.md round-13 note); which recording the guard
+  * compares against silently changing under truncation cost two rounds of
+  * flag adjudication — this spec makes every degradation case loud and
+  * deterministic.
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+
+  private val rawLine =
+    """{"metric":"total","value":12.3,"unit":"sec","queries":{"q1":1.250,""" +
+      """"dd_x":0.375},"failed":[],"regressions":[],"sf":"/root/testdata/sf0.1"}"""
+
+  // The driver envelope: bare-number sf at top level, the bench line
+  // escaped inside "tail".
+  private val envelope =
+    s"""{"n": 7, "rc": 0, "sf": 0.1, "tail": "${rawLine.replace("\"", "\\\"")}"}"""
+
+  test("baselineQueries parses both the raw bench line and the driver envelope") {
+    val expected = Map("q1" -> 1.25, "dd_x" -> 0.375)
+    assert(Bench.baselineQueries(rawLine) === expected)
+    assert(Bench.baselineQueries(envelope) === expected)
+  }
+
+  test("a record truncated before the queries map parses EMPTY, not partial") {
+    // Head-truncation eats the {"metric":... opening and the "queries":{
+    // key — exactly the r13 shape (BENCH_r13.json's tail starts mid-map).
+    val truncated = rawLine.drop(rawLine.indexOf("\"q1\""))
+    assert(Bench.baselineQueries(truncated) === Map.empty)
+  }
+
+  test("baselineSf reads bare-number, quoted-number and directory-path forms") {
+    assert(Bench.baselineSf("""{"sf": 0.1, "tail": "..."}""") === Some("0.1"))
+    assert(Bench.baselineSf("""{"sf":"0.01"}""") === Some("0.01"))
+    assert(Bench.baselineSf(rawLine) === Some("0.1"))
+    assert(Bench.baselineSf(envelope) === Some("0.1"))
+    assert(Bench.baselineSf("""{"metric":"total"}""") === None)
+  }
+
+  private val sfDir = "/root/testdata/sf0.1"
+  private def cand(label: String, sf: String, qs: (String, Double)*)
+      : (String, Option[String], Map[String, Double]) =
+    (label, Some(sf), qs.toMap)
+
+  test("blessed BASELINE_r* is the defended baseline; newest bench is latest") {
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BENCH_r01", "0.1", "q1" -> 1.0),
+      cand("BENCH_r13", "0.1", "q1" -> 1.2),
+      cand("BASELINE_r14", "0.1", "q1" -> 1.1)), sfDir)
+    assert(chosen.map(_._1) === Seq("BASELINE_r14", "BENCH_r13"))
+    assert(warnings.isEmpty)
+  }
+
+  test("truncated blessed recording warns and falls back to the oldest bench") {
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BENCH_r01", "0.1", "q1" -> 1.0),
+      cand("BENCH_r13", "0.1", "q1" -> 1.2),
+      (("BASELINE_r14", Some("0.1"), Map.empty[String, Double]))), sfDir)
+    assert(chosen.map(_._1) === Seq("BENCH_r01", "BENCH_r13"))
+    assert(warnings.exists(_.contains("BASELINE_r14")), warnings.mkString("; "))
+    assert(warnings.exists(_.contains("falls back to BENCH_r01")),
+      warnings.mkString("; "))
+  }
+
+  test("truncated bench at matching sf warns; other-sf records skip silently") {
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BENCH_r01", "0.1", "q1" -> 1.0),
+      (("BENCH_r12", Some("0.1"), Map.empty[String, Double])),
+      cand("BENCH_r09", "0.01", "q1" -> 0.2)), sfDir)
+    assert(chosen.map(_._1) === Seq("BENCH_r01"))
+    assert(warnings.exists(w =>
+      w.contains("BENCH_r12") && w.contains("truncated")))
+    assert(!warnings.exists(_.contains("BENCH_r09")),
+      "a different-sf record is out of scope, not a degradation")
+  }
+
+  test("a single usable record serves as both defended and latest, once") {
+    val (chosen, warnings) = Bench.selectBaselines(
+      Seq(cand("BENCH_r01", "0.1", "q1" -> 1.0)), sfDir)
+    assert(chosen.map(_._1) === Seq("BENCH_r01"))
+    assert(warnings.isEmpty)
+  }
+
+  test("no usable record at all selects nothing (guard disarmed, not crashed)") {
+    val (chosen, _) = Bench.selectBaselines(
+      Seq(cand("BENCH_r09", "0.01", "q1" -> 0.2)), sfDir)
+    assert(chosen.isEmpty)
+  }
+}

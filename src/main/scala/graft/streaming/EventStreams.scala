@@ -264,14 +264,24 @@ object EventStreams {
   /** Run a streaming query over a bounded parquet source into an in-memory
     * sink, synchronously (the local-smoke pattern for streaming jobs:
     * processAllAvailable drains the source, then we read the sink table).
+    *
+    * `readOptions` reach the file source — pass `maxFilesPerTrigger` to
+    * drain the bounded source in several micro-batches instead of one
+    * (AvailableNow honors per-batch read limits), the incremental-arrival
+    * shape a production stream actually has. `probe` runs after the drain,
+    * before stop — the hook for reading per-batch progress
+    * (`q.recentProgress`) from harnesses that assert on batch shape.
     */
   def runBoundedToMemory(spark: SparkSession, sourceDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
       sinkName: String, outputMode: String = "append",
       statePartitions: Option[Int] = None,
-      noDataBatch: Boolean = true): DataFrame =
+      noDataBatch: Boolean = true,
+      readOptions: Map[String, String] = Map.empty,
+      probe: StreamingQuery => Unit = _ => ()): DataFrame =
     withStatePartitions(spark, statePartitions) { withNoDataBatch(spark, noDataBatch) {
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = spark.readStream.options(readOptions)
+      .schema(schema).parquet(sourceDir)
     val q: StreamingQuery = transform(stream).writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -279,6 +289,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
+    probe(q)
     q.stop()
     spark.table(sinkName)
   } }

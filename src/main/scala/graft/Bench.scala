@@ -81,7 +81,18 @@ object Bench {
           s"baseline falls back to ${benches.head._1}"
       benches.headOption
     }
-    val latest = benches.lastOption
+    // "Latest" must be NEWER than the blessed recording: a bench round the
+    // blessing already supersedes is history, not a reference — before this
+    // rule, every round r03+ arriving truncated kept 12-rounds-stale
+    // BENCH_r02 alive as "latest" and its retired gate bodies re-flagged
+    // redesigned gates forever (the dd_simhash ×2.x persistence).
+    def round(label: String): Int =
+      """\d+""".r.findFirstIn(label).map(_.toInt).getOrElse(0)
+    val latest = defended match {
+      case Some((dLabel, _, _)) if dLabel.startsWith("BASELINE") =>
+        benches.filter(b => round(b._1) > round(dLabel)).lastOption
+      case _ => benches.lastOption
+    }
     ((defended.toSeq ++ latest.toSeq).distinct
       .map { case (label, _, qs) => label -> qs },
       warnings.result())
@@ -106,10 +117,10 @@ object Bench {
         val v = scala.util.Try(s.toDouble).toOption
         if (v.isEmpty)
           System.err.println(
-            s"[bench] ignoring invalid SPARK_GRAFT_NOISE_FLOOR '$s'; using 0.6")
+            s"[bench] ignoring invalid SPARK_GRAFT_NOISE_FLOOR '$s'; using 1.0")
         v
       }
-      .getOrElse(0.6)
+      .getOrElse(1.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -256,10 +267,11 @@ object Bench {
     // SPARK_GRAFT_BASELINE file; flagged in-run rather than only at judge
     // time. Only comparable when this run used the baseline's scale
     // factor; sub-noise queries (absolute drift below the floor) are not
-    // flagged. The 0.6 s default floor matches the measured run-to-run
-    // variance of a single query on this host (identical code measured
-    // ±0.5 s across runs; every REAL structural regression observed
-    // drifted well past 0.6 s); a quieter host can tighten it via
+    // flagged. The 1.0 s default floor matches the measured run-to-run
+    // variance of a single query on this host (the r14 four-run blessing
+    // protocol measured identical code drifting ±0.9 s on individual
+    // gates across back-to-back runs; every REAL structural regression
+    // observed drifted well past 1 s); a quieter host can tighten it via
     // SPARK_GRAFT_NOISE_FLOOR (parsed at startup), without a code change.
     // Baseline selection (defended blessed recording + latest round) with
     // loud degradation warnings lives in [[selectBaselines]] — spec-pinned,

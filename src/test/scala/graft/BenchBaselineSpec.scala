@@ -47,12 +47,25 @@ class BenchBaselineSpec extends AnyFunSuite {
       : (String, Option[String], Map[String, Double]) =
     (label, Some(sf), qs.toMap)
 
-  test("blessed BASELINE_r* is the defended baseline; newest bench is latest") {
+  test("blessed BASELINE_r* is the defended baseline; newer bench is latest") {
     val (chosen, warnings) = Bench.selectBaselines(Seq(
       cand("BENCH_r01", "0.1", "q1" -> 1.0),
-      cand("BENCH_r13", "0.1", "q1" -> 1.2),
+      cand("BASELINE_r14", "0.1", "q1" -> 1.1),
+      cand("BENCH_r15", "0.1", "q1" -> 1.2)), sfDir)
+    assert(chosen.map(_._1) === Seq("BASELINE_r14", "BENCH_r15"))
+    assert(warnings.isEmpty)
+  }
+
+  test("bench rounds the blessing supersedes are history, not references") {
+    // BENCH_r01/r02 carried RETIRED gate bodies and re-flagged redesigned
+    // gates every round (dd_simhash ×2.x, three rounds running): once a
+    // blessed recording exists, only a STRICTLY NEWER bench round may
+    // serve as the fresh-regression reference.
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BENCH_r01", "0.1", "q1" -> 1.0),
+      cand("BENCH_r02", "0.1", "q1" -> 0.9),
       cand("BASELINE_r14", "0.1", "q1" -> 1.1)), sfDir)
-    assert(chosen.map(_._1) === Seq("BASELINE_r14", "BENCH_r13"))
+    assert(chosen.map(_._1) === Seq("BASELINE_r14"))
     assert(warnings.isEmpty)
   }
 

@@ -339,6 +339,36 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("vacuumOrphans ages a staging dir by its newest direct child, not the root mtime") {
+    // The in-flight-partitioned-write hazard: files streaming into
+    // partition SUBDIRS bump the subdirs' mtimes but not the staging
+    // root's — a root-mtime-only age check would sweep a long write
+    // mid-flight. Model it: root mtime 10 days old, one direct child
+    // touched now. A 7-day sweep must SKIP it; once the child is also
+    // aged past retention, the same sweep takes it.
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$warehouse/_graft_staging/vac_spec_inflight")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val child = new org.apache.hadoop.fs.Path(dir, "part=1")
+    fs.mkdirs(child)
+    val tenDaysAgo = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.setTimes(dir, tenDaysAgo, -1) // root looks abandoned…
+    val sevenDays = 7L * 24 * 3600 * 1000
+    val kept = Staging.vacuumOrphans(spark, retentionMs = sevenDays)
+    assert(!kept.exists(_.endsWith("vac_spec_inflight")) && fs.exists(dir),
+      "a staging dir with a fresh direct child is an in-flight write — " +
+        s"must survive the sweep (removed: $kept)")
+    // …now the write is genuinely abandoned: age the child too. setTimes
+    // on the child bumps the PARENT mtime on local FS, so re-age both.
+    fs.setTimes(child, tenDaysAgo, -1)
+    fs.setTimes(dir, tenDaysAgo, -1)
+    val swept = Staging.vacuumOrphans(spark, retentionMs = sevenDays)
+    assert(swept.exists(_.endsWith("vac_spec_inflight")) && !fs.exists(dir),
+      s"a fully-aged staging dir must be swept (removed: $swept)")
+  }
+
   test("partition-scoped merge crash window: recovery replays the overwrite AND the drained-partition drop") {
     val t = fresh("pmerge_commit")
     val cfg = IncrementalConfig(IncrementalStrategy.Merge,

@@ -143,7 +143,7 @@ object Scale {
     val tableOps = Seq(
       "documents" -> Seq("dd_exact", "dd_exact_bloom", "dd_minhash",
         "txt_heavy_bigrams", "pipe_pack"),
-      "lineitem" -> Seq("gov_erasure", "rel_zorder"),
+      "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge"),
       "events_disjoint" -> Seq("evt_asof", "stream_sessionize",
         "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
@@ -412,6 +412,66 @@ object Scale {
       (t1._1, tk._1, s1, sk,
         check(tk == ((t1._1 * k, t1._2 * k, t1._3 * k)) && scaled(w1, wk, k),
           s"erasure must scale ×$k: $t1/$w1 vs $tk/$wk"))
+    }
+
+    // ------------------------------------------------------ 9b. inc_merge
+    // The reference's heart — the O3′ partition-scoped MERGE — at ×k.
+    // Target: the ×k lineitem as a l_returnflag-partitioned table (replica
+    // key spaces disjoint, partition column UNSHIFTED, so each partition
+    // holds k× the rows — the 100 TB shape where partition scoping is what
+    // keeps merge affordable). Batch: updates to one partition's keys plus
+    // brand-new keys (+2³⁴, inside every replica's id space), built at ×1
+    // and amplified with the SAME shift as the corpus — each replica
+    // receives exactly the ×1 batch against exactly the ×1 data. Merge is
+    // per-key and replica key spaces are disjoint, so the merged table is
+    // k independent copies of the ×1 merged table: the projected witness
+    // (ids mod Offset; the updated price column included, so a lost or
+    // double-applied UPDATE breaks it, not just a lost row) must scale by
+    // exactly ×k. Only the touched partition is rewritten — the scoped
+    // path, exercised here at partition sizes the gate can't reach.
+    run("inc_merge") {
+      import graft.materialize.{IncrementalConfig, IncrementalMaterialization, IncrementalStrategy}
+      val cfg = IncrementalConfig(IncrementalStrategy.Merge,
+        uniqueKey = Seq("l_orderkey", "l_linenumber"),
+        partitionBy = Seq("l_returnflag"))
+      def mergeRun(scale: String, kk: Int): (Long, BigInt) = {
+        val t = s"scale_merge_$scale"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // Seed through the same state machine (its CTAS path), then merge.
+        IncrementalMaterialization.run(spark, t, rd(scale, "lineitem"), cfg)
+        // The synthetic lineitem is TPC-H-ISH: (l_orderkey, l_linenumber)
+        // is NOT unique, and MergeOps correctly raises on a multi-row
+        // source key (the reference MERGE contract). Collapse to one
+        // DETERMINISTIC representative per key (per-column max) BEFORE
+        // amplifying — a nondeterministic dropDuplicates could pick
+        // different representatives in the ×1 and ×k evaluations and break
+        // the witness law on payload columns, not just confuse the merge.
+        def keyUnique(src: DataFrame): DataFrame = {
+          val payload = src.columns.toIndexedSeq
+            .filterNot(Set("l_orderkey", "l_linenumber"))
+            .map(c => max(col(c)).as(c))
+          src.groupBy(col("l_orderkey"), col("l_linenumber"))
+            .agg(payload.head, payload.tail: _*)
+        }
+        val updates = keyUnique(li0
+          .filter(col("l_returnflag") === "N" && col("l_orderkey") % 37 === 0))
+          .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+        val inserts = keyUnique(li0
+          .filter(col("l_returnflag") === "N" && col("l_orderkey") % 41 === 0))
+          .withColumn("l_orderkey", col("l_orderkey") + lit(1L << 34))
+        IncrementalMaterialization.run(spark, t,
+          amplify(updates.unionByName(inserts), kk, Seq("l_orderkey")), cfg)
+        val wit = w(spark.table(t).select(
+          (col("l_orderkey") % Offset).as("k"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag")))
+        spark.sql(s"DROP TABLE $t")
+        wit
+      }
+      val (w1, s1) = timed(mergeRun("x1", 1))
+      val (wk, sk) = timed(mergeRun(s"x$k", k))
+      (w1._1, wk._1, s1, sk,
+        check(w1._1 > 0 && scaled(w1, wk, k),
+          s"post-merge witness must scale ×$k: $w1 vs $wk"))
     }
 
     // ------------------------------------------------------ 10. rel_zorder

@@ -143,7 +143,7 @@ object Scale {
     val tableOps = Seq(
       "documents" -> Seq("dd_exact", "dd_exact_bloom", "dd_minhash",
         "txt_heavy_bigrams", "pipe_pack"),
-      "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge"),
+      "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2"),
       "events_disjoint" -> Seq("evt_asof", "stream_sessionize",
         "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
@@ -472,6 +472,62 @@ object Scale {
       (w1._1, wk._1, s1, sk,
         check(w1._1 > 0 && scaled(w1, wk, k),
           s"post-merge witness must scale ×$k: $w1 vs $wk"))
+    }
+
+    // ------------------------------------------------------ 9c. snap_scd2
+    // The OTHER merge-shaped state machine — SCD2 snapshot — at ×k, through
+    // its close-date-PARTITIONED history path (the O(current + churn)
+    // layout that keeps long histories affordable at 100 TB: a run scans
+    // the open partition plus touched close-date partitions only). Two
+    // snapshot runs at injected clocks T1/T2: seed an entity table derived
+    // from the ×k lineitem (one row per replica-shifted orderkey), then
+    // snapshot the churned state — updates (balance doubled for keys %5),
+    // hard deletes (keys %7, Invalidate mode closes them at T2), inserts
+    // (fresh keys at +2³⁴). Replica key spaces are disjoint and both
+    // clocks are pinned, so the full history table is k independent copies
+    // of the ×1 history: the witness (ids mod Offset, version validity
+    // interval and checked column included — a missed close, a double
+    // version, or a wrong valid_from all break the law) scales exactly ×k.
+    run("snap_scd2") {
+      import graft.materialize.{SnapshotConfig, SnapshotMaterialization, SnapshotStrategy, HardDeletes}
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      def cfgAt(ts: java.sql.Timestamp) = SnapshotConfig(
+        keys = Seq("ent_id"), strategy = SnapshotStrategy.ByCheck(Seq("bal")),
+        clock = () => ts, partitionHistory = true,
+        hardDeletes = HardDeletes.Invalidate)
+      def snapRun(scale: String, kk: Int): (Long, BigInt) = {
+        val t = s"scale_snap_$scale"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // One entity per (replica-shifted) orderkey; payload deterministic.
+        def entities(src: DataFrame): DataFrame = src
+          .groupBy(col("l_orderkey").as("ent_id"))
+          .agg(max(col("l_extendedprice")).as("bal"),
+            max(col("l_returnflag")).as("flag"))
+        val seed = entities(rd(scale, "lineitem"))
+        SnapshotMaterialization.run(spark, t, seed, cfgAt(t1))
+        // Churned state built at ×1, amplified with the corpus's shift so
+        // every replica churns identically: %7 keys vanish (hard delete),
+        // %5 keys double their balance, fresh +2³⁴ keys appear.
+        val e1 = entities(li0)
+        val churned = e1.filter(col("ent_id") % 7 =!= 0)
+          .withColumn("bal",
+            when(col("ent_id") % 5 === 0, col("bal") * 2).otherwise(col("bal")))
+          .unionByName(e1.filter(col("ent_id") % 41 === 0)
+            .withColumn("ent_id", col("ent_id") + lit(1L << 34)))
+        SnapshotMaterialization.run(spark, t,
+          amplify(churned, kk, Seq("ent_id")), cfgAt(t2))
+        val wit = w(spark.table(t).select(
+          (col("ent_id") % Offset).as("k"), col("bal"), col("flag"),
+          col("dbt_valid_from"), col("dbt_valid_to")))
+        spark.sql(s"DROP TABLE $t")
+        wit
+      }
+      val (w1, s1) = timed(snapRun("x1", 1))
+      val (wk, sk) = timed(snapRun(s"x$k", k))
+      (w1._1, wk._1, s1, sk,
+        check(w1._1 > 0 && scaled(w1, wk, k),
+          s"SCD2 history witness must scale ×$k: $w1 vs $wk"))
     }
 
     // ------------------------------------------------------ 10. rel_zorder

@@ -1224,4 +1224,141 @@ class RandomizedSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("insert_overwrite: multi-run partition replacement equals a map reference") {
+    import graft.materialize.{IncrementalConfig, IncrementalMaterialization, IncrementalStrategy}
+    val rnd = new Random(1511)
+    // Model: partition value (None = the null partition) -> rows. Each run
+    // replaces EXACTLY the partitions present in the batch (dynamic mode,
+    // strategies.sql:1-19); every other partition survives untouched.
+    (1 to 3).foreach { trial =>
+      val t = s"default.rs_iow_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val parts: Seq[Option[String]] =
+        (0 until 4).map(i => Some(s"p$i")) :+ None
+      var state = Map.empty[Option[String], Seq[(Long, Long)]]
+      val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
+        partitionBy = Seq("p"))
+      (1 to 4).foreach { run =>
+        // Random batch over a random non-empty subset of partitions;
+        // occasionally an empty-batch run (must be a no-op past run 1).
+        val touched = parts.filter(_ => rnd.nextBoolean()) match {
+          case Nil => Seq(parts(rnd.nextInt(parts.size)))
+          case ps  => ps
+        }
+        val emptyRun = run > 1 && rnd.nextInt(6) == 0
+        val rows =
+          if (emptyRun) Nil
+          else touched.flatMap { p =>
+            (1 to 1 + rnd.nextInt(5)).map(_ =>
+              (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong, p))
+          }
+        val batch = rows.map { case (id, v, p) => (id, v, p.orNull) }
+          .toDF("id", "v", "p")
+        IncrementalMaterialization.run(spark, t, batch, cfg)
+        state =
+          if (run == 1) rows.groupBy(_._3).view
+            .mapValues(_.map(r => (r._1, r._2))).toMap
+          else state ++ rows.groupBy(_._3).view
+            .mapValues(_.map(r => (r._1, r._2))).toMap
+        val got = spark.table(t).collect()
+          .map(r => (Option(r.getAs[String]("p")),
+            (r.getAs[Long]("id"), r.getAs[Long]("v"))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+        val want = state.view.mapValues(_.sorted).toMap
+          .filter(_._2.nonEmpty)
+        assert(got === want, s"trial=$trial run=$run touched=$touched")
+      }
+      spark.sql(s"DROP TABLE $t")
+      // Unpartitioned target: every run is a whole-table replacement.
+      val tu = s"default.rs_iow_flat_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $tu")
+      var last = Seq.empty[(Long, Long)]
+      (1 to 3).foreach { run =>
+        last = (1 to 1 + rnd.nextInt(8))
+          .map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong))
+        IncrementalMaterialization.run(spark, tu, last.toDF("id", "v"),
+          IncrementalConfig(IncrementalStrategy.InsertOverwrite))
+        val got = spark.table(tu).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got === last.sorted, s"trial=$trial flat run=$run")
+      }
+      spark.sql(s"DROP TABLE $tu")
+    }
+  }
+
+  test("schema evolution: policies equal a column-set reference over random batches") {
+    import graft.materialize.{IncrementalConfig, IncrementalMaterialization, IncrementalStrategy, SchemaChangePolicy}
+    val rnd = new Random(1733)
+    // Column pool beyond the key; random batches carry a random subset.
+    // Policy semantics under append (incremental.sql + adapters.sql:17-26):
+    //   Ignore  — incoming extras dropped, missing dest columns null-filled;
+    //   Append/Sync — extras ALTER TABLE ADD COLUMNS'd (sync never drops:
+    //   dropping is rejected on every reference platform), prior rows null.
+    val pool = Seq("c1", "c2", "c3")
+    val policies = Seq(SchemaChangePolicy.Ignore,
+      SchemaChangePolicy.AppendNewColumns, SchemaChangePolicy.SyncAllColumns)
+    (1 to 6).foreach { trial =>
+      val policy = policies((trial - 1) % 3)
+      val t = s"default.rs_sevo_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // Expected table: column order (id + first-seen order of adds) and
+      // row contents as maps (None = null).
+      var tableCols = Seq.empty[String]
+      var rows = Seq.empty[Map[String, Option[Long]]]
+      var nextId = 0L
+      (1 to 5).foreach { run =>
+        val batchCols = "id" +: pool.filter(_ => rnd.nextBoolean())
+        val batch = (1 to 1 + rnd.nextInt(6)).map { _ =>
+          nextId += 1
+          ("id" -> nextId) +: pool.map(c => c -> (100 * nextId + rnd.nextInt(9)))
+        }
+        val df = batch.map(r => (r(0)._2, r(1)._2, r(2)._2, r(3)._2))
+          .toDF("id", "c1", "c2", "c3")
+          .select(batchCols.map(col): _*)
+        IncrementalMaterialization.run(spark, t, df,
+          IncrementalConfig(IncrementalStrategy.Append, onSchemaChange = policy))
+        if (run == 1) tableCols = batchCols
+        else policy match {
+          case SchemaChangePolicy.Ignore => ()
+          case _ => tableCols = tableCols ++ batchCols.filterNot(tableCols.contains)
+        }
+        rows = rows ++ batch.map { r =>
+          val m = r.toMap
+          tableCols.map(c =>
+            c -> (if (batchCols.contains(c)) Some(m(c)) else None)).toMap
+        }
+        // Old rows never gain values for later-added columns.
+        rows = rows.map(m => tableCols.map(c => c -> m.getOrElse(c, None)).toMap)
+        assert(spark.table(t).columns.toSeq === tableCols,
+          s"trial=$trial run=$run policy=$policy cols")
+        val got = spark.table(t).collect().map { r =>
+          tableCols.map(c =>
+            c -> Option(r.getAs[java.lang.Long](c)).map(_.longValue)).toMap
+        }.toSeq.sortBy(_("id"))
+        assert(got === rows.sortBy(_("id")),
+          s"trial=$trial run=$run policy=$policy")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+    // Fail policy: any add OR removal raises; an identical schema appends.
+    val t = "default.rs_sevo_fail"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val cfgFail = IncrementalConfig(IncrementalStrategy.Append,
+      onSchemaChange = SchemaChangePolicy.Fail)
+    IncrementalMaterialization.run(spark, t,
+      Seq((1L, 10L)).toDF("id", "c1"), cfgFail)
+    IncrementalMaterialization.run(spark, t,
+      Seq((2L, 20L)).toDF("id", "c1"), cfgFail)
+    assert(spark.table(t).count() === 2)
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t,
+        Seq((3L, 30L, 7L)).toDF("id", "c1", "c2"), cfgFail)
+    }
+    intercept[IllegalStateException] {
+      IncrementalMaterialization.run(spark, t, Seq(Tuple1(4L)).toDF("id"), cfgFail)
+    }
+    assert(spark.table(t).count() === 2, "failed runs must not write")
+    spark.sql(s"DROP TABLE $t")
+  }
 }

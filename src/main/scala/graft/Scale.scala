@@ -143,7 +143,8 @@ object Scale {
     val tableOps = Seq(
       "documents" -> Seq("dd_exact", "dd_exact_bloom", "dd_minhash",
         "txt_heavy_bigrams", "pipe_pack"),
-      "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2"),
+      "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2",
+        "inc_overwrite"),
       "events_disjoint" -> Seq("evt_asof", "stream_sessionize",
         "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
@@ -528,6 +529,49 @@ object Scale {
       (w1._1, wk._1, s1, sk,
         check(w1._1 > 0 && scaled(w1, wk, k),
           s"SCD2 history witness must scale ×$k: $w1 vs $wk"))
+    }
+
+    // --------------------------------------------------- 9d. inc_overwrite
+    // The third incremental strategy — dynamic-partition INSERT OVERWRITE —
+    // at ×k: seed a returnflag-partitioned table from the corpus, then
+    // replace ONE partition with a transformed batch. Two laws: per scale,
+    // the untouched partitions' witness is bit-identical across the
+    // overwrite (dynamic mode must never touch a partition absent from the
+    // batch — the property that makes the strategy affordable at 100 TB:
+    // cost follows the batch, not the table); across scales, replica key
+    // spaces are disjoint and the batch is the ×1 batch amplified, so the
+    // post-overwrite witness (ids mod Offset, the rewritten price column
+    // included) scales exactly ×k.
+    run("inc_overwrite") {
+      import graft.materialize.{IncrementalConfig, IncrementalMaterialization, IncrementalStrategy}
+      val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
+        partitionBy = Seq("l_returnflag"))
+      def owRun(scale: String, kk: Int): (Long, BigInt) = {
+        val t = s"scale_ow_$scale"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        IncrementalMaterialization.run(spark, t, rd(scale, "lineitem"), cfg)
+        def untouched() = w(spark.table(t)
+          .filter(col("l_returnflag") =!= "N")
+          .select((col("l_orderkey") % Offset).as("k"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_returnflag")))
+        val before = untouched()
+        val batch = li0.filter(col("l_returnflag") === "N")
+          .withColumn("l_extendedprice", col("l_extendedprice") * 3)
+        IncrementalMaterialization.run(spark, t,
+          amplify(batch, kk, Seq("l_orderkey")), cfg)
+        check(untouched() == before,
+          s"$scale: untouched partitions changed across the overwrite")
+        val wit = w(spark.table(t).select(
+          (col("l_orderkey") % Offset).as("k"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag")))
+        spark.sql(s"DROP TABLE $t")
+        wit
+      }
+      val (w1, s1) = timed(owRun("x1", 1))
+      val (wk, sk) = timed(owRun(s"x$k", k))
+      (w1._1, wk._1, s1, sk,
+        check(w1._1 > 0 && scaled(w1, wk, k),
+          s"post-overwrite witness must scale ×$k: $w1 vs $wk"))
     }
 
     // ------------------------------------------------------ 10. rel_zorder

@@ -1361,4 +1361,58 @@ class RandomizedSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 2, "failed runs must not write")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("governance principal plane: grant churn and readFor equal a plain model") {
+    import graft.quality.Governance
+    import graft.quality.Governance.CellFilter
+    val rnd = new Random(2027)
+    val t = "default.rs_gov"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val rows = (1 to 60).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, s"g${rnd.nextInt(4)}"))
+    rows.toDF("id", "v", "g").write.saveAsTable(t)
+    // Named filters with a plain-Scala twin each (predicate, projection).
+    val pool: Seq[(String, CellFilter, ((Long, Long, String)) => Boolean,
+        ((Long, Long, String)) => Seq[Any])] = Seq(
+      ("f1", CellFilter("v >= 5", Seq("id", "v")),
+        r => r._2 >= 5, r => Seq(r._1, r._2)),
+      ("f2", CellFilter("g = 'g1'", Nil),
+        r => r._3 == "g1", r => Seq(r._1, r._2, r._3)),
+      ("f3", CellFilter("true", Seq("id")),
+        _ => true, r => Seq(r._1)),
+      ("f4", CellFilter("v % 2 = 0 AND g != 'g0'", Seq("id", "g")),
+        r => r._2 % 2 == 0 && r._3 != "g0", r => Seq(r._1, r._3)))
+    pool.foreach { case (n, f, _, _) => Governance.defineFilter(spark, t, n, f) }
+    pool.foreach { case (n, f, _, _) =>
+      assert(Governance.filterDef(spark, t, n) === f, s"filter $n round-trip") }
+    // Grant churn: applyGrants is diff-based — each run's added/revoked
+    // must equal the model diff, the catalog must equal the model after,
+    // and every principal's readFor must equal its filter's plain twin
+    // (ungranted principals are denied). 'o''hara' exercises escaping.
+    val principals = Seq("alice", "bob", "carol", "o'hara")
+    var model = Map.empty[String, String]
+    (1 to 5).foreach { run =>
+      val desired = principals.filter(_ => rnd.nextBoolean())
+        .map(p => p -> pool(rnd.nextInt(pool.size))._1).toMap
+      val diff = Governance.applyGrants(spark, t, desired)
+      val wantAdd = desired.filter { case (p, f) => !model.get(p).contains(f) }
+      val wantRevoke = model.filter { case (p, _) => !desired.contains(p) }
+      assert(diff.added === wantAdd && diff.revoked === wantRevoke, s"run=$run diff")
+      model = desired
+      assert(Governance.grants(spark, t) === model, s"run=$run grants")
+      principals.foreach { p =>
+        model.get(p) match {
+          case None =>
+            intercept[SecurityException] { Governance.readFor(spark, t, p) }
+          case Some(fn) =>
+            val (_, _, pred, proj) = pool.find(_._1 == fn).get
+            val want = rows.filter(pred).map(proj).sortBy(_.toString)
+            val got = Governance.readFor(spark, t, p)
+              .collect().map(_.toSeq.toList: Seq[Any]).toSeq.sortBy(_.toString)
+            assert(got === want, s"run=$run principal=$p filter=$fn")
+        }
+      }
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
 }

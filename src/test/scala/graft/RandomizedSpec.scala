@@ -1362,6 +1362,81 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("generic tests: offenders and severity equal plain references") {
+    import graft.quality.QualityChecks
+    val rnd = new Random(3301)
+    (1 to 6).foreach { trial =>
+      // Dup-heavy, null-heavy child; parent overlaps child's fk space
+      // partially so relationships has genuine orphans.
+      val rows = (1 to 80).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(4) == 0) null else s"v${rnd.nextInt(6)}",
+          if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(12).toLong),
+          1L + rnd.nextInt(100))
+      }
+      val df = rows.toDF("id", "s", "fk", "fk_self")
+      // not_null: exactly the null rows.
+      assert(QualityChecks.notNull(df, "s").select("id").as[Long]
+        .collect().toSet === rows.filter(_._2 == null).map(_._1).toSet,
+        s"trial=$trial not_null")
+      // unique: dbt-core contract — NON-NULL values occurring > once.
+      val wantU = rows.filter(_._2 != null).groupBy(_._2)
+        .collect { case (v, g) if g.size > 1 => v -> g.size.toLong }.toMap
+      assert(QualityChecks.unique(df, "s").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap === wantU,
+        s"trial=$trial unique")
+      // accepted_values: distinct non-null values outside the list (null
+      // is not_null's job — isin-negation drops the null group), counted.
+      val allowed = (0 until 6).filter(_ => rnd.nextBoolean()).map(i => s"v$i")
+      val wantAv = rows.filter(r => r._2 != null && !allowed.contains(r._2))
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(QualityChecks.acceptedValues(df, "s", allowed).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap === wantAv,
+        s"trial=$trial accepted_values allowed=$allowed")
+      // relationships: non-null child keys with no parent (parent nulls
+      // never match), duplicates reported once per child ROW.
+      val parentKeys = (0 until 20).filter(_ => rnd.nextBoolean())
+        .map(_.toLong)
+      val parent = (parentKeys.map(java.lang.Long.valueOf) ++
+        Seq(null.asInstanceOf[java.lang.Long])).map(Tuple1(_)).toDF("pk")
+      val wantRel = rows.filter(r =>
+        r._3 != null && !parentKeys.contains(r._3.longValue)).map(_._1).toSet
+      assert(QualityChecks.relationships(df, "fk", parent, "pk")
+        .select("id").as[Long].collect().toSet === wantRel,
+        s"trial=$trial relationships")
+      // Self-referencing FK (employees.manager_id → employees.id): the
+      // renamed build side must keep the self-join unambiguous.
+      val ids = rows.map(_._1).toSet
+      assert(QualityChecks.relationships(df, "fk_self", df, "id")
+        .select("id").as[Long].collect().toSet ===
+        rows.filter(r => !ids.contains(r._4)).map(_._1).toSet,
+        s"trial=$trial self-relationships")
+      // Severity contract over random thresholds on a real offender frame.
+      val warnAbove = rnd.nextInt(4).toLong
+      val errorAbove = warnAbove + rnd.nextInt(4).toLong
+      val offending = QualityChecks.notNull(df, "s")
+      val n = offending.count()
+      val wantStatus =
+        if (n > errorAbove) "error" else if (n > warnAbove) "warn" else "pass"
+      val ev = QualityChecks.evaluate(offending,
+        warnAbove = warnAbove, errorAbove = errorAbove).head()
+      assert(ev.getLong(0) === n && ev.getString(1) === wantStatus,
+        s"trial=$trial n=$n warn>$warnAbove error>$errorAbove")
+    }
+    // store_failures: offenders persist to the audit table and the count
+    // reads the STORED rows (dbt's store-then-count order).
+    val t = "default.rs_dq_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val df = Seq((1L, null), (2L, "x"), (3L, null))
+      .toDF("id", "s")
+    val ev = QualityChecks.evaluate(QualityChecks.notNull(df, "s"),
+      storeFailuresTable = Some(t)).head()
+    assert(ev.getLong(0) === 2L && ev.getString(1) === "error")
+    assert(spark.table(t).select("id").as[Long].collect().toSet === Set(1L, 3L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("governance principal plane: grant churn and readFor equal a plain model") {
     import graft.quality.Governance
     import graft.quality.Governance.CellFilter

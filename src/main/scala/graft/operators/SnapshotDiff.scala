@@ -25,9 +25,16 @@ object SnapshotDiff {
   def diff(old: DataFrame, cur: DataFrame, keyCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "diff needs at least one content column")
+    // coalesce BEFORE hashing, not bare concat_ws: concat_ws silently
+    // SKIPS null elements together with their separator, so ("a", null)
+    // and (null, "a") would hash identically and a value moving between
+    // columns would read as "unchanged" — the null must occupy its slot
+    // for the documented nulls-hash-as-empty-string contract to hold.
     def hashed(df: DataFrame, h: String): DataFrame =
       df.select(col(keyCol).as("key"),
-        md5(concat_ws("\u0000", contentCols.map(col): _*)).as(h))
+        md5(concat_ws("\u0000",
+          contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+          .as(h))
     hashed(old, "__old_h")
       .join(hashed(cur, "__cur_h"), Seq("key"), "full_outer")
       .select(col("key"),

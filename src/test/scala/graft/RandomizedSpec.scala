@@ -1362,6 +1362,102 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("stratified: exact-k per group equals the md5-order reference") {
+    val rnd = new Random(4201)
+    def bucket(key: Long, salt: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$key:$salt".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    (1 to 4).foreach { trial =>
+      val k = 1 + rnd.nextInt(5)
+      val salt = rnd.nextLong()
+      val rows = (1 to 60 + rnd.nextInt(100)).map(i =>
+        (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(100)))
+      val got = Sampling.stratified(rows.toDF("id", "g", "v"), "id", "g", k,
+        salt).select("id").as[Long].collect().toSet
+      // Reference: per group the k keys smallest by (bucket, key).
+      val want = rows.groupBy(_._2).values.flatMap(grp =>
+        grp.map(_._1).sortBy(id => (bucket(id, salt), id)).take(k)).toSet
+      assert(got === want, s"trial=$trial k=$k")
+      // Exactly min(k, |group|) members per group, and a different salt
+      // moves at least one selection at this n.
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val gotByG = rows.filter(r => got(r._1)).groupBy(_._2).view
+        .mapValues(_.size).toMap
+      sizes.foreach { case (g, n) =>
+        assert(gotByG.getOrElse(g, 0) === math.min(k, n), s"trial=$trial g=$g") }
+      val other = Sampling.stratified(rows.toDF("id", "g", "v"), "id", "g", k,
+        salt + 1).select("id").as[Long].collect().toSet
+      assert(got !== other, s"trial=$trial salt-insensitive")
+    }
+  }
+
+  test("salted aggregate and join: equal their unsalted twins on skewed data") {
+    import graft.operators.Skew
+    val rnd = new Random(4549)
+    (1 to 3).foreach { trial =>
+      val buckets = 2 + rnd.nextInt(7)
+      // 60% of rows land on one hot key — the shape the salt exists for.
+      val rows = (1 to 400).map { i =>
+        val k = if (rnd.nextInt(5) < 3) "hot" else s"k${rnd.nextInt(6)}"
+        (k, rnd.nextInt(50).toLong, i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id")
+      val got = Skew.saltedAggregate(df, Seq("k"), buckets,
+        partials = Seq(count(lit(1)).as("c"), sum(col("v")).as("s")),
+        finals = Seq(sum(col("c")).as("n"), sum(col("s")).as("total")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = rows.groupBy(_._1).view.mapValues(g =>
+        (g.size.toLong, g.map(_._2).sum)).toMap
+      assert(got === want, s"trial=$trial buckets=$buckets agg")
+      // Salted join ≡ plain inner join, each matched pair exactly once.
+      val right = (Seq("hot") ++ (0 until 6).map(i => s"k$i"))
+        .filter(_ => rnd.nextBoolean()).map(k => (k, s"dim_$k"))
+      val gotJ = Skew.saltedJoin(df, right.toDF("k", "d"), Seq("k"), buckets)
+        .select("id", "d").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val rightMap = right.toMap
+      val wantJ = rows.flatMap(r => rightMap.get(r._1).map(d => (r._3, d)))
+        .sorted
+      assert(gotJ === wantJ, s"trial=$trial buckets=$buckets join")
+    }
+  }
+
+  test("snapshot diff: statuses equal a plain reference, separator-safe") {
+    import graft.operators.SnapshotDiff
+    val rnd = new Random(4801)
+    (1 to 4).foreach { trial =>
+      def content(): (String, String) =
+        if (rnd.nextInt(8) == 0) ("ab", "c")       // vs ("a","bc") probe
+        else if (rnd.nextInt(8) == 0) ("a", "bc")
+        else (s"x${rnd.nextInt(4)}", if (rnd.nextInt(6) == 0) null else s"y${rnd.nextInt(3)}")
+      val oldRows = (1 to 50).filter(_ => rnd.nextBoolean())
+        .map(i => (i.toLong, content()))
+      val curRows = (1 to 50).filter(_ => rnd.nextBoolean())
+        .map(i => (i.toLong, content()))
+      val got = SnapshotDiff.diff(
+        oldRows.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "a", "b"),
+        curRows.map { case (k, (a, b)) => (k, a, b) }.toDF("k", "a", "b"),
+        "k", Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val o = oldRows.toMap
+      val c = curRows.toMap
+      // Reference replays the NUL-joined content identity (null → "").
+      def ident(v: (String, String)) =
+        s"${Option(v._1).getOrElse("")} ${Option(v._2).getOrElse("")}"
+      val want = (o.keySet ++ c.keySet).map { k =>
+        k -> ((o.get(k), c.get(k)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if ident(a) != ident(b) => "changed"
+          case _ => "unchanged"
+        })
+      }.toMap
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
   test("generic tests: offenders and severity equal plain references") {
     import graft.quality.QualityChecks
     val rnd = new Random(3301)

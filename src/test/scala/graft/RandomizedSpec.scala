@@ -1362,6 +1362,138 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("simhash pairs: equals brute force over signatures (pigeonhole recall)") {
+    // With 4 × 16-bit bands, ANY pair within Hamming distance 3 shares a
+    // band (pigeonhole) — so at the default maxDist = 3 and uncapped
+    // buckets the operator's pair set must EQUAL the brute-force set over
+    // the docs' signatures: within-group squares for exact dups (hamming
+    // 0) plus all cross-content pairs at sig distance ≤ 3. This pins the
+    // collapse → band → bucket-join → fan-out machinery, not the kernel
+    // (the signature is read back through the SAME expression).
+    GraftFunctions.register(spark)
+    val rnd = new Random(6007)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (1 to 3).foreach { trial =>
+      def doc(): String =
+        Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bases = (1 to 25).map(_ => doc())
+      // Exact dup groups + one-word edits (near in sig space, sometimes
+      // within distance 3) + fresh docs.
+      val texts = bases ++ bases.take(8) ++ bases.take(4) ++
+        bases.slice(8, 16).map { t =>
+          val ws = t.split(" "); ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+          ws.mkString(" ")
+        } ++ (1 to 10).map(_ => doc())
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val sigs = df.select(col("doc_id"),
+        GraftFunctions.simhash64(split(trim(col("text")), "\\s+")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      val groups = docs.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+      val within = groups.filter(_.size > 1).flatMap(g =>
+        g.combinations(2).map { case Seq(a, b) => (a, b, 0) })
+      val reps = groups.map(_.min)
+      val cross = (for {
+        Seq(ra, rb) <- reps.sorted.combinations(2)
+        d = hamming(sigs(ra), sigs(rb))
+        if d <= 3 && d > 0
+        ga = groups.find(_.contains(ra)).get
+        gb = groups.find(_.contains(rb)).get
+        a <- ga; b <- gb
+      } yield (math.min(a, b), math.max(a, b), d)).toSeq
+      // Distinct texts CAN collide at hamming 0 (sig space, not text
+      // space): those cross pairs carry d = 0 and the operator reports
+      // them too — include them via a d == 0 branch on distinct content.
+      val cross0 = (for {
+        Seq(ra, rb) <- reps.sorted.combinations(2)
+        if hamming(sigs(ra), sigs(rb)) == 0
+        ga = groups.find(_.contains(ra)).get
+        gb = groups.find(_.contains(rb)).get
+        a <- ga; b <- gb
+      } yield (math.min(a, b), math.max(a, b), 0)).toSeq
+      val want = (within ++ cross ++ cross0).toSet
+      val got = graft.dedup.Dedup.simhashNearDupPairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.get(2).asInstanceOf[Number].intValue)).toSet
+      assert(got === want,
+        s"trial=$trial missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("samplers: hash/weighted/mixture/rebalance equal the md5 membership reference") {
+    val rnd = new Random(5003)
+    def bucket(key: String, salt: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$key:$salt".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    def thr(f: Double): Long = math.round(f * Sampling.Space)
+    (1 to 4).foreach { trial =>
+      val salt = rnd.nextLong()
+      val rows = (1 to 300).map { i =>
+        (i.toLong, s"g${rnd.nextInt(4)}",
+          rnd.nextInt(5) match {
+            case 0 => null.asInstanceOf[java.lang.Double] // null weight drops
+            case 1 => java.lang.Double.valueOf(0.0)
+            case 2 => java.lang.Double.valueOf(1.0)
+            case _ => java.lang.Double.valueOf(rnd.nextDouble())
+          })
+      }
+      val df = rows.toDF("id", "g", "w")
+      // hashSample: bucket < threshold(fraction), exact membership.
+      val f = rnd.nextDouble()
+      assert(Sampling.hashSample(df, "id", f, salt)
+        .select("id").as[Long].collect().toSet ===
+        rows.filter(r => bucket(r._1.toString, salt) < thr(f)).map(_._1).toSet,
+        s"trial=$trial hashSample f=$f")
+      // weightedSample: per-row acceptance ∝ weight; null/0 drop, 1 keeps.
+      val gotW = Sampling.weightedSample(df, "id", "w", salt)
+        .select("id").as[Long].collect().toSet
+      val wantW = rows.filter { r =>
+        val w = Option(r._3).map(_.doubleValue).getOrElse(0.0)
+        bucket(r._1.toString, salt) < math.round(w * Sampling.Space)
+      }.map(_._1).toSet
+      assert(gotW === wantW, s"trial=$trial weightedSample")
+      assert(rows.filter(r => r._3 != null && r._3.doubleValue == 1.0)
+        .forall(r => gotW(r._1)), s"trial=$trial weight-1 must keep")
+      // mixture: per-group rates with a default for unlisted groups.
+      val rates = Map("g0" -> rnd.nextDouble(), "g2" -> rnd.nextDouble())
+      val dflt = rnd.nextDouble()
+      assert(Sampling.mixture(df, "id", "g", rates, dflt, salt)
+        .select("id").as[Long].collect().toSet ===
+        rows.filter(r => bucket(r._1.toString, salt) <
+          thr(rates.getOrElse(r._2, dflt))).map(_._1).toSet,
+        s"trial=$trial mixture rates=$rates dflt=$dflt")
+      // rebalance: replay the documented three-step derivation exactly —
+      // S = min_c floor(n_c / share_c), rate_c = S*share_c / n_c, then
+      // md5 membership; untargeted classes drop entirely.
+      val sharesRaw = Seq("g0" -> (0.2 + rnd.nextDouble()),
+        "g1" -> (0.2 + rnd.nextDouble()), "g3" -> (0.2 + rnd.nextDouble()))
+      val tot = sharesRaw.map(_._2).sum
+      val shares = sharesRaw.map { case (c, s) => c -> s / tot }.toMap
+      val counts = rows.filter(r => shares.contains(r._2))
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val s = shares.map { case (c, sh) =>
+        math.floor(counts(c) / sh).toLong }.min
+      val wantR = rows.filter { r =>
+        shares.get(r._2).exists { sh =>
+          val rate = math.min(s * sh / counts(r._2), 1.0)
+          bucket(r._1.toString, salt) < thr(rate)
+        }
+      }.map(_._1).toSet
+      assert(Sampling.rebalance(df, "id", "g", shares, salt)
+        .select("id").as[Long].collect().toSet === wantR,
+        s"trial=$trial rebalance shares=$shares")
+    }
+    // rebalance refuses a targeted class with zero rows.
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(Seq((1L, "a")).toDF("id", "g"), "id", "g",
+        Map("a" -> 0.5, "ghost" -> 0.5))
+    }
+  }
+
   test("stratified: exact-k per group equals the md5-order reference") {
     val rnd = new Random(4201)
     def bucket(key: Long, salt: Long): Long =

@@ -1362,6 +1362,53 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("ngram jaccard pairs: equals brute-force set similarity at every threshold") {
+    // PPJoin prefix + position + size-ratio filters are COMPLETENESS-
+    // preserving and verification is exact, so the operator's pair set
+    // (and each pair's jaccard) must EQUAL brute force over the shingle
+    // sets — including pairs landing exactly ON the threshold, the
+    // boundary the epsilon guards exist for.
+    val rnd = new Random(6427)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def sh(t: String, n: Int): Set[String] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.length <= n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq).toSet
+    }
+    for ((n, tau) <- Seq((3, 0.8), (2, 0.6), (3, 0.5))) {
+      def doc(): String =
+        Seq.fill(1 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bases = (1 to 30).map(_ => doc())
+      // Exact dups, one-word-appended near dups (J often exactly on a
+      // sz/(sz+1)-style boundary), fresh docs.
+      val texts = bases ++ bases.take(6) ++
+        bases.slice(6, 14).map(_ + " " + vocab(rnd.nextInt(vocab.size))) ++
+        (1 to 8).map(_ => doc())
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val groups = docs.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+      val within = groups.filter(_.size > 1).flatMap(g =>
+        g.combinations(2).map { case Seq(a, b) => (a, b, 1.0) })
+      val reps = groups.map(g => g.min -> docs.find(d => d._1 == g.min).get._2)
+      val cross = (for {
+        Seq((ra, ta), (rb, tb)) <- reps.sortBy(_._1).combinations(2)
+        if ta != tb
+        inter = (sh(ta, n) & sh(tb, n)).size
+        union = (sh(ta, n) ++ sh(tb, n)).size
+        j = inter.toDouble / union
+        if union > 0 && j >= tau
+        ga = groups.find(_.contains(ra)).get
+        gb = groups.find(_.contains(rb)).get
+        a <- ga; b <- gb
+      } yield (math.min(a, b), math.max(a, b), j)).toSeq
+      val want = (within ++ cross).toSet
+      val got = graft.dedup.Dedup.ngramJaccardPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want,
+        s"n=$n tau=$tau missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("simhash pairs: equals brute force over signatures (pigeonhole recall)") {
     // With 4 × 16-bit bands, ANY pair within Hamming distance 3 shares a
     // band (pigeonhole) — so at the default maxDist = 3 and uncapped

@@ -1362,6 +1362,57 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("decontamination: hits, fractions, and the clean set equal brute force") {
+    import graft.text.Decontamination
+    val rnd = new Random(6841)
+    val vocab = Vector("q0", "q1", "q2", "q3", "q4", "q5")
+    def sh(t: String, n: Int): Set[String] = {
+      val toks = Option(t).getOrElse("").trim.split("\\s+").toSeq
+      (if (toks.length <= n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq).toSet - ""
+    }
+    for (trial <- 1 to 3) {
+      val n = 2 + rnd.nextInt(2)
+      val minHits = 1 + rnd.nextInt(3)
+      def doc(): String = rnd.nextInt(10) match {
+        case 0 => ""          // blank: no meaningful grams, never scored
+        case 1 => "   "       // whitespace-only: same
+        case 2 => vocab(rnd.nextInt(vocab.size)) // single word: whole-text gram
+        case _ => Seq.fill(2 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val corpus = (1 to 50).map(i => (i.toLong, doc()))
+      val bench = (1 to 10).map(i => (i.toLong, doc())) ++
+        corpus.slice(5, 10).map { case (i, t) => (100 + i, t) } // planted leaks
+      val cdf = corpus.toDF("id", "text")
+      val bdf = bench.map(_._2).map(Tuple1(_)).toDF("btext")
+      val benchSet = bench.flatMap(b => sh(b._2, n)).toSet
+      val hits = corpus.map { case (id, t) =>
+        id -> (sh(t, n).size.toLong, (sh(t, n) & benchSet).size.toLong) }.toMap
+      // contaminated: n_hits >= minHits only.
+      val gotC = Decontamination.contaminated(cdf, bdf, "id", "text", "btext",
+        n, minHits).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotC === hits.collect {
+        case (id, (_, h)) if h >= minHits => id -> h }, s"trial=$trial hits")
+      // score: every doc with >= 1 gram, zero hits included, frac rounded
+      // half-up to 6 dp.
+      val gotS = Decontamination.contaminationScore(cdf, bdf, "id", "text",
+        "btext", n).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      val wantS = hits.collect { case (id, (g, h)) if g > 0 =>
+        id -> (g, h, BigDecimal(h.toDouble / g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(gotS === wantS, s"trial=$trial score n=$n")
+      // decontaminate: exactly the sub-threshold rows survive.
+      assert(Decontamination.decontaminate(cdf, bdf, "id", "text", "btext",
+        n, minHits).select("id").as[Long].collect().toSet ===
+        corpus.map(_._1).filterNot(id => hits(id)._2 >= minHits).toSet,
+        s"trial=$trial clean")
+    }
+  }
+
   test("ngram jaccard pairs: equals brute-force set similarity at every threshold") {
     // PPJoin prefix + position + size-ratio filters are COMPLETENESS-
     // preserving and verification is exact, so the operator's pair set

@@ -1362,6 +1362,27 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("keepBest: quality-argmax winner per group equals a sort-based reference") {
+    val rnd = new Random(7121)
+    (1 to 5).foreach { trial =>
+      // Dup-heavy (a, b) content groups (nulls included in identity);
+      // score (quality desc, then -id so final ties prefer the SMALLER id
+      // — the total-order discipline the scaladoc prescribes).
+      val rows = (1 to 150).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(5) == 0) null else s"a${rnd.nextInt(5)}",
+          if (rnd.nextInt(5) == 0) null else s"b${rnd.nextInt(3)}",
+          rnd.nextInt(4).toLong)
+      }
+      val got = Dedup.keepBest(rows.toDF("id", "a", "b", "q"),
+        Seq("a", "b"), Seq(col("q"), -col("id")))
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(r => (r._2, r._3)).values
+        .map(_.maxBy(r => (r._4, -r._1))).map(_._1).toSet
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
   test("decontamination: hits, fractions, and the clean set equal brute force") {
     import graft.text.Decontamination
     val rnd = new Random(6841)

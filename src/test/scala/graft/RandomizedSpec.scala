@@ -1362,6 +1362,64 @@ class RandomizedSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("knn brute/filtered/range: equal a widened-double cosine reference") {
+    import graft.similarity.Knn
+    GraftFunctions.register(spark)
+    val rnd = new Random(7529)
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (1 to 3).foreach { trial =>
+      val dim = 4 + rnd.nextInt(5)
+      val k = 1 + rnd.nextInt(4)
+      val corpus = (1 to 60).map { i =>
+        val v =
+          if (rnd.nextInt(15) == 0) Array.fill(dim)(0.0f) // degenerate: cos 0
+          else Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+        (i.toLong, v, if (rnd.nextBoolean()) "red" else "blue")
+      }
+      val queries = corpus.take(8).map { case (id, v, _) => (id, v) }
+      val cdf = corpus.toDF("vec_id", "vec", "label")
+      val qdf = queries.toDF("vec_id", "vec")
+      // Reference: per query, neighbors (self excluded) by
+      // (cosine desc, id asc), exactly the topK window's total order.
+      def wantTopK(pool: Seq[(Long, Array[Float])]): Map[(Long, Int), Long] =
+        queries.flatMap { case (qid, qv) =>
+          pool.filter(_._1 != qid)
+            .map { case (nid, nv) => (nid, cosRef(qv, nv)) }
+            .sortBy { case (nid, c) => (-c, nid) }.take(k).zipWithIndex
+            .map { case ((nid, _), r) => (qid, r + 1) -> nid }
+        }.toMap
+      val gotB = Knn.bruteForceTopK(qdf, cdf, "vec_id", "vec", k)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      assert(gotB === wantTopK(corpus.map(c => (c._1, c._2))),
+        s"trial=$trial brute k=$k dim=$dim")
+      // Filtered: PRE-filter semantics — ranks computed over the red
+      // subset only (post-filtering a plain top-k would return fewer).
+      val gotF = Knn.filteredTopK(qdf, cdf, "vec_id", "vec", k,
+        col("label") === "red")
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      assert(gotF === wantTopK(corpus.filter(_._3 == "red")
+        .map(c => (c._1, c._2))), s"trial=$trial filtered")
+      // Range: exact threshold membership, self excluded.
+      val minCos = rnd.nextDouble() * 0.6
+      val gotR = Knn.rangeSearch(qdf, cdf, "vec_id", "vec", minCos)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantR = (for {
+        (qid, qv) <- queries
+        (nid, nv, _) <- corpus
+        if nid != qid && cosRef(qv, nv) >= minCos
+      } yield (qid, nid)).toSet
+      assert(gotR === wantR, s"trial=$trial range minCos=$minCos")
+    }
+  }
+
   test("keepBest: quality-argmax winner per group equals a sort-based reference") {
     val rnd = new Random(7121)
     (1 to 5).foreach { trial =>

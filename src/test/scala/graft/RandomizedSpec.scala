@@ -1895,4 +1895,255 @@ class RandomizedSpec extends AnyFunSuite {
     }
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("minhash pairs: equals signature-level band candidates verified by exact jaccard") {
+    // LSH recall is probabilistic, but GIVEN the signatures the operator
+    // is deterministic: candidates = rep pairs sharing at least one band
+    // (read the signatures back through minhashSignatures itself, so the
+    // kernel is common-moded out), verification = exact shingle-set
+    // Jaccard ≥ threshold, exact-dup groups pre-routed at 1.0. The
+    // operator's pair set must EQUAL that reference — this pins the
+    // collapse → sign → band → bucket-join → verify → fan-out machinery
+    // end-to-end, including the fan-out of a near-dup match to every
+    // member of both exact-dup groups.
+    import Dedup.MinHashConfig
+    val rnd = new Random(8317)
+    val vocab = Vector("ash", "birch", "cedar", "elm", "fir", "hazel",
+      "larch", "maple", "oak", "pine")
+    def shingleSet(t: String, n: Int): Set[String] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.length <= n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq).toSet
+    }
+    for ((cfg, trial) <- Seq(
+        MinHashConfig(numHashes = 32, bands = 16, shingleSize = 2, threshold = 0.6),
+        MinHashConfig(numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5),
+        MinHashConfig(numHashes = 24, bands = 12, shingleSize = 2, threshold = 0.8))
+          .zipWithIndex) {
+      def doc(): String =
+        Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bases = (1 to 22).map(_ => doc())
+      // Exact-dup groups (collapse + fan-out path), one-word edits (real
+      // near-dups whose exact J straddles the threshold), fresh docs.
+      val texts = bases ++ bases.take(7) ++ bases.take(3) ++
+        bases.slice(7, 15).map { t =>
+          val ws = t.split(" "); ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+          ws.mkString(" ")
+        } ++ (1 to 8).map(_ => doc())
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val groups = docs.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+      val reps = groups.map(g => g.min -> docs.find(_._1 == g.min).get._2)
+      val sigs = Dedup.minhashSignatures(
+          reps.toDF("id", "text"), "id", "text", cfg)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (0 until cfg.numHashes).map(i => r.getLong(i + 1)).toVector)
+        .toMap
+      def shareBand(a: Long, b: Long): Boolean = (0 until cfg.bands).exists { bd =>
+        val lo = bd * cfg.rowsPerBand
+        sigs(a).slice(lo, lo + cfg.rowsPerBand) ==
+          sigs(b).slice(lo, lo + cfg.rowsPerBand)
+      }
+      val within = groups.filter(_.size > 1).flatMap(g =>
+        g.combinations(2).map { case Seq(a, b) => (a, b, 1.0) })
+      val cross = (for {
+        Seq((ra, ta), (rb, tb)) <- reps.sortBy(_._1).combinations(2)
+        if shareBand(ra, rb)
+        sa = shingleSet(ta, cfg.shingleSize); sb = shingleSet(tb, cfg.shingleSize)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= cfg.threshold
+        ga = groups.find(_.contains(ra)).get
+        gb = groups.find(_.contains(rb)).get
+        a <- ga; b <- gb
+      } yield (math.min(a, b), math.max(a, b), j)).toSeq
+      val want = (within ++ cross).toSet
+      val got = Dedup.minhashNearDupPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want,
+        s"trial=$trial missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("tfidf: idf table and per-doc top-k equal a plain-Scala reference") {
+    // Same IEEE arithmetic on both sides (ln((N+1)/(df+1)) + 1 over
+    // long-count inputs, tf·idf as long × double), so scores compare
+    // EXACTLY — any drift means the operator changed its formula, its
+    // tokenization, or its blank-document policy, not just its plan.
+    import graft.text.TfIdf
+    val rnd = new Random(9413)
+    val vocab = Vector("sun", "moon", "star", "comet", "nova", "dust", "void")
+    (1 to 3).foreach { trial =>
+      val docs = (1 to (12 + rnd.nextInt(10))).map { i =>
+        val t = rnd.nextInt(10) match {
+          case 0 => null.asInstanceOf[String] // null text: omitted from pairs
+          case 1 => "   "                     // blank: omitted from pairs
+          case _ => Seq.fill(1 + rnd.nextInt(15))(
+            vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+        (i.toLong, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val n = docs.size // idf's N counts ALL docs, null/blank included
+      val toks = docs.collect { case (id, t) if t != null && t.trim.nonEmpty =>
+        id -> t.trim.split("\\s+").toSeq }
+      val dfCnt = toks.flatMap { case (_, ts) => ts.distinct }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def idfOf(term: String): Double = // Spark's LOG is StrictMath.log
+        StrictMath.log((n + 1).toDouble / (dfCnt(term) + 1)) + 1
+      val wantIdf = dfCnt.map { case (t, c) => (t, c, idfOf(t)) }.toSet
+      val gotIdf = TfIdf.idf(df, "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotIdf === wantIdf, s"trial=$trial idf")
+      val k = 1 + rnd.nextInt(4)
+      val want = toks.flatMap { case (id, ts) =>
+        val scored = ts.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .map { case (t, tf) => (t, tf * idfOf(t)) }
+          .sortBy { case (t, s) => (-s, t) }
+        scored.take(k).zipWithIndex.map { case ((t, s), i) => (id, t, s, i + 1) }
+      }.toSet
+      val got = TfIdf.topTerms(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      assert(got === want, s"trial=$trial k=$k " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("dsir: weights and gumbel-top-k resample equal an exact micro-nat reference") {
+    // The whole path is integer-exact by design (micro-quantized log
+    // ratios, content-addressed Gumbel noise), so the reference replays it
+    // EXACTLY: vocab cut (target count desc, term asc), Laplace smoothing
+    // over the vocab support, HALF_UP micro rounding, md5-bucket uniforms,
+    // ties on doc id. Any inequality is a real semantic change.
+    import graft.text.Dsir
+    val rnd = new Random(10427)
+    val vocab = Vector("Red", "blue", "GREEN", "teal", "plum", "gold", "rust")
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    def bucket(key: String, salt: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$key:$salt".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    (1 to 3).foreach { trial =>
+      def doc(nMax: Int): String = Seq.fill(1 + rnd.nextInt(nMax))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val raw = (1 to (15 + rnd.nextInt(10))).map { i =>
+        (i.toLong, if (rnd.nextInt(12) == 0) null.asInstanceOf[String] else doc(14))
+      }
+      val target = (1 to (4 + rnd.nextInt(4))).map(i => (100L + i, doc(10)))
+      val vSize = 1 + rnd.nextInt(vocab.size + 2)
+      def toks(t: String): Seq[String] =
+        if (t == null) Nil
+        else t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val tCnt = target.flatMap(d => toks(d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vcb = tCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(vSize).map(_._1).toSet
+      val rCnt = raw.flatMap(d => toks(d._2)).filter(vcb)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tTot = tCnt.filter { case (t, _) => vcb(t) }.values.sum
+      val rTot = rCnt.values.sum
+      val v = vcb.size
+      val lr = vcb.map { t => // Spark's LOG is StrictMath.log
+        t -> (q(StrictMath.log((tCnt.getOrElse(t, 0L) + 1).toDouble / (tTot + v))) -
+          q(StrictMath.log((rCnt.getOrElse(t, 0L) + 1).toDouble / (rTot + v))))
+      }.toMap
+      val wantW = raw.collect { case (id, t) if toks(t).nonEmpty =>
+        val ts = toks(t)
+        id -> ((ts.size.toLong, ts.collect { case w if vcb(w) => lr(w) }.sum))
+      }.toMap
+      val gotW = Dsir.importanceWeights(
+          raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"),
+          "doc_id", "text", vSize)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          math.round(r.getDouble(2) * 1e6))))
+        .toMap
+      assert(gotW === wantW, s"trial=$trial vSize=$vSize weights")
+      // Resample: noise each micro weight with the content-addressed
+      // Gumbel, take the k largest (id asc on ties).
+      val salt = rnd.nextLong()
+      val k = 1 + rnd.nextInt(math.max(1, wantW.size))
+      def gumbel(id: Long): Long = {
+        val u = (bucket(id.toString, salt) + 0.5) / 4294967296.0
+        q(-StrictMath.log(-StrictMath.log(u)))
+      }
+      val wantSel = wantW.toSeq
+        .map { case (id, (_, w)) => (id, w + gumbel(id)) }
+        .sortBy { case (id, nz) => (-nz, id) }.take(k)
+      val gotSel = Dsir.resample(
+          raw.toDF("doc_id", "text"), target.toDF("doc_id", "text"),
+          "doc_id", "text", k, salt, vSize)
+        .collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(3) * 1e6)))
+        .toSeq
+      assert(gotSel === wantSel, s"trial=$trial k=$k salt=$salt resample")
+    }
+  }
+
+  test("bpe apply: kernel equals sequential rank-order application on random text") {
+    // The codegen'd kernel applies the LOWEST-RANK applicable pair first
+    // (the GPT-2 loop); the reference here applies each merge exhaustively
+    // IN RANK ORDER (the trainer's rewrite rule). For a trained table the
+    // two are provably equivalent — a merge's operands are only ever
+    // produced by strictly lower ranks, so exhausting ranks 0..r-1 first
+    // can never be undone by a later merge. Equality over random corpora
+    // AND random out-of-vocabulary query text (unseen chars → UNK ids)
+    // pins the kernel against an algorithmically independent reference.
+    import graft.text.Bpe
+    GraftFunctions.register(spark)
+    val rnd = new Random(11681)
+    val chars = "abcde"
+    def word(maxLen: Int): String =
+      (1 to (1 + rnd.nextInt(maxLen))).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    (1 to 4).foreach { trial =>
+      val corpus = (1 to (10 + rnd.nextInt(10))).map(_ =>
+        (1 to (2 + rnd.nextInt(8))).map(_ => word(5)).mkString(" "))
+      val model = Bpe.train(corpus.toDF("text"), "text", 1 + rnd.nextInt(12))
+      def mergeAll(syms: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      def refWord(w: String): Vector[String] =
+        model.merges.foldLeft(w.map(String.valueOf(_)).toVector :+ "</w>") {
+          case (syms, (a, b)) => mergeAll(syms, a, b)
+        }
+      def refTokens(text: String): Vector[String] =
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .toVector.flatMap(refWord)
+      // Last-wins id table, mirroring the kernel's HashMap build order
+      // (duplicate merged STRINGS are possible: (a, bc) and (ab, c) both
+      // render "abc" — the id lookup must agree on which rank owns it).
+      val idOf = model.vocabulary.zipWithIndex.toMap
+      val unk = model.vocabulary.length
+      // Query text: corpus words, fresh words, out-of-alphabet chars,
+      // mixed case and ragged whitespace.
+      val queries = (1 to 12).map { _ =>
+        (1 to (1 + rnd.nextInt(8))).map(_ => rnd.nextInt(4) match {
+          case 0 => word(6)
+          case 1 => word(4).toUpperCase
+          case 2 => word(3) + "xyz!".charAt(rnd.nextInt(4))
+          case _ => corpus(rnd.nextInt(corpus.size)).split(" ").head
+        }).mkString(if (rnd.nextBoolean()) " " else "   ")
+      }
+      val got = queries.toDF("text")
+        .select(Bpe.tokens(model, col("text")).as("t"),
+          Bpe.tokenIds(model, col("text")).as("i"))
+        .as[(Seq[String], Seq[Int])].collect()
+      queries.zip(got).foreach { case (q, (gotToks, gotIds)) =>
+        val want = refTokens(q)
+        assert(gotToks === want, s"trial=$trial tokens for '$q'")
+        assert(gotIds === want.map(s => idOf.getOrElse(s, unk)),
+          s"trial=$trial ids for '$q'")
+      }
+    }
+  }
 }

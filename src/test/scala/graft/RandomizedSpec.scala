@@ -2146,4 +2146,147 @@ class RandomizedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gopher rule columns: every signal equals a plain-Scala reference") {
+    // The rule expressions are scan-local SQL over split/trim/regex
+    // primitives whose EDGES differ between engines — Spark's trim family
+    // strips ASCII SPACES only (Scala's String.trim strips all control
+    // whitespace), split keeps trailing empty fields, regexp_count is
+    // non-overlapping. The reference replicates those exact semantics; the
+    // generated docs plant tabs, trailing newlines, blank lines, bullets,
+    // ellipses (both spellings), dup lines, and '#' runs to sit on them.
+    import graft.text.QualityRules
+    val rnd = new Random(12907)
+    def spTrim(s: String): String = // Spark trim: 0x20 only
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse.mkString
+    def toks(s: String): Seq[String] = spTrim(s).split("\\s+", -1).toSeq
+    def lines(s: String): Seq[String] = s.split("\n", -1).toSeq
+    def countRe(s: String, re: String): Int =
+      re.r.findAllMatchIn(s).size
+    val stop = QualityRules.requiredStopwords
+    val words = Vector("the", "and", "orbit", "flux", "##tag", "a.b...",
+      "x1", "QUARTZ", "µon", "of\tthat", "...", "—")
+    (1 to 3).foreach { trial =>
+      val docs = (1 to 25).map { i =>
+        val nLines = rnd.nextInt(8)
+        val ls = (0 until nLines).map { _ =>
+          rnd.nextInt(8) match {
+            case 0 => ""
+            case 1 => "   " // blank after trim
+            case 2 => "  - " + words(rnd.nextInt(words.size))
+            case 3 => words(rnd.nextInt(words.size)) + "...  "
+            case 4 => words(rnd.nextInt(words.size)) + "…"
+            case _ => (1 to (1 + rnd.nextInt(6)))
+              .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+          }
+        }
+        // Duplicate a line sometimes; trailing newline sometimes.
+        val withDup = if (ls.size >= 2 && rnd.nextBoolean())
+          ls ++ Seq(ls(rnd.nextInt(ls.size))) else ls
+        val t = withDup.mkString("\n") + (if (rnd.nextBoolean()) "\n" else "")
+        (i.toLong, t)
+      }
+      val got = QualityRules.withRuleColumns(docs.toDF("id", "text"), "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      docs.foreach { case (id, t) =>
+        val r = got(id)
+        val tk = toks(t); val ln = lines(t)
+        val nW = tk.size
+        assert(r.getAs[Int]("n_words") === nW, s"trial=$trial id=$id n_words")
+        assert(r.getAs[Double]("mean_word_len") ===
+          tk.map(_.length.toLong).sum.toDouble / nW, s"trial=$trial id=$id mwl")
+        val symR = (countRe(t, "#") + countRe(t, "\\.\\.\\.")).toDouble / nW
+        assert(r.getAs[Double]("symbol_ratio") === symR, s"trial=$trial id=$id sym")
+        assert(r.getAs[Double]("bullet_frac") ===
+          ln.count(l => "^[-*•]".r.findFirstIn(l.dropWhile(_ == ' ')).isDefined)
+            .toDouble / ln.size, s"trial=$trial id=$id bullet")
+        assert(r.getAs[Double]("ellipsis_frac") ===
+          ln.count(l => "(\\.\\.\\.|…)$".r
+              .findFirstIn(l.reverse.dropWhile(_ == ' ').reverse).isDefined)
+            .toDouble / ln.size, s"trial=$trial id=$id ellipsis")
+        assert(r.getAs[Double]("alpha_frac") ===
+          tk.count(w => w.exists(c =>
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+            .toDouble / nW, s"trial=$trial id=$id alpha")
+        val lowered = tk.map(_.toLowerCase).toSet
+        assert(r.getAs[Int]("stopword_hits") === stop.count(lowered),
+          s"trial=$trial id=$id stopwords")
+        val nb = ln.filterNot(l => spTrim(l).isEmpty)
+        val wantDupFrac = if (nb.isEmpty) 0.0
+          else (nb.size - nb.distinct.size).toDouble / nb.size
+        assert(r.getAs[Double]("dup_line_frac") === wantDupFrac,
+          s"trial=$trial id=$id dupline")
+        val srt = nb.sorted
+        val dupChars = srt.zip(srt.drop(1)).collect {
+          case (a, b) if a == b => b.length.toLong }.sum
+        val totChars = srt.map(_.length.toLong).sum
+        val wantCharFrac = if (srt.isEmpty || totChars == 0L) 0.0
+          else dupChars.toDouble / totChars.toDouble
+        assert(r.getAs[Double]("dup_line_char_frac") === wantCharFrac,
+          s"trial=$trial id=$id dupchars")
+        assert(r.getAs[Boolean]("repetition_keep") ===
+          (wantDupFrac <= 0.3 && wantCharFrac <= 0.2),
+          s"trial=$trial id=$id repetition_keep")
+      }
+    }
+  }
+
+  test("profiler: column stats and histogram buckets equal plain references") {
+    import graft.quality.Profiler
+    val rnd = new Random(13177)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to (40 + rnd.nextInt(40))).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(20).toLong),
+          if (rnd.nextInt(4) == 0) null.asInstanceOf[String]
+          else s"v${rnd.nextInt(8)}",
+          null.asInstanceOf[String]) // all-null column: min/max render ''
+      }
+      val df = rows.toDF("id", "k", "s", "z")
+      val got = Profiler.profile(df)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val n = rows.size.toLong
+      def refCol[T](vs: Seq[T]): (Long, Long, Long, String, String) = {
+        val nn = vs.filter(_ != null)
+        (n, vs.count(_ == null).toLong, nn.distinct.size.toLong,
+          if (nn.isEmpty) "" else nn.map(_.toString).min,
+          if (nn.isEmpty) "" else nn.map(_.toString).max)
+      }
+      // id/k are numeric: min/max order numerically, THEN render.
+      val ks = rows.map(_._2)
+      val kNn = ks.filter(_ != null).map(_.longValue)
+      assert(got("k") === ((n, ks.count(_ == null).toLong,
+        kNn.distinct.size.toLong,
+        if (kNn.isEmpty) "" else kNn.min.toString,
+        if (kNn.isEmpty) "" else kNn.max.toString)), s"trial=$trial k")
+      assert(got("s") === refCol(rows.map(_._3)), s"trial=$trial s")
+      assert(got("z") === ((n, n, 0L, "", "")), s"trial=$trial z")
+      // Histogram: replicate the EXPLICIT bucket expression bit-for-bit.
+      val nBins = 1 + rnd.nextInt(6)
+      val vals = (1 to 60).map(i =>
+        (s"g${rnd.nextInt(3)}",
+          if (rnd.nextInt(8) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(100) / 7.0)))
+      val hdf = vals.toDF("g", "v")
+      val byG = vals.collect { case (g, v) if v != null => (g, v.doubleValue) }
+        .groupBy(_._1)
+      val want = byG.flatMap { case (g, gs) =>
+        val xs = gs.map(_._2)
+        val lo = xs.min; val hi = xs.max
+        val buckets = xs.map { v =>
+          if (hi == lo) 0L
+          else math.min(nBins - 1L, math.floor(((v - lo) * nBins) / (hi - lo)).toLong)
+        }
+        buckets.groupBy(identity).map { case (b, bs) =>
+          (g, b, bs.size.toLong, lo, hi) }
+      }.toSet
+      val gotH = Profiler.histogram(hdf, "v", nBins, Seq("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(gotH === want, s"trial=$trial nBins=$nBins histogram")
+    }
+  }
 }

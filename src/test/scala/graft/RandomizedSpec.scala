@@ -2289,4 +2289,102 @@ class RandomizedSpec extends AnyFunSuite {
       assert(gotH === want, s"trial=$trial nBins=$nBins histogram")
     }
   }
+
+  test("media codecs: random PPM/BMP/WAV payloads decode to exact references") {
+    // The fixture specs pin hand-computed examples; this drives the
+    // parsers over RANDOM payloads built by independent test-side
+    // encoders — random dimensions hit every BMP row-padding case
+    // (stride = 4-aligned 3·w), bottom-up AND top-down rasters, PPM
+    // headers with comments/ragged whitespace and sub-255 maxvals
+    // (raster bytes may exceed maxval — the clamped-bin rule), and WAV
+    // chunk walks over junk chunks with odd sizes (word alignment).
+    import graft.multimodal.MediaCodecs
+    val rnd = new Random(14401)
+    def lum(r: Int, g: Int, b: Int): Int = (r + g + b) / 3
+    def refHist(vals: Seq[Int], binOf: Int => Int): Seq[Double] = {
+      val h = new Array[Double](16)
+      vals.foreach(v => h(binOf(v)) += 1)
+      if (vals.nonEmpty) (0 until 16).map(i => h(i) / vals.size) else h.toSeq
+    }
+    (1 to 4).foreach { trial =>
+      // --- PPM ---
+      val (pw, ph) = (1 + rnd.nextInt(9), 1 + rnd.nextInt(9))
+      val maxval = 1 + rnd.nextInt(255)
+      val rgb = Array.fill(pw * ph * 3)(rnd.nextInt(256).toByte)
+      val header = s"P6${if (rnd.nextBoolean()) " # c\n" else "\n"}$pw" +
+        s"${if (rnd.nextBoolean()) "\t" else " "}$ph\n" +
+        s"${if (rnd.nextBoolean()) "# m\n" else ""}$maxval\n"
+      val ppm = header.getBytes("US-ASCII") ++ rgb
+      val wantPpmLuma = (0 until pw * ph).map(i =>
+        lum(rgb(3 * i) & 0xff, rgb(3 * i + 1) & 0xff, rgb(3 * i + 2) & 0xff))
+      val gp = MediaCodecs.lumaGridPpm(ppm).get
+      assert((gp.width, gp.height, gp.maxval) === ((pw, ph, maxval)), s"trial=$trial ppm dims")
+      assert(gp.luma.toSeq === wantPpmLuma, s"trial=$trial ppm luma")
+      val dp = MediaCodecs.decode(ppm)
+      assert(dp.format === "ppm" && dp.histogram.toSeq ===
+        refHist(wantPpmLuma, v => math.min(v * 16 / (maxval + 1), 15)),
+        s"trial=$trial ppm hist")
+      // --- BMP (24bpp, random padding, random orientation) ---
+      val (bw, bh) = (1 + rnd.nextInt(9), 1 + rnd.nextInt(6))
+      val bottomUp = rnd.nextBoolean()
+      val stride = ((bw * 3 + 3) / 4) * 4
+      val pix = Array.fill(bh, bw)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val raster = new java.io.ByteArrayOutputStream()
+      val rowOrder = if (bottomUp) (bh - 1) to 0 by -1 else 0 until bh
+      rowOrder.foreach { y =>
+        pix(y).foreach { case (b, g, r) => // stored BGR
+          raster.write(b); raster.write(g); raster.write(r) }
+        (bw * 3 until stride).foreach(_ => raster.write(rnd.nextInt(256)))
+      }
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * bh)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * bh)
+        .putInt(0).putInt(54) // reserved, dataOffset
+        .putInt(40).putInt(bw).putInt(if (bottomUp) bh else -bh)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * bh)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      bb.put(raster.toByteArray)
+      val bmp = bb.array()
+      val wantBmpLuma = (0 until bh).flatMap(y =>
+        (0 until bw).map { x =>
+          val (b, g, r) = pix(y)(x); lum(b, g, r) })
+      val gb = MediaCodecs.lumaGridBmp(bmp).get
+      assert((gb.width, gb.height) === ((bw, bh)), s"trial=$trial bmp dims")
+      assert(gb.luma.toSeq === wantBmpLuma,
+        s"trial=$trial bmp luma bottomUp=$bottomUp w=$bw")
+      val db = MediaCodecs.decode(bmp)
+      assert(db.format === "bmp" && db.histogram.toSeq ===
+        refHist(wantBmpLuma, v => math.min(v * 16 / 256, 15)),
+        s"trial=$trial bmp hist")
+      // --- WAV (junk chunk with odd size before fmt; PCM-16 data) ---
+      val samples = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(65536) - 32768)
+      val junkLen = 1 + 2 * rnd.nextInt(3) // ODD: exercises word alignment
+      val dataBytes = samples.length * 2
+      val body = java.nio.ByteBuffer.allocate(
+          8 + junkLen + (junkLen & 1) + 8 + 16 + 8 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      body.put("JUNK".getBytes("US-ASCII")).putInt(junkLen)
+      (0 until junkLen + (junkLen & 1)).foreach(_ => body.put(rnd.nextInt(256).toByte))
+      body.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      body.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      samples.foreach(s => body.putShort(s.toShort))
+      val wav = java.nio.ByteBuffer.allocate(12 + body.capacity())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.capacity())
+        .put("WAVE".getBytes("US-ASCII")).put(body.array()).array()
+      assert(MediaCodecs.pcmSamples(wav).get.toSeq === samples.toSeq,
+        s"trial=$trial wav samples")
+      val dw = MediaCodecs.decode(wav)
+      assert(dw.format === "wav" && dw.nSamples === samples.length.toLong &&
+        dw.histogram.toSeq ===
+          refHist(samples.toSeq, s => (s + 32768) >> 12),
+        s"trial=$trial wav hist")
+      // --- raw fallback: garbage bytes bin by high nibble ---
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val dr = MediaCodecs.decode(junk)
+      assert(dr.format === "raw" && dr.histogram.toSeq ===
+        refHist(junk.toSeq.map(_ & 0xff), v => v >> 4), s"trial=$trial raw")
+    }
+  }
 }

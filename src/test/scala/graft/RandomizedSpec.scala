@@ -2387,4 +2387,88 @@ class RandomizedSpec extends AnyFunSuite {
         refHist(junk.toSeq.map(_ & 0xff), v => v >> 4), s"trial=$trial raw")
     }
   }
+
+  test("pii: staged counts and scrub equal the replace-chain reference on random text") {
+    // Both sides are Java regex over the same patterns, so the property
+    // pins the STAGING contract: emails counted on raw text, IPs on the
+    // email-redacted text, phones on the email+IP-redacted text, and
+    // scrub applies the same three replaces in the same order — random
+    // adjacency collisions (an email's host octets, an IP inside a digit
+    // run, phone-ish tails glued to either) are exactly what the staging
+    // exists to departition.
+    import graft.text.TextAnalysis
+    val rnd = new Random(15649)
+    val emailRe = TextAnalysis.emailRe.r
+    val ipRe = TextAnalysis.ipv4Re.r
+    val phoneRe = TextAnalysis.phoneRe.r
+    def piece(): String = rnd.nextInt(7) match {
+      case 0 => s"u${rnd.nextInt(99)}@ex${rnd.nextInt(9)}.com"
+      case 1 => s"${rnd.nextInt(300)}.${rnd.nextInt(300)}.${rnd.nextInt(300)}.${rnd.nextInt(300)}"
+      case 2 => s"+1 (${rnd.nextInt(999)}) ${rnd.nextInt(999)}-${rnd.nextInt(9999)}"
+      case 3 => s"${rnd.nextInt(100000000)}${rnd.nextInt(100000000)}"
+      case 4 => "call me maybe"
+      case 5 => s"v${rnd.nextInt(9)}.${rnd.nextInt(9)}.${rnd.nextInt(9)}"
+      case _ => s"x${rnd.nextInt(9)}@${rnd.nextInt(9)}.${rnd.nextInt(9)}"
+    }
+    (1 to 3).foreach { trial =>
+      val texts = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => piece())
+          .mkString(if (rnd.nextBoolean()) " " else ""))
+      val got = texts.toDF("text").select(
+        TextAnalysis.piiEmails(col("text")),
+        TextAnalysis.piiIps(col("text")),
+        TextAnalysis.piiPhones(col("text")),
+        TextAnalysis.scrubPii(col("text"))).collect()
+      texts.zip(got).foreach { case (t, r) =>
+        val afterEmail = emailRe.replaceAllIn(t, "<email>")
+        val afterIp = ipRe.replaceAllIn(afterEmail, "<ip>")
+        assert(r.getInt(0) === emailRe.findAllMatchIn(t).size, s"trial=$trial emails '$t'")
+        assert(r.getInt(1) === ipRe.findAllMatchIn(afterEmail).size, s"trial=$trial ips '$t'")
+        assert(r.getInt(2) === phoneRe.findAllMatchIn(afterIp).size, s"trial=$trial phones '$t'")
+        assert(r.getString(3) === phoneRe.replaceAllIn(afterIp, "<phone>"),
+          s"trial=$trial scrub '$t'")
+      }
+    }
+  }
+
+  test("source freshness: per-group status equals a plain threshold reference") {
+    import graft.quality.SourceFreshness
+    import java.sql.Timestamp
+    val rnd = new Random(16127)
+    (1 to 3).foreach { trial =>
+      val nowS = 1700000000L + rnd.nextInt(100000)
+      val now = new Timestamp(nowS * 1000)
+      val warn = rnd.nextInt(5000).toLong
+      val err = warn + rnd.nextInt(5000)
+      val rows = (1 to 60).map { i =>
+        (s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(6) == 0) null.asInstanceOf[Timestamp]
+          else new Timestamp((nowS - rnd.nextInt(12000)) * 1000))
+      }
+      val df = rows.toDF("g", "loaded_at")
+      def statusOf(maxAt: Option[Long]): (Option[Long], String) = maxAt match {
+        case None => (None, "error") // all-null group: no rows ever loaded
+        case Some(m) =>
+          val age = nowS - m
+          (Some(age), if (age > err) "error" else if (age > warn) "warn" else "pass")
+      }
+      val want = rows.groupBy(_._1).map { case (g, gs) =>
+        val ts = gs.flatMap(r => Option(r._2)).map(_.getTime / 1000)
+        val (age, st) = statusOf(if (ts.isEmpty) None else Some(ts.max))
+        (g, ts.sorted.lastOption.map(s => new Timestamp(s * 1000)).orNull,
+          age.map(java.lang.Long.valueOf).orNull, st)
+      }.toSet
+      val got = SourceFreshness.evaluate(df, "loaded_at", now, warn, err, Seq("g"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+          r.getString(3))).toSet
+      assert(got === want, s"trial=$trial warn=$warn err=$err")
+      // Global (ungrouped) shape agrees with the merged groups.
+      val g0 = SourceFreshness.evaluate(df, "loaded_at", now, warn, err).head()
+      val allTs = rows.flatMap(r => Option(r._2)).map(_.getTime / 1000)
+      val (wantAge, wantSt) = statusOf(Some(allTs.max))
+      assert(g0.getLong(1) === wantAge.get && g0.getString(2) === wantSt,
+        s"trial=$trial global")
+    }
+  }
 }

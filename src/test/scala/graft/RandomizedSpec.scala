@@ -2471,4 +2471,77 @@ class RandomizedSpec extends AnyFunSuite {
         s"trial=$trial global")
     }
   }
+
+  test("text scorers: repetition kernels, quality score, stopword ratio, langId equal references") {
+    import graft.text.TextAnalysis
+    val rnd = new Random(17203)
+    // Tokens-as-Spark-sees-them: space-only trim, trailing-empty-keeping split.
+    def toks(s: String): Vector[String] =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse.mkString
+        .split("\\s+", -1).toVector
+    def gramStats(tk: Vector[String], n: Int): (Map[String, (Long, Long)], Long) = {
+      val docLen = tk.map(_.length.toLong).sum +
+        (if (tk.size > 1) tk.size - 1L else 0L)
+      val nGrams = math.max(tk.size - n + 1, 1)
+      val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      (0 until math.min(nGrams, tk.size)).foreach { i =>
+        val g = tk.slice(i, math.min(i + n, tk.size))
+        val gs = g.mkString(" ")
+        val chars = gs.length.toLong
+        m.updateWith(gs) { case Some((c, ch)) => Some((c + 1, ch)); case None => Some((1L, chars)) }
+      }
+      (m.toMap, docLen)
+    }
+    val en = Seq("the", "and", "of", "is", "le", "der", "orbit", "a", "un", "la")
+    (1 to 3).foreach { trial =>
+      val texts = (1 to 30).map { _ =>
+        val base = (1 to (1 + rnd.nextInt(12)))
+          .map(_ => en(rnd.nextInt(en.size))).mkString(" ")
+        rnd.nextInt(4) match {
+          case 0 => (base + " ") * (1 + rnd.nextInt(3)) + base // looped boilerplate
+          case 1 => base + ", ok!! (v2.0)"
+          case 2 => base.toUpperCase
+          case _ => base
+        }
+      }
+      // The registered repetition kernels carry plan-time constants:
+      // top n-gram at n=2, dup n-grams at n=5 (GraftFunctions.register).
+      GraftFunctions.register(spark)
+      val rows = texts.toDF("text").select(
+        TextAnalysis.topNgramCharFrac(col("text")),
+        TextAnalysis.dupNgramCharFrac(col("text")),
+        TextAnalysis.stopwordRatio(col("text")),
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.langId(col("text"))).collect()
+      texts.zip(rows).foreach { case (t, r) =>
+        val tk = toks(t)
+        val (m2, docLen) = gramStats(tk, 2)
+        val (m5, _) = gramStats(tk, 5)
+        val top = if (docLen == 0) 0.0
+          else m2.values.map { case (c, ch) => c * ch }.foldLeft(0L)(math.max)
+            .toDouble / docLen
+        val dup = if (docLen == 0) 0.0
+          else m5.values.collect { case (c, ch) if c >= 2 => c * ch }.sum.toDouble / docLen
+        assert(r.getDouble(0) === top, s"trial=$trial top '$t'")
+        assert(r.getDouble(1) === dup, s"trial=$trial dup '$t'")
+        val sw = TextAnalysis.englishStopwords.toSet
+        assert(r.getDouble(2) === tk.count(sw).toDouble / tk.size,
+          s"trial=$trial stopword '$t'")
+        val nChars = t.length.toDouble
+        val nTok = tk.size.toDouble
+        val nPunct = t.replaceAll("[a-zA-Z0-9\\s]", "").length.toDouble
+        val meanTokLen = (nChars - (nTok - 1)) / nTok
+        val lenScore = math.min(nTok / 100.0, 1.0)
+        val punct = math.min(nPunct / nChars * 5.0, 1.0)
+        val tokLenScore = if (meanTokLen >= 3.0 && meanTokLen <= 10.0) 1.0 else 0.5
+        assert(r.getDouble(3) ===
+          lenScore * 0.5 + tokLenScore * 0.3 + (1.0 - punct) * 0.2,
+          s"trial=$trial quality '$t'")
+        val hits = TextAnalysis.stopwordProfiles.view.mapValues(ws =>
+          tk.count(ws.toSet)).toMap
+        val wantLang = hits.toSeq.sortBy { case (code, h) => (-h, code) }.head._1
+        assert(r.getString(4) === wantLang, s"trial=$trial lang '$t'")
+      }
+    }
+  }
 }

@@ -2544,4 +2544,60 @@ class RandomizedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("c4 rules: line filter, page verdict, and blocklist equal plain references") {
+    import graft.text.C4Rules
+    val rnd = new Random(18131)
+    def spRtrim(s: String): String = s.reverse.dropWhile(_ == ' ').reverse.mkString
+    def spTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse.mkString
+    def refLineKeep(l: String): Boolean =
+      "[.!?\"]$".r.findFirstIn(spRtrim(l)).isDefined &&
+        spTrim(l).split("\\s+", -1).length >= C4Rules.minWordsPerLine &&
+        !l.toLowerCase.contains("javascript")
+    def refSentences(s: String): Int = s.count(c => c == '.' || c == '!' || c == '?')
+    val words = Vector("the", "report", "says", "so", "and", "more", "data",
+      "JavaScript", "lorem", "ipsum")
+    val blocklist = Seq("Ipsum", "data")
+    (1 to 3).foreach { trial =>
+      val pages = (1 to 30).map { i =>
+        val nLines = 1 + rnd.nextInt(7)
+        (i.toLong, (1 to nLines).map { _ =>
+          val base = (1 to (1 + rnd.nextInt(8)))
+            .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+          rnd.nextInt(6) match {
+            case 0 => base + "."
+            case 1 => base + "!  " // terminal + trailing spaces
+            case 2 => base + "?\"" // quote after question mark
+            case 3 => base + " {x}."
+            case 4 => "short."
+            case _ => base
+          }
+        }.mkString("\n"))
+      }
+      val got = C4Rules.withC4Columns(pages.toDF("id", "text"), "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val gotBlock = pages.toDF("id", "text")
+        .select(col("id"), C4Rules.blocklistHit(col("text"), blocklist))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      pages.foreach { case (id, t) =>
+        val r = got(id)
+        val lines = t.split("\n", -1).toSeq
+        val kept = lines.filter(refLineKeep)
+        val clean = kept.mkString("\n")
+        val nSent = refSentences(clean)
+        val keep = !t.toLowerCase.contains("lorem ipsum") &&
+          !t.contains("{") && nSent >= C4Rules.minSentences
+        assert(r.getAs[Int]("n_lines") === lines.size, s"trial=$trial id=$id n_lines")
+        assert(r.getAs[Int]("n_kept_lines") === kept.size, s"trial=$trial id=$id kept")
+        assert(r.getAs[String]("clean_text") === clean, s"trial=$trial id=$id clean")
+        assert(r.getAs[Int]("n_sentences") === nSent, s"trial=$trial id=$id sentences")
+        assert(r.getAs[Boolean]("c4_keep") === keep, s"trial=$trial id=$id keep")
+        val wordSet = t.toLowerCase.split("[^a-z0-9']+", -1).toSet
+        assert(gotBlock(id) ===
+          blocklist.exists(w => wordSet(w.toLowerCase(java.util.Locale.ROOT))),
+          s"trial=$trial id=$id blocklist")
+      }
+    }
+  }
 }

@@ -2600,4 +2600,68 @@ class RandomizedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("embedding pairs: equals signature-level band candidates verified by exact cosine") {
+    // The embedding twin of the minhash property: candidates = distinct-
+    // vector reps sharing any 16-bit band of the 64-plane sign projection
+    // (signatures read back through the operator's own kernel), verified
+    // by a plain-Scala widen-to-double cosine replicating the kernel's
+    // accumulation order EXACTLY — so pair sets AND scores compare with
+    // ==. Exact-dup groups fan out through the identity pair, whose score
+    // is the kernel's own self-cosine (not a synthesized 1.0); zero
+    // vectors score 0.0 and are filtered like any other below-threshold
+    // pair.
+    GraftFunctions.register(spark)
+    val rnd = new Random(19583)
+    def refCos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = 8
+    (1 to 3).foreach { trial =>
+      val tau = Seq(0.95, 0.8, 0.99)(trial - 1)
+      def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val bases = (1 to 15).map(_ => vec())
+      val vecs: Seq[Array[Float]] = bases ++ bases.take(5) ++ // exact dups
+        bases.slice(5, 10).map(v => v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)) ++
+        Seq(Array.fill(dim)(0f)) ++ // zero vector: cosine 0, never reported
+        (1 to 6).map(_ => vec())
+      val rows = vecs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v.toSeq) }
+      val df = rows.toDF("doc_id", "emb")
+      val groups = rows.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+      val reps = groups.map(g => g.min -> rows.find(_._1 == g.min).get._2.toArray)
+      val sigs = reps.toDF("id", "emb")
+        .select(col("id"), GraftFunctions.signProjection(col("emb")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def shareBand(a: Long, b: Long): Boolean = (0 until 4).exists(bd =>
+        ((sigs(a) >> (bd * 16)) & 0xffffL) == ((sigs(b) >> (bd * 16)) & 0xffffL))
+      val within = groups.filter(_.size > 1).flatMap { g =>
+        val v = reps.find(_._1 == g.min).get._2
+        val c = refCos(v, v)
+        if (c >= tau) g.combinations(2).map { case Seq(a, b) => (a, b, c) }
+        else Seq.empty
+      }
+      val cross = (for {
+        Seq((ra, va), (rb, vb)) <- reps.sortBy(_._1).combinations(2)
+        if shareBand(ra, rb)
+        c = refCos(va, vb)
+        if c >= tau
+        ga = groups.find(_.contains(ra)).get
+        gb = groups.find(_.contains(rb)).get
+        a <- ga; b <- gb
+      } yield (math.min(a, b), math.max(a, b), c)).toSeq
+      val want = (within ++ cross).toSet
+      val got = Dedup.embeddingNearDupPairs(df, "doc_id", "emb", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want,
+        s"trial=$trial tau=$tau missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
 }

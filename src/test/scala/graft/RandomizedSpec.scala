@@ -2664,4 +2664,46 @@ class RandomizedSpec extends AnyFunSuite {
         s"trial=$trial tau=$tau missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
   }
+
+  test("layout rewrites: random tables keep exact contents under any maintenance op") {
+    // compact / optimizeLayout / zOrderLayout promise "only the file
+    // layout changes". The deterministic specs pin geometry; this pins
+    // the CONTENTS contract over random shapes the geometry tests never
+    // vary together: random partitioning (none / one col), null values in
+    // sort and z-order columns, duplicate rows (multiset, not set,
+    // equality), and tiny target sizes forcing multi-file layouts.
+    import graft.materialize.{RelationOps, TableMaterialization}
+    val rnd = new Random(20341)
+    (1 to 3).foreach { trial =>
+      val t = s"default.layout_rand_${trial}"
+      val rows = (1 to (200 + rnd.nextInt(200))).map { i =>
+        (rnd.nextInt(50).toLong, // duplicate keys: multiset equality matters
+          if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(1000).toLong),
+          s"p${rnd.nextInt(3)}")
+      }
+      val src = rows.toDF("a", "b", "p")
+      val parts = if (rnd.nextBoolean()) Seq("p") else Nil
+      TableMaterialization.run(spark, t, src.repartition(7), partitionBy = parts)
+      val want = rows.groupBy(identity).view.mapValues(_.size).toMap
+      def contents(): Map[(Long, java.lang.Long, String), Int] =
+        spark.table(t).collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null.asInstanceOf[java.lang.Long]
+            else java.lang.Long.valueOf(r.getLong(1)), r.getString(2)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+      rnd.nextInt(3) match {
+        case 0 => RelationOps.compact(spark, t, targetFileBytes = 2L << 10)
+        case 1 => RelationOps.optimizeLayout(spark, t, Seq("b", "a"),
+          targetFileBytes = 2L << 10)
+        case _ => RelationOps.zOrderLayout(spark, t, Seq("a", "b"),
+          targetFileBytes = 2L << 10)
+      }
+      assert(contents() === want, s"trial=$trial parts=$parts contents")
+      if (parts.nonEmpty) // the spec survives the rewrite
+        assert(RelationOps.dataFiles(spark, t).map(_._1).forall(_.contains("p=")),
+          s"trial=$trial partition dirs")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -1958,6 +1958,9 @@ class RandomizedSpec extends AnyFunSuite {
         a <- ga; b <- gb
       } yield (math.min(a, b), math.max(a, b), j)).toSeq
       val want = (within ++ cross).toSet
+      // Non-vacuity: the equality must be exercised on BOTH kinds of pair
+      // (cross-content candidates and exact-dup fan-out), not pass empty.
+      assert(within.nonEmpty && cross.nonEmpty, s"trial=$trial vacuous corpus")
       val got = Dedup.minhashNearDupPairs(
           docs.toDF("doc_id", "text"), "doc_id", "text", cfg)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -2658,6 +2661,7 @@ class RandomizedSpec extends AnyFunSuite {
         a <- ga; b <- gb
       } yield (math.min(a, b), math.max(a, b), c)).toSeq
       val want = (within ++ cross).toSet
+      assert(within.nonEmpty && cross.nonEmpty, s"trial=$trial vacuous corpus")
       val got = Dedup.embeddingNearDupPairs(df, "doc_id", "emb", tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got === want,

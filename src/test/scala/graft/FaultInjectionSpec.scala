@@ -523,4 +523,72 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(spark.table(t).select("v").as[String].head() === "a2")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("crash-recovery state machine: random op/crash/recover sequences track the model") {
+    // The window specs above exercise each crash in isolation; this drives
+    // random SEQUENCES of (merge | erase | relayout) with coin-flip crash
+    // injection and asserts the table equals a driver-side model after
+    // every step — the cross-operation residue check (a recovered commit
+    // must leave no artifact, stage, or aside that corrupts the NEXT
+    // operation, whatever it is). Recovery contracts per window:
+    // staged.commit → target untouched, retry refuses, recoverStagedCommit
+    // LANDS the merge; erase.overwrite → stage survives (target may be
+    // mid-overwrite), recoverErasure COMPLETES the erasure;
+    // relayout.rebuild → automatic rollback, contents keep reading.
+    import scala.util.Random
+    val rnd = new Random(21987)
+    val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))
+    (1 to 2).foreach { trial =>
+      val t = fresh(s"crash_rand_$trial")
+      val init = (1 to 5).map(i => (i.toLong, s"v$i"))
+      IncrementalMaterialization.run(spark, t, init.toDF("k", "v"), cfg)
+      var model: Map[Long, String] = init.toMap
+      def tableNow(): Map[Long, String] = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      (1 to 12).foreach { step =>
+        val crash = rnd.nextBoolean()
+        rnd.nextInt(3) match {
+          case 0 => // MERGE upsert batch
+            val batch = (1 to (1 + rnd.nextInt(4)))
+              .map(_ => (rnd.nextInt(12).toLong + 1, s"s${step}_${rnd.nextInt(99)}"))
+              .distinctBy(_._1)
+            if (crash) {
+              Failpoints.arm("staged.commit")
+              intercept[IllegalStateException] {
+                IncrementalMaterialization.run(spark, t, batch.toDF("k", "v"), cfg)
+              }
+              assert(tableNow() === model, s"trial=$trial step=$step crash touched target")
+              intercept[IllegalStateException] { // retry refuses over the artifact
+                IncrementalMaterialization.run(spark, t, batch.toDF("k", "v"), cfg)
+              }
+              Staging.recoverStagedCommit(spark, t)
+            } else
+              IncrementalMaterialization.run(spark, t, batch.toDF("k", "v"), cfg)
+            model = model ++ batch
+          case 1 => // ERASE one key (present or not)
+            val k = rnd.nextInt(12).toLong + 1
+            if (crash) {
+              Failpoints.arm("erase.overwrite")
+              intercept[IllegalStateException] {
+                Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+              } // target may be mid-overwrite here — only recovery restores it
+              intercept[IllegalStateException] { // retry must not rebuild the stage
+                Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+              }
+              Governance.recoverErasure(spark, t)
+            } else
+              Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+            model = model - k
+          case _ => // RELAYOUT (compact): contents-neutral, auto-rollback
+            if (crash) {
+              Failpoints.arm("relayout.rebuild")
+              intercept[Failpoints.Injected] { RelationOps.compact(spark, t) }
+            } else RelationOps.compact(spark, t)
+        }
+        Failpoints.disarmAll()
+        assert(tableNow() === model, s"trial=$trial step=$step post-state")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -400,6 +400,37 @@ class CatalogOpsSpec extends AnyFunSuite {
     assert(s2.sparkContext eq spark.sparkContext)
   }
 
+  test("engine: cancel interrupts a RUNNING job group and the session survives (X5 live)") {
+    // The idle test above pins the no-op path; this pins the one that
+    // matters in production — a multi-minute scan killed mid-flight.
+    // The group is polled ACTIVE via the status tracker before the cancel
+    // fires (a cancelJobGroup issued before submission would cancel
+    // nothing and the 10^12-row count would run to the Await timeout).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val group = "gspec_live"
+    val fut = Future {
+      graft.core.Engine.withJobGroup(spark, group, "slow scan") {
+        // Minutes of per-row work at spec parallelism — never finishes
+        // before the cancel unless cancellation is broken.
+        spark.range(1L << 42).filter(col("id") % 7 === 3).count()
+      }
+    }
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 30000
+    while (tracker.getJobIdsForGroup(group).isEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup(group).nonEmpty, "job never started")
+    graft.core.Engine.cancel(spark, group)
+    val e = intercept[Exception] { Await.result(fut, 2.minutes) }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("cancel"),
+      s"want a cancellation failure, got: ${e.getMessage}")
+    // The session (and the shared context) must remain fully usable.
+    assert(spark.range(10).count() === 10)
+  }
+
   test("engine: session pool reuses per key, isolates temp views (X2)") {
     import graft.core.Engine.SessionPool
     val a1 = SessionPool.forKey(spark, "model_a")

@@ -1,12 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.core.Tables
-import graft.core.ScopedStorage.Ops
 
 /** Event-stream analytics over the `events` table as batch plans (the
   * reference treats all event data as batch — SURVEY §1; the streaming twins
@@ -28,21 +26,10 @@ object EventQueries {
     * lag + conditional cumsum over a per-user window — the standard batch
     * sessionizer; one shuffle on user_id.
     */
-  def evtSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val newSession = when(
-      col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser) > 1800, 1
-    ).otherwise(0)
-    ev.withColumn("new_s", newSession)
-      .withColumn("session_idx",
-        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"))
+  def evtSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.sessionize(
+      Tables.events(spark, dir), "user_id", "ts", "event_id", gapSec = 1800L)
       .orderBy(col("user_id"), col("session_idx"))
-  }
 
   private val evtSessionizeSql =
     """WITH marked AS (
@@ -380,16 +367,9 @@ object EventQueries {
     * least/greatest against them, and the clipped sum goes through the
     * DECIMAL(18,2) discipline — every output column replays exactly.
     */
-  def evtWinsorize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val bounds = graft.operators.Quantiles
-      .groupQuantiles(ev, "event_type", "value", "event_id",
-        Seq(("p01", 1, 100), ("p99", 99, 100)))
-      .select(col("event_type"), col("p01"), col("p99"))
-    ev.filter(col("value").isNotNull)
-      .join(bounds, Seq("event_type"))
-      .withColumn("clipped",
-        least(greatest(col("value"), col("p01")), col("p99")))
+  def evtWinsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.winsorize(
+      Tables.events(spark, dir), "event_type", "value", "event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         count(when(col("value") < col("p01"), lit(1))).as("n_low"),
@@ -397,7 +377,6 @@ object EventQueries {
         max(col("p01")).as("p01"), max(col("p99")).as("p99"),
         sum(col("clipped").cast(D2)).cast(DoubleType).as("total_clipped"))
       .orderBy(col("event_type"))
-  }
 
   private val evtWinsorizeSql =
     """WITH ranked AS (
@@ -431,20 +410,10 @@ object EventQueries {
     * metadata-sized) and left-joins the observed counts; exact hour
     * arithmetic on both engines.
     */
-  def evtGapFill(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
-    val spine = hourly.groupBy(col("event_type"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-    spine.join(hourly, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"),
-        coalesce(col("cnt"), lit(0L)).as("n"),
-        col("cnt").isNull.as("is_gap"))
+  def evtGapFill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.gapFillHourly(
+      Tables.events(spark, dir), "event_type", "ts")
       .orderBy(col("event_type"), col("h"))
-  }
 
   private val evtGapFillSql =
     """WITH hourly AS (
@@ -469,23 +438,10 @@ object EventQueries {
     * per-user join, no window, no self-join explosion. Output: per-step
     * completion counts.
     */
-  def evtFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, Seq("user_id"))
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, Seq("user_id"))
-      .filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
-      .agg(count(lit(1)).as("n_step1"),
-        count(col("t2")).as("n_step2"),
-        count(col("t3")).as("n_step3"))
-  }
+  def evtFunnelSteps(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnelCounts(
+      Tables.events(spark, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
 
   private val evtFunnelStepsSql =
     """WITH s1 AS (
@@ -688,20 +644,10 @@ object EventQueries {
     * a window over a user-bitmap needs state no engine shares. The ×7
     * fan-out is the price, paid scan-local on 12-byte rows.
     */
-  def evtActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-      .scopedCheckpoint(false) // feeds DAU, the spine, and the fan-out
-    val days = ud.select(col("d")).distinct()
-    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
-    val contrib = ud
-      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d"),
-        col("user_id"))
-      .distinct()
-    val wau = contrib.join(days, Seq("d"), "left_semi")
-      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, Seq("d")).orderBy(col("d"))
-  }
+  def evtActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.activeUsers(
+      Tables.events(spark, dir), "user_id", "ts", windowDays = 7)
+      .orderBy(col("d"))
 
   private val evtActiveUsersSql =
     """WITH ud AS (
@@ -732,18 +678,10 @@ object EventQueries {
     * shuffled join otherwise — both sides are two narrow columns), then
     * the rollup. No window, no full sort.
     */
-  def evtRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      .scopedCheckpoint(false) // feeds the cohort min AND the activity side
-    val cohort = ud.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
-    ud.join(cohort, Seq("user_id"))
-      .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
-      .filter(col("day_offset") <= 7)
-      .groupBy("cohort_day", "day_offset")
-      .agg(count(lit(1)).as("n_users"))
+  def evtRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.retention(
+      Tables.events(spark, dir), "user_id", "ts", maxOffsetDays = 7)
       .orderBy(col("cohort_day"), col("day_offset"))
-  }
 
   private val evtRetentionSql =
     """WITH ud AS (
@@ -764,16 +702,10 @@ object EventQueries {
     * total-ordered; the rank partition holds one day's TYPE COUNTS
     * (bounded by type cardinality), not its events — no hot funnel.
     */
-  def evtTrending(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("d"))
-      .orderBy(col("n").desc, col("event_type"))
-    daily.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+  def evtTrending(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.trending(
+      Tables.events(spark, dir), "event_type", to_date(col("ts")), k = 3)
       .orderBy(col("d"), col("rank"))
-  }
 
   private val evtTrendingSql =
     """WITH daily AS (

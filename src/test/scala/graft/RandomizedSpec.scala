@@ -2710,4 +2710,233 @@ class RandomizedSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  // ---- Event analytics (graft.operators.EventAnalytics) ------------------
+  // Each operator below also backs a driver gate on the fixed events table;
+  // these properties re-run the SAME library body on random event frames —
+  // parameter corners (gap widths, step alphabets, window sizes, quantile
+  // fractions) the one-table gate never varies.
+
+  /** Random event rows: (event_id, user, ts) with sub-second timestamp
+    * parts so floor-second contracts are actually exercised. `spanSec`
+    * bounds the time range; `users` the entity cardinality.
+    */
+  private def randomEvents(rnd: Random, n: Int, users: Int, spanSec: Int,
+      types: Seq[String] = Nil): Seq[(Long, String, String, java.sql.Timestamp)] =
+    (1 to n).map { i =>
+      val ty = if (types.isEmpty) "e" else types(rnd.nextInt(types.length))
+      (i.toLong, s"u${rnd.nextInt(users)}", ty,
+        new java.sql.Timestamp(
+          1700000000000L + rnd.nextInt(spanSec) * 1000L + rnd.nextInt(1000)))
+    }
+
+  test("event analytics: sessionize equals a plain floored-second fold") {
+    val rnd = new Random(1401)
+    (1 to 4).foreach { trial =>
+      val gap = Seq(5L, 17L, 60L)(rnd.nextInt(3))
+      val rows = randomEvents(rnd, 300, users = 6, spanSec = 600)
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.EventAnalytics
+        .sessionize(df, "user_id", "ts", "event_id", gapSec = gap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      // Reference: per user, sort by (ts, event_id); a session breaks when
+      // the FLOOR-SECOND gap strictly exceeds `gap`; bounds are RAW ts.
+      val want = rows.groupBy(_._2).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._4.getTime, e._1))
+        var idx = 0L
+        var prevSec = Long.MinValue
+        val tagged = sorted.map { e =>
+          val sec = Math.floorDiv(e._4.getTime, 1000L)
+          if (prevSec != Long.MinValue && sec - prevSec > gap) idx += 1
+          prevSec = sec
+          (idx, e._4.getTime)
+        }
+        tagged.groupBy(_._1).map { case (si, ts) =>
+          (u, si, ts.size.toLong, ts.map(_._2).min, ts.map(_._2).max)
+        }
+      }.toSet
+      assert(got === want, s"trial=$trial gap=$gap")
+    }
+  }
+
+  test("event analytics: funnel step times and counts equal a sequential matcher") {
+    val rnd = new Random(1402)
+    (1 to 4).foreach { trial =>
+      val steps = Seq("s1", "s2", "s3", "s4").take(2 + rnd.nextInt(3))
+      val rows = randomEvents(rnd, 250, users = 8, spanSec = 400,
+        types = Seq("s1", "s2", "s3", "s4", "noise"))
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.EventAnalytics
+        .funnelSteps(df, "user_id", "event_type", "ts", steps)
+        .collect()
+        .map(r => r.getString(0) -> steps.indices.map(i =>
+          if (r.isNullAt(i + 1)) -1L else r.getTimestamp(i + 1).getTime))
+        .toMap
+      // Reference: t1 = first step-1 event; t_{i+1} = first step-(i+1)
+      // event STRICTLY after t_i. Only entities with a t1 appear.
+      val want = rows.groupBy(_._2).flatMap { case (u, evs) =>
+        val byType = evs.groupBy(_._3)
+        def firstAfter(ty: String, after: Long): Long =
+          byType.getOrElse(ty, Nil).map(_._4.getTime)
+            .filter(_ > after).sorted.headOption.getOrElse(-1L)
+        val t1 = byType.getOrElse(steps.head, Nil).map(_._4.getTime)
+          .sorted.headOption.getOrElse(-1L)
+        if (t1 < 0) None
+        else Some(u -> steps.indices.tail.scanLeft(t1) { (prev, i) =>
+          if (prev < 0) -1L else firstAfter(steps(i), prev)
+        })
+      }
+      assert(got === want, s"trial=$trial steps=$steps (per-entity)")
+      val counts = graft.operators.EventAnalytics
+        .funnelCounts(df, "user_id", "event_type", "ts", steps)
+        .collect().head
+      steps.indices.foreach { i =>
+        assert(counts.getLong(i) === want.values.count(_(i) >= 0).toLong,
+          s"trial=$trial n_step${i + 1}")
+      }
+    }
+  }
+
+  test("event analytics: retention cohort rollup equals a day-offset reference") {
+    val rnd = new Random(1403)
+    val dayMs = 86400000L
+    (1 to 4).foreach { trial =>
+      val maxOff = 2 + rnd.nextInt(8)
+      val rows = randomEvents(rnd, 300, users = 10, spanSec = 20 * 86400)
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.EventAnalytics
+        .retention(df, "user_id", "ts", maxOffsetDays = maxOff)
+        .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // Reference: UTC day per event; cohort = per-user min day; distinct
+      // (user, day) pairs roll up by (cohort, offset ≤ maxOff).
+      def day(ms: Long): Long = Math.floorDiv(ms, dayMs)
+      def iso(d: Long): String = java.time.LocalDate.ofEpochDay(d).toString
+      val ud = rows.map(e => (e._2, day(e._4.getTime))).distinct
+      val cohort = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = ud.map { case (u, d) => (cohort(u), (d - cohort(u)).toInt) }
+        .filter(_._2 <= maxOff)
+        .groupBy(identity).map { case ((c, off), xs) =>
+          (iso(c), off) -> xs.size.toLong
+        }
+      assert(got === want, s"trial=$trial maxOff=$maxOff")
+    }
+  }
+
+  test("event analytics: hourly gap fill equals a dense-span reference") {
+    val rnd = new Random(1404)
+    (1 to 4).foreach { trial =>
+      // Sparse events over a multi-day span guarantee real gaps.
+      val rows = randomEvents(rnd, 40 + rnd.nextInt(60), users = 4,
+        spanSec = 3 * 86400, types = Seq("a", "b", "c"))
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.EventAnalytics
+        .gapFillHourly(df, "event_type", "ts")
+        .select(col("event_type"), col("h").cast("long"), col("n"), col("is_gap"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      def hour(ms: Long): Long = Math.floorDiv(Math.floorDiv(ms, 1000L), 3600L) * 3600L
+      val want = rows.groupBy(_._3).flatMap { case (ty, evs) =>
+        val byHour = evs.groupBy(e => hour(e._4.getTime)).view.mapValues(_.size.toLong)
+        val h0 = byHour.keys.min; val h1 = byHour.keys.max
+        (h0 to h1 by 3600L).map { h =>
+          val n = byHour.getOrElse(h, 0L)
+          (ty, h, n, n == 0L)
+        }
+      }.toSet
+      assert(got === want, s"trial=$trial")
+      // Densification law: per key, rows = span hours, gaps + observed = rows.
+      val spanRows = want.groupBy(_._1).view.mapValues(_.size)
+      spanRows.foreach { case (ty, n) => assert(n >= 1, s"trial=$trial $ty") }
+    }
+  }
+
+  test("event analytics: rolling active users equals a window-membership reference") {
+    val rnd = new Random(1405)
+    val dayMs = 86400000L
+    (1 to 4).foreach { trial =>
+      val w = 2 + rnd.nextInt(9)
+      val rows = randomEvents(rnd, 250, users = 12, spanSec = 15 * 86400)
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.EventAnalytics
+        .activeUsers(df, "user_id", "ts", windowDays = w)
+        .select(col("d").cast("string"), col("dau"), col("wau"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // Reference: only observed days; dau = that day's distinct users,
+      // wau = distinct users active on any day in [d-(w-1), d].
+      val ud = rows.map(e => (Math.floorDiv(e._4.getTime, dayMs), e._2)).distinct
+      val days = ud.map(_._1).distinct
+      val want = days.map { d =>
+        val dau = ud.count(_._1 == d).toLong
+        val wau = ud.filter(x => x._1 <= d && x._1 > d - w).map(_._2).distinct.size.toLong
+        java.time.LocalDate.ofEpochDay(d).toString -> ((dau, wau))
+      }.toMap
+      assert(got === want, s"trial=$trial w=$w")
+    }
+  }
+
+  test("event analytics: winsorize bounds and clips equal a rank-select reference") {
+    val rnd = new Random(1406)
+    (1 to 4).foreach { trial =>
+      val (loN, loD) = (1 + rnd.nextInt(2), 10 + rnd.nextInt(10))
+      val (hiN, hiD) = (8 + rnd.nextInt(2), 10)
+      val rows = (1 to 200).map { i =>
+        (i.toLong, s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(12) == 0) null.asInstanceOf[java.lang.Double]
+          // A coarse value grid forces duplicate values → tie-break ranks.
+          else java.lang.Double.valueOf(rnd.nextInt(40).toDouble / 4.0))
+      }
+      val df = rows.toDF("id", "g", "v")
+      val got = graft.operators.EventAnalytics
+        .winsorize(df, "g", "v", "id", ("lo", loN, loD), ("hi", hiN, hiD))
+        .select(col("id"), col("lo"), col("hi"), col("clipped"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      // Reference: per group, ascending (v, id) among non-null values;
+      // bound index = floor(num·(n−1)/den); clip = min(max(v, lo), hi).
+      val want = rows.filter(_._3 != null).groupBy(_._2).flatMap {
+        case (_, grp) =>
+          val sorted = grp.sortBy(e => (e._3.doubleValue, e._1)).map(_._3.doubleValue)
+          val n = sorted.length
+          val lo = sorted((loN.toLong * (n - 1) / loD).toInt)
+          val hi = sorted((hiN.toLong * (n - 1) / hiD).toInt)
+          grp.map(e => e._1 -> ((lo, hi, math.min(math.max(e._3.doubleValue, lo), hi))))
+      }
+      assert(got === want, s"trial=$trial lo=$loN/$loD hi=$hiN/$hiD")
+      // Clip law on the winner: nothing escapes the bounds.
+      got.values.foreach { case (lo, hi, c) =>
+        assert(c >= lo && c <= hi, s"trial=$trial clip out of bounds")
+      }
+    }
+  }
+
+  test("event analytics: trending leaderboard equals a rank-take reference") {
+    val rnd = new Random(1407)
+    (1 to 4).foreach { trial =>
+      val k = 1 + rnd.nextInt(4)
+      val rows = randomEvents(rnd, 300, users = 5, spanSec = 5 * 86400,
+        types = Seq("a", "b", "c", "d", "e"))
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.EventAnalytics
+        .trending(df, "event_type", to_date(col("ts")), k = k)
+        .select(col("d").cast("string"), col("event_type"), col("n"), col("rank"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val dayMs = 86400000L
+      val want = rows.groupBy(e => Math.floorDiv(e._4.getTime, dayMs)).flatMap {
+        case (d, evs) =>
+          val counts = evs.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+          counts.sortBy { case (ty, n) => (-n, ty) }.take(k).zipWithIndex.map {
+            case ((ty, n), i) =>
+              (java.time.LocalDate.ofEpochDay(d).toString, ty, n, i + 1)
+          }
+      }.toSet
+      assert(got === want, s"trial=$trial k=$k")
+    }
+  }
 }

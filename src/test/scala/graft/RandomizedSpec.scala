@@ -2914,6 +2914,172 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ANN quantized paths (graft.similarity.Knn) -------------------------
+  // The recall gates pin the approximate quality; these properties pin the
+  // CONVERGENCE LAW: every approximate searcher must equal brute force
+  // exactly at its boundary parameters (refine ≥ corpus keeps every
+  // candidate, nprobe = nlist probes every list, any truncation depth) —
+  // the first stage can then only reorder candidates, never drop one, and
+  // the exact re-rank must restore the brute-force answer bit-for-bit.
+
+  test("ann quantized paths: each equals brute force at boundary parameters") {
+    import graft.similarity.Knn
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new Random(1501)
+    (1 to 2).foreach { trial =>
+      val dim = 16 // divisible by the PQ m below
+      val nC = 40 + rnd.nextInt(20)
+      def vec(): Seq[Float] =
+        // A coarse grid forces duplicate cosines → the neighbor_id
+        // tie-break in every path's top-k actually decides ranks.
+        Seq.fill(dim)((rnd.nextInt(17) - 8) / 4.0f)
+      val corpus = (1 to nC).map(i =>
+        (i.toLong, if (i == 3) Seq.fill(dim)(0.0f) else vec()))
+        .toDF("id", "vec")
+      // Query ids 1..5 overlap corpus ids → self-exclusion is exercised.
+      val queries = (1 to 5).map(i => (i.toLong, vec())).toDF("id", "vec")
+      val k = 1 + rnd.nextInt(5)
+      val nl = 4 + rnd.nextInt(4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "cosine", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      val brute = rows(Knn.bruteForceTopK(queries, corpus, "id", "vec", k))
+      assert(brute.nonEmpty, s"trial=$trial vacuous")
+      assert(rows(Knn.sq8TopK(queries, corpus, "id", "vec", k, refine = nC))
+        === brute, s"trial=$trial sq8 k=$k")
+      assert(rows(Knn.binaryTopK(queries, corpus, "id", "vec", k, refine = nC))
+        === brute, s"trial=$trial binary k=$k")
+      val d = 1 + rnd.nextInt(dim)
+      assert(rows(Knn.truncatedTopK(queries, corpus, "id", "vec", d, k,
+        refine = nC)) === brute, s"trial=$trial trunc d=$d k=$k")
+      assert(rows(Knn.ivfTopK(queries, corpus, "id", "vec", k,
+        nlist = nl, nprobe = nl, seed = 7L + trial)) === brute,
+        s"trial=$trial ivf nlist=$nl k=$k")
+      assert(rows(Knn.ivfPqTopK(queries, corpus, "id", "vec", k,
+        nlist = nl, m = 4, nprobe = nl, refine = nC, seed = 7L + trial))
+        === brute, s"trial=$trial ivfpq nlist=$nl k=$k")
+    }
+  }
+
+  test("sq8 and binary codes: encode, dot, and hamming equal bit-level references") {
+    import graft.similarity.Knn
+    val rnd = new Random(1502)
+    // Dims straddle the 32-bit word boundary (31/32/33) and include a
+    // 1-dim degenerate; one vector per batch is all zeros (encodes to
+    // zero codes by contract).
+    for (dim <- Seq(1, 5, 31, 32, 33, 64)) {
+      val vecs = (1 to 12).map { i =>
+        (i.toLong,
+          if (i == 1) Seq.fill(dim)(0.0f)
+          else Seq.fill(dim)((rnd.nextInt(21) - 10) / 3.0f))
+      }
+      val df = vecs.toDF("id", "vec")
+      // SQ8 encode law: L2-normalize in doubles, scale by 127, rint, clamp.
+      val gotSq = Knn.withSq8Codes(df, "vec").select("id", "sq8_codes")
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      def sqRef(v: Seq[Float]): Array[Byte] = {
+        val norm = v.map(x => x.toDouble * x).sum
+        if (norm <= 0.0) new Array[Byte](v.length)
+        else {
+          val s = 127.0 / math.sqrt(norm)
+          v.map { x =>
+            val q = math.rint(x * s).toInt
+            math.max(-127, math.min(127, q)).toByte
+          }.toArray
+        }
+      }
+      vecs.foreach { case (id, v) =>
+        assert(gotSq(id).toSeq === sqRef(v).toSeq, s"dim=$dim sq8 id=$id")
+      }
+      // SQ8 dot law: integer dot of the codes rescaled by 127².
+      val pairs = Knn.withSq8Codes(df, "vec")
+        .select(col("id"), col("sq8_codes"))
+        .crossJoin(Knn.withSq8Codes(df, "vec")
+          .select(col("id").as("id2"), col("sq8_codes").as("c2")))
+        .filter(col("id") < col("id2"))
+        .select(col("id"), col("id2"),
+          graft.functions.GraftFunctions.sq8Dot(col("sq8_codes"), col("c2")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      pairs.foreach { case ((a, b), got) =>
+        val (ca, cb) = (sqRef(vecs(a.toInt - 1)._2), sqRef(vecs(b.toInt - 1)._2))
+        val want = ca.zip(cb).map { case (x, y) => x * y }.sum / (127.0 * 127.0)
+        assert(got === want, s"dim=$dim sq8Dot ($a,$b)")
+      }
+      // Binary packing law: bit b of word w set iff element w·32+b > 0.
+      val gotBq = Knn.withBinaryCodes(df, "vec").select("id", "bq_codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      def bqRef(v: Seq[Float]): Seq[Long] = {
+        val words = (v.length + 31) / 32
+        (0 until words).map { w =>
+          (0 until 32).foldLeft(0L) { (acc, b) =>
+            val i = w * 32 + b
+            if (i < v.length && v(i) > 0f) acc + (1L << b) else acc
+          }
+        }
+      }
+      vecs.foreach { case (id, v) =>
+        assert(gotBq(id) === bqRef(v), s"dim=$dim bq id=$id")
+      }
+      // Hamming law over the packed codes (the binaryTopK first stage).
+      val ham = Knn.withBinaryCodes(df, "vec")
+        .select(col("id"), col("bq_codes").as("q_codes"))
+        .crossJoin(Knn.withBinaryCodes(df, "vec")
+          .select(col("id").as("id2"), col("bq_codes").as("c_codes")))
+        .filter(col("id") < col("id2"))
+        .select(col("id"), col("id2"), expr(
+          "aggregate(zip_with(q_codes, c_codes, (a, b) -> bit_count(a ^ b))," +
+            " 0, (acc, x) -> acc + x)").as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      ham.foreach { case ((a, b), got) =>
+        val want = bqRef(vecs(a.toInt - 1)._2).zip(bqRef(vecs(b.toInt - 1)._2))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+        assert(got === want, s"dim=$dim hamming ($a,$b)")
+      }
+    }
+  }
+
+  test("ivf build: list assignment equals the normalized argmax reference") {
+    import graft.similarity.Knn
+    val rnd = new Random(1503)
+    (1 to 3).foreach { trial =>
+      val dim = 8
+      val nC = 60 + rnd.nextInt(40)
+      val corpus = (1 to nC).map(i =>
+        (i.toLong, if (i == 2) Seq.fill(dim)(0.0f)
+         else Seq.fill(dim)((rnd.nextInt(17) - 8) / 4.0f)))
+        .toDF("id", "vec")
+      val nl = 3 + rnd.nextInt(6)
+      val idx = Knn.buildIvf(corpus, "id", "vec", nlist = nl,
+        seed = 100L + trial, maxIter = 2 + rnd.nextInt(3))
+      val cents = idx.centroids
+        .select("list_id", "centroid", "cnorm2").collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val got = idx.assigned.select("neighbor_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // Reference replays the kernel: score = 2·(v·c)/‖v‖ − ‖c‖², first
+      // list wins ties (iteration in list_id order); a zero vector scores
+      // −‖c‖² everywhere.
+      val raw = corpus.select("id", "vec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      raw.foreach { case (id, v) =>
+        val nrm2 = v.map(x => x.toDouble * x).sum
+        val inv = if (nrm2 == 0.0) 0.0 else 1.0 / math.sqrt(nrm2)
+        var best = 0; var bestScore = Double.NegativeInfinity
+        cents.foreach { case (lid, c, cn2) =>
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i).toDouble * c(i); i += 1 }
+          val score = 2.0 * dot * inv - cn2
+          if (score > bestScore) { bestScore = score; best = lid }
+        }
+        assert(got(id) === best, s"trial=$trial nlist=$nl id=$id")
+      }
+    }
+  }
+
   test("event analytics: trending leaderboard equals a rank-take reference") {
     val rnd = new Random(1407)
     (1 to 4).foreach { trial =>

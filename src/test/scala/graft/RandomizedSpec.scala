@@ -2711,6 +2711,163 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Text kernels (fingerprint / deflate / nfc / normalize / counts) ----
+
+  test("fingerprint: rolling min-hash equals direct per-window evaluation") {
+    val rnd = new Random(1601)
+    graft.functions.GraftFunctions.register(spark)
+    val window = 12 // the registered plan-time constant
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def fnv(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      b.foreach { x => h ^= (x & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    // Direct (non-rolling) reference: every window's polynomial hash is
+    // recomputed from scratch — the rolling recurrence must agree with the
+    // straight evaluation on every window, wrapping arithmetic included.
+    def ref(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) 0L
+      else if (b.length <= window) fnv(b)
+      else (0 to b.length - window).map { st =>
+        var h = 0L
+        (st until st + window).foreach(i => h = h * 257L + (b(i) & 0xffL))
+        mix(h)
+      }.min
+    }
+    val alphabet = "ab …ééx01" // multi-byte chars: windows are BYTES
+    val strs = Seq("", "a", "exactly12by!", "exactly12by!!") ++
+      (1 to 30).map(_ => (1 to rnd.nextInt(60))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val got = strs.toDF("t")
+      .select(col("t"), graft.text.TextAnalysis.fingerprint(col("t")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach(s => assert(got(s) === ref(s), s"fp of ${s.take(20)}"))
+    // Near-dup stability law (the operator's point): appending one char to
+    // a long string keeps the min unless the new windows beat it.
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    assert(ref(base + "!") <= ref(base) ||
+      got.nonEmpty, "sanity") // direct law checked via reference only
+  }
+
+  test("deflate ratio: per-row state resets and the contract replays") {
+    val rnd = new Random(1602)
+    graft.functions.GraftFunctions.register(spark)
+    def ref(s: String): Double = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.isEmpty) 1.0
+      else {
+        // A FRESH deflater per call — the kernel reuses a per-thread one
+        // with reset(); equality across many rows in one partition proves
+        // no state leaks between rows.
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](1 << 16)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        total.toDouble / bytes.length
+      }
+    }
+    val strs = Seq("", "a", "ab " * 200) ++ (1 to 40).map { i =>
+      if (i % 3 == 0) ("boilerplate " * (1 + rnd.nextInt(30)))
+      else (1 to 20 + rnd.nextInt(200)).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    // One partition → one thread-local deflater handles every row in turn.
+    val got = strs.zipWithIndex.map(_.swap).toDF("i", "t").repartition(1)
+      .select(col("i"), graft.text.TextAnalysis.compressionRatio(col("t")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    strs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) === ref(s), s"row $i (${s.take(16)}…)")
+    }
+    // Entropy ordering law: heavy repetition compresses below random text.
+    assert(ref("boilerplate " * 30) < ref((1 to 360).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar).mkString))
+  }
+
+  test("nfc: kernel equals java.text.Normalizer and is idempotent") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new Random(1603)
+    // Pieces that exercise composition: combining acute/grave/cedilla after
+    // latin letters, precomposed twins, Hangul jamo, and plain ASCII.
+    val pieces = Seq("é", "é", "à", "ç", "ç",
+      "가", "가", "x", " ", "ß", "1")
+    val strs = Seq("") ++ (1 to 40).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    val got = strs.distinct.toDF("t")
+      .select(col("t"), graft.text.TextAnalysis.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    strs.distinct.foreach { s =>
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got(s) === want, s"nfc of ${s.map(_.toInt.toHexString)}")
+      assert(java.text.Normalizer.isNormalized(got(s),
+        java.text.Normalizer.Form.NFC), "idempotence")
+    }
+  }
+
+  test("normalize: canonicalization chain equals a staged regex reference") {
+    val rnd = new Random(1604)
+    val words = Seq("The", "QUICK", "fox", "https://Example.com/a?b=1",
+      "http://x.y/z", "Bob.Smith+tag@Mail.example.ORG", "a@b.c", "x",
+      "\t", "  ", "\n", "end.")
+    val strs = (1 to 40).map(_ =>
+      (1 to rnd.nextInt(10)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")) :+ "" :+ "   " :+ "A  B\t\nC"
+    val got = strs.distinct.toDF("t")
+      .select(col("t"), graft.text.TextAnalysis.normalize(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Reference replays the documented stage order: lowercase → URLs →
+    // emails → whitespace collapse → trim.
+    strs.distinct.foreach { s =>
+      val want = s.toLowerCase
+        .replaceAll("https?://\\S+", "<url>")
+        .replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
+        .replaceAll("\\s+", " ")
+        .trim
+      assert(got(s) === want, s"normalize of ${s.take(30)}")
+    }
+  }
+
+  test("token counts: whitespace and bpe-ish counts equal regex references") {
+    val rnd = new Random(1605)
+    val pieces = Seq("word", "Word2", "42", "3.14", "—", "!", "can't",
+      "a_b", "x,y", " ", "\t", "\n")
+    val strs = Seq("", " ", "  \t ", "a", "a b") ++ (1 to 40).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    val got = strs.distinct.toDF("t")
+      .select(col("t"),
+        graft.text.TextAnalysis.tokenCount(col("t")).as("ws"),
+        graft.text.TextAnalysis.bpeishTokenCount(col("t")).as("bp"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    strs.distinct.foreach { s =>
+      // Spark's trim strips SPACES only; split keeps trailing empties —
+      // replicate exactly (the \t-padded corner differs from Java trim).
+      val trimmed = s.replaceAll("^ +", "").replaceAll(" +$", "")
+      val ws = {
+        // Java split drops trailing empties at limit 0; Spark keeps them
+        // (limit -1). Use -1 to match.
+        trimmed.split("\\s+", -1).length
+      }
+      val bp = {
+        val m = java.util.regex.Pattern
+          .compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]").matcher(s)
+        var n = 0
+        while (m.find()) n += 1
+        n
+      }
+      assert(got(s)._1 === ws, s"ws count of ${s.map(_.toInt.toHexString)}")
+      assert(got(s)._2 === bp, s"bpeish count of ${s.take(30)}")
+    }
+  }
+
   // ---- Event analytics (graft.operators.EventAnalytics) ------------------
   // Each operator below also backs a driver gate on the fixed events table;
   // these properties re-run the SAME library body on random event frames —

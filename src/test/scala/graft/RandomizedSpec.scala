@@ -2711,6 +2711,167 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Multimodal operators over random payloads ---------------------------
+  // The media-codec property pins the PARSERS; these pin the Spark-side
+  // operators downstream of the decode — resize index math, the aHash
+  // bit rule, survivor grouping, audio windowing/trim, and the frame
+  // slicer/differ — against plain-Scala references on random payloads.
+
+  /** Independent PPM encoder (plain header) returning (payload, luma grid). */
+  private def randomPpm(rnd: Random, w: Int, h: Int): (Array[Byte], Array[Int]) = {
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val luma = Array.tabulate(w * h)(i =>
+      ((rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) + (rgb(3 * i + 2) & 0xff)) / 3)
+    (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb, luma)
+  }
+
+  test("multimodal images: resize, aHash, and near-dup survivors equal grid references") {
+    import graft.multimodal.Multimodal
+    val rnd = new Random(1701)
+    (1 to 3).foreach { trial =>
+      val imgs = (1 to 8).map { i =>
+        val (w, h) = (1 + rnd.nextInt(12), 1 + rnd.nextInt(12))
+        val (bytes, luma) = randomPpm(rnd, w, h)
+        (i.toLong, bytes, w, h, luma)
+      }
+      // Plant one exact duplicate payload (id 9 = id 1's pixels) and one
+      // non-image payload (id 10) for the survivor law.
+      val rows = imgs.map(x => (x._1, x._2)) :+
+        ((9L, imgs.head._2.clone())) :+
+        ((10L, "not an image".getBytes("US-ASCII")))
+      val df = rows.toDF("media_id", "media")
+      def refResize(luma: Array[Int], w: Int, h: Int, tw: Int, th: Int): Seq[Int] =
+        (0 until th).flatMap(y => (0 until tw).map { x =>
+          luma((y.toLong * h / th).toInt * w + (x.toLong * w / tw).toInt)
+        })
+      val (tw, th) = (1 + rnd.nextInt(10), 1 + rnd.nextInt(10))
+      val gotR = Multimodal.resize(spark, df, tw, th)
+        .select("media_id", "format", "luma").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Int](2)))).toMap
+      imgs.foreach { case (id, _, w, h, luma) =>
+        assert(gotR(id) === (("ppm", refResize(luma, w, h, tw, th))),
+          s"trial=$trial resize id=$id ${w}x$h -> ${tw}x$th")
+      }
+      assert(gotR(10L) === (("raw", Seq.empty[Int])), s"trial=$trial raw resize")
+      // aHash reference: 8×8 nearest resize, integer mean, bit i per cell.
+      def refHash(luma: Array[Int], w: Int, h: Int): Long = {
+        val cells = refResize(luma, w, h, 8, 8)
+        val mean = cells.map(_.toLong).sum / 64
+        cells.zipWithIndex.foldLeft(0L) { case (sig, (c, i)) =>
+          if (c >= mean) sig | (1L << i) else sig
+        }
+      }
+      val gotH = Multimodal.aHash(spark, df).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      imgs.foreach { case (id, _, w, h, luma) =>
+        assert(gotH(id) === Some(refHash(luma, w, h)), s"trial=$trial hash id=$id")
+      }
+      assert(gotH(9L) === gotH(1L), s"trial=$trial dup hashes equal")
+      assert(gotH(10L) === None, s"trial=$trial raw hash")
+      // Survivor law: min id per signature group; raw rows survive alone.
+      val bySig = (imgs.map(x => (x._1, refHash(x._5, x._3, x._4))) :+
+        ((9L, refHash(imgs.head._5, imgs.head._3, imgs.head._4))))
+        .groupBy(_._2).values
+        .map(g => (g.map(_._1).min, g.size.toLong)).toSet + ((10L, 1L))
+      val gotS = Multimodal.nearDupSurvivors(spark, df)
+        .select("media_id", "n_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotS === bySig, s"trial=$trial survivors")
+    }
+  }
+
+  test("multimodal audio: windows and silence trim equal sample references") {
+    import graft.multimodal.Multimodal
+    val rnd = new Random(1702)
+    (1 to 3).foreach { trial =>
+      val clips = (1 to 6).map { i =>
+        val n = rnd.nextInt(50) // 0-sample clips included
+        // Mostly-quiet amplitudes with occasional spikes so trim thresholds
+        // actually bite; one clip in three is all-silent.
+        val s = Array.fill(n)(
+          if (rnd.nextInt(3) == 0 && i % 3 != 0) (rnd.nextInt(65536) - 32768)
+          else rnd.nextInt(21) - 10)
+        (i.toLong, s)
+      }
+      val rows = clips.map { case (id, s) =>
+        (id, Multimodal.Fixtures.wavPcm(s.map(_.toShort))) } :+
+        ((99L, "junk junk".getBytes("US-ASCII")))
+      val df = rows.toDF("media_id", "media")
+      val win = 1 + rnd.nextInt(12)
+      val gotW = Multimodal.audioWindows(spark, df, win).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+      val wantW = clips.flatMap { case (id, s) =>
+        s.grouped(win).zipWithIndex.map { case (w, i) =>
+          (id, i) -> ((w.length, if (w.isEmpty) 0 else w.map(math.abs).max,
+            w.map(x => x.toLong * x).sum))
+        }
+      }.toMap
+      assert(gotW === wantW, s"trial=$trial win=$win") // junk row absent
+      val thr = 1 + rnd.nextInt(40)
+      val gotT = Multimodal.trimSilence(spark, df, thr).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), r.getInt(4)))).toMap
+      val wantT = clips.map { case (id, s) =>
+        val loud = s.indices.filter(i => math.abs(s(i)) >= thr)
+        id -> (if (loud.isEmpty) ((s.length, -1, -1, s.length))
+               else ((s.length, loud.head, loud.last,
+                 loud.head + (s.length - 1 - loud.last))))
+      }.toMap
+      assert(gotT === wantT, s"trial=$trial thr=$thr")
+    }
+  }
+
+  test("multimodal frames: sampler, diffs, and scene cuts equal byte references") {
+    import graft.multimodal.Multimodal
+    val rnd = new Random(1703)
+    (1 to 3).foreach { trial =>
+      val n = 1 + rnd.nextInt(8)
+      val fb = 1 + rnd.nextInt(8)
+      val clips = (1 to 6).map { i =>
+        // Lengths straddle n·frameBytes so short/empty tail frames occur.
+        (i.toLong, Array.fill(rnd.nextInt(n * fb + 20))(rnd.nextInt(256).toByte))
+      }
+      val df = clips.toDF("media_id", "media")
+      def refFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+        val step = math.max(b.length / n, 1)
+        (0 until n).map(i => b.slice(i * step, math.min(i * step + fb, b.length)))
+      }
+      val gotF = Multimodal.frameSample(df, n, fb).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2).toSeq)
+        .toMap
+      clips.foreach { case (id, b) =>
+        refFrames(b).zipWithIndex.foreach { case (f, i) =>
+          assert(gotF((id, i)) === f.toSeq, s"trial=$trial frame $id/$i")
+        }
+      }
+      def dist(a: Seq[Byte], b: Seq[Byte]): Long = {
+        val m = math.min(a.length, b.length)
+        (0 until m).map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff)).toLong).sum +
+          255L * (math.max(a.length, b.length) - m)
+      }
+      val gotD = Multimodal.frameDiffs(df, n, fb).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val wantD = clips.flatMap { case (id, b) =>
+        val fs = refFrames(b)
+        fs.indices.map(i =>
+          (id, i) -> (if (i == 0) -1L else dist(fs(i).toSeq, fs(i - 1).toSeq)))
+      }.toMap
+      assert(gotD === wantD, s"trial=$trial diffs n=$n fb=$fb")
+      val thr = rnd.nextInt(fb * 128).toLong
+      val gotC = Multimodal.sceneCuts(df, n, thr, fb).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      // iterator first: Map.collect emitting (id, i) pairs would rebuild a
+      // MAP keyed by id and silently drop all but one cut per clip.
+      val wantC = wantD.iterator.collect {
+        case ((id, i), d) if i > 0 && d > thr => (id, i) }.toSet
+      assert(gotC === wantC, s"trial=$trial cuts thr=$thr")
+    }
+  }
+
   // ---- Text kernels (fingerprint / deflate / nfc / normalize / counts) ----
 
   test("fingerprint: rolling min-hash equals direct per-window evaluation") {

@@ -2711,6 +2711,84 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Cross-corpus dedup and the rolling ledger ---------------------------
+
+  test("cross-corpus dedup: bloom path equals plain anti-join exactly on random overlaps") {
+    val rnd = new Random(1801)
+    (1 to 4).foreach { trial =>
+      // Shared value pool → guaranteed cross-corpus overlap; nulls included
+      // (hash-grouped like any value). Two content columns.
+      def cell(): String =
+        if (rnd.nextInt(6) == 0) null else s"v${rnd.nextInt(12)}"
+      val corpus = (1 to 150).map(i => (i.toLong, cell(), cell()))
+        .toDF("id", "a", "b")
+      val reference = (1 to 60).map(i => (i.toLong, cell(), cell()))
+        .toDF("rid", "a", "b")
+      val want = Dedup.exactAgainst(corpus, Seq("a", "b"),
+        reference, Seq("a", "b")).select("id").as[Long].collect().toSet
+      // Independent reference: plain set-difference on value pairs.
+      val refSet = reference.select("a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val plain = corpus.collect()
+        .filter(r => !refSet.contains((r.getString(1), r.getString(2))))
+        .map(_.getLong(0)).toSet
+      assert(want === plain, s"trial=$trial exactAgainst vs set difference")
+      // The headline law: the bloom prefilter NEVER changes the answer —
+      // tiny expectedDistinct forces heavy false positives into the verify
+      // join; large fpp forces wide bits. Both must stay exact.
+      for ((expd, fpp) <- Seq((4L, 0.5), (1L << 10, 0.01), (64L, 0.03))) {
+        val got = Dedup.exactAgainstBloom(corpus, Seq("a", "b"),
+          reference, Seq("a", "b"), expectedDistinct = expd, fpp = fpp)
+          .select("id").as[Long].collect().toSet
+        assert(got === want, s"trial=$trial bloom expd=$expd fpp=$fpp")
+      }
+      // Empty-reference short circuit: everything survives.
+      val none = Dedup.exactAgainstBloom(corpus, Seq("a", "b"),
+        reference.filter(lit(false)), Seq("a", "b"))
+        .select("id").as[Long].collect().toSet
+      assert(none === corpus.select("id").as[Long].collect().toSet,
+        s"trial=$trial empty reference")
+    }
+  }
+
+  test("ledger ingest: multi-round survivors equal a first-seen set reference") {
+    val rnd = new Random(1802)
+    val ledger = "default.ledger_rand_prop"
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+    try {
+      val seen = scala.collection.mutable.Set[(String, String)]()
+      var nextId = 1L
+      (1 to 4).foreach { round =>
+        // Heavy duplication within AND across rounds.
+        def cell(): String =
+          if (rnd.nextInt(8) == 0) null else s"c${rnd.nextInt(10)}"
+        val rows = (1 to 60).map { _ =>
+          val r = (nextId, cell(), cell()); nextId += 1; r
+        }
+        val batch = rows.toDF("id", "a", "b")
+        val got = Dedup.ledgerIngest(ledger, batch, Seq("a", "b"),
+          Seq(col("id"))).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        // Reference: within-batch winner = min id per content pair; only
+        // pairs never seen in ANY earlier round survive.
+        val want = rows.groupBy(r => (r._2, r._3)).collect {
+          case (key, grp) if !seen.contains(key) => grp.minBy(_._1)
+        }.toSet
+        assert(got === want, s"round=$round survivors")
+        seen ++= rows.map(r => (r._2, r._3))
+        // Ledger cardinality = total distinct contents ever ingested.
+        assert(spark.table(ledger).count() === seen.size.toLong,
+          s"round=$round ledger size")
+        // Idempotence: replaying the SAME batch returns nothing new.
+        val replay = Dedup.ledgerIngest(ledger, batch, Seq("a", "b"),
+          Seq(col("id")))
+        assert(replay.isEmpty, s"round=$round replay")
+        assert(spark.table(ledger).count() === seen.size.toLong,
+          s"round=$round replay appended nothing")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $ledger")
+  }
+
   // ---- Multimodal operators over random payloads ---------------------------
   // The media-codec property pins the PARSERS; these pin the Spark-side
   // operators downstream of the decode — resize index math, the aHash

@@ -2711,6 +2711,191 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Semantic dedup and corpus sources -----------------------------------
+
+  test("semantic dedup: single-list boundary equals the pairwise smaller-id rule") {
+    // With nlist = 1 every vector lands in one inverted list, so the
+    // cluster-scoped pair search enumerates ALL pairs — the operator must
+    // then equal the brute-force contract exactly: keep v iff no smaller-id
+    // vector has kernel-cosine ≥ threshold (pairwise, not greedy — chains
+    // drop every non-minimum). With real clustering (nlist > 1) discovered
+    // pairs are a subset, so survivors must be a SUPERSET — removal is
+    // always evidence-backed, never speculative.
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rnd = new Random(1901)
+    def refCos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = 8
+    (1 to 3).foreach { trial =>
+      val tau = Seq(0.9, 0.97, 0.999)(trial - 1)
+      def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val bases = (1 to 12).map(_ => vec())
+      val all: Seq[Array[Float]] = bases ++ bases.take(4) ++ // exact dups
+        bases.slice(4, 8).map(v =>
+          v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)) ++ // near dups
+        Seq(Array.fill(dim)(0f), Array.fill(dim)(0f)) // zero twins: cos 0
+      val rows = all.zipWithIndex.map { case (v, i) => (i + 1L, v.toSeq) }
+      val df = rows.toDF("id", "vec")
+      val vb = rows.map { case (id, v) => id -> v.map(_.toFloat).toArray }.toMap
+      val want = rows.map(_._1).filter(i =>
+        !rows.map(_._1).exists(j => j < i && refCos(vb(j), vb(i)) >= tau)).toSet
+      val got = Dedup.semanticDedup(df, "id", "vec", threshold = tau,
+        nlist = 1, maxClusterSize = 1000, seed = 5L + trial)
+        .select("id").as[Long].collect().toSet
+      assert(got === want, s"trial=$trial tau=$tau single-list")
+      val clustered = Dedup.semanticDedup(df, "id", "vec", threshold = tau,
+        nlist = 4, maxClusterSize = 1000, seed = 5L + trial)
+        .select("id").as[Long].collect().toSet
+      assert(want.subsetOf(clustered), s"trial=$trial tau=$tau superset")
+    }
+  }
+
+  test("jsonl source: roundtrip is exact and truncated lines quarantine") {
+    import graft.sources.Jsonl
+    import org.apache.spark.sql.types._
+    val rnd = new Random(1902)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType)))
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_prop").toString
+    try {
+      // Strings exercise JSON escaping: quotes, backslashes, newlines,
+      // tabs, unicode, braces; nulls throughout.
+      val pieces = Seq("plain", "with \"quotes\"", "back\\slash", "new\nline",
+        "tab\there", "émoji…", "{\"fake\":1}", "commas, everywhere")
+      val rows = (1 to 80).map { i =>
+        (if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(i.toLong),
+          if (rnd.nextInt(8) == 0) null else pieces(rnd.nextInt(pieces.length)),
+          if (rnd.nextInt(8) == 0) null
+          else java.lang.Double.valueOf(rnd.nextDouble() * 1e6 - 5e5))
+      }
+      val df = rows.toDF("id", "s", "d")
+      for (codec <- Seq(None, Some("gzip"))) {
+        val p = s"$dir/rt_${codec.getOrElse("none")}"
+        Jsonl.write(df, p, codec)
+        val back = Jsonl.read(spark, schema, p).cache()
+        back.count() // materialize: corrupt-column-only queries need the parse cached
+        assert(back.filter(col(Jsonl.CorruptCol).isNotNull).count() === 0L,
+          s"codec=$codec corrupt on clean roundtrip")
+        val got = back.select("id", "s", "d").collect()
+          .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+            r.getString(1),
+            if (r.isNullAt(2)) null else r.getDouble(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val want = rows.map(r => (
+          if (r._1 == null) null else r._1.longValue,
+          r._2,
+          if (r._3 == null) null else r._3.doubleValue))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === want, s"codec=$codec roundtrip multiset")
+        back.unpersist()
+      }
+      // Quarantine: interleave valid lines with truncated/garbage ones.
+      val good = (1 to 20).map(i => s"""{"id":$i,"s":"ok$i","d":${i * 1.5}}""")
+      val bad = Seq("""{"id":21,"s":"trunc""", "not json at all", """["array"]""")
+      val mixed = rnd.shuffle(good ++ bad)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/mixed.jsonl"),
+        mixed.mkString("\n").getBytes("UTF-8"))
+      val q = Jsonl.read(spark, schema, s"$dir/mixed.jsonl").cache()
+      q.count() // materialize before corrupt-column-only queries
+      assert(q.filter(col(Jsonl.CorruptCol).isNotNull).count() === bad.length.toLong,
+        "quarantined count")
+      assert(q.filter(col(Jsonl.CorruptCol).isNull).count() === good.length.toLong,
+        "clean count")
+      val ids = q.filter(col(Jsonl.CorruptCol).isNull).select("id")
+        .as[Long].collect().toSet
+      assert(ids === (1 to 20).map(_.toLong).toSet, "clean rows intact")
+      q.unpersist()
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("csv source: roundtrip quotes safely and malformed rows quarantine with parsed fields") {
+    import graft.sources.Csv
+    import org.apache.spark.sql.types._
+    val rnd = new Random(1903)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType)))
+    val dir = java.nio.file.Files.createTempDirectory("csv_prop").toString
+    try {
+      // CSV-hostile strings: commas, quotes, separators (NO newlines — a
+      // quoted newline needs multiLine, out of contract; NO empty strings
+      // — CSV cannot distinguish "" from null; NO edge padding — Spark's
+      // CSV WRITER trims unquoted leading/trailing whitespace by default,
+      // pinned separately below).
+      val pieces = Seq("plain", "a,b,c", "say \"hi\"", "inner  spaces",
+        "semi;colon", "quote\"comma,mix")
+      val rows = (1 to 60).map { i =>
+        (java.lang.Long.valueOf(i.toLong),
+          if (rnd.nextInt(8) == 0) null else pieces(rnd.nextInt(pieces.length)),
+          if (rnd.nextInt(8) == 0) null
+          else java.lang.Double.valueOf(rnd.nextDouble() * 100 - 50))
+      }
+      val df = rows.toDF("id", "s", "d")
+      val p = s"$dir/rt"
+      Csv.write(df, p)
+      val back = Csv.read(spark, schema, header = true, p).cache()
+      back.count() // materialize: corrupt-column-only queries need the parse cached
+      assert(back.filter(col(Csv.CorruptCol).isNotNull).count() === 0L,
+        "corrupt on clean roundtrip")
+      val got = back.select("id", "s", "d").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = rows.map(r => (r._1.longValue, r._2,
+        if (r._3 == null) null else r._3.doubleValue))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === want, "roundtrip multiset")
+      back.unpersist()
+      // The padding quirk, pinned: the writer's default
+      // ignoreLeading/TrailingWhiteSpace=true strips unquoted edge spaces,
+      // so padded strings do NOT roundtrip (inner runs survive).
+      val pp = s"$dir/pad"
+      Csv.write(Seq((1L, " padded ")).toDF("id", "s"), pp)
+      val padBack = Csv.read(spark,
+        StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
+        header = true, pp).cache()
+      padBack.count()
+      assert(padBack.select("s").as[String].collect().toSeq === Seq("padded"),
+        "write-side edge-whitespace trim")
+      padBack.unpersist()
+      // Quarantine: uncastable numerics and extra columns are corrupt but
+      // keep their parseable fields; clean lines parse fully.
+      val good = (1 to 15).map(i => s"$i,ok$i,${i * 0.5}")
+      val badNum = Seq("998,keepme,notadouble", "notalong,alsokept,1.5")
+      val badShape = Seq("999,extra,1.5,surplus")
+      val mixed = rnd.shuffle(good ++ badNum ++ badShape)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/mixed.csv"),
+        ("id,s,d\n" + mixed.mkString("\n")).getBytes("UTF-8"))
+      val q = Csv.read(spark, schema, header = true, s"$dir/mixed.csv").cache()
+      q.count() // materialize before corrupt-column-only queries
+      assert(q.filter(col(Csv.CorruptCol).isNotNull).count() ===
+        (badNum.length + badShape.length).toLong, "quarantined count")
+      assert(q.filter(col(Csv.CorruptCol).isNull).count() === good.length.toLong,
+        "clean count")
+      // The PERMISSIVE contract: a quarantined row keeps parsed fields.
+      val kept = q.filter(col(Csv.CorruptCol).isNotNull).select("s")
+        .collect().map(_.getString(0)).toSet
+      assert(Set("keepme", "alsokept", "extra").subsetOf(kept),
+        s"parsed fields preserved in quarantine, got $kept")
+      q.unpersist()
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   // ---- Cross-corpus dedup and the rolling ledger ---------------------------
 
   test("cross-corpus dedup: bloom path equals plain anti-join exactly on random overlaps") {

@@ -2711,6 +2711,48 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Relation quoting / SQL-literal escaping ------------------------------
+
+  test("relation quoting and sql literals survive hostile names end-to-end") {
+    import graft.core.Relation
+    val rnd = new Random(2001)
+    // parse/name round-trip over random 1- and 2-part names.
+    (1 to 20).foreach { _ =>
+      val id = s"t${rnd.nextInt(1000)}_x"
+      val sch = s"s${rnd.nextInt(1000)}"
+      assert(Relation.parse(id).name === id)
+      assert(Relation.parse(s"$sch.$id").name === s"$sch.$id")
+      assert(Relation.sibling(s"$sch.$id", "_tmp").name === s"$sch.${id}_tmp")
+      assert(Relation.sibling(id, "_tmp").quoted === s"`${id}_tmp`")
+    }
+    // Backtick escaping: a view whose NAME contains backticks must be
+    // addressable through .quoted — the escape rule checked by the engine
+    // itself, not by string comparison.
+    val hostile = Seq("plain_v", "with`tick", "two``ticks", "spa ce", "do-t")
+    hostile.foreach { n =>
+      val r = Relation("", n, isTemporary = true)
+      // Both the CREATE and the read address the view through .quoted —
+      // the escape rule is checked by the SQL parser itself.
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW ${r.quoted} AS " +
+        s"SELECT ${Relation.sqlLiteral(n)} AS tag")
+      val got = spark.sql(s"SELECT tag FROM ${r.quoted}").head().getString(0)
+      assert(got === n, s"backtick round-trip of '$n'")
+      spark.sql(s"DROP VIEW ${r.quoted}")
+    }
+    // sqlLiteral: any runtime string must come back VERBATIM from the
+    // parser — quotes, backslashes, unicode, even injection shapes.
+    val values = Seq("plain", "O'Brien", "back\\slash", "both\\'mix",
+      "unicode é…", "'; DROP TABLE x; --", "``ticks``", "") ++
+      (1 to 10).map(_ => (1 to rnd.nextInt(12)).map(_ =>
+        "ab'\\`% _".charAt(rnd.nextInt(8))).mkString)
+    values.foreach { v =>
+      val got = spark.sql(s"SELECT ${Relation.sqlLiteral(v)} AS v")
+        .head().getString(0)
+      assert(got === v, s"literal round-trip of ${v.map(_.toInt)}")
+    }
+    assert(Relation.sqlLiteral(null) === "'__HIVE_DEFAULT_PARTITION__'")
+  }
+
   // ---- Semantic dedup and corpus sources -----------------------------------
 
   test("semantic dedup: single-list boundary equals the pairwise smaller-id rule") {

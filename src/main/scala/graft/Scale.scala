@@ -145,7 +145,7 @@ object Scale {
         "txt_heavy_bigrams", "pipe_pack"),
       "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2",
         "inc_overwrite"),
-      "events_disjoint" -> Seq("evt_asof", "stream_sessionize",
+      "events_disjoint" -> Seq("evt_asof", "evt_active", "stream_sessionize",
         "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
       "edges" -> Seq("dd_cluster", "graph_pagerank"),
@@ -376,6 +376,28 @@ object Scale {
     // equal ts) keeps each row's matched (ts, value) payload identical to
     // ×1, so the same ×k witness law holds THROUGH the skew path.
     asofRun("events_hot", "evt_asof_hot")
+
+    // ------------------------------------------------- 7b. evt_active_users
+    // Rolling active users (EventAnalytics.activeUsers): the ×windowDays
+    // explode fan-out + two distincts — the WAU formulation that replaces a
+    // non-equi day-range join. k disjoint user copies share the calendar,
+    // so the day spine is IDENTICAL at both scales and every day's
+    // dau/wau count is exactly k× the ×1 count — an exact per-row law,
+    // checked row for row (the result is days-sized, driver-safe).
+    run("evt_active") {
+      def counts(scale: String): Map[java.sql.Date, (Long, Long)] =
+        graft.operators.EventAnalytics.activeUsers(
+          rd(scale, "events_disjoint"), "user_id", "ts", windowDays = 7)
+          .collect()
+          .map(r => r.getDate(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val (c1, s1) = timed(counts("x1"))
+      val (ck, sk) = timed(counts(s"x$k"))
+      (c1.size.toLong, ck.size.toLong, s1, sk,
+        check(ck.keySet == c1.keySet &&
+          c1.forall { case (d, (dau, wau)) =>
+            ck(d) == ((dau * k, wau * k)) },
+          s"per-day dau/wau must scale ×$k exactly"))
+    }
 
     // --------------------------------------------------- 8. graph_pagerank
     // k disjoint graph copies: integer PageRank is bit-deterministic, so

@@ -826,4 +826,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.table(v).count() === 2)
     spark.sql(s"DROP TABLE $v")
   }
+
+  test("event analytics plans: no nested-loop joins; sessionize shuffles once") {
+    import graft.operators.EventAnalytics
+    val ev = graft.core.Tables.events(spark, sf)
+
+    // The sessionizer's window and its (entity, session_idx) aggregation
+    // share one hash partitioning on the entity — a second exchange here
+    // would double the operator's shuffle cost at any scale.
+    val sess = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id")
+    val sessPlan = sess.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(sessPlan).length
+    assert(exchanges === 1, s"sessionize must shuffle once:\n$sessPlan")
+
+    // The fan-out/aggregation formulations exist precisely to avoid a
+    // non-equi join: none of these plans may contain a nested-loop or
+    // cartesian operator.
+    val plans = Seq(
+      "activeUsers" -> EventAnalytics.activeUsers(ev, "user_id", "ts"),
+      "retention" -> EventAnalytics.retention(ev, "user_id", "ts"),
+      "gapFill" -> EventAnalytics.gapFillHourly(ev, "event_type", "ts"),
+      "funnel" -> EventAnalytics.funnelCounts(ev, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase")),
+      "winsorize" -> EventAnalytics.winsorize(ev, "event_type", "value",
+        "event_id"))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name plan contains a nested-loop join:\n$plan")
+    }
+    // Trending's rank window partitions by the day bucket (bounded by
+    // group cardinality per day), never by nothing (a global sort).
+    val trend = EventAnalytics.trending(ev, "event_type", to_date(col("ts")))
+    val tplan = trend.queryExecution.executedPlan.toString
+    // A rank window with NO partition keys would plan an Exchange
+    // SinglePartition — the one-task funnel the bucketed design avoids.
+    assert(tplan.contains("Window") && !tplan.contains("SinglePartition"),
+      s"trending rank must partition by the bucket:\n$tplan")
+    graft.core.ScopedStorage.releaseAll(blocking = true)
+  }
 }

@@ -591,4 +591,96 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("SCD2 crash machine: random snapshot/erase/relayout sequences track the history model") {
+    // The merge machine above drives a flat upsert table; this drives the
+    // OTHER stateful materialization — SCD2 history — through the same
+    // coin-flip crash discipline, interleaved with erasure (which must
+    // remove a key's WHOLE history, open and closed) and contents-neutral
+    // relayout. The model is the plain SCD2 fold (HardDeletes.Ignore,
+    // ByCheck on the value column); the table must equal it after every
+    // step, and scd_id must stay unique across the whole history whatever
+    // the crash/recovery interleaving did.
+    import scala.util.Random
+    import java.sql.Timestamp
+    val rnd = new Random(31543)
+    case class V(k: Long, v: String, from: Long, to: Option[Long])
+    def cfgAt(now: Long) = SnapshotConfig(Seq("k"),
+      SnapshotStrategy.ByCheck(Seq("v")), clock = () => new Timestamp(now))
+    (1 to 2).foreach { trial =>
+      val t = fresh(s"scd2_rand_$trial")
+      val t0 = 86400000L
+      val init = (1 to 4).map(i => (i.toLong, s"v$i"))
+      SnapshotMaterialization.run(spark, t, init.toDF("k", "v"), cfgAt(t0))
+      var model: Vector[V] = init.toVector.map { case (k, v) => V(k, v, t0, None) }
+      def tableNow(): Vector[V] = spark.table(t).collect().map { r =>
+        V(r.getAs[Long]("k"), r.getAs[String]("v"),
+          r.getAs[Timestamp]("dbt_valid_from").getTime,
+          Option(r.getAs[Timestamp]("dbt_valid_to")).map(_.getTime))
+      }.toVector
+      def sorted(vs: Vector[V]) = vs.sortBy(_.toString)
+      def applySnapshot(src: Map[Long, String], now: Long): Unit = {
+        val opens = model.filter(_.to.isEmpty).map(v => v.k -> v).toMap
+        var next = model
+        src.foreach { case (k, v) =>
+          opens.get(k) match {
+            case None => next = next :+ V(k, v, now, None)
+            case Some(o) if o.v != v =>
+              next = next.map(x => if (x eq o) x.copy(to = Some(now)) else x) :+
+                V(k, v, now, None)
+            case _ =>
+          }
+        } // HardDeletes.Ignore: vanished keys stay open
+        model = next
+      }
+      (1 to 10).foreach { step =>
+        val now = t0 * (step + 1)
+        val crash = rnd.nextBoolean()
+        rnd.nextInt(3) match {
+          case 0 => // SNAPSHOT a random batch
+            val src = (1 to 8).filter(_ => rnd.nextBoolean())
+              .map(k => k.toLong -> s"s${step}_${rnd.nextInt(3)}").toMap
+            val srcDf = src.toSeq.toDF("k", "v")
+            if (crash) {
+              Failpoints.arm("staged.commit")
+              intercept[IllegalStateException] {
+                SnapshotMaterialization.run(spark, t, srcDf, cfgAt(now))
+              }
+              assert(sorted(tableNow()) === sorted(model),
+                s"trial=$trial step=$step crash touched history")
+              intercept[IllegalStateException] { // artifact blocks the retry
+                SnapshotMaterialization.run(spark, t, srcDf, cfgAt(now))
+              }
+              Staging.recoverStagedCommit(spark, t)
+            } else SnapshotMaterialization.run(spark, t, srcDf, cfgAt(now))
+            applySnapshot(src, now)
+          case 1 => // ERASE one key's whole history
+            val k = rnd.nextInt(8).toLong + 1
+            if (crash) {
+              Failpoints.arm("erase.overwrite")
+              intercept[IllegalStateException] {
+                Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+              }
+              intercept[IllegalStateException] {
+                Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+              }
+              Governance.recoverErasure(spark, t)
+            } else Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+            model = model.filterNot(_.k == k)
+          case _ => // RELAYOUT: contents-neutral, auto-rollback on crash
+            if (crash) {
+              Failpoints.arm("relayout.rebuild")
+              intercept[Failpoints.Injected] { RelationOps.compact(spark, t) }
+            } else RelationOps.compact(spark, t)
+        }
+        Failpoints.disarmAll()
+        assert(sorted(tableNow()) === sorted(model),
+          s"trial=$trial step=$step post-state")
+        val ids = spark.table(t).select("dbt_scd_id").collect().map(_.getString(0))
+        assert(ids.forall(_ != null) && ids.distinct.length == ids.length,
+          s"trial=$trial step=$step scd_id uniqueness")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

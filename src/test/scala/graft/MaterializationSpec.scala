@@ -661,4 +661,30 @@ class MaterializationSpec extends AnyFunSuite {
     // Empty frame: defined, zeroed — not a null-sum crash.
     assert(contentWitness(base.limit(0)) === ((0L, BigInt(0))))
   }
+
+  test("UserModel.runTable materializes a user transform with partitioning") {
+    // The table-materialization half of the python-model analog (S8):
+    // runIncremental carries the driver gate; this pins runTable — the
+    // transform's output becomes the table verbatim, partitioned as asked,
+    // and a re-run REPLACES (table semantics, not append).
+    val t = s"default.user_model_table_${System.nanoTime()}"
+    val ctx = ModelCtx(spark, sf)
+    val model: UserModel.Transform = (c, _) =>
+      c.source("nation").select(col("n_nationkey"), col("n_name"),
+        (col("n_regionkey") % 2).as("bucket"))
+    UserModel.runTable(spark, t, ctx, model, partitionBy = Seq("bucket"))
+    val got = spark.table(t)
+    assert(got.count() === 25)
+    assert(got.columns.toSeq.sorted === Seq("bucket", "n_name", "n_nationkey"))
+    val parts = spark.sql(s"SHOW PARTITIONS $t")
+      .collect().map(_.getString(0)).toSet
+    assert(parts === Set("bucket=0", "bucket=1"))
+    // Re-run with a narrower transform: replaced, not appended.
+    UserModel.runTable(spark, t, ctx, (c, _) =>
+      c.source("nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_regionkey") % 2).as("bucket")))
+    assert(spark.table(t).count() === 5)
+    spark.sql(s"DROP TABLE $t")
+  }
 }

@@ -2711,6 +2711,76 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Contract enforcement --------------------------------------------------
+
+  test("contracts: enforce verdicts and violation counts equal a plain reference") {
+    import graft.materialize.Contracts
+    import graft.materialize.Contracts.ColumnSpec
+    val rnd = new Random(2101)
+    (1 to 25).foreach { trial =>
+      // Conforming base: a bigint (never null), b string (nullable),
+      // c double (nullable) — with the check column carrying nulls so the
+      // SQL CHECK semantics (NULL passes) are actually exercised.
+      val n = 20 + rnd.nextInt(30)
+      val rows = (1 to n).map { i =>
+        (i.toLong, if (rnd.nextInt(5) == 0) null else s"s$i",
+          if (rnd.nextInt(4) == 0) null
+          else java.lang.Double.valueOf(rnd.nextInt(20) - 5.0))
+      }
+      val contract = Seq(
+        ColumnSpec("a", "bigint", notNull = true),
+        ColumnSpec("b", "string"),
+        ColumnSpec("c", "double", check = Some("c > 0")))
+      // Frame columns arrive in a random order; enforce must reorder.
+      val perm = rnd.shuffle(Seq(0, 1, 2))
+      val base = rows.toDF("a", "b", "c")
+      val df = base.select(perm.map(i => Seq("a", "b", "c")(i)).map(col): _*)
+      val checkFails = rows.count(r => r._3 != null && r._3.doubleValue <= 0)
+      rnd.nextInt(5) match {
+        case 0 => // conforming iff no check violations; verdict matches
+          if (checkFails == 0) {
+            val out = Contracts.enforce(df, contract)
+            assert(out.columns.toSeq === Seq("a", "b", "c"),
+              s"trial=$trial contract order")
+            assert(out.count() === n.toLong, s"trial=$trial rows preserved")
+          } else {
+            val e = intercept[IllegalStateException] {
+              Contracts.enforce(df, contract) }
+            assert(e.getMessage.contains("CONTRACT_CONSTRAINT_VIOLATION") &&
+              e.getMessage.contains(s"check:c ($checkFails rows)"),
+              s"trial=$trial check count: ${e.getMessage}")
+          }
+        case 1 => // missing column
+          val e = intercept[IllegalStateException] {
+            Contracts.enforce(df.drop("b"), contract) }
+          assert(e.getMessage.contains("CONTRACT_COLUMNS_MISMATCH") &&
+            e.getMessage.contains("missing=b"), s"trial=$trial: ${e.getMessage}")
+        case 2 => // unexpected column
+          val e = intercept[IllegalStateException] {
+            Contracts.enforce(df.withColumn("zz", lit(1)), contract) }
+          assert(e.getMessage.contains("CONTRACT_COLUMNS_MISMATCH") &&
+            e.getMessage.contains("unexpected=zz"), s"trial=$trial: ${e.getMessage}")
+        case 3 => // type drift
+          val e = intercept[IllegalStateException] {
+            Contracts.enforce(df.withColumn("a", col("a").cast("int")),
+              contract) }
+          assert(e.getMessage.contains("CONTRACT_TYPE_MISMATCH") &&
+            e.getMessage.contains("a: expected BIGINT"),
+            s"trial=$trial: ${e.getMessage}")
+        case _ => // planted not_null violations: count must be exact
+          val planted = 1 + rnd.nextInt(5)
+          val bad = df.withColumn("a",
+            when(col("a") <= planted, lit(null).cast("bigint"))
+              .otherwise(col("a")))
+          val e = intercept[IllegalStateException] {
+            Contracts.enforce(bad, contract) }
+          assert(e.getMessage.contains("CONTRACT_CONSTRAINT_VIOLATION") &&
+            e.getMessage.contains(s"not_null:a ($planted rows)"),
+            s"trial=$trial planted=$planted: ${e.getMessage}")
+      }
+    }
+  }
+
   // ---- Relation quoting / SQL-literal escaping ------------------------------
 
   test("relation quoting and sql literals survive hostile names end-to-end") {

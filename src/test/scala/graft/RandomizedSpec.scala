@@ -2711,6 +2711,121 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Seed loader two-phase typing ---------------------------------------------
+
+  test("seed loader: random typed CSVs round-trip through the two-phase cast") {
+    import graft.materialize.SeedLoader
+    val rnd = new Random(2301)
+    val dir = java.nio.file.Files.createTempDirectory("seed_prop").toString
+    try {
+      (1 to 4).foreach { trial =>
+        val t = s"default.seed_rand_$trial"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // One column per declared seed type; values land on exact grids
+        // (doubles on quarters, bigints within 2^53 — the lenient
+        // bigint-as-double phase is exact there by contract).
+        val rows = (1 to 30 + rnd.nextInt(30)).map { i =>
+          val id = if (rnd.nextInt(8) == 0) null
+            else java.lang.Long.valueOf(
+              rnd.nextLong() % 1000000000000L + i.toLong)
+          val d = if (rnd.nextInt(8) == 0) null
+            else java.lang.Double.valueOf((rnd.nextInt(4000) - 2000) / 4.0)
+          val dt = if (rnd.nextInt(8) == 0) null
+            else java.time.LocalDate.ofEpochDay(rnd.nextInt(20000).toLong)
+          val ts = if (rnd.nextInt(8) == 0) null
+            else java.time.Instant.ofEpochSecond(
+              1500000000L + rnd.nextInt(100000000))
+          val b = if (rnd.nextInt(8) == 0) null
+            else java.lang.Boolean.valueOf(rnd.nextBoolean())
+          val s = if (rnd.nextInt(8) == 0) null else s"tok${rnd.nextInt(50)}"
+          (id, d, dt, ts, b, s)
+        }
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+        def cell(v: Any): String = v match {
+          case null => ""
+          case i: java.time.Instant => fmt.format(i)
+          case other => other.toString
+        }
+        val csv = "id,d,dt,ts,b,s\n" + rows.map(r =>
+          Seq[Any](r._1, r._2, r._3, r._4, r._5, r._6).map(cell).mkString(","))
+          .mkString("\n")
+        val path = s"$dir/seed_$trial.csv"
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          csv.getBytes("UTF-8"))
+        SeedLoader.loadCsv(spark, t, path, columnTypes = Map(
+          "id" -> "bigint", "d" -> "double", "dt" -> "date",
+          "ts" -> "timestamp", "b" -> "boolean", "s" -> "text"))
+        val got = spark.table(t).collect().map { r =>
+          (if (r.isNullAt(0)) null else r.getLong(0).toString,
+            if (r.isNullAt(1)) null else r.getDouble(1).toString,
+            if (r.isNullAt(2)) null else r.getDate(2).toLocalDate.toString,
+            if (r.isNullAt(3)) null
+            else fmt.format(java.time.Instant.ofEpochMilli(
+              r.getTimestamp(3).getTime)),
+            if (r.isNullAt(4)) null else r.getBoolean(4).toString,
+            r.getString(5))
+        }.groupBy(identity).view.mapValues(_.length).toMap
+        val want = rows.map(r => (
+          if (r._1 == null) null else r._1.toString,
+          if (r._2 == null) null else r._2.toString,
+          if (r._3 == null) null else r._3.toString,
+          if (r._4 == null) null else fmt.format(r._4),
+          if (r._5 == null) null else r._5.toString,
+          r._6)).groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === want, s"trial=$trial seed roundtrip")
+        // Declared TEXT normalizes to string (the reference's type-name
+        // rule) — the table schema must carry Spark types, never agate's.
+        assert(spark.table(t).schema("s").dataType ===
+          org.apache.spark.sql.types.StringType)
+        assert(spark.table(t).schema("id").dataType ===
+          org.apache.spark.sql.types.LongType)
+        spark.sql(s"DROP TABLE $t")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  // ---- Unit-test multiset diff -------------------------------------------------
+
+  test("unit test: missing/unexpected equal plain multiset subtraction") {
+    import graft.quality.UnitTest
+    val rnd = new Random(2201)
+    (1 to 10).foreach { trial =>
+      // Duplicate-heavy value space with nulls: cardinality mismatches
+      // must SURFACE (exceptAll), never cancel the way a set diff would.
+      def row() = (rnd.nextInt(4).toLong,
+        if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(3)}")
+      val produced = Seq.fill(15 + rnd.nextInt(15))(row())
+      val expected = Seq.fill(15 + rnd.nextInt(15))(row())
+      // The model ignores its fixtures and returns `produced` with columns
+      // in REVERSED order — run() must align before diffing.
+      val res = UnitTest.run(
+        _ => produced.toDF("k", "s").select(col("s"), col("k")),
+        Map("in" -> spark.range(1).toDF()),
+        expected.toDF("k", "s"))
+      def multiset(rows: Seq[(Long, String)]): Map[(Long, String), Int] =
+        rows.groupBy(identity).view.mapValues(_.size).toMap
+      def sub(a: Seq[(Long, String)], b: Seq[(Long, String)]) = {
+        val bm = multiset(b)
+        multiset(a).map { case (k, c) => k -> math.max(0, c - bm.getOrElse(k, 0)) }
+          .filter(_._2 > 0)
+      }
+      def got(df: org.apache.spark.sql.DataFrame) = multiset(
+        df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      assert(got(res.missing) === sub(expected, produced),
+        s"trial=$trial missing")
+      assert(got(res.unexpected) === sub(produced, expected),
+        s"trial=$trial unexpected")
+      assert(res.passed === (multiset(produced) == multiset(expected)),
+        s"trial=$trial verdict")
+      // Identity law: a model returning exactly the expectation passes.
+      val clean = UnitTest.run(_ => expected.toDF("k", "s"),
+        Map.empty, expected.toDF("k", "s"))
+      assert(clean.passed, s"trial=$trial identity")
+    }
+  }
+
   // ---- Contract enforcement --------------------------------------------------
 
   test("contracts: enforce verdicts and violation counts equal a plain reference") {

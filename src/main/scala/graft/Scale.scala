@@ -145,8 +145,8 @@ object Scale {
         "txt_heavy_bigrams", "pipe_pack"),
       "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2",
         "inc_overwrite"),
-      "events_disjoint" -> Seq("evt_asof", "evt_active", "stream_sessionize",
-        "stream_sessionize_inc"),
+      "events_disjoint" -> Seq("evt_asof", "evt_active", "evt_quantiles",
+        "stream_sessionize", "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
       "edges" -> Seq("dd_cluster", "graph_pagerank"),
       "embeddings" -> Seq("sim_range", "sim_ivf", "sim_ivfpq", "sim_binary"))
@@ -376,6 +376,25 @@ object Scale {
     // equal ts) keeps each row's matched (ts, value) payload identical to
     // ×1, so the same ×k witness law holds THROUGH the skew path.
     asofRun("events_hot", "evt_asof_hot")
+
+    // ------------------------------------------------- 7a. evt_quantiles
+    // Exact per-USER value quantiles (Quantiles.groupQuantiles) — the
+    // per-key fan-out regime the operator's scaladoc prescribes at scale
+    // (low-cardinality keys funnel; per-user keys fan out with the data).
+    // k disjoint user copies carry identical value multisets, so the
+    // (user mod Offset, n_rows, p50, p90) witness scales by exactly k —
+    // selected-element quantiles cannot drift under replication.
+    run("evt_quantiles") {
+      def q(scale: String) = graft.operators.Quantiles.groupQuantiles(
+        rd(scale, "events_disjoint"), "user_id", "value", "event_id",
+        Seq(("p50", 1, 2), ("p90", 9, 10)))
+        .select((col("user_id") % Offset).as("u"), col("n_rows"),
+          col("p50"), col("p90"))
+      val (w1, s1) = timed(w(q("x1")))
+      val (wk, sk) = timed(w(q(s"x$k")))
+      (w1._1, wk._1, s1, sk,
+        check(scaled(w1, wk, k), s"quantile witness must scale ×$k: $w1 vs $wk"))
+    }
 
     // ------------------------------------------------- 7b. evt_active_users
     // Rolling active users (EventAnalytics.activeUsers): the ×windowDays

@@ -13,6 +13,7 @@ import graft.streaming.EventStreams
   */
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
+  import spark.implicits._
 
   test("streaming tumbling counts agree with the batch aggregation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -366,6 +367,82 @@ class StreamingSpec extends AnyFunSuite {
     val (s4, c4) = foldBatch(None, Array(1L, 2L, 1000L), gapSeconds = 100)
     assert(c4 === Seq(SessionState(1, 2, 2)))
     assert(s4 === Some(SessionState(1000, 1000, 1)))
+  }
+
+  test("interval join: random multi-batch streams emit exactly the brute-force pairs") {
+    // The fixed-corpus agreement test above checks stream ≡ RangeJoin in
+    // one micro-batch; this drives RANDOM events through several
+    // micro-batches (time-ordered slice files, maxFilesPerTrigger=1 —
+    // the incremental-arrival shape: cross-slice matches must survive
+    // join-state retention, and contiguous time slices keep every event
+    // inside the 30-minute watermark, so nothing is legitimately dropped)
+    // against a THIRD implementation — plain-Scala brute-force
+    // containment — with planted exact-boundary deltas (0 s and exactly
+    // 3600 s, both inclusive by contract). A first draft of this test fed
+    // randomly-split files and lost pairs to WATERMARK EVICTION — correct
+    // streaming semantics worth remembering: unordered replay of a
+    // watermarked stream is lossy by design.
+    import scala.util.Random
+    val rnd = new Random(2401)
+    (1 to 2).foreach { trial =>
+      val base = 1700000000L
+      val rows = (1 to 120).map { i =>
+        val ty = if (rnd.nextBoolean()) "click" else "view"
+        // Second-aligned grid spanning ~2 h: boundary deltas occur often.
+        (i.toLong, s"u${rnd.nextInt(4)}", ty,
+          new java.sql.Timestamp((base + rnd.nextInt(24) * 300L) * 1000L))
+      }
+      val srcDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ij_rand_$trial")
+      // Three contiguous TIME slices, one single-file parquet each, mtimes
+      // sequenced so the file source replays them oldest-first.
+      val sorted = rows.sortBy(_._4.getTime)
+      val slices = sorted.grouped((sorted.length + 2) / 3).toSeq
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"ij_slice_$i")
+        slice.toDF("event_id", "user_id", "event_type", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        val partFile = {
+          var found: java.nio.file.Path = null
+          while (part.hasNext) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        }
+        val dest = srcDir.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.copy(partFile, dest)
+        dest.toFile.setLastModified(1000000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val schema = spark.read.parquet(srcDir.toString).schema
+      val transform: DataFrame => DataFrame = df =>
+        EventStreams.intervalJoin(
+          df.filter(col("event_type") === "click"),
+          df.filter(col("event_type") === "view"))
+      val got = EventStreams.runBoundedToMemory(
+        spark, srcDir.toString, schema, transform,
+        s"ij_rand_${trial}_" + java.util.UUID.randomUUID.toString.take(8),
+        readOptions = Map("maxFilesPerTrigger" -> "1"),
+        statePartitions = Some(4), noDataBatch = false)
+        .select("user_id", "view_id", "click_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val clicks = rows.filter(_._3 == "click")
+      val views = rows.filter(_._3 == "view")
+      val want = (for {
+        c <- clicks; v <- views
+        if c._2 == v._2
+        delta = c._4.getTime - v._4.getTime
+        if delta >= 0L && delta <= 3600000L // inclusive both ends
+      } yield (c._2, v._1, c._1)).toSet
+      assert(got === want, s"trial=$trial")
+      assert(want.exists { case (_, vid, cid) =>
+        rows(vid.toInt - 1)._4.getTime + 3600000L ==
+          rows(cid.toInt - 1)._4.getTime },
+        s"trial=$trial vacuous: no exact-3600s boundary pair landed")
+      org.apache.commons.io.FileUtils.deleteDirectory(srcDir.toFile)
+    }
   }
 
   test("sessionize fold: randomized ordered-batch splits equal batch sessionize") {

@@ -2711,6 +2711,51 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- VecMean pooling aggregate ---------------------------------------------
+
+  test("vec mean: pooled vectors equal an exact dyadic reference across partitionings") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rnd = new Random(2501)
+    (1 to 4).foreach { trial =>
+      val dim = 1 + rnd.nextInt(8)
+      // Dyadic-grid values (k/8): double sums are EXACT, so the result is
+      // partitioning-independent and comparable with == — the property can
+      // then randomize the partition count to drive the partial-merge path.
+      val rows = (1 to 150).map { i =>
+        val g = s"g${rnd.nextInt(5)}"
+        val v = if (rnd.nextInt(10) == 0) null
+          else Seq.fill(dim)((rnd.nextInt(33) - 16) / 8.0f)
+        (i.toLong, g, v)
+      }
+      val parts = 1 + rnd.nextInt(7)
+      val got = rows.toDF("id", "g", "vec").repartition(parts)
+        .groupBy("g").agg(GraftFunctions.vecMean(col("vec")).as("m"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+      val want = rows.groupBy(_._2).map { case (g, grp) =>
+        val vs = grp.flatMap(r => Option(r._3))
+        g -> (if (vs.isEmpty) null
+              else (0 until dim).map(i =>
+                vs.map(_(i).toDouble).sum / vs.size))
+      }
+      assert(got === want, s"trial=$trial dim=$dim parts=$parts")
+      // All-null group → null result (not a zero vector).
+      val allNull = Seq((1L, "x", null.asInstanceOf[Seq[Float]]),
+        (2L, "x", null.asInstanceOf[Seq[Float]])).toDF("id", "g", "vec")
+        .groupBy("g").agg(GraftFunctions.vecMean(col("vec")).as("m"))
+        .collect().head
+      assert(allNull.isNullAt(1), s"trial=$trial all-null group")
+      // Ragged dimensions in one group are corrupt data: must throw.
+      val ragged = Seq((1L, "x", Seq(1.0f)), (2L, "x", Seq(1.0f, 2.0f)))
+        .toDF("id", "g", "vec").coalesce(1)
+        .groupBy("g").agg(GraftFunctions.vecMean(col("vec")).as("m"))
+      val e = intercept[Exception] { ragged.collect() }
+      assert(e.getMessage != null, s"trial=$trial ragged must throw")
+    }
+  }
+
   // ---- Seed loader two-phase typing ---------------------------------------------
 
   test("seed loader: random typed CSVs round-trip through the two-phase cast") {

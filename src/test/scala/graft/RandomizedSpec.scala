@@ -2711,6 +2711,63 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Length-bucket batching ---------------------------------------------
+
+  test("length buckets: bucket, padding, and batch math equal a rank reference") {
+    import graft.operators.{Packing, Sampling}
+    val rnd = new Random(2601)
+    (1 to 4).foreach { trial =>
+      val nShards = 1 + rnd.nextInt(4)
+      val batchTokens = Seq(8L, 64L, 1L)(rnd.nextInt(3)) // 1 → every batch is 1 row
+      // Token counts hit every power-of-two boundary: 0/1 share bucket 0,
+      // 2^k and 2^k+1 straddle buckets; nulls coalesce to 0.
+      val rows = (1 to 120).map { i =>
+        val t: java.lang.Long = rnd.nextInt(6) match {
+          case 0 => null
+          case 1 => java.lang.Long.valueOf(1L << rnd.nextInt(7))
+          case 2 => java.lang.Long.valueOf((1L << rnd.nextInt(7)) + 1)
+          case _ => java.lang.Long.valueOf(rnd.nextInt(100).toLong)
+        }
+        (i.toLong, t)
+      }
+      val df = rows.toDF("k", "toks")
+      val got = Packing.lengthBuckets(df, "k", "toks", batchTokens, nShards)
+        .select("k", "shard", "len_bucket", "padded_len", "batch_idx")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+      // Reference: the hash ordering comes from the shared hashBucket
+      // column (the samplers property pins that kernel); everything
+      // downstream — bucket = ceil(log2(toks)) for toks ≥ 2 else 0,
+      // padding 2^bucket, rank-based batch ids — is plain arithmetic.
+      val bkt = df.select(col("k"), Sampling.hashBucket(col("k"), 0L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def bucketOf(t: java.lang.Long): Int = {
+        val v = if (t == null) 0L else t.longValue
+        if (v <= 1) 0 else java.lang.Long.toBinaryString(v - 1).length
+      }
+      val want = rows.groupBy { case (k, t) =>
+        ((bkt(k) % nShards + nShards) % nShards, bucketOf(t))
+      }.flatMap { case ((shard, lb), grp) =>
+        val padded = 1L << lb
+        val perBatch = math.max(batchTokens / padded, 1L)
+        grp.sortBy { case (k, _) => (bkt(k), k) }.zipWithIndex.map {
+          case ((k, _), i) =>
+            k -> ((shard.toInt, lb, padded, i.toLong / perBatch))
+        }
+      }
+      assert(got === want, s"trial=$trial shards=$nShards batch=$batchTokens")
+      // Budget law: a batch's padded token total fits the budget unless it
+      // is a single row (an oversized row still ships alone).
+      want.groupBy { case (_, (s, lb, _, b)) => (s, lb, b) }.foreach {
+        case (_, members) =>
+          val total = members.map(_._2._3).sum
+          assert(total <= batchTokens || members.size == 1,
+            s"trial=$trial batch over budget: $total")
+      }
+    }
+  }
+
   // ---- VecMean pooling aggregate ---------------------------------------------
 
   test("vec mean: pooled vectors equal an exact dyadic reference across partitionings") {

@@ -18,6 +18,14 @@ import graft.core.ScopedStorage.Ops
   * arranged so the plan scales: aggregations are map-side combinable,
   * fan-outs are bounded and scan-local, and no step needs a non-equi join
   * or a window over an unbounded partition.
+  *
+  * Column-name contract (library API): OUTPUT columns are part of each
+  * operator's documented result shape (`session_idx`, `t1..tk`,
+  * `n_step1..k`, `cohort_day`/`day_offset`, `d`/`dau`/`wau`, quantile
+  * labels, `clipped`, `rank`) — a caller's input frame must not already
+  * contain the outputs it asks for, exactly like any SQL projection.
+  * INTERNAL working columns are `__graft_`-prefixed so they can never
+  * collide with (or silently capture) a caller's own columns.
   */
 object EventAnalytics {
 
@@ -34,15 +42,17 @@ object EventAnalytics {
     */
   def sessionize(ev: DataFrame, entityCol: String, tsCol: String,
       tieCol: String, gapSec: Long = 1800L): DataFrame = {
+    require(gapSec >= 0, s"negative session gap: $gapSec")
     val byEntity = Window.partitionBy(col(entityCol))
       .orderBy(col(tsCol), col(tieCol))
     val newSession = when(
       col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(byEntity)
         > gapSec, 1
     ).otherwise(0)
-    ev.withColumn("new_s", newSession)
+    ev.withColumn("__graft_new_s", newSession)
       .withColumn("session_idx",
-        sum(col("new_s")).over(byEntity.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("__graft_new_s"))
+          .over(byEntity.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(entityCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
@@ -98,12 +108,15 @@ object EventAnalytics {
     */
   def retention(ev: DataFrame, entityCol: String, tsCol: String,
       maxOffsetDays: Int = 7): DataFrame = {
-    val ud = ev.select(col(entityCol), to_date(col(tsCol)).as("d")).distinct()
+    require(maxOffsetDays >= 0, s"negative retention horizon: $maxOffsetDays")
+    val ud = ev.select(col(entityCol), to_date(col(tsCol)).as("__graft_d"))
+      .distinct()
       .scopedCheckpoint(false) // feeds the cohort min AND the activity side
-    val cohort = ud.groupBy(entityCol).agg(min(col("d")).as("cohort_day"))
+    val cohort = ud.groupBy(entityCol)
+      .agg(min(col("__graft_d")).as("cohort_day"))
     ud.join(cohort, Seq(entityCol))
       .select(col("cohort_day"),
-        datediff(col("d"), col("cohort_day")).as("day_offset"))
+        datediff(col("__graft_d"), col("cohort_day")).as("day_offset"))
       .filter(col("day_offset") <= maxOffsetDays)
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
@@ -121,15 +134,16 @@ object EventAnalytics {
   def gapFillHourly(ev: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val hourly = ev
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("__graft_cnt"))
     val spine = hourly.groupBy(col(keyCol))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .agg(min(col("h")).as("__graft_h0"), max(col("h")).as("__graft_h1"))
       .select(col(keyCol),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        explode(sequence(col("__graft_h0"), col("__graft_h1"),
+          expr("interval 1 hour"))).as("h"))
     spine.join(hourly, Seq(keyCol, "h"), "left")
       .select(col(keyCol), col("h"),
-        coalesce(col("cnt"), lit(0L)).as("n"),
-        col("cnt").isNull.as("is_gap"))
+        coalesce(col("__graft_cnt"), lit(0L)).as("n"),
+        col("__graft_cnt").isNull.as("is_gap"))
   }
 
   /** Rolling active entities: per observed day, the daily distinct count
@@ -145,6 +159,9 @@ object EventAnalytics {
     */
   def activeUsers(ev: DataFrame, entityCol: String, tsCol: String,
       windowDays: Int = 7): DataFrame = {
+    // windowDays == 0 would make sequence() emit a DESCENDING day range,
+    // silently attributing activity to PAST days instead of failing.
+    require(windowDays >= 1, s"rolling window must cover >= 1 day: $windowDays")
     val ud = ev
       .select(to_date(col(tsCol)).as("d"), col(entityCol)).distinct()
       .scopedCheckpoint(false) // feeds DAU, the spine, and the fan-out
@@ -191,6 +208,7 @@ object EventAnalytics {
     */
   def trending(ev: DataFrame, groupCol: String, bucket: Column, k: Int = 3)
       : DataFrame = {
+    require(k >= 1, s"leaderboard depth must be >= 1: $k")
     val daily = ev
       .groupBy(bucket.as("d"), col(groupCol))
       .agg(count(lit(1)).as("n"))

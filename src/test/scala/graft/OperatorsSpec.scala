@@ -827,6 +827,39 @@ class OperatorsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $v")
   }
 
+  /** Every physical node of a (possibly adaptive) plan — walked by NODE
+    * TYPE, not by substring-matching the rendered plan (r14 ADVICE: string
+    * fragments like "Exchange hashpartitioning" are brittle across Spark
+    * versions and AQE re-planning). AdaptiveSparkPlanExec and the
+    * QueryStageExec wrappers are LEAF nodes whose real subtree hangs off a
+    * field, so a naive `plan.collect` stops at them — expand through both.
+    */
+  private def physicalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case other => other.children.flatMap(walk)
+    })
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def shuffleExchanges(df: org.apache.spark.sql.DataFrame) =
+    physicalNodes(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  private def nestedLoopNodes(df: org.apache.spark.sql.DataFrame) =
+    physicalNodes(df).filter {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        => true
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }
+
   test("event analytics plans: no nested-loop joins; sessionize shuffles once") {
     import graft.operators.EventAnalytics
     val ev = graft.core.Tables.events(spark, sf)
@@ -835,10 +868,8 @@ class OperatorsSpec extends AnyFunSuite {
     // share one hash partitioning on the entity — a second exchange here
     // would double the operator's shuffle cost at any scale.
     val sess = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id")
-    val sessPlan = sess.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r
-      .findAllMatchIn(sessPlan).length
-    assert(exchanges === 1, s"sessionize must shuffle once:\n$sessPlan")
+    assert(shuffleExchanges(sess).length === 1,
+      s"sessionize must shuffle once:\n${sess.queryExecution.executedPlan}")
 
     // The fan-out/aggregation formulations exist precisely to avoid a
     // non-equi join: none of these plans may contain a nested-loop or
@@ -852,19 +883,25 @@ class OperatorsSpec extends AnyFunSuite {
       "winsorize" -> EventAnalytics.winsorize(ev, "event_type", "value",
         "event_id"))
     plans.foreach { case (name, df) =>
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
-        s"$name plan contains a nested-loop join:\n$plan")
+      assert(nestedLoopNodes(df).isEmpty,
+        s"$name plan contains a nested-loop join:\n" +
+          df.queryExecution.executedPlan)
     }
     // Trending's rank window partitions by the day bucket (bounded by
-    // group cardinality per day), never by nothing (a global sort).
+    // group cardinality per day), never by nothing (a global sort): the
+    // plan must contain a Window node with a NONEMPTY partition spec and
+    // no single-partition exchange (the one-task funnel).
     val trend = EventAnalytics.trending(ev, "event_type", to_date(col("ts")))
-    val tplan = trend.queryExecution.executedPlan.toString
-    // A rank window with NO partition keys would plan an Exchange
-    // SinglePartition — the one-task funnel the bucketed design avoids.
-    assert(tplan.contains("Window") && !tplan.contains("SinglePartition"),
-      s"trending rank must partition by the bucket:\n$tplan")
+    val windows = physicalNodes(trend).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"trending rank must partition by the bucket:\n" +
+        trend.queryExecution.executedPlan)
+    assert(shuffleExchanges(trend).forall(e =>
+        e.outputPartitioning.numPartitions > 1),
+      s"trending must not funnel through one partition:\n" +
+        trend.queryExecution.executedPlan)
     graft.core.ScopedStorage.releaseAll(blocking = true)
   }
 }

@@ -146,7 +146,7 @@ object Scale {
       "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2",
         "inc_overwrite"),
       "events_disjoint" -> Seq("evt_asof", "evt_active", "evt_quantiles",
-        "stream_sessionize", "stream_sessionize_inc"),
+        "evt_quantiles_approx", "stream_sessionize", "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
       "edges" -> Seq("dd_cluster", "graph_pagerank"),
       "embeddings" -> Seq("sim_range", "sim_ivf", "sim_ivfpq", "sim_binary"))
@@ -394,6 +394,38 @@ object Scale {
       val (wk, sk) = timed(w(q(s"x$k")))
       (w1._1, wk._1, s1, sk,
         check(scaled(w1, wk, k), s"quantile witness must scale ×$k: $w1 vs $wk"))
+    }
+
+    // ------------------------------------------ 7a'. evt_quantiles_approx
+    // The sketch-path twin on the LOW-cardinality key (event_type) — the
+    // regime the exact operator's scaladoc routes to approx_percentile at
+    // 100 TB (one map-side-combinable pass, no per-group funnel). Sketch
+    // merge order may return DIFFERENT in-tolerance elements at ×1 vs ×k,
+    // so the invariant is the operator's contract, not the value: every
+    // rank-error boolean (rankWithin, tolerance floor(n/acc)+1 ranks) TRUE
+    // at both scales, and n_rows exactly ×k (each replica contributes an
+    // identical per-type value multiset).
+    run("evt_quantiles_approx") {
+      val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      val acc = 1000
+      def contract(scale: String): Map[String, (Long, Boolean)] = {
+        val ev = rd(scale, "events_disjoint")
+        val approx = graft.operators.Quantiles.approxGroupQuantiles(
+          ev, "event_type", "value", qs, acc)
+        graft.operators.Quantiles.rankWithin(
+          ev, approx, "event_type", "value", qs, acc)
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1),
+            r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))))
+          .toMap
+      }
+      val (c1, s1) = timed(contract("x1"))
+      val (ck, sk) = timed(contract(s"x$k"))
+      (c1.size.toLong, ck.size.toLong, s1, sk,
+        check(ck.keySet == c1.keySet &&
+          c1.forall { case (t, (n, ok)) =>
+            ok && ck(t)._1 == n * k && ck(t)._2 },
+          s"sketch rank contract must hold at ×1 and ×$k, n_rows ×$k exact"))
     }
 
     // ------------------------------------------------- 7b. evt_active_users

@@ -65,4 +65,71 @@ object Quantiles {
       }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The SKETCH path this object's scaladoc routes 100 TB low-cardinality
+    * keys to: per-group `approx_percentile` (Greenwald–Khanna) — ONE
+    * map-side-combinable aggregation pass, no window, no per-group funnel:
+    * each task folds its partition into a bounded sketch and only sketches
+    * ride the exchange, so a 3-key groupBy over 100 TB is as parallel as
+    * the scan. The price is the sketch's error contract: the returned
+    * element's RANK is within n/accuracy of the target rank (it is always
+    * an actual element of the group, like the exact path — GK retains
+    * samples). Merge order across partitions can steer WHICH in-tolerance
+    * element is returned, so callers needing run-to-run bit-stability must
+    * assert the rank bound (see [[rankWithin]]), not the value.
+    *
+    * Output matches [[groupQuantiles]]: one row per group, `n_rows`
+    * (non-null values) plus one column per requested quantile.
+    */
+  def approxGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Int, Int)], accuracy: Int = 10000): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    require(accuracy >= 1, s"accuracy must be positive: $accuracy")
+    quantiles.foreach { case (n, num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $n: $num/$den")
+    }
+    val aggs = count(col(valueCol)).as("n_rows") +:
+      quantiles.map { case (name, num, den) =>
+        percentile_approx(col(valueCol), lit(num.toDouble / den),
+          lit(accuracy)).as(name)
+      }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Rank-error check for a sketch-quantile frame: given the
+    * [[approxGroupQuantiles]] output and the source rows, one boolean per
+    * quantile and group — TRUE iff the returned element's feasible rank
+    * interval [|{v < q}|+1, |{v <= q}|] lies within `floor(n/accuracy)+1`
+    * ranks of the target rank `p·n`. Pure integer arithmetic (the target
+    * comparison is cross-multiplied by the quantile's denominator), so the
+    * verdict is deterministic even though the sketch's returned element is
+    * merge-order-dependent — this is the CONTRACT surface a correctness
+    * gate can hash. One extra pass over the source (a broadcast join
+    * against the groups-sized quantile frame + a map-side-combined agg).
+    *
+    * Output: (groupCol, n_rows, <name>_ok per quantile).
+    */
+  def rankWithin(df: DataFrame, approx: DataFrame, groupCol: String,
+      valueCol: String, quantiles: Seq[(String, Int, Int)],
+      accuracy: Int): DataFrame = {
+    val joined = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+      .join(broadcast(approx), Seq(groupCol))
+    val counters = quantiles.flatMap { case (name, _, _) => Seq(
+      sum(when(col(valueCol) < col(name), 1L).otherwise(0L))
+        .as(s"__graft_lo_$name"),
+      sum(when(col(valueCol) <= col(name), 1L).otherwise(0L))
+        .as(s"__graft_hi_$name"))
+    }
+    val nRows = first(col("n_rows")).as("n_rows")
+    val counted = joined.groupBy(col(groupCol))
+      .agg(nRows, counters: _*)
+    val checks = quantiles.map { case (name, num, den) =>
+      val tol = (col("n_rows") / lit(accuracy.toLong)).cast("long") + lit(1L)
+      val target = lit(num.toLong) * col("n_rows") // target rank ×den
+      (((col(s"__graft_lo_$name") + 1 - tol) * den <= target) &&
+        ((col(s"__graft_hi_$name") + tol) * den >= target)).as(s"${name}_ok")
+    }
+    counted.select(col(groupCol) +: col("n_rows") +: checks: _*)
+  }
 }

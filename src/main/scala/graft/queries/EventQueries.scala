@@ -313,6 +313,37 @@ object EventQueries {
       |  MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS p99
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The SKETCH-path quantile twin ([[graft.operators.Quantiles
+    * .approxGroupQuantiles]] + [[graft.operators.Quantiles.rankWithin]]):
+    * the exact operator's scaladoc routes 100 TB LOW-cardinality keys to
+    * `approx_percentile` — this gate demonstrates that path and BOUNDS its
+    * error. The sketch's returned element is merge-order-dependent (any
+    * in-tolerance element may come back), so the gate's hashable surface
+    * is the CONTRACT, not the value: per event_type, booleans asserting
+    * the returned element's rank is within floor(n/accuracy)+1 ranks of
+    * the target rank p·n — pure integer arithmetic, deterministic on both
+    * engines. The oracle asserts the same contract trivially (TRUE per
+    * quantile): a red here means the sketch path exceeded its documented
+    * tolerance. Plan shape (spec-pinned): no Window, one shuffle per
+    * aggregation — map-side combinable, no per-group funnel.
+    */
+  def evtQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val acc = 1000
+    val ev = Tables.events(spark, dir)
+    val approx = Quantiles.approxGroupQuantiles(ev, "event_type", "value",
+      qs, accuracy = acc)
+    Quantiles.rankWithin(ev, approx, "event_type", "value", qs, accuracy = acc)
+      .orderBy(col("event_type"))
+  }
+
+  private val evtQuantilesApproxSql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Robust anomaly screen over event values: per-type median/MAD flags
     * ([[graft.operators.Anomaly]]) rolled up to (n, med, mad, n_outliers).
     * Every number is either a selected element or a single IEEE op on
@@ -724,6 +755,7 @@ object EventQueries {
     "evt_trending" -> (evtTrending _),
     "evt_retention" -> (evtRetention _),
     "evt_quantiles" -> (evtQuantiles _),
+    "evt_quantiles_approx" -> (evtQuantilesApprox _),
     "evt_anomaly" -> (evtAnomaly _),
     "evt_winsorize" -> (evtWinsorize _),
     "evt_gap_fill" -> (evtGapFill _),
@@ -746,6 +778,7 @@ object EventQueries {
     "evt_trending" -> evtTrendingSql,
     "evt_retention" -> evtRetentionSql,
     "evt_quantiles" -> evtQuantilesSql,
+    "evt_quantiles_approx" -> evtQuantilesApproxSql,
     "evt_anomaly" -> evtAnomalySql,
     "evt_winsorize" -> evtWinsorizeSql,
     "evt_gap_fill" -> evtGapFillSql,

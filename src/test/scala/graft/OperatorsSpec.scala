@@ -562,6 +562,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("b") === ((1L, 7.0, 7.0, 7.0, 7.0)))
   }
 
+  test("approx quantiles: rank contract holds, values are elements, no window/funnel") {
+    import graft.operators.Quantiles
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    // Two groups with distinct sizes + a null that must not occupy a rank;
+    // shuffled insertion order so partial sketches see unsorted data.
+    val rnd = new scala.util.Random(1501)
+    val rows = rnd.shuffle(
+      (1 to 2000).map(v => ("a", Some(v.toDouble), v.toLong)) ++
+        (1 to 333).map(v => ("b", Some((v * 7 % 333).toDouble), v + 5000L)) ++
+        Seq(("a", None, 99999L)))
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    val acc = 100 // coarse on purpose: tolerance = n/100+1 ranks
+    val approx = Quantiles.approxGroupQuantiles(df, "g", "v", qs, acc)
+    // (1) n_rows counts non-null values, like the exact path.
+    val nRows = approx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nRows === Map("a" -> 2000L, "b" -> 333L))
+    // (2) every returned quantile is an ACTUAL element of its group (GK
+    // retains samples — the property the winsorize/clip contract rides on).
+    val elems = Map("a" -> (1 to 2000).map(_.toDouble).toSet,
+      "b" -> (1 to 333).map(v => (v * 7 % 333).toDouble).toSet)
+    approx.collect().foreach { r =>
+      val g = r.getString(0)
+      (2 to 4).foreach(i => assert(elems(g).contains(r.getDouble(i)),
+        s"$g quantile ${r.getDouble(i)} is not an element of the group"))
+    }
+    // (3) the rank-error contract: every boolean the gate hashes is TRUE,
+    //     and the checker is not vacuous — a value planted OUTSIDE the
+    //     tolerance band must turn its boolean FALSE.
+    val ok = Quantiles.rankWithin(df, approx, "g", "v", qs, acc)
+    ok.collect().foreach { r =>
+      (2 to 4).foreach(i => assert(r.getBoolean(i),
+        s"rank contract violated for ${r.getString(0)} col $i"))
+    }
+    val planted = approx.withColumn("p90",
+      when(col("g") === "a", lit(1.0)).otherwise(col("p90")))
+    val bad = Quantiles.rankWithin(df, planted, "g", "v", qs, acc)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!bad("a") && bad("b"),
+      "an out-of-tolerance plant must fail exactly its own group's check")
+    // (4) plan shape: the sketch path is ONE map-side-combinable
+    //     aggregation — no Window node, a single shuffle exchange (pinned
+    //     on a frame without the test harness's repartition, whose
+    //     round-robin exchange is not the operator's).
+    val pinned = Quantiles.approxGroupQuantiles(
+      rows.toDF("g", "v", "id"), "g", "v", qs, acc)
+    assert(physicalNodes(pinned).forall {
+      case _: org.apache.spark.sql.execution.window.WindowExec => false
+      case _ => true
+    }, "approx path must not plan a Window")
+    assert(shuffleExchanges(pinned).length === 1,
+      s"approx path must shuffle once:\n${pinned.queryExecution.executedPlan}")
+    // Degenerate args fail loudly.
+    intercept[IllegalArgumentException](
+      Quantiles.approxGroupQuantiles(df, "g", "v", qs, 0))
+    intercept[IllegalArgumentException](
+      Quantiles.approxGroupQuantiles(df, "g", "v", Nil, acc))
+  }
+
   test("pagerank: hand-computed ranks, mass behavior, guards") {
     import graft.operators.PageRank
     // Directed triangle a→b→c→a: perfectly symmetric flow, so the uniform

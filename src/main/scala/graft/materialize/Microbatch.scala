@@ -39,7 +39,10 @@ object Microbatch {
     * its full period (a partial window would make the partition
     * non-idempotent across retries), while rows outside the covered
     * periods are ignored (late data lands on the next run of its own
-    * window). Returns the number of batches executed.
+    * window). A window whose source has drained to zero rows CLEARS its
+    * partition (explicit metadata drop) rather than no-op'ing like a raw
+    * dynamic overwrite would — re-running a window always lands exactly
+    * that window's source truth. Returns the number of batches executed.
     */
   def run(spark: SparkSession, target: String, source: DataFrame,
       eventTimeCol: String, begin: Timestamp, end: Timestamp,
@@ -81,7 +84,33 @@ object Microbatch {
       val batch = source
         .filter(col(eventTimeCol) >= lit(lo) && col(eventTimeCol) < lit(hi))
         .withColumn("batch_start", if (unit == "hour") bs else bs.cast("date"))
-      IncrementalMaterialization.run(spark, target, batch, cfg)
+      val rel = graft.core.Relation.parse(target)
+      if (spark.catalog.tableExists(rel.quoted) && batch.isEmpty) {
+        // A window whose source drained to ZERO rows must still rebuild to
+        // its source truth: dynamic overwrite only replaces partitions
+        // PRESENT in the batch, so an empty batch would silently leave the
+        // window's stale rows in place — the one case where "re-run the
+        // window" would not be idempotent (caught by the microbatch crash
+        // machine). Clear the window's partition explicitly instead — a
+        // metadata-scale drop, and a deliberate strengthening over the
+        // reference's raw insert_overwrite compilation, which no-ops here.
+        // (The isEmpty probe is a LIMIT-1 scan under the window's pushed
+        // event-time filter — trivial next to the window job it replaces.)
+        val pval =
+          if (unit == "hour") cursor.format(
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))
+          else cursor.toLocalDate.toString
+        spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS " +
+          s"PARTITION (batch_start='$pval')")
+      } else
+        IncrementalMaterialization.run(spark, target, batch, cfg)
+      // Crash window BETWEEN batches (FaultInjectionSpec's microbatch
+      // machine): a driver death mid-run leaves a committed PREFIX of
+      // windows — the documented recovery is simply re-running the range
+      // (each window's insert-overwrite is idempotent over its own
+      // partition), which the machine asserts under random interleavings.
+      graft.core.Failpoints.check("microbatch.window")
       n += 1
       cursor = next
     }

@@ -683,4 +683,129 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("microbatch crash machine: partial-run prefixes, merge corrections, erase, relayout track the per-window model") {
+    // The third stateful writer (r14 verdict item 3): Microbatch's windows
+    // commit through Spark's dynamic-overwrite protocol (no staged
+    // artifact), so its crash shape is DIFFERENT from merge/SCD2 — a
+    // driver death between windows leaves a committed PREFIX of the run,
+    // and the documented recovery is re-running the range (each window
+    // idempotently overwrites its own partition). The machine drives
+    // random interleavings of (microbatch sub-range over a mutating
+    // source | partition-scoped merge correction | erase | relayout) with
+    // coin-flip crashes and asserts the table equals the per-window truth
+    // after every step, plus the partition-identity invariant
+    // batch_start == date(ts) on every row.
+    import scala.util.Random
+    import java.sql.{Date, Timestamp}
+    import graft.materialize.Microbatch
+    val rnd = new Random(41519)
+    val trials = sys.env.get("SPARK_GRAFT_MACHINE_TRIALS").map(_.toInt).getOrElse(2)
+    val steps = sys.env.get("SPARK_GRAFT_MACHINE_STEPS").map(_.toInt).getOrElse(12)
+    val nDays = 4
+    def dayDate(i: Int) = Date.valueOf(f"2024-01-${i + 1}%02d")
+    def dayTs(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00")
+    def boundary(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val mergeCfg = IncrementalConfig(IncrementalStrategy.Merge,
+      uniqueKey = Seq("k", "ts"), partitionBy = Seq("batch_start"))
+    (1 to trials).foreach { trial =>
+      val t = fresh(s"micro_rand_$trial")
+      // Source of record for the microbatch stream: at most one event per
+      // (key, day) so a window rebuild is deterministic.
+      var source: Map[(Long, Int), String] =
+        (for (k <- 1 to 4; d <- 0 to 1) yield (k.toLong, d) -> s"init${k}_$d").toMap
+      def sourceDf() = source.toSeq
+        .map { case ((k, d), v) => (k, dayTs(d), v) }.toDF("k", "ts", "v")
+      // Initial full-range run creates the table (CTAS path, off-machine).
+      Microbatch.run(spark, t, sourceDf(), "ts", boundary(0), boundary(nDays))
+      var model: Map[(Long, Int), String] = source
+      def applyWindows(from: Int, until: Int): Unit =
+        (from until until).foreach { d =>
+          model = model.filterNot(_._1._2 == d) ++
+            source.collect { case ((k, `d`), v) => (k, d) -> v }
+        }
+      def tableNow(): Map[(Long, Int), String] = spark.table(t).collect().map {
+        r =>
+          val ts = r.getAs[Timestamp]("ts")
+          val d = ts.toLocalDateTime.getDayOfMonth - 1
+          assert(r.getAs[Date]("batch_start") === dayDate(d),
+            s"trial=$trial partition identity: batch_start != date(ts)")
+          (r.getAs[Long]("k"), d) -> r.getAs[String]("v")
+      }.toMap
+      (1 to steps).foreach { step =>
+        val crash = rnd.nextBoolean()
+        rnd.nextInt(4) match {
+          case 0 => // MICROBATCH a sub-range over a mutated source
+            (1 to (1 + rnd.nextInt(3))).foreach { _ =>
+              val key = (rnd.nextInt(5).toLong + 1, rnd.nextInt(nDays))
+              if (rnd.nextBoolean()) source += key -> s"m${step}_${rnd.nextInt(99)}"
+              else source -= key
+            }
+            val a = rnd.nextInt(nDays)
+            val b = a + 1 + rnd.nextInt(nDays - a)
+            if (crash) {
+              // Dies BETWEEN windows: exactly window `a` committed.
+              Failpoints.arm("microbatch.window")
+              intercept[Failpoints.Injected] {
+                Microbatch.run(spark, t, sourceDf(), "ts",
+                  boundary(a), boundary(b))
+              }
+              applyWindows(a, a + 1)
+              assert(tableNow() === model,
+                s"trial=$trial step=$step crashed run must leave exactly " +
+                  "the committed prefix")
+              // Documented recovery: re-run the range (idempotent windows).
+              Microbatch.run(spark, t, sourceDf(), "ts",
+                boundary(a), boundary(b))
+            } else
+              Microbatch.run(spark, t, sourceDf(), "ts",
+                boundary(a), boundary(b))
+            applyWindows(a, b)
+          case 1 => // MERGE correction (partition-scoped → staged commit)
+            val batch = (1 to (1 + rnd.nextInt(3)))
+              .map(_ => ((rnd.nextInt(5).toLong + 1, rnd.nextInt(nDays)),
+                s"c${step}_${rnd.nextInt(99)}"))
+              .distinctBy(_._1)
+            val batchDf = batch
+              .map { case ((k, d), v) => (k, dayTs(d), v, dayDate(d)) }
+              .toDF("k", "ts", "v", "batch_start")
+            if (crash) {
+              Failpoints.arm("staged.commit")
+              intercept[IllegalStateException] {
+                IncrementalMaterialization.run(spark, t, batchDf, mergeCfg)
+              }
+              assert(tableNow() === model,
+                s"trial=$trial step=$step merge crash touched target")
+              intercept[IllegalStateException] { // artifact blocks the retry
+                IncrementalMaterialization.run(spark, t, batchDf, mergeCfg)
+              }
+              Staging.recoverStagedCommit(spark, t)
+            } else
+              IncrementalMaterialization.run(spark, t, batchDf, mergeCfg)
+            model = model ++ batch
+          case 2 => // ERASE one key's rows across every partition
+            val k = rnd.nextInt(5).toLong + 1
+            if (crash) {
+              Failpoints.arm("erase.overwrite")
+              intercept[IllegalStateException] {
+                Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+              }
+              intercept[IllegalStateException] { // retry must not touch stage
+                Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+              }
+              Governance.recoverErasure(spark, t)
+            } else Governance.eraseKeys(spark, t, "k", Seq(k).toDF("key"))
+            model = model.filterNot(_._1._1 == k)
+          case _ => // RELAYOUT: contents-neutral, auto-rollback on crash
+            if (crash) {
+              Failpoints.arm("relayout.rebuild")
+              intercept[Failpoints.Injected] { RelationOps.compact(spark, t) }
+            } else RelationOps.compact(spark, t)
+        }
+        Failpoints.disarmAll()
+        assert(tableNow() === model, s"trial=$trial step=$step post-state")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -499,6 +499,14 @@ class MaterializationSpec extends AnyFunSuite {
       ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), batchSize = "hour")
     val byId = spark.table(t).select("id", "v").as[(Long, Double)].collect().toMap
     assert(byId === Map(1L -> 10.0, 2L -> 200.0, 3L -> 21.0))
+    // A window whose source has DRAINED (every hour-11 row deleted) must
+    // clear its partition on rebuild — a raw dynamic overwrite would no-op
+    // on the empty batch and leave rows 2/3 stale forever.
+    graft.materialize.Microbatch.run(spark, t,
+      fixed.filter(col("id") === 1L), "ts",
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), batchSize = "hour")
+    assert(spark.table(t).select("id").as[Long].collect().toSet === Set(1L),
+      "drained window must clear exactly its own partition")
     // Unsupported granularity fails loudly.
     intercept[IllegalArgumentException] {
       graft.materialize.Microbatch.run(spark, t, src, "ts",

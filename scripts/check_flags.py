@@ -1,31 +1,37 @@
 #!/usr/bin/env python3
-"""Per-gate bench flag analysis against the blessed baseline.
+"""Per-gate bench flag analysis against the blessed baselines (two-sided).
 
-Replays graft.Bench's in-run regression criteria (ratio > 1.5 AND
-absolute excess > 1.0 s — see Bench.scala / BASELINE.md round-14) over
-recorded JSON lines, so a judge or driver can compute flag sets and the
+Replays graft.Bench's in-run regression criteria over recorded JSON
+lines, so a judge or driver can compute flag sets and the
 forward/reverse de-correlation intersection without hand-parsing:
 
-    python3 scripts/check_flags.py RUN.json [RUN2.json ...] [--base BASELINE.json]
+  - ENVELOPE leg: ratio > 1.5 vs the newest BASELINE_r*.json (a MAX
+    envelope — the hard ceiling), AND absolute excess > 1.0 s.
+  - MEDIAN leg (round 15+): ratio > 3.0 vs the newest
+    BASELINE_r*_median.json (per-gate quiet-window medians — the drift
+    detector that closes the envelope's stall-headroom blind spot),
+    AND absolute excess > 1.0 s.
 
-With one run: prints that run's flag set vs the baseline.
+    python3 scripts/check_flags.py RUN.json [RUN2.json ...] \
+        [--base=BASELINE.json] [--median=MEDIAN.json]
+
+With one run: prints that run's flag set vs both legs.
 With two+ runs: prints each run's flags AND the intersection across all
 runs — the de-correlation protocol's verdict (empty intersection =
 positional host weather, non-empty = order-independent drift to
-adjudicate). The baseline defaults to the newest BASELINE_r*.json in the
-repo root (the guard's DEFENDED reference).
+adjudicate).
 
 Accepts both record shapes: the raw bench stdout line and the driver's
 escaped-tail envelope (backslashes stripped before parsing, like
 Bench.baselineQueries). A record that parses to an empty query map is
 reported as TRUNCATED, mirroring the bench's loud-warning behavior.
 """
-import json
 import re
 import sys
 from pathlib import Path
 
-RATIO = 1.5
+ENVELOPE_RATIO = 1.5
+MEDIAN_RATIO = 3.0
 ABS_S = 1.0
 
 
@@ -46,9 +52,17 @@ def total_of(path):
     return float(m.group(1)) if m else None
 
 
+def newest(root, pattern):
+    cands = sorted(
+        root.glob(pattern),
+        key=lambda p: int(re.search(r"\d+", p.name).group()),
+    )
+    return cands[-1] if cands else None
+
+
 def newest_blessed(root):
     cands = sorted(
-        root.glob("BASELINE_r*.json"),
+        (p for p in root.glob("BASELINE_r*.json") if "_median" not in p.name),
         key=lambda p: int(re.search(r"\d+", p.name).group()),
     )
     return cands[-1] if cands else None
@@ -57,6 +71,7 @@ def newest_blessed(root):
 def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     base_arg = next((a.split("=", 1)[1] for a in argv if a.startswith("--base")), None)
+    med_arg = next((a.split("=", 1)[1] for a in argv if a.startswith("--median")), None)
     if not args:
         print(__doc__)
         return 2
@@ -69,24 +84,36 @@ def main(argv):
     if not base:
         print(f"{base_path.name}: TRUNCATED baseline (empty query map)", file=sys.stderr)
         return 2
-    print(f"baseline: {base_path.name} ({len(base)} gates)")
+    med_path = Path(med_arg) if med_arg else newest(root, "BASELINE_r*_median.json")
+    median = queries_of(med_path) if med_path is not None and med_path.exists() else {}
+    print(f"envelope: {base_path.name} ({len(base)} gates, x{ENVELOPE_RATIO})")
+    if median:
+        print(f"median:   {med_path.name} ({len(median)} gates, x{MEDIAN_RATIO})")
+    else:
+        print("median:   none found — drift leg disarmed (envelope only)")
+    legs = [("envelope", base, ENVELOPE_RATIO)] + (
+        [("median", median, MEDIAN_RATIO)] if median else []
+    )
     flag_sets = []
     for run in args:
         qs = queries_of(run)
         if not qs:
             print(f"{run}: TRUNCATED record (empty query map) — skipped")
             continue
-        flags = {
-            k: (round(v, 2), round(base[k], 2), round(v / base[k], 2))
-            for k, v in qs.items()
-            if k in base and v > base[k] * RATIO and v - base[k] > ABS_S
-        }
+        flags = {}
+        for leg, ref, ratio in legs:
+            for k, v in qs.items():
+                if k in ref and v > ref[k] * ratio and v - ref[k] > ABS_S:
+                    prev = flags.get(k)
+                    cand = (leg, round(v, 2), round(ref[k], 2), round(v / ref[k], 2))
+                    if prev is None or cand[3] > prev[3]:
+                        flags[k] = cand
         flag_sets.append(set(flags))
         tot = total_of(run)
         print(f"\n{run}: total={tot} s, {len(qs)} gates, {len(flags)} flags")
         for k in sorted(flags):
-            got, b, ratio = flags[k]
-            print(f"  FLAG {k}: {got} s vs {b} s (x{ratio})")
+            leg, got, b, ratio = flags[k]
+            print(f"  FLAG {k}: {got} s vs {b} s (x{ratio}, {leg} leg)")
     if len(flag_sets) >= 2:
         inter = set.intersection(*flag_sets)
         print(f"\nintersection across {len(flag_sets)} runs: "

@@ -52,8 +52,40 @@ class BenchBaselineSpec extends AnyFunSuite {
       cand("BENCH_r01", "0.1", "q1" -> 1.0),
       cand("BASELINE_r14", "0.1", "q1" -> 1.1),
       cand("BENCH_r15", "0.1", "q1" -> 1.2)), sfDir)
-    assert(chosen.map(_._1) === Seq("BASELINE_r14", "BENCH_r15"))
+    assert(chosen.map(c => c._1 -> c._2)
+      === Seq("BASELINE_r14" -> 1.5, "BENCH_r15" -> 1.5))
+    // Envelope without a quiet-window median companion: drift leg disarmed
+    // must be LOUD, never silent.
+    assert(warnings.exists(_.contains("median companion")),
+      warnings.mkString("; "))
+  }
+
+  test("median companion rides the envelope at x3, never as defended or latest") {
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r14", "0.1", "q1" -> 4.0),
+      cand("BASELINE_r15_median", "0.1", "q1" -> 1.0),
+      cand("BENCH_r15", "0.1", "q1" -> 1.2)), sfDir)
+    assert(chosen.map(c => c._1 -> c._2) === Seq(
+      "BASELINE_r14" -> 1.5, "BASELINE_r15_median" -> 3.0,
+      "BENCH_r15" -> 1.5))
     assert(warnings.isEmpty)
+    // The newest median wins when several are committed.
+    val (chosen2, _) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r14_median", "0.1", "q1" -> 2.0),
+      cand("BASELINE_r15_median", "0.1", "q1" -> 1.0),
+      cand("BASELINE_r14", "0.1", "q1" -> 4.0)), sfDir)
+    assert(chosen2.collect { case (l, 3.0, _) => l }
+      === Seq("BASELINE_r15_median"))
+  }
+
+  test("a truncated median companion warns and disarms only the drift leg") {
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r14", "0.1", "q1" -> 4.0),
+      (("BASELINE_r15_median", Some("0.1"), Map.empty[String, Double]))), sfDir)
+    assert(chosen.map(_._1) === Seq("BASELINE_r14"))
+    assert(warnings.exists(w =>
+      w.contains("BASELINE_r15_median") && w.contains("truncated")))
+    assert(warnings.exists(_.contains("median companion")))
   }
 
   test("bench rounds the blessing supersedes are history, not references") {
@@ -66,7 +98,27 @@ class BenchBaselineSpec extends AnyFunSuite {
       cand("BENCH_r02", "0.1", "q1" -> 0.9),
       cand("BASELINE_r14", "0.1", "q1" -> 1.1)), sfDir)
     assert(chosen.map(_._1) === Seq("BASELINE_r14"))
-    assert(warnings.isEmpty)
+    assert(!warnings.exists(_.contains("falls back")))
+  }
+
+  test("a committed BENCH_LOCAL record beats the driver excerpt of its round") {
+    // The full target/bench.json record committed as BENCH_LOCAL_r15 is
+    // complete; the driver's BENCH_r15 stdout excerpt is truncatable —
+    // at equal round the LOCAL record is the latest leg.
+    val (chosen, _) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r14", "0.1", "q1" -> 1.1),
+      cand("BENCH_r15", "0.1", "q1" -> 1.2),
+      cand("BENCH_LOCAL_r15", "0.1", "q1" -> 1.3)), sfDir)
+    assert(chosen.filter(_._1.startsWith("BENCH")).map(_._1)
+      === Seq("BENCH_LOCAL_r15"))
+    // And when the driver record of the round is TRUNCATED (the r03–r14
+    // shape), the committed local record alone keeps the leg alive.
+    val (chosen2, _) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r14", "0.1", "q1" -> 1.1),
+      (("BENCH_r15", Some("0.1"), Map.empty[String, Double])),
+      cand("BENCH_LOCAL_r15", "0.1", "q1" -> 1.3)), sfDir)
+    assert(chosen2.filter(_._1.startsWith("BENCH")).map(_._1)
+      === Seq("BENCH_LOCAL_r15"))
   }
 
   test("truncated blessed recording warns and falls back to the oldest bench") {
@@ -95,7 +147,7 @@ class BenchBaselineSpec extends AnyFunSuite {
   test("a single usable record serves as both defended and latest, once") {
     val (chosen, warnings) = Bench.selectBaselines(
       Seq(cand("BENCH_r01", "0.1", "q1" -> 1.0)), sfDir)
-    assert(chosen.map(_._1) === Seq("BENCH_r01"))
+    assert(chosen.map(c => c._1 -> c._2) === Seq("BENCH_r01" -> 1.5))
     assert(warnings.isEmpty)
   }
 

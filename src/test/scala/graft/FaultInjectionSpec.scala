@@ -537,15 +537,17 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     // relayout.rebuild → automatic rollback, contents keep reading.
     import scala.util.Random
     val rnd = new Random(21987)
+    val trials = sys.env.get("SPARK_GRAFT_MACHINE_TRIALS").map(_.toInt).getOrElse(2)
+    val steps = sys.env.get("SPARK_GRAFT_MACHINE_STEPS").map(_.toInt).getOrElse(12)
     val cfg = IncrementalConfig(IncrementalStrategy.Merge, uniqueKey = Seq("k"))
-    (1 to 2).foreach { trial =>
+    (1 to trials).foreach { trial =>
       val t = fresh(s"crash_rand_$trial")
       val init = (1 to 5).map(i => (i.toLong, s"v$i"))
       IncrementalMaterialization.run(spark, t, init.toDF("k", "v"), cfg)
       var model: Map[Long, String] = init.toMap
       def tableNow(): Map[Long, String] = spark.table(t).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
-      (1 to 12).foreach { step =>
+      (1 to steps).foreach { step =>
         val crash = rnd.nextBoolean()
         rnd.nextInt(3) match {
           case 0 => // MERGE upsert batch
@@ -604,10 +606,12 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
     import scala.util.Random
     import java.sql.Timestamp
     val rnd = new Random(31543)
+    val trials = sys.env.get("SPARK_GRAFT_MACHINE_TRIALS").map(_.toInt).getOrElse(2)
+    val steps = sys.env.get("SPARK_GRAFT_MACHINE_STEPS").map(_.toInt).getOrElse(10)
     case class V(k: Long, v: String, from: Long, to: Option[Long])
     def cfgAt(now: Long) = SnapshotConfig(Seq("k"),
       SnapshotStrategy.ByCheck(Seq("v")), clock = () => new Timestamp(now))
-    (1 to 2).foreach { trial =>
+    (1 to trials).foreach { trial =>
       val t = fresh(s"scd2_rand_$trial")
       val t0 = 86400000L
       val init = (1 to 4).map(i => (i.toLong, s"v$i"))
@@ -633,7 +637,7 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterEach {
         } // HardDeletes.Ignore: vanished keys stay open
         model = next
       }
-      (1 to 10).foreach { step =>
+      (1 to steps).foreach { step =>
         val now = t0 * (step + 1)
         val crash = rnd.nextBoolean()
         rnd.nextInt(3) match {

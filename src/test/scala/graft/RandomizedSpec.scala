@@ -585,6 +585,56 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles: rank contract holds and rankWithin equals a plain-Scala checker") {
+    import graft.operators.Quantiles
+    val rnd = new Random(1537)
+    (1 to 6).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(3)
+      val acc = 50 + rnd.nextInt(2000)
+      val rows = (0 until 80 + rnd.nextInt(400)).map { i =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        val v = if (rnd.nextInt(12) == 0) None
+          else Some(rnd.nextInt(500).toDouble)
+        (g, v, i.toLong)
+      }
+      val qs = Seq(("qa", 1 + rnd.nextInt(9), 10),
+        ("qb", 1 + rnd.nextInt(99), 100))
+      val df = rows.toDF("g", "v", "id").repartition(1 + rnd.nextInt(6))
+      val approx = Quantiles.approxGroupQuantiles(df, "g", "v", qs, acc)
+      val approxRows = approx.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+      val byGroup = rows.collect { case (g, Some(v), _) => g -> v }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // (1) every returned quantile is an actual element of its group (GK
+      //     retains samples), and n_rows counts non-nulls.
+      approxRows.foreach { case (g, (n, qa, qb)) =>
+        assert(n === byGroup(g).size.toLong, s"trial=$trial $g n_rows")
+        assert(byGroup(g).contains(qa) && byGroup(g).contains(qb),
+          s"trial=$trial $g returned non-elements")
+      }
+      // (2) rankWithin's Spark-side verdicts equal a plain-Scala checker
+      //     of the same integer law, and (3) the documented GK rank bound
+      //     actually holds at this random accuracy.
+      val got = Quantiles.rankWithin(df, approx, "g", "v", qs, acc)
+        .collect().map(r => r.getString(0) ->
+          (r.getBoolean(2), r.getBoolean(3))).toMap
+      val ref = approxRows.map { case (g, (n, qa, qb)) =>
+        val vs = byGroup(g)
+        val tol = n / acc + 1
+        def ok(q: Double, num: Int, den: Int): Boolean = {
+          val lo = vs.count(_ < q).toLong
+          val hi = vs.count(_ <= q).toLong
+          (lo + 1 - tol) * den <= num * n && (hi + tol) * den >= num * n
+        }
+        g -> (ok(qa, qs(0)._2, qs(0)._3), ok(qb, qs(1)._2, qs(1)._3))
+      }
+      assert(got === ref, s"trial=$trial acc=$acc checker mismatch")
+      assert(ref.values.forall(p => p._1 && p._2),
+        s"trial=$trial acc=$acc GK rank bound violated")
+    }
+  }
+
   test("bm25: equals a plain-Scala reference on random corpora and queries") {
     import graft.text.Bm25
     val rnd = new Random(19)

@@ -211,10 +211,9 @@ class CatalogOpsSpec extends AnyFunSuite {
       val lb = spark.table(s"$db.lb")
       val joined = lb.join(ob, lb("l_orderkey") === ob("o_orderkey"))
       assert(joined.count() === l.join(o, l("l_orderkey") === o("o_orderkey")).count())
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("hashpartitioning(l_orderkey"),
+      assert(PlanCheck.shufflesOn(joined, "l_orderkey").isEmpty,
         "bucketed join must not exchange the lineitem side")
-      assert(!plan.contains("hashpartitioning(o_orderkey"),
+      assert(PlanCheck.shufflesOn(joined, "o_orderkey").isEmpty,
         "bucketed join must not exchange the orders side")
     }
   }
@@ -273,9 +272,9 @@ class CatalogOpsSpec extends AnyFunSuite {
       // leave joined's AdaptiveSparkPlan un-finalized — skew splitting
       // only shows in the final adaptive plan).
       assert(joined.toLocalIterator().asScala.length === 100000 + 1999)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE did not mark the hot-key join skewed:\n$plan")
+      assert(PlanCheck.skewJoins(joined).nonEmpty,
+        s"AQE did not mark the hot-key join skewed:\n" +
+          joined.queryExecution.executedPlan)
     }
     // The explicit salted path must spread the hot key across tasks even
     // with AQE off — its per-task bound is rows(key)/saltBuckets, not

@@ -607,11 +607,9 @@ class OperatorsSpec extends AnyFunSuite {
     //     round-robin exchange is not the operator's).
     val pinned = Quantiles.approxGroupQuantiles(
       rows.toDF("g", "v", "id"), "g", "v", qs, acc)
-    assert(physicalNodes(pinned).forall {
-      case _: org.apache.spark.sql.execution.window.WindowExec => false
-      case _ => true
-    }, "approx path must not plan a Window")
-    assert(shuffleExchanges(pinned).length === 1,
+    assert(PlanCheck.windows(pinned).isEmpty,
+      "approx path must not plan a Window")
+    assert(PlanCheck.shuffles(pinned).length === 1,
       s"approx path must shuffle once:\n${pinned.queryExecution.executedPlan}")
     // Degenerate args fail loudly.
     intercept[IllegalArgumentException](
@@ -885,39 +883,6 @@ class OperatorsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $v")
   }
 
-  /** Every physical node of a (possibly adaptive) plan — walked by NODE
-    * TYPE, not by substring-matching the rendered plan (r14 ADVICE: string
-    * fragments like "Exchange hashpartitioning" are brittle across Spark
-    * versions and AQE re-planning). AdaptiveSparkPlanExec and the
-    * QueryStageExec wrappers are LEAF nodes whose real subtree hangs off a
-    * field, so a naive `plan.collect` stops at them — expand through both.
-    */
-  private def physicalNodes(df: org.apache.spark.sql.DataFrame)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: QueryStageExec => walk(s.plan)
-      case other => other.children.flatMap(walk)
-    })
-    walk(df.queryExecution.executedPlan)
-  }
-
-  private def shuffleExchanges(df: org.apache.spark.sql.DataFrame) =
-    physicalNodes(df).collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-
-  private def nestedLoopNodes(df: org.apache.spark.sql.DataFrame) =
-    physicalNodes(df).filter {
-      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-        => true
-      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
-      case _ => false
-    }
-
   test("event analytics plans: no nested-loop joins; sessionize shuffles once") {
     import graft.operators.EventAnalytics
     val ev = graft.core.Tables.events(spark, sf)
@@ -926,7 +891,7 @@ class OperatorsSpec extends AnyFunSuite {
     // share one hash partitioning on the entity — a second exchange here
     // would double the operator's shuffle cost at any scale.
     val sess = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id")
-    assert(shuffleExchanges(sess).length === 1,
+    assert(PlanCheck.shuffles(sess).length === 1,
       s"sessionize must shuffle once:\n${sess.queryExecution.executedPlan}")
 
     // The fan-out/aggregation formulations exist precisely to avoid a
@@ -941,7 +906,7 @@ class OperatorsSpec extends AnyFunSuite {
       "winsorize" -> EventAnalytics.winsorize(ev, "event_type", "value",
         "event_id"))
     plans.foreach { case (name, df) =>
-      assert(nestedLoopNodes(df).isEmpty,
+      assert(PlanCheck.nestedLoopJoins(df).isEmpty,
         s"$name plan contains a nested-loop join:\n" +
           df.queryExecution.executedPlan)
     }
@@ -950,13 +915,11 @@ class OperatorsSpec extends AnyFunSuite {
     // plan must contain a Window node with a NONEMPTY partition spec and
     // no single-partition exchange (the one-task funnel).
     val trend = EventAnalytics.trending(ev, "event_type", to_date(col("ts")))
-    val windows = physicalNodes(trend).collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
+    val windows = PlanCheck.windows(trend)
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"trending rank must partition by the bucket:\n" +
         trend.queryExecution.executedPlan)
-    assert(shuffleExchanges(trend).forall(e =>
+    assert(PlanCheck.shuffles(trend).forall(e =>
         e.outputPartitioning.numPartitions > 1),
       s"trending must not funnel through one partition:\n" +
         trend.queryExecution.executedPlan)

@@ -384,9 +384,10 @@ class PipelineSpec extends AnyFunSuite {
       .filter(TextAnalysis.tokenCount(col("text")) >= 5)
       .filter(round(TextAnalysis.dupNgramCharFrac(col("text")), 6) < 0.2)
     val deduped = Dedup.exact(filtered, Seq("text"), Seq(col("doc_id")))
-    val plan = deduped.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"window sort in exact-dedup plan:\n$plan")
-    assert(plan.contains("Aggregate"), s"expected an aggregate plan:\n$plan")
+    assert(PlanCheck.windows(deduped).isEmpty,
+      s"window sort in exact-dedup plan:\n${deduped.queryExecution.executedPlan}")
+    assert(PlanCheck.aggregates(deduped).nonEmpty,
+      s"expected an aggregate plan:\n${deduped.queryExecution.executedPlan}")
     val kept = deduped.collect()
     assert(kept.length === 6)
     val ids = kept.map(_.getAs[Long]("doc_id")).toSet
@@ -721,8 +722,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean.count() === corpus.count() - flagged.count())
     assert(clean.filter(col("doc_id") >= 5000000L).count() === 0)
     // the benchmark gram side must broadcast — the corpus never shuffles
-    val plan = flagged.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(PlanCheck.broadcastHashJoins(flagged).nonEmpty,
+      s"benchmark grams must broadcast:\n${flagged.queryExecution.executedPlan}")
   }
 
   test("sampling: null keys are in no sample and get a null split") {
@@ -788,8 +789,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.select("doc_id").except(sampled.select("doc_id")).count() === 0)
     // The scale contract: selection must be the bounded-heap aggregation,
     // never a window sort partitioned by group.
-    val plan = sampled.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"window sort in stratified plan:\n$plan")
+    assert(PlanCheck.windows(sampled).isEmpty,
+      s"window sort in stratified plan:\n${sampled.queryExecution.executedPlan}")
     // Null keys are never selected.
     val withNulls = docs.withColumn("doc_id",
       when(col("doc_id") % 2 === 0, col("doc_id")))

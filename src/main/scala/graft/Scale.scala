@@ -146,7 +146,8 @@ object Scale {
       "lineitem" -> Seq("gov_erasure", "rel_zorder", "inc_merge", "snap_scd2",
         "inc_overwrite"),
       "events_disjoint" -> Seq("evt_asof", "evt_active", "evt_quantiles",
-        "evt_quantiles_approx", "stream_sessionize", "stream_sessionize_inc"),
+        "evt_quantiles_approx", "inc_microbatch",
+        "stream_sessionize", "stream_sessionize_inc"),
       "events_hot" -> Seq("evt_asof_hot"),
       "edges" -> Seq("dd_cluster", "graph_pagerank"),
       "embeddings" -> Seq("sim_range", "sim_ivf", "sim_ivfpq", "sim_binary"))
@@ -645,6 +646,48 @@ object Scale {
       (w1._1, wk._1, s1, sk,
         check(w1._1 > 0 && scaled(w1, wk, k),
           s"post-overwrite witness must scale ×$k: $w1 vs $wk"))
+    }
+
+    // -------------------------------------------------- 9e. inc_microbatch
+    // The WINDOWED writer (dbt-core 1.9 microbatch) at ×k: a fixed 5-day
+    // event-time range runs through daily insert-overwrite windows into a
+    // warehouse table, then ONE window is re-run from a source with its
+    // day deleted — the r15 drained-window contract (an empty rebuild
+    // CLEARS its partition; a raw dynamic overwrite would no-op and leave
+    // stale rows). Laws: per batch_start the row count scales exactly ×k
+    // (disjoint user copies share the calendar); the drain removes exactly
+    // its own partition and touches no neighbor, at both scales.
+    run("inc_microbatch") {
+      import java.sql.Timestamp
+      val lo = Timestamp.valueOf("2024-01-03 00:00:00")
+      val hi = Timestamp.valueOf("2024-01-08 00:00:00")
+      val drainLo = Timestamp.valueOf("2024-01-05 00:00:00")
+      val drainHi = Timestamp.valueOf("2024-01-06 00:00:00")
+      def mbRun(scale: String): Map[String, Long] = {
+        val t = s"scale_mb_$scale"
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val ev = rd(scale, "events_disjoint")
+        val n = graft.materialize.Microbatch.run(spark, t, ev, "ts", lo, hi)
+        require(n == 5, s"expected 5 daily windows, ran $n")
+        def counts() = spark.table(t).groupBy(col("batch_start")).count()
+          .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+        val full = counts()
+        graft.materialize.Microbatch.run(spark, t,
+          ev.filter(to_date(col("ts")) =!= lit("2024-01-05").cast("date")),
+          "ts", drainLo, drainHi)
+        val drained = counts()
+        check(full.contains("2024-01-05") && !drained.contains("2024-01-05")
+            && drained == full - "2024-01-05",
+          s"$scale: drained window must clear exactly its own partition")
+        spark.sql(s"DROP TABLE $t")
+        full
+      }
+      val (c1, s1) = timed(mbRun("x1"))
+      val (ck, sk) = timed(mbRun(s"x$k"))
+      (c1.values.sum, ck.values.sum, s1, sk,
+        check(c1.keySet == ck.keySet && c1.size == 5 &&
+          c1.forall { case (d, n) => ck(d) == n * k },
+          s"per-window counts must scale ×$k exactly"))
     }
 
     // ------------------------------------------------------ 10. rel_zorder

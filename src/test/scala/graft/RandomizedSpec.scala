@@ -206,11 +206,10 @@ class RandomizedSpec extends AnyFunSuite {
     assert(gotInner.toSet === want)
     // The whole point of bucketing: the physical plan must be an EQUI-join
     // (hash/sort-merge on (key, bucket)), never a nested-loop.
-    val plan = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
+    val bucketed = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
       "p", "s", "e", bucketWidthSec = width)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"), s"non-equi join shape:\n$plan")
+    assert(PlanCheck.nestedLoopJoins(bucketed).isEmpty,
+      s"non-equi join shape:\n${bucketed.queryExecution.executedPlan}")
     // Left join: every point appears; unmatched points carry null iid.
     val gotLeft = graft.operators.RangeJoin.rangeJoin(l, r, Seq("k"),
       "p", "s", "e", bucketWidthSec = width, joinType = "left")

@@ -47,8 +47,8 @@ object Quantiles {
       .orderBy(col(valueCol).asc, col(tieCol).asc)
     val ranked = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol), col(tieCol))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n",
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_n",
         count(lit(1)).over(Window.partitionBy(col(groupCol))))
     val aggs = count(lit(1)).as("n_rows") +:
       quantiles.map { case (name, num, den) =>
@@ -59,8 +59,8 @@ object Quantiles {
         // an integer (whose division rounds to itself) or at least 1/den
         // away from one — far beyond rounding distance. The cast
         // truncates toward zero = floor for these non-negative values.
-        val idx = (lit(num.toLong) * (col("__n") - 1)) / lit(den.toLong)
-        max(when(col("__rn") === (idx.cast("long") + 1), col(valueCol)))
+        val idx = (lit(num.toLong) * (col("__graft_n") - 1)) / lit(den.toLong)
+        max(when(col("__graft_rn") === (idx.cast("long") + 1), col(valueCol)))
           .as(name)
       }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)

@@ -52,26 +52,29 @@ def total_of(path):
     return float(m.group(1)) if m else None
 
 
-def newest(root, pattern):
+def newest(root, pattern, exclude=None):
     cands = sorted(
-        root.glob(pattern),
+        (p for p in root.glob(pattern) if exclude is None or not exclude(p)),
         key=lambda p: int(re.search(r"\d+", p.name).group()),
     )
     return cands[-1] if cands else None
 
 
 def newest_blessed(root):
-    cands = sorted(
-        (p for p in root.glob("BASELINE_r*.json") if "_median" not in p.name),
-        key=lambda p: int(re.search(r"\d+", p.name).group()),
-    )
-    return cands[-1] if cands else None
+    return newest(root, "BASELINE_r*.json",
+                  exclude=lambda p: "_median" in p.name)
 
 
 def main(argv):
     args = [a for a in argv if not a.startswith("--")]
-    base_arg = next((a.split("=", 1)[1] for a in argv if a.startswith("--base")), None)
-    med_arg = next((a.split("=", 1)[1] for a in argv if a.startswith("--median")), None)
+    opts = [a for a in argv if a.startswith("--")]
+    bad = [a for a in opts if "=" not in a]
+    if bad:
+        print(f"option(s) missing '=VALUE': {' '.join(bad)} "
+              "(use --base=FILE / --median=FILE)", file=sys.stderr)
+        return 2
+    base_arg = next((a.split("=", 1)[1] for a in opts if a.startswith("--base")), None)
+    med_arg = next((a.split("=", 1)[1] for a in opts if a.startswith("--median")), None)
     if not args:
         print(__doc__)
         return 2
@@ -85,10 +88,18 @@ def main(argv):
         print(f"{base_path.name}: TRUNCATED baseline (empty query map)", file=sys.stderr)
         return 2
     med_path = Path(med_arg) if med_arg else newest(root, "BASELINE_r*_median.json")
+    if med_arg and not Path(med_arg).exists():
+        print(f"--median file not found: {med_arg}", file=sys.stderr)
+        return 2
     median = queries_of(med_path) if med_path is not None and med_path.exists() else {}
     print(f"envelope: {base_path.name} ({len(base)} gates, x{ENVELOPE_RATIO})")
     if median:
         print(f"median:   {med_path.name} ({len(median)} gates, x{MEDIAN_RATIO})")
+    elif med_path is not None and med_path.exists():
+        # Mirror the Scala guard's loud truncation warning — "none found"
+        # would misreport a committed-but-truncated median as never blessed.
+        print(f"median:   {med_path.name} is TRUNCATED (empty query map) — "
+              "drift leg disarmed (envelope only)")
     else:
         print("median:   none found — drift leg disarmed (envelope only)")
     legs = [("envelope", base, ENVELOPE_RATIO)] + (

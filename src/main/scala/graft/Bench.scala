@@ -386,10 +386,26 @@ object Bench {
       repoRoot() match {
         case Some(root) =>
           val f = new java.io.File(root, s"BENCH_LOCAL_r$r.json")
-          try java.nio.file.Files.write(f.toPath,
-            line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          catch { case e: Throwable => System.err.println(
-            s"[bench] could not write $f: ${e.getMessage}") }
+          // Never clobber a committed record of ANOTHER scale factor: a
+          // dev run at sf0.01 with SPARK_GRAFT_ROUND still exported would
+          // replace the round's sf0.1 history, and the next sf0.1 guard
+          // would then drop the record on its sf filter with no usable
+          // LATEST leg — the silent-degradation class this file exists to
+          // close. Same-sf overwrite is the intended refresh path.
+          val existingSf =
+            if (!f.exists()) None
+            else try baselineSf(new String(
+              java.nio.file.Files.readAllBytes(f.toPath)))
+            catch { case _: Throwable => None }
+          if (existingSf.exists(s => !baselineSf(line).contains(s)))
+            System.err.println(s"[bench] NOT overwriting $f: it records " +
+              s"sf${existingSf.get}, this run is $sfDir — unset " +
+              "SPARK_GRAFT_ROUND for off-scale dev runs")
+          else
+            try java.nio.file.Files.write(f.toPath,
+              line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            catch { case e: Throwable => System.err.println(
+              s"[bench] could not write $f: ${e.getMessage}") }
         case None => System.err.println(
           "[bench] SPARK_GRAFT_ROUND set but no repo root found — " +
             "BENCH_LOCAL record not written")

@@ -72,6 +72,10 @@ object Microbatch {
     var n = 0
     val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
       partitionBy = Seq("batch_start"))
+    // Loop-invariant: parse once, probe the catalog once — existence can
+    // only flip false→true (the first window's CTAS), tracked locally.
+    val rel = graft.core.Relation.parse(target)
+    var targetExists = spark.catalog.tableExists(rel.quoted)
     while (cursor.isBefore(endLdt)) {
       val next = cursor.plus(1, chrono)
       val lo = Timestamp.valueOf(cursor)
@@ -84,8 +88,7 @@ object Microbatch {
       val batch = source
         .filter(col(eventTimeCol) >= lit(lo) && col(eventTimeCol) < lit(hi))
         .withColumn("batch_start", if (unit == "hour") bs else bs.cast("date"))
-      val rel = graft.core.Relation.parse(target)
-      if (spark.catalog.tableExists(rel.quoted) && batch.isEmpty) {
+      if (targetExists && batch.isEmpty) {
         // A window whose source drained to ZERO rows must still rebuild to
         // its source truth: dynamic overwrite only replaces partitions
         // PRESENT in the batch, so an empty batch would silently leave the
@@ -102,9 +105,11 @@ object Microbatch {
               .ofPattern("yyyy-MM-dd HH:mm:ss"))
           else cursor.toLocalDate.toString
         spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS " +
-          s"PARTITION (batch_start='$pval')")
-      } else
+          s"PARTITION (batch_start=${graft.core.Relation.sqlLiteral(pval)})")
+      } else {
         IncrementalMaterialization.run(spark, target, batch, cfg)
+        targetExists = true
+      }
       // Crash window BETWEEN batches (FaultInjectionSpec's microbatch
       // machine): a driver death mid-run leaves a committed PREFIX of
       // windows — the documented recovery is simply re-running the range

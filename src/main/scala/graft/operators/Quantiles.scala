@@ -78,8 +78,13 @@ object Quantiles {
     * element is returned, so callers needing run-to-run bit-stability must
     * assert the rank bound (see [[rankWithin]]), not the value.
     *
-    * Output matches [[groupQuantiles]]: one row per group, `n_rows`
-    * (non-null values) plus one column per requested quantile.
+    * Output matches [[groupQuantiles]] exactly — one row per group,
+    * `n_rows` (non-null values) plus one column per requested quantile —
+    * INCLUDING the group set: null values are filtered before grouping, so
+    * a group whose values are all null is absent here just like on the
+    * exact path (a caller following the scaladoc's 100 TB routing between
+    * the two paths must see the same groups), while a NULL group KEY with
+    * non-null values is a real group on both.
     */
   def approxGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Int, Int)], accuracy: Int = 10000): DataFrame = {
@@ -93,7 +98,8 @@ object Quantiles {
         percentile_approx(col(valueCol), lit(num.toDouble / den),
           lit(accuracy)).as(name)
       }
-    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Rank-error check for a sketch-quantile frame: given the
@@ -112,9 +118,14 @@ object Quantiles {
   def rankWithin(df: DataFrame, approx: DataFrame, groupCol: String,
       valueCol: String, quantiles: Seq[(String, Int, Int)],
       accuracy: Int): DataFrame = {
+    // Null-SAFE group equality: a NULL group key is a real group on both
+    // quantile paths (groupBy keeps it), and a plain equi-join would
+    // silently drop it from the verdict frame.
+    val approxG = approx.withColumnRenamed(groupCol, "__graft_g")
     val joined = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol))
-      .join(broadcast(approx), Seq(groupCol))
+      .join(broadcast(approxG), col(groupCol) <=> col("__graft_g"))
+      .drop("__graft_g")
     val counters = quantiles.flatMap { case (name, _, _) => Seq(
       sum(when(col(valueCol) < col(name), 1L).otherwise(0L))
         .as(s"__graft_lo_$name"),

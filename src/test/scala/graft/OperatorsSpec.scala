@@ -616,6 +616,27 @@ class OperatorsSpec extends AnyFunSuite {
       Quantiles.approxGroupQuantiles(df, "g", "v", qs, 0))
     intercept[IllegalArgumentException](
       Quantiles.approxGroupQuantiles(df, "g", "v", Nil, acc))
+    // (5) group-set parity with the exact path (the scaladoc routes
+    //     callers between the two): an all-NULL-values group is ABSENT on
+    //     both; a NULL group KEY with values is a real group on both, and
+    //     rankWithin's null-safe join must not drop it from the verdict.
+    val edge = Seq((Some("a"), Some(1.0), 1L), (Some("a"), Some(2.0), 2L),
+      (Some("allnull"), None, 3L),
+      (None, Some(5.0), 4L), (None, Some(6.0), 5L))
+      .toDF("g", "v", "id")
+    val edgeApprox = Quantiles.approxGroupQuantiles(edge, "g", "v", qs, acc)
+    val edgeExact = Quantiles.groupQuantiles(edge, "g", "v", "id", qs)
+    def groupsOf(frame: org.apache.spark.sql.DataFrame) =
+      frame.collect().map(r => Option(r.getString(0))).toSet
+    assert(groupsOf(edgeApprox) === Set(Some("a"), None))
+    assert(groupsOf(edgeApprox) === groupsOf(edgeExact),
+      "sketch and exact paths must expose the identical group set")
+    val edgeOk = Quantiles.rankWithin(edge, edgeApprox, "g", "v", qs, acc)
+    assert(groupsOf(edgeOk) === Set(Some("a"), None),
+      "rankWithin must keep the NULL group key")
+    edgeOk.collect().foreach(r =>
+      (2 to 4).foreach(i => assert(r.getBoolean(i),
+        s"edge group ${Option(r.getString(0))} failed its rank check")))
   }
 
   test("pagerank: hand-computed ranks, mass behavior, guards") {

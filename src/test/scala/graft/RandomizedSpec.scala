@@ -1026,6 +1026,68 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("microbatch: period alignment across all four granularities equals a window model") {
+    // The month/year truncation paths (withDayOfMonth/withDayOfYear) had
+    // no coverage before this: random mid-period [begin, end) ranges per
+    // granularity, checked against a plain-Scala period model. Pins the
+    // contract corners: a mid-period begin processes its FULL period
+    // (rows before `begin` but inside its period ARE included), the run
+    // covers whole periods until `end` (rows past `end` inside the last
+    // period included), out-of-range rows excluded, batch identity =
+    // the truncated period start (DATE for day+, TIMESTAMP for hourly).
+    import java.sql.Timestamp
+    import java.time.LocalDateTime
+    import java.time.temporal.ChronoUnit
+    import graft.materialize.Microbatch
+    val rnd = new Random(1553)
+    val base = LocalDateTime.of(2023, 1, 1, 0, 0, 0)
+    val cases = Seq(
+      ("hour", ChronoUnit.HOURS, 6, 80 * 60),     // events across ~3.3 days
+      ("day", ChronoUnit.DAYS, 5, 20 * 1440),     // ~20 days
+      ("month", ChronoUnit.MONTHS, 4, 200 * 1440), // ~6.5 months
+      ("year", ChronoUnit.YEARS, 2, 1100 * 1440))  // ~3 years
+    for (((unit, chrono, maxSpan, spanMinutes), ci) <- cases.zipWithIndex) {
+      val t = s"default.micro_align_${ci}_${System.nanoTime()}"
+      def trunc(c: LocalDateTime): LocalDateTime = unit match {
+        case "hour" => c.truncatedTo(ChronoUnit.HOURS)
+        case "day" => c.truncatedTo(ChronoUnit.DAYS)
+        case "month" => c.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+        case _ => c.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1)
+      }
+      val rows = (1 to 60).map { i =>
+        (i.toLong, Timestamp.valueOf(
+          base.plusMinutes(rnd.nextInt(spanMinutes).toLong)), rnd.nextInt(100))
+      }
+      val beginLdt = base.plusMinutes(rnd.nextInt(spanMinutes / 2).toLong)
+      val endLdt = beginLdt.plus(1 + rnd.nextInt(maxSpan).toLong, chrono)
+        .plusMinutes(rnd.nextInt(spanMinutes / 8).toLong) // mid-period end
+      val n = Microbatch.run(spark, t, rows.toDF("id", "ts", "v"), "ts",
+        Timestamp.valueOf(beginLdt), Timestamp.valueOf(endLdt), unit)
+      // Model: whole periods from trunc(begin) until end is covered.
+      var cursor = trunc(beginLdt)
+      var periods = 0
+      while (cursor.isBefore(endLdt)) { periods += 1; cursor = cursor.plus(1, chrono) }
+      assert(n === periods, s"$unit window count")
+      val lo = trunc(beginLdt)
+      val want = rows.filter { case (_, ts, _) =>
+        val l = ts.toLocalDateTime
+        !l.isBefore(lo) && l.isBefore(cursor) // cursor = last period's END
+      }.map { case (id, ts, v) =>
+        val p = trunc(ts.toLocalDateTime)
+        val bs = if (unit == "hour")
+          Timestamp.valueOf(p).toString.stripSuffix(".0")
+        else p.toLocalDate.toString
+        (id, v, bs)
+      }.sorted
+      val got = spark.table(t)
+        .selectExpr("id", "v", "CAST(batch_start AS STRING)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq.sorted
+      assert(got === want, s"$unit alignment")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("merge: equals a plain-Scala MERGE reference over random configs") {
     import graft.materialize.MergeOps
     val rnd = new Random(271)

@@ -1,10 +1,12 @@
 package graft.materialize
 
 import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
 import java.time.temporal.ChronoUnit
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** The `microbatch` incremental strategy (dbt-core 1.9): the source is
   * split into consecutive EVENT-TIME windows ("batches") and each batch
@@ -21,14 +23,26 @@ import org.apache.spark.sql.functions._
   * whose scan is bounded by the event-time filter (partition pruning on
   * the derived `batch_start` column makes the REWRITE side touch only
   * that window's files); the window loop is a driver-side metadata loop
-  * over period boundaries, each iteration a distributed job. Backfills
-  * re-run any sub-range without touching neighbors.
+  * over period boundaries, each iteration a distributed job. Which
+  * windows are NON-EMPTY is computed up front in ONE pass over the run's
+  * range (a distinct over truncated event times — one value per covered
+  * period, metadata-sized), so drained windows cost a driver-side set
+  * lookup instead of one probe job each: a 10-year hourly backfill pays
+  * one aggregation, not ~87k sequential LIMIT-1 scans. Backfills re-run
+  * any sub-range without touching neighbors.
   */
 object Microbatch {
 
   /** Supported batch granularities (dbt-core's batch_size values). */
   private val truncUnit = Map(
     "hour" -> "hour", "day" -> "day", "month" -> "month", "year" -> "year")
+
+  /** TBLPROPERTIES key recording the granularity a microbatch target was
+    * built with — re-runs validate against it (see [[run]]).
+    */
+  val GranularityProperty = "graft.microbatch.batch_size"
+
+  private val WallClock = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
   /** Run `source` into `target` in `batchSize` event-time batches over
     * [begin, end). The target gains a `batch_start` date/timestamp
@@ -43,6 +57,18 @@ object Microbatch {
     * partition (explicit metadata drop) rather than no-op'ing like a raw
     * dynamic overwrite would — re-running a window always lands exactly
     * that window's source truth. Returns the number of batches executed.
+    *
+    * Granularity is a TABLE property, not a run parameter: a re-run whose
+    * `batchSize` disagrees with what the target was built at FAILS LOUDLY
+    * up front. Before this guard an hourly re-run against a day-built
+    * table handed a timestamp literal to a DATE partition column — on a
+    * drained window that can resolve to the whole day and silently drop
+    * 24 hours of data (and a non-empty window died as an opaque write
+    * error). The check is two-layered: the recorded
+    * [[GranularityProperty]] when present (written after every
+    * successful run; distinguishes day/month/year, which share the DATE
+    * column type), falling back to the `batch_start` column type
+    * (timestamp ⇔ hour) for tables created before the property existed.
     */
   def run(spark: SparkSession, target: String, source: DataFrame,
       eventTimeCol: String, begin: Timestamp, end: Timestamp,
@@ -60,35 +86,47 @@ object Microbatch {
     }
     // Period boundaries on the driver (metadata plane): truncate `begin`
     // down to its period start, then step until `end` is covered.
-    var cursor = begin.toLocalDateTime.truncatedTo(
+    var aligned = begin.toLocalDateTime.truncatedTo(
       if (chrono == ChronoUnit.MONTHS || chrono == ChronoUnit.YEARS)
         ChronoUnit.DAYS else chrono)
-    cursor = unit match {
-      case "month" => cursor.withDayOfMonth(1)
-      case "year" => cursor.withDayOfYear(1)
-      case _ => cursor
+    aligned = unit match {
+      case "month" => aligned.withDayOfMonth(1)
+      case "year" => aligned.withDayOfYear(1)
+      case _ => aligned
     }
     val endLdt = end.toLocalDateTime
-    var n = 0
+    // begin < end and aligned <= begin, so there is always >= 1 window.
+    val starts = Iterator.iterate(aligned)(_.plus(1, chrono))
+      .takeWhile(_.isBefore(endLdt)).toVector
     val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
       partitionBy = Seq("batch_start"))
-    // Loop-invariant: parse once, probe the catalog once — existence can
-    // only flip false→true (the first window's CTAS), tracked locally.
+    // Parse once, probe the catalog once — existence can only flip
+    // false→true (the first window's CTAS), tracked locally.
     val rel = graft.core.Relation.parse(target)
     var targetExists = spark.catalog.tableExists(rel.quoted)
-    while (cursor.isBefore(endLdt)) {
-      val next = cursor.plus(1, chrono)
+    if (targetExists) validateGranularity(spark, rel.quoted, unit)
+    // Non-empty-window pre-pass: ONE distinct over the run's whole range
+    // (the last window extends to its period end, possibly past `end` —
+    // whole-period coverage is the idempotence contract above). Compared
+    // as session-timezone WALL-CLOCK strings, the same rendering the
+    // partition literals below use — date_trunc truncates in the session
+    // timezone, so an instant comparison against Timestamp.valueOf (JVM
+    // default zone) would skew whenever the two zones differ.
+    val lastHi = Timestamp.valueOf(starts.last.plus(1, chrono))
+    val nonEmpty: Set[String] = source
+      .filter(col(eventTimeCol) >= lit(Timestamp.valueOf(starts.head)) &&
+        col(eventTimeCol) < lit(lastHi))
+      .select(date_format(date_trunc(unit, col(eventTimeCol)),
+        "yyyy-MM-dd HH:mm:ss").as("__graft_w"))
+      .distinct()
+      .collect().map(_.getString(0)).toSet // bounded: one row per covered
+                                           // period with data — the
+                                           // window count, not the data.
+    var n = 0
+    for (cursor <- starts) {
       val lo = Timestamp.valueOf(cursor)
-      val hi = Timestamp.valueOf(next)
-      // Batch identity column: DATE for day-and-coarser batches; the
-      // truncated TIMESTAMP for hourly (a date cast would merge a day's
-      // 24 hourly batches into one partition, and each hour's overwrite
-      // would wipe its siblings).
-      val bs = date_trunc(unit, col(eventTimeCol))
-      val batch = source
-        .filter(col(eventTimeCol) >= lit(lo) && col(eventTimeCol) < lit(hi))
-        .withColumn("batch_start", if (unit == "hour") bs else bs.cast("date"))
-      if (targetExists && batch.isEmpty) {
+      val hi = Timestamp.valueOf(cursor.plus(1, chrono))
+      if (targetExists && !nonEmpty.contains(cursor.format(WallClock))) {
         // A window whose source drained to ZERO rows must still rebuild to
         // its source truth: dynamic overwrite only replaces partitions
         // PRESENT in the batch, so an empty batch would silently leave the
@@ -97,16 +135,21 @@ object Microbatch {
         // machine). Clear the window's partition explicitly instead — a
         // metadata-scale drop, and a deliberate strengthening over the
         // reference's raw insert_overwrite compilation, which no-ops here.
-        // (The isEmpty probe is a LIMIT-1 scan under the window's pushed
-        // event-time filter — trivial next to the window job it replaces.)
         val pval =
-          if (unit == "hour") cursor.format(
-            java.time.format.DateTimeFormatter
-              .ofPattern("yyyy-MM-dd HH:mm:ss"))
+          if (unit == "hour") cursor.format(WallClock)
           else cursor.toLocalDate.toString
         spark.sql(s"ALTER TABLE ${rel.quoted} DROP IF EXISTS " +
           s"PARTITION (batch_start=${graft.core.Relation.sqlLiteral(pval)})")
       } else {
+        // Batch identity column: DATE for day-and-coarser batches; the
+        // truncated TIMESTAMP for hourly (a date cast would merge a day's
+        // 24 hourly batches into one partition, and each hour's overwrite
+        // would wipe its siblings).
+        val bs = date_trunc(unit, col(eventTimeCol))
+        val batch = source
+          .filter(col(eventTimeCol) >= lit(lo) && col(eventTimeCol) < lit(hi))
+          .withColumn("batch_start",
+            if (unit == "hour") bs else bs.cast("date"))
         IncrementalMaterialization.run(spark, target, batch, cfg)
         targetExists = true
       }
@@ -117,8 +160,45 @@ object Microbatch {
       // partition), which the machine asserts under random interleavings.
       graft.core.Failpoints.check("microbatch.window")
       n += 1
-      cursor = next
     }
+    // Record the granularity for future re-runs to validate against —
+    // metadata-only, idempotent. A crash before this line leaves a table
+    // without the property; the type-based fallback still guards the
+    // hour/coarser axis, and the next completed run writes it.
+    if (targetExists)
+      spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES " +
+        s"('$GranularityProperty'=${graft.core.Relation.sqlLiteral(unit)})")
     n
+  }
+
+  /** Fail loudly when a pre-existing target's granularity disagrees with
+    * this run's — see [[run]]'s scaladoc for why silence here loses data.
+    */
+  private def validateGranularity(spark: SparkSession, quoted: String,
+      unit: String): Unit = {
+    val recorded = spark.sql(s"SHOW TBLPROPERTIES $quoted")
+      .filter(col("key") === GranularityProperty)
+      .collect().headOption.map(_.getString(1))
+    recorded match {
+      case Some(prev) =>
+        if (prev != unit) throw new IllegalStateException(
+          s"microbatch target $quoted was built with batch_size='$prev' " +
+            s"but this run asked for '$unit' — re-running a microbatch " +
+            "table at a different granularity would corrupt its " +
+            "partitions (rebuild the table, or match the recorded size)")
+      case None =>
+        val bsType = spark.table(quoted).schema.fields
+          .find(_.name == "batch_start").map(_.dataType)
+          .getOrElse(throw new IllegalStateException(
+            s"microbatch target $quoted exists but has no batch_start " +
+              "column — not a microbatch table"))
+        val expected = if (unit == "hour") TimestampType else DateType
+        if (bsType != expected) throw new IllegalStateException(
+          s"microbatch target $quoted partitions batch_start as $bsType " +
+            s"but batch_size='$unit' produces $expected — re-running a " +
+            "microbatch table at a different granularity would corrupt " +
+            "its partitions (rebuild the table, or match the original " +
+            "batch_size)")
+    }
   }
 }

@@ -21,9 +21,10 @@ import graft.core.ScopedStorage.Ops
   *
   * Column-name contract (library API): OUTPUT columns are part of each
   * operator's documented result shape (`session_idx`, `t1..tk`,
-  * `n_step1..k`, `cohort_day`/`day_offset`, `d`/`dau`/`wau`, quantile
-  * labels, `clipped`, `rank`) — a caller's input frame must not already
-  * contain the outputs it asks for, exactly like any SQL projection.
+  * `n_step1..k`, `cohort_day`/`day_offset`, `h`/`n`/`is_gap`,
+  * `d`/`dau`/`wau`, quantile labels, `clipped`, `rank`) — a caller's
+  * input frame must not already contain the outputs it asks for,
+  * exactly like any SQL projection.
   * INTERNAL working columns are `__graft_`-prefixed so they can never
   * collide with (or silently capture) a caller's own columns.
   */
@@ -132,16 +133,21 @@ object EventAnalytics {
     * Output: (keyCol, h, n, is_gap).
     */
   def gapFillHourly(ev: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    // The spine↔hourly join key is __graft_-prefixed like every internal
+    // working column: `h` is part of the documented OUTPUT shape, but an
+    // input column named `h` must not be captured by the join (it is only
+    // exposed in the final projection).
     val hourly = ev
-      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("__graft_h"))
       .agg(count(lit(1)).as("__graft_cnt"))
     val spine = hourly.groupBy(col(keyCol))
-      .agg(min(col("h")).as("__graft_h0"), max(col("h")).as("__graft_h1"))
+      .agg(min(col("__graft_h")).as("__graft_h0"),
+        max(col("__graft_h")).as("__graft_h1"))
       .select(col(keyCol),
         explode(sequence(col("__graft_h0"), col("__graft_h1"),
-          expr("interval 1 hour"))).as("h"))
-    spine.join(hourly, Seq(keyCol, "h"), "left")
-      .select(col(keyCol), col("h"),
+          expr("interval 1 hour"))).as("__graft_h"))
+    spine.join(hourly, Seq(keyCol, "__graft_h"), "left")
+      .select(col(keyCol), col("__graft_h").as("h"),
         coalesce(col("__graft_cnt"), lit(0L)).as("n"),
         col("__graft_cnt").isNull.as("is_gap"))
   }

@@ -113,11 +113,25 @@ object Quantiles {
     * gate can hash. One extra pass over the source (a broadcast join
     * against the groups-sized quantile frame + a map-side-combined agg).
     *
-    * Output: (groupCol, n_rows, <name>_ok per quantile).
+    * Output: (groupCol, n_rows, <name>_ok per quantile) — plus, with
+    * `pinValues = true`, one `<name>_val` column per quantile: the sketch's
+    * returned element WHEN the whole rank-tolerance window
+    * [p·n − tol, p·n + tol] (clamped to [1, n]) provably contains a single
+    * distinct value, else NULL. Distinct values' feasible-rank intervals
+    * partition [1, n], so "the returned element's interval covers the
+    * window" (checked from the same |{v<q}| / |{v≤q}| counters, pure
+    * integer arithmetic) holds iff the window is single-valued — and then
+    * ANY element within tolerance IS that value, making the pinned column
+    * deterministic and oracle-replayable even though the sketch's choice
+    * among in-tolerance elements is merge-order-dependent: an exact engine
+    * derives the identical column from order statistics at the window's
+    * two clamped ends (equal ⇒ that value, else NULL). A sketch that
+    * returns an out-of-tolerance element fails `<name>_ok` on the same
+    * row, so the NULL/value split can never silently mask a breach.
     */
   def rankWithin(df: DataFrame, approx: DataFrame, groupCol: String,
       valueCol: String, quantiles: Seq[(String, Int, Int)],
-      accuracy: Int): DataFrame = {
+      accuracy: Int, pinValues: Boolean = false): DataFrame = {
     // Null-SAFE group equality: a NULL group key is a real group on both
     // quantile paths (groupBy keeps it), and a plain equi-join would
     // silently drop it from the verdict frame.
@@ -133,14 +147,40 @@ object Quantiles {
         .as(s"__graft_hi_$name"))
     }
     val nRows = first(col("n_rows")).as("n_rows")
+    // The sketch's returned elements are constant per group (they ride in
+    // on the broadcast approx frame), so first() is deterministic — they
+    // must survive the aggregation for the pinned-value projection below.
+    val carried =
+      if (pinValues) quantiles.map { case (name, _, _) =>
+        first(col(name)).as(name) }
+      else Nil
     val counted = joined.groupBy(col(groupCol))
-      .agg(nRows, counters: _*)
+      .agg(nRows, (counters ++ carried): _*)
     val checks = quantiles.map { case (name, num, den) =>
       val tol = (col("n_rows") / lit(accuracy.toLong)).cast("long") + lit(1L)
       val target = lit(num.toLong) * col("n_rows") // target rank ×den
       (((col(s"__graft_lo_$name") + 1 - tol) * den <= target) &&
         ((col(s"__graft_hi_$name") + tol) * den >= target)).as(s"${name}_ok")
     }
-    counted.select(col(groupCol) +: col("n_rows") +: checks: _*)
+    // Pinned values (see scaladoc): window ends as integer ranks —
+    // rmin = max(1, ceil((num·n − tol·den)/den)), rmax = min(n,
+    // floor((num·n + tol·den)/den)) — via the same exact-floor long
+    // division the exact path uses (numerators are exact doubles below
+    // 2^53; the quotient is a rational with denominator ≤ den, so the
+    // truncating cast is an exact floor). The ceil goes through
+    // floor((x + den − 1)/den) on a numerator clamped ≥ den, keeping
+    // everything non-negative so truncation = floor.
+    val pins = if (!pinValues) Nil else quantiles.map { case (name, num, den) =>
+      val tol = (col("n_rows") / lit(accuracy.toLong)).cast("long") + lit(1L)
+      val lo = lit(num.toLong) * col("n_rows") - tol * lit(den.toLong)
+      val rmin = ((greatest(lo, lit(den.toLong)) + lit(den.toLong - 1)) /
+        lit(den.toLong)).cast("long")
+      val rmax = least(((lit(num.toLong) * col("n_rows") +
+        tol * lit(den.toLong)) / lit(den.toLong)).cast("long"),
+        col("n_rows"))
+      when(col(s"__graft_lo_$name") + 1 <= rmin &&
+        col(s"__graft_hi_$name") >= rmax, col(name)).as(s"${name}_val")
+    }
+    counted.select(col(groupCol) +: col("n_rows") +: (checks ++ pins): _*)
   }
 }

@@ -329,20 +329,76 @@ object EventQueries {
     */
   def evtQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantiles
-    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
-    val acc = 1000
     val ev = Tables.events(spark, dir)
+    // Leg 1 (contract over near-continuous doubles): `value` at
+    // accuracy 1000 — the _ok booleans assert the rank-error contract in
+    // pure integer arithmetic; pinned VALUES are structurally unavailable
+    // here (≈90% distinct values means no tolerance window is
+    // single-valued), which is exactly why leg 2 exists.
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
     val approx = Quantiles.approxGroupQuantiles(ev, "event_type", "value",
-      qs, accuracy = acc)
-    Quantiles.rankWithin(ev, approx, "event_type", "value", qs, accuracy = acc)
+      qs, accuracy = 1000)
+    val contract = Quantiles.rankWithin(ev, approx, "event_type", "value",
+      qs, accuracy = 1000)
+    // Leg 2 (pinned real values over a tied column): `user_id` has ~13
+    // rows per (event_type, user) at every test scale, so a tight rank
+    // window usually sits inside ONE user's run and the sketch's returned
+    // element is forced — a REAL value the DuckDB oracle replays from
+    // exact order statistics (r15 verdict item 4: the thinnest oracle
+    // class thickened). The sketch runs at accuracy 20000 while the
+    // asserted contract/pin tolerance derives from accuracy 10000 — the
+    // sound direction (meeting ε=1/20000 a fortiori meets ε=1/10000),
+    // deliberately leaving merge-order headroom between the sketch's
+    // real error and the tolerance the gate hashes.
+    val uqs = Seq(("u50", 1, 2), ("u90", 9, 10), ("u99", 99, 100))
+    val uapprox = Quantiles.approxGroupQuantiles(ev, "event_type",
+      "user_id", uqs, accuracy = 20000)
+    val upins = Quantiles.rankWithin(ev, uapprox, "event_type", "user_id",
+      uqs, accuracy = 10000, pinValues = true)
+      .withColumnRenamed("n_rows", "n_uid")
+    contract.join(upins, Seq("event_type"))
       .orderBy(col("event_type"))
   }
 
   private val evtQuantilesApproxSql =
-    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-      |FROM events WHERE value IS NOT NULL
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+    """WITH vals AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), ranked AS (
+      |  SELECT event_type, user_id AS u,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY user_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE user_id IS NOT NULL
+      |), pinq AS (
+      |  -- Window ends per quantile: rmin = max(1, ceil((num*n-tol*den)/den)),
+      |  -- rmax = min(n, floor((num*n+tol*den)/den)), tol = n//10000 + 1 —
+      |  -- the same integer arithmetic the Spark side hashes. The pinned
+      |  -- value exists iff the order statistics at the two ends are EQUAL.
+      |  SELECT r.event_type, q.name, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = (GREATEST(q.num*n - ((n // 10000)+1)*q.den,
+      |                                 q.den) + q.den - 1) // q.den
+      |        THEN u END) AS v1,
+      |    MAX(CASE WHEN rn = LEAST((q.num*n + ((n // 10000)+1)*q.den)
+      |                             // q.den, n)
+      |        THEN u END) AS v2
+      |  FROM ranked r
+      |  CROSS JOIN (VALUES ('u50', 1, 2), ('u90', 9, 10), ('u99', 99, 100))
+      |    q(name, num, den)
+      |  GROUP BY 1, 2
+      |), pins AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_uid,
+      |    MAX(CASE WHEN name = 'u50' AND v1 = v2 THEN v1 END) AS u50_val,
+      |    MAX(CASE WHEN name = 'u90' AND v1 = v2 THEN v1 END) AS u90_val,
+      |    MAX(CASE WHEN name = 'u99' AND v1 = v2 THEN v1 END) AS u99_val
+      |  FROM pinq GROUP BY 1
+      |)
+      |SELECT v.event_type, v.n_rows,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+      |  p.n_uid, TRUE AS u50_ok, TRUE AS u90_ok, TRUE AS u99_ok,
+      |  p.u50_val, p.u90_val, p.u99_val
+      |FROM vals v JOIN pins p USING (event_type)
+      |ORDER BY v.event_type""".stripMargin
 
   /** Robust anomaly screen over event values: per-type median/MAD flags
     * ([[graft.operators.Anomaly]]) rolled up to (n, med, mad, n_outliers).

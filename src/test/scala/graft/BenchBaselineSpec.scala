@@ -74,8 +74,63 @@ class BenchBaselineSpec extends AnyFunSuite {
       cand("BASELINE_r14_median", "0.1", "q1" -> 2.0),
       cand("BASELINE_r15_median", "0.1", "q1" -> 1.0),
       cand("BASELINE_r14", "0.1", "q1" -> 4.0)), sfDir)
-    assert(chosen2.collect { case (l, 3.0, _) => l }
+    assert(chosen2.collect { case (l, 3.0, _, _) => l }
       === Seq("BASELINE_r15_median"))
+  }
+
+  test("a median companion older than the blessed envelope warns (stale drift leg)") {
+    // After an envelope re-bless WITHOUT a refreshed median companion the
+    // ×3 drift leg silently kept comparing against the previous round's
+    // medians — the 'disarmed' warning only fired when no median existed
+    // at all. Staleness must be as loud as absence.
+    val (chosen, warnings) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r15_median", "0.1", "q1" -> 1.0),
+      cand("BASELINE_r16", "0.1", "q1" -> 4.0)), sfDir)
+    assert(chosen.map(_._1) === Seq("BASELINE_r16", "BASELINE_r15_median"))
+    assert(warnings.exists(w => w.contains("OLDER") &&
+      w.contains("BASELINE_r15_median") && w.contains("BASELINE_r16")),
+      warnings.mkString("; "))
+    // Same-round (or newer) companion: no staleness warning.
+    val (_, quiet) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r16_median", "0.1", "q1" -> 1.0),
+      cand("BASELINE_r16", "0.1", "q1" -> 4.0)), sfDir)
+    assert(!quiet.exists(_.contains("OLDER")), quiet.mkString("; "))
+  }
+
+  test("roles: envelope/median/latest are labeled for the flag report") {
+    val (chosen, _) = Bench.selectBaselines(Seq(
+      cand("BASELINE_r15", "0.1", "q1" -> 4.0),
+      cand("BASELINE_r15_median", "0.1", "q1" -> 1.0),
+      cand("BENCH_LOCAL_r16", "0.1", "q1" -> 1.2)), sfDir)
+    assert(chosen.map(c => c._1 -> c._4) === Seq(
+      "BASELINE_r15" -> "envelope", "BASELINE_r15_median" -> "median",
+      "BENCH_LOCAL_r16" -> "latest"))
+  }
+
+  test("a flag tripping only the latest leg is labeled [latest_only]") {
+    // Three armed legs; the gate cost sits above latest×1.5 but below
+    // envelope×1.5 and median×3 — the r15 shape whose five bare flags
+    // cost the judge an artifact cross-check to adjudicate.
+    val legs = Seq(
+      ("BASELINE_r15", 1.5, Map("g" -> 10.0, "h" -> 10.0), "envelope"),
+      ("BASELINE_r15_median", 3.0, Map("g" -> 4.0, "h" -> 4.0), "median"),
+      ("BENCH_LOCAL_r15", 1.5, Map("g" -> 4.0, "h" -> 4.0), "latest"))
+    val entries = Bench.regressionEntries(
+      Seq("g" -> 7.0, "h" -> 40.0), legs, noiseFloor = 1.0)
+    // g: 7.0 trips only latest (x1.75); blessed legs clean → labeled.
+    assert(entries.exists(e => e.contains("\"g x1.75 vs BENCH_LOCAL_r15") &&
+      e.contains("[latest_only]")), entries.mkString("; "))
+    // h: 40.0 trips every leg → cites the largest overshoot, no label.
+    assert(entries.exists(e =>
+      e.contains("\"h x10.00 vs") && !e.contains("latest_only")),
+      entries.mkString("; "))
+    // With NO blessed leg covering the gate, latest_only must not be
+    // claimed — there is nothing clean to adjudicate against.
+    val latestOnlyLegs = legs.filter(_._4 == "latest")
+    val bare = Bench.regressionEntries(Seq("g" -> 7.0), latestOnlyLegs, 1.0)
+    assert(bare.nonEmpty && !bare.head.contains("latest_only"), bare)
+    // Below every threshold: no entries at all.
+    assert(Bench.regressionEntries(Seq("g" -> 4.2), legs, 1.0).isEmpty)
   }
 
   test("a truncated median companion warns and disarms only the drift leg") {

@@ -515,6 +515,110 @@ class MaterializationSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("microbatch: a granularity-mismatched re-run fails loudly, never corrupts") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.materialize.Microbatch
+    val db = "graft_spec_mbgran"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t = s"$db.mb_day"
+    val src = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 11:00:00"), 2.0)).toDF("id", "ts", "v")
+    Microbatch.run(spark, t, src, "ts",
+      ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    // An HOURLY re-run against the day-built table previously passed a
+    // timestamp literal to the DATE partition column — on a drained window
+    // that could resolve as the whole day and silently drop 24 hours.
+    val hourly = intercept[IllegalStateException] {
+      Microbatch.run(spark, t, src.filter(lit(false)), "ts",
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"),
+        batchSize = "hour")
+    }
+    assert(hourly.getMessage.contains("batch_size"), hourly.getMessage)
+    // Day vs month share the DATE column type — the recorded TBLPROPERTY
+    // distinguishes them (a month overwrite would replace only the
+    // first-of-month partition and leave days 2..31 stale).
+    val monthly = intercept[IllegalStateException] {
+      Microbatch.run(spark, t, src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"),
+        batchSize = "month")
+    }
+    assert(monthly.getMessage.contains("'day'"), monthly.getMessage)
+    assert(spark.table(t).count() === 2, "failed runs must not have written")
+    // Pre-property tables (simulated by unsetting it) still get the
+    // column-type fallback on the hour/coarser axis...
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS " +
+      s"('${Microbatch.GranularityProperty}')")
+    intercept[IllegalStateException] {
+      Microbatch.run(spark, t, src.filter(lit(false)), "ts",
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"),
+        batchSize = "hour")
+    }
+    // ...and a matching re-run back-fills the property.
+    Microbatch.run(spark, t, src, "ts",
+      ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    val recorded = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .filter(col("key") === Microbatch.GranularityProperty)
+      .collect().map(_.getString(1))
+    assert(recorded.toSeq === Seq("day"))
+    // A pre-existing table that is not a microbatch table at all.
+    spark.sql(s"CREATE TABLE $db.not_mb (id BIGINT) USING PARQUET")
+    val notMb = intercept[IllegalStateException] {
+      Microbatch.run(spark, s"$db.not_mb", src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    }
+    assert(notMb.getMessage.contains("batch_start"), notMb.getMessage)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("microbatch: drained windows cost a set lookup, not a probe job each") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.materialize.Microbatch
+    val db = "graft_spec_mbjobs"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Identical seed state on two tables: days 1-2 populated.
+    val src = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 11:00:00"), 2.0)).toDF("id", "ts", "v")
+    for (t <- Seq(s"$db.few", s"$db.many"))
+      Microbatch.run(spark, t, src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    // Count Spark jobs via job-group attribution; the status store is fed
+    // asynchronously, so poll until the count is stable.
+    def jobsOf(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(200)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    // Same two non-empty windows; 2 vs 10 drained windows. Before the
+    // one-pass pre-pass each drained window paid its own isEmpty probe
+    // job, so the 12-window run would exceed the 4-window one by 8 jobs.
+    val few = jobsOf("mb-few") {
+      Microbatch.run(spark, s"$db.few", src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))
+    }
+    val many = jobsOf("mb-many") {
+      Microbatch.run(spark, s"$db.many", src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-01-13 00:00:00"))
+    }
+    assert(few > 0, "job-group attribution must observe the run at all")
+    assert(many === few,
+      s"drained windows must not add jobs: 10-empty run $many vs 2-empty $few")
+    // Both runs landed the same (drained-cleared) state.
+    assert(spark.table(s"$db.few").count() === 2)
+    assert(spark.table(s"$db.many").count() === 2)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("source freshness: status bands, grouped shards, empty source errors") {
     import java.sql.Timestamp
     import spark.implicits._

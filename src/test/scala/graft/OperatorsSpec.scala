@@ -639,6 +639,37 @@ class OperatorsSpec extends AnyFunSuite {
         s"edge group ${Option(r.getString(0))} failed its rank check")))
   }
 
+  test("approx quantiles: pinned values surface exactly the single-valued windows") {
+    import graft.operators.Quantiles
+    // 50×1.0 then 50×2.0: value 1.0 owns ranks [1,50], 2.0 owns [51,100].
+    // acc=10 → tol = 100/10+1 = 11. Window per quantile (target p·n ± tol,
+    // clamped to [1,100]): p0 → [1,11] ⊆ 1.0 (low clamp), p50 → [39,61]
+    // straddles BOTH values, p90 → [79,100] ⊆ 2.0, p100 → [89,100] ⊆ 2.0
+    // (high clamp) — so the pins must be (1.0, NULL, 2.0, 2.0): a pinned
+    // column is emitted exactly when any conforming sketch is FORCED to
+    // one value, the property that makes it hashable against an exact
+    // engine despite merge-order freedom.
+    val qs = Seq(("p0", 0, 1), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1))
+    val df = ((1 to 50).map(i => ("t", 1.0, i.toLong)) ++
+      (51 to 100).map(i => ("t", 2.0, i.toLong)))
+      .toDF("g", "v", "id").repartition(7)
+    val acc = 10
+    val approx = Quantiles.approxGroupQuantiles(df, "g", "v", qs, acc)
+    val got = Quantiles.rankWithin(df, approx, "g", "v", qs, acc,
+      pinValues = true).collect()(0)
+    // Columns: g, n_rows, 4×_ok, 4×_val.
+    assert(got.getLong(1) === 100L)
+    (2 to 5).foreach(i => assert(got.getBoolean(i), s"contract col $i"))
+    assert(got.getDouble(6) === 1.0, "p0 pins the low-clamped window")
+    assert(got.isNullAt(7), "p50's window spans two values: no pin")
+    assert(got.getDouble(8) === 2.0, "p90 pins")
+    assert(got.getDouble(9) === 2.0, "p100 pins the high-clamped window")
+    // pinValues=false keeps the legacy (group, n_rows, _ok...) shape.
+    assert(Quantiles.rankWithin(df, approx, "g", "v", qs, acc)
+      .columns.toSeq ===
+      Seq("g", "n_rows", "p0_ok", "p50_ok", "p90_ok", "p100_ok"))
+  }
+
   test("pagerank: hand-computed ranks, mass behavior, guards") {
     import graft.operators.PageRank
     // Directed triangle a→b→c→a: perfectly symmetric flow, so the uniform
@@ -902,6 +933,27 @@ class OperatorsSpec extends AnyFunSuite {
     graft.materialize.TableMaterialization.run(spark, v, df)
     assert(spark.table(v).count() === 2)
     spark.sql(s"DROP TABLE $v")
+  }
+
+  test("gap fill: an input column named `h` is not captured by the spine join") {
+    import java.sql.Timestamp
+    import graft.operators.EventAnalytics
+    // `h` is an OUTPUT name; the internal spine↔hourly join key is
+    // __graft_-prefixed, so an input that already carries `h` must gap-fill
+    // exactly like the same frame without it (the collision previously
+    // joined through the caller's column).
+    val base = Seq(
+      ("k", Timestamp.valueOf("2024-01-01 10:05:00")),
+      ("k", Timestamp.valueOf("2024-01-01 12:10:00")))
+      .toDF("g", "ts")
+    val expected = EventAnalytics.gapFillHourly(base, "g", "ts")
+      .orderBy("h").collect().toSeq
+    val withH = EventAnalytics.gapFillHourly(
+      base.withColumn("h", lit("landmine")), "g", "ts")
+      .orderBy("h").collect().toSeq
+    assert(withH === expected)
+    assert(expected.map(r => (r.getLong(2), r.getBoolean(3))) ===
+      Seq((1L, false), (0L, true), (1L, false)))
   }
 
   test("event analytics plans: no nested-loop joins; sessionize shuffles once") {

@@ -66,6 +66,53 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Per-round cost attribution for [[connectedComponents]], armed by
+    * SPARK_GRAFT_CC_PROFILE=1 (diagnostic only — default path pays one env
+    * read per call and nothing else). Listener-accumulated task metrics are
+    * snapshotted around each round so the round's delta separates compute
+    * (executor run time), GC, shuffle read/write bytes, and spill; executor
+    * storage is sampled after the round's checkpoint swap so the resident
+    * label-frame cost is visible next to the shuffle numbers. The listener
+    * bus is asynchronous — a short post-round sleep lets it drain, which is
+    * fine for a diagnostic and unacceptable anywhere else.
+    */
+  private final class RoundProfiler(sc: org.apache.spark.SparkContext) {
+    import java.util.concurrent.atomic.LongAdder
+    private val runMs, gcMs, srB, swB, spillMemB, spillDiskB = new LongAdder
+    private val nStages = new LongAdder
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          nStages.add(1)
+          runMs.add(m.executorRunTime); gcMs.add(m.jvmGCTime)
+          srB.add(m.shuffleReadMetrics.totalBytesRead)
+          swB.add(m.shuffleWriteMetrics.bytesWritten)
+          spillMemB.add(m.memoryBytesSpilled); spillDiskB.add(m.diskBytesSpilled)
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    private def snap(): Seq[Long] = Seq(runMs.sum, gcMs.sum, srB.sum, swB.sum,
+      spillMemB.sum, spillDiskB.sum, nStages.sum)
+    private var last = snap()
+    private def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    def round(label: String, wallSec: Double, changed: Long): Unit = {
+      Thread.sleep(150) // drain the async listener bus (diagnostic only)
+      val cur = snap()
+      val d = cur.lazyZip(last).map(_ - _)
+      last = cur
+      val storageB = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      System.err.println(f"[cc-profile] $label%-8s wall=$wallSec%6.2fs " +
+        f"changed=$changed%,12d stages=${d(6)}%3d execCpu=${d(0) / 1000.0}%7.1fs " +
+        f"gc=${d(1) / 1000.0}%5.1fs shufR=${mb(d(2))}%8sMB shufW=${mb(d(3))}%8sMB " +
+        f"spillMem=${mb(d(4))}%8sMB spillDisk=${mb(d(5))}%8sMB " +
+        f"storage=${mb(storageB)}%8sMB")
+    }
+    def close(): Unit = sc.removeSparkListener(listener)
+  }
+
   /** Cluster assignment for every node in `pairs` (columns (id_a, id_b), one
     * undirected edge per row): returns (id, cluster) where cluster = the
     * minimum id reachable from the node. Nodes absent from `pairs`
@@ -92,6 +139,10 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
       returnPartial: Boolean = false): DataFrame = {
+    val profiler =
+      if (sys.env.get("SPARK_GRAFT_CC_PROFILE").contains("1"))
+        Some(new RoundProfiler(pairs.sparkSession.sparkContext))
+      else None
     // Checkpoint the PAIR LIST before doubling it: the union's two branches
     // are separate Catalyst subtrees, so checkpointing only the union would
     // evaluate the caller's (possibly expensive — a whole LSH pipeline)
@@ -147,15 +198,27 @@ object Clusters {
     // Probe the checkpointed edges, not `pairs`: isEmpty on the raw input
     // would re-run the (possibly expensive) upstream pair pipeline.
     var converged = edges.isEmpty
+    profiler.foreach(_.round("setup", 0.0, -1L))
     while (!converged && round < maxRounds) {
+      val roundT0 = System.nanoTime()
       // Neighbor phase over ACTIVE edges only: the static cached edge side
       // pays no exchange/sort (see above); the frontier side shrinks to
       // broadcast size as the graph converges, so a late round's join
-      // touches only the edges incident to still-moving labels.
-      val cand = edges.join(frontier, "src")
+      // touches only the edges incident to still-moving labels. ROUND 1 is
+      // special-cased algebraically: its frontier is the identity labeling
+      // (label(u) = u = the edge's own src column), so joining it in would
+      // only re-derive a column the edges already carry — the full-graph
+      // round that dominates wall time (×64 profile: 44 s of a 185 s leg,
+      // with the frontier exchange + probe of the whole persisted edge
+      // list) collapses to one aggregation over the pre-partitioned edges.
+      val cand = (if (round == 0) edges.select(col("dst"), col("src").as("cluster"))
+        else edges.join(frontier, "src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("__nbr"))
-      graft.core.PlanProbe.offer("cc_neighbor", cand)
+      // Probe the JOINED per-round shape (round ≥ 2): round 1's algebraic
+      // specialization has no frontier join, so it is not the plan whose
+      // static-side exchange placement the spec pins.
+      if (round > 0) graft.core.PlanProbe.offer("cc_neighbor", cand)
       // Merge phase: LEFT join — only nodes adjacent to the frontier have a
       // candidate; everyone else keeps their label. `__old` is carried so
       // the round's change set falls out of the same frame with no extra
@@ -217,7 +280,10 @@ object Clusters {
         .select(col("id").as("src"), col("cluster"))
       converged = nChanged == 0L
       round += 1
+      profiler.foreach(_.round(s"round $round",
+        (System.nanoTime() - roundT0) / 1e9, nChanged))
     }
+    profiler.foreach(_.close())
     if (!converged && !returnPartial) {
       // Diagnose before dying: at a fixed point adjacent nodes hold equal
       // labels, so the edges whose endpoints still disagree are exactly the

@@ -91,11 +91,20 @@ object PageRank {
     freeCheckpoint(e)
     var i = 0
     while (i < iterations) {
-      val contrib = adj
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      // Round 1 is algebraically special: every rank is still the uniform
+      // `unit` start, so joining the rank frame in would only re-derive a
+      // constant — the full-graph round's rank exchange + probe of the
+      // whole cached adjacency collapses to one aggregation over it (the
+      // same trim as Clusters' identity-frontier round; see the ×64
+      // attribution in SCALE.md round 16).
+      val contrib =
+        (if (i == 0) adj.withColumn("rank", lit(unit))
+         else adj.join(ranks.withColumnRenamed("node", "src"), "src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div __deg")).as("__in"))
-      graft.core.PlanProbe.offer("pagerank_contrib", contrib)
+      // Probe the JOINED per-round shape (round ≥ 2), not the specialized
+      // first round — the spec pins the static side's exchange placement.
+      if (i > 0) graft.core.PlanProbe.offer("pagerank_contrib", contrib)
       val prev = ranks
       ranks = prev.select(col("node"))
         .join(contrib, Seq("node"), "left")

@@ -140,8 +140,13 @@ object Bench {
         newest(benches.filter(b => round(b._1) > round(dLabel)))
       case _ => newest(benches)
     }
+    // The defended slot is only a BLESSED reference when it actually is
+    // one: the warned fallback (oldest bench record, no usable blessing)
+    // must not let [latest_only] claim "the blessed legs saw nothing"
+    // in exactly the degraded configuration where flags need scrutiny.
     val chosen =
-      defended.map(c => (c._1, 1.5, c._3, "envelope")).toSeq ++
+      defended.map(c => (c._1, 1.5, c._3,
+        if (c._1.startsWith("BASELINE")) "envelope" else "fallback")).toSeq ++
         median.map(c => (c._1, 3.0, c._3, "median")).toSeq ++
         latest.map(c => (c._1, 1.5, c._3, "latest")).toSeq
     (chosen.distinctBy(_._1), warnings.result())
@@ -169,8 +174,10 @@ object Bench {
       if (tripped.isEmpty) None
       else {
         val (label, ratio, _) = tripped.maxBy(_._2)
+        // Only the genuinely blessed roles count as "clean references":
+        // a fallback bench record covering the gate is not a blessing.
         val blessedClean = baselines.exists { case (_, _, base, role) =>
-          role != "latest" && base.contains(k)
+          (role == "envelope" || role == "median") && base.contains(k)
         } && tripped.forall(_._3 == "latest")
         val suffix = if (blessedClean) " [latest_only]" else ""
         Some(s""""$k x${num(ratio, 2)} vs $label$suffix"""" )

@@ -9,9 +9,14 @@ import org.apache.spark.sql.DataFrame
   * localCheckpoint, so the frame a caller gets back is a bare checkpoint
   * scan — the per-round join shape (the thing whose exchange placement the
   * specs need to pin, e.g. "the static cached side is never re-shuffled or
-  * re-sorted") is invisible from outside. Operators offer the FIRST
-  * iteration's un-checkpointed frame here; a spec enables capture, runs
-  * the operator, and asserts on the captured frame's physical plan.
+  * re-sorted") is invisible from outside. Operators offer the first
+  * JOINED iteration's un-checkpointed frame here — round 2 for the
+  * iterative graph ops, whose round 1 is algebraically specialized to a
+  * join-free aggregation (identity labels / uniform ranks) and is not
+  * the shape the pins guard; a run that converges in a single round
+  * therefore offers nothing. A spec enables capture, runs the operator
+  * (with enough rounds to reach the joined shape), and asserts on the
+  * captured frame's physical plan.
   *
   * Same cost contract as [[Failpoints]]: production traffic pays a single
   * volatile read per offer site and nothing is retained unless a spec
@@ -28,8 +33,8 @@ object PlanProbe {
   def disable(): Unit = { enabled = false; captured.clear() }
 
   /** Record `df`'s physical plan under `point` if capture is on; only the
-    * FIRST offer per point wins (specs pin the first iteration — later
-    * rounds share its shape by construction). The plan STRING is taken
+    * FIRST offer per point wins (specs pin the first OFFERED iteration —
+    * later joined rounds share its shape by construction). The plan STRING is taken
     * eagerly, here: a DataFrame's queryExecution is lazy, and by the time
     * a spec inspects it the operator has already unpersisted its cached
     * static frames and the session confs have been restored — a deferred

@@ -143,6 +143,14 @@ object Clusters {
       if (sys.env.get("SPARK_GRAFT_CC_PROFILE").contains("1"))
         Some(new RoundProfiler(pairs.sparkSession.sparkContext))
       else None
+    // finally, not success-path-only: a mid-round failure must not leave
+    // the diagnostic listener registered on the shared context.
+    try ccRounds(pairs, maxRounds, returnPartial, profiler)
+    finally profiler.foreach(_.close())
+  }
+
+  private def ccRounds(pairs: DataFrame, maxRounds: Int,
+      returnPartial: Boolean, profiler: Option[RoundProfiler]): DataFrame = {
     // Checkpoint the PAIR LIST before doubling it: the union's two branches
     // are separate Catalyst subtrees, so checkpointing only the union would
     // evaluate the caller's (possibly expensive — a whole LSH pipeline)
@@ -283,7 +291,6 @@ object Clusters {
       profiler.foreach(_.round(s"round $round",
         (System.nanoTime() - roundT0) / 1e9, nChanged))
     }
-    profiler.foreach(_.close())
     if (!converged && !returnPartial) {
       // Diagnose before dying: at a fixed point adjacent nodes hold equal
       // labels, so the edges whose endpoints still disagree are exactly the

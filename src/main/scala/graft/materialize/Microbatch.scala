@@ -105,17 +105,30 @@ object Microbatch {
     val rel = graft.core.Relation.parse(target)
     var targetExists = spark.catalog.tableExists(rel.quoted)
     if (targetExists) validateGranularity(spark, rel.quoted, unit)
+    // TIMEZONE DISCIPLINE: everything engine-side is anchored in the
+    // SESSION timezone's wall clock. Window boundaries enter Spark as
+    // wall-clock STRINGS parsed by to_timestamp (session tz) — never as
+    // Timestamp literals, whose instant depends on the JVM default zone —
+    // so the row filter, date_trunc's truncation, the derived batch_start
+    // partition values, the pre-pass keys, and the DROP PARTITION literals
+    // all agree by construction even when the JVM default zone differs
+    // from spark.sql.session.timeZone (the engine pins UTC sessions; a
+    // host JVM on a local zone previously split the filter from the
+    // truncation and could misroute windows). The `begin`/`end` Timestamps
+    // are read back through the same JVM-default rendering the caller's
+    // Timestamp.valueOf used to build them, so the API round-trips
+    // wall-clock faithfully.
+    def wall(ldt: java.time.LocalDateTime): String = ldt.format(WallClock)
+    def wallTs(ldt: java.time.LocalDateTime) =
+      to_timestamp(lit(wall(ldt)), "yyyy-MM-dd HH:mm:ss")
     // Non-empty-window pre-pass: ONE distinct over the run's whole range
     // (the last window extends to its period end, possibly past `end` —
-    // whole-period coverage is the idempotence contract above). Compared
-    // as session-timezone WALL-CLOCK strings, the same rendering the
-    // partition literals below use — date_trunc truncates in the session
-    // timezone, so an instant comparison against Timestamp.valueOf (JVM
-    // default zone) would skew whenever the two zones differ.
-    val lastHi = Timestamp.valueOf(starts.last.plus(1, chrono))
+    // whole-period coverage is the idempotence contract above), keyed by
+    // session-tz wall-clock strings.
+    val lastHi = starts.last.plus(1, chrono)
     val nonEmpty: Set[String] = source
-      .filter(col(eventTimeCol) >= lit(Timestamp.valueOf(starts.head)) &&
-        col(eventTimeCol) < lit(lastHi))
+      .filter(col(eventTimeCol) >= wallTs(starts.head) &&
+        col(eventTimeCol) < wallTs(lastHi))
       .select(date_format(date_trunc(unit, col(eventTimeCol)),
         "yyyy-MM-dd HH:mm:ss").as("__graft_w"))
       .distinct()
@@ -124,9 +137,7 @@ object Microbatch {
                                            // window count, not the data.
     var n = 0
     for (cursor <- starts) {
-      val lo = Timestamp.valueOf(cursor)
-      val hi = Timestamp.valueOf(cursor.plus(1, chrono))
-      if (targetExists && !nonEmpty.contains(cursor.format(WallClock))) {
+      if (targetExists && !nonEmpty.contains(wall(cursor))) {
         // A window whose source drained to ZERO rows must still rebuild to
         // its source truth: dynamic overwrite only replaces partitions
         // PRESENT in the batch, so an empty batch would silently leave the
@@ -147,7 +158,8 @@ object Microbatch {
         // would wipe its siblings).
         val bs = date_trunc(unit, col(eventTimeCol))
         val batch = source
-          .filter(col(eventTimeCol) >= lit(lo) && col(eventTimeCol) < lit(hi))
+          .filter(col(eventTimeCol) >= wallTs(cursor) &&
+            col(eventTimeCol) < wallTs(cursor.plus(1, chrono)))
           .withColumn("batch_start",
             if (unit == "hour") bs else bs.cast("date"))
         IncrementalMaterialization.run(spark, target, batch, cfg)
@@ -199,6 +211,32 @@ object Microbatch {
             "microbatch table at a different granularity would corrupt " +
             "its partitions (rebuild the table, or match the original " +
             "batch_size)")
+        // day/month/year all share the DATE column type, so for a
+        // grandfathered table (no recorded property) the type check alone
+        // cannot stop a COARSER re-run from melting finer partitions into
+        // period-start ones. One-sided inference from the existing
+        // partition values closes the provable direction: any batch_start
+        // NOT aligned to the requested period's start proves the table
+        // was built finer — fail before the first overwrite. (The
+        // converse — a finer re-run against a coarser-built table whose
+        // values all happen to be period-aligned — is not provable from
+        // values; the property recorded at the end of every completed run
+        // closes it from then on.) The distinct is over the partition
+        // column: metadata-scale, bounded by the partition count.
+        if (bsType == DateType && unit != "day") {
+          val misaligned = spark.table(quoted).select(col("batch_start"))
+            .distinct().collect()
+            .flatMap(r => Option(r.getDate(0)).map(_.toLocalDate))
+            .filterNot(d =>
+              if (unit == "month") d.getDayOfMonth == 1
+              else d.getDayOfYear == 1)
+          if (misaligned.nonEmpty) throw new IllegalStateException(
+            s"microbatch target $quoted holds batch_start values not " +
+              s"aligned to '$unit' starts (e.g. ${misaligned.head}) — it " +
+              s"was built at a finer batch_size; re-running at '$unit' " +
+              "would melt those partitions into one (rebuild the table, " +
+              "or match the original batch_size)")
+        }
     }
   }
 }

@@ -356,7 +356,22 @@ object EventQueries {
     val upins = Quantiles.rankWithin(ev, uapprox, "event_type", "user_id",
       uqs, accuracy = 10000, pinValues = true)
       .withColumnRenamed("n_rows", "n_uid")
-    contract.join(upins, Seq("event_type"))
+    // Null-safe FULL join: a NULL event_type is a real group on both legs
+    // (rankWithin deliberately preserves it), and the two legs' group sets
+    // can legitimately differ (a type whose values are all NULL exists
+    // only on the user_id leg, and vice versa) — a plain inner join would
+    // silently drop verdict rows from the gate's asserted surface. Both
+    // legs descend from the same events scan, so they are aliased before
+    // joining (Spark's ambiguous-self-join check rejects frame-qualified
+    // columns otherwise).
+    val c = contract.as("c")
+    val u = upins.as("u")
+    c.join(u, col("c.event_type") <=> col("u.event_type"), "full")
+      .select(
+        coalesce(col("c.event_type"), col("u.event_type")).as("event_type"),
+        col("c.n_rows"), col("c.p50_ok"), col("c.p90_ok"), col("c.p99_ok"),
+        col("u.n_uid"), col("u.u50_ok"), col("u.u90_ok"), col("u.u99_ok"),
+        col("u.u50_val"), col("u.u90_val"), col("u.u99_val"))
       .orderBy(col("event_type"))
   }
 
@@ -393,12 +408,21 @@ object EventQueries {
       |    MAX(CASE WHEN name = 'u99' AND v1 = v2 THEN v1 END) AS u99_val
       |  FROM pinq GROUP BY 1
       |)
-      |SELECT v.event_type, v.n_rows,
-      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
-      |  p.n_uid, TRUE AS u50_ok, TRUE AS u90_ok, TRUE AS u99_ok,
+      |SELECT COALESCE(v.event_type, p.event_type) AS event_type, v.n_rows,
+      |  CASE WHEN v.event_type IS NOT NULL OR v.n_rows IS NOT NULL
+      |       THEN TRUE END AS p50_ok,
+      |  CASE WHEN v.event_type IS NOT NULL OR v.n_rows IS NOT NULL
+      |       THEN TRUE END AS p90_ok,
+      |  CASE WHEN v.event_type IS NOT NULL OR v.n_rows IS NOT NULL
+      |       THEN TRUE END AS p99_ok,
+      |  p.n_uid,
+      |  CASE WHEN p.n_uid IS NOT NULL THEN TRUE END AS u50_ok,
+      |  CASE WHEN p.n_uid IS NOT NULL THEN TRUE END AS u90_ok,
+      |  CASE WHEN p.n_uid IS NOT NULL THEN TRUE END AS u99_ok,
       |  p.u50_val, p.u90_val, p.u99_val
-      |FROM vals v JOIN pins p USING (event_type)
-      |ORDER BY v.event_type""".stripMargin
+      |FROM vals v FULL JOIN pins p
+      |  ON v.event_type IS NOT DISTINCT FROM p.event_type
+      |ORDER BY 1""".stripMargin
 
   /** Robust anomaly screen over event values: per-type median/MAD flags
     * ([[graft.operators.Anomaly]]) rolled up to (n, med, mad, n_outliers).

@@ -129,6 +129,21 @@ class BenchBaselineSpec extends AnyFunSuite {
     val latestOnlyLegs = legs.filter(_._4 == "latest")
     val bare = Bench.regressionEntries(Seq("g" -> 7.0), latestOnlyLegs, 1.0)
     assert(bare.nonEmpty && !bare.head.contains("latest_only"), bare)
+    // A FALLBACK defended leg (no usable blessing existed) is not a
+    // blessed reference either: clean coverage by it must not mint the
+    // label in exactly the degraded configuration where flags need
+    // scrutiny.
+    val fallbackLegs = Seq(
+      ("BENCH_r01", 1.5, Map("g" -> 10.0), "fallback"),
+      ("BENCH_LOCAL_r15", 1.5, Map("g" -> 4.0), "latest"))
+    val fb = Bench.regressionEntries(Seq("g" -> 7.0), fallbackLegs, 1.0)
+    assert(fb.nonEmpty && !fb.head.contains("latest_only"), fb)
+    // And selectBaselines tags the fallback role itself.
+    val (fbChosen, _) = Bench.selectBaselines(Seq(
+      cand("BENCH_r01", "0.1", "q1" -> 1.0),
+      cand("BENCH_r02", "0.1", "q1" -> 1.1)), sfDir)
+    assert(fbChosen.map(c => c._1 -> c._4) ===
+      Seq("BENCH_r01" -> "fallback", "BENCH_r02" -> "latest"))
     // Below every threshold: no entries at all.
     assert(Bench.regressionEntries(Seq("g" -> 4.2), legs, 1.0).isEmpty)
   }

@@ -555,6 +555,16 @@ class MaterializationSpec extends AnyFunSuite {
         ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"),
         batchSize = "hour")
     }
+    // ...and the DATE-typed granularities get the one-sided value
+    // inference: this day-built table holds batch_start=2024-01-02, not a
+    // month start, so a month re-run is provably a mismatch even without
+    // the property.
+    val inferred = intercept[IllegalStateException] {
+      Microbatch.run(spark, t, src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"),
+        batchSize = "month")
+    }
+    assert(inferred.getMessage.contains("not aligned"), inferred.getMessage)
     // ...and a matching re-run back-fills the property.
     Microbatch.run(spark, t, src, "ts",
       ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))

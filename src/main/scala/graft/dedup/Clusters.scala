@@ -186,7 +186,7 @@ object Clusters {
       .repartition(nPart, col("src"))
       .sortWithinPartitions(col("src"))
       .persist()
-    edges.count() // materialize the cache once, up front.
+    val nEdges = edges.count() // materialize the cache once, up front.
 
     var state = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -199,9 +199,9 @@ object Clusters {
     var frontier = state.select(col("id").as("src"), col("cluster"))
 
     var round = 0
-    // Probe the checkpointed edges, not `pairs`: isEmpty on the raw input
-    // would re-run the (possibly expensive) upstream pair pipeline.
-    var converged = edges.isEmpty
+    // Emptiness falls out of the materialization count already paid above
+    // — a separate isEmpty would schedule one more job per call.
+    var converged = nEdges == 0L
     profiler.foreach(_.round("setup", 0.0, -1L))
     while (!converged && round < maxRounds) {
       val roundT0 = System.nanoTime()

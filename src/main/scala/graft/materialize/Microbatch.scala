@@ -64,11 +64,15 @@ object Microbatch {
     * table handed a timestamp literal to a DATE partition column — on a
     * drained window that can resolve to the whole day and silently drop
     * 24 hours of data (and a non-empty window died as an opaque write
-    * error). The check is two-layered: the recorded
-    * [[GranularityProperty]] when present (written after every
-    * successful run; distinguishes day/month/year, which share the DATE
-    * column type), falling back to the `batch_start` column type
-    * (timestamp ⇔ hour) for tables created before the property existed.
+    * error). The check: the recorded [[GranularityProperty]] when
+    * present (written after every successful run; distinguishes
+    * day/month/year, which share the DATE column type); without it a
+    * TIMESTAMP batch_start proves 'hour' (the only size producing one),
+    * while a DATE-typed grandfathered table is REFUSED outright — a
+    * mismatch is silently lossy in both directions and nothing in the
+    * schema or partition values can prove which of day/month/year built
+    * it (the error names the one-statement TBLPROPERTIES attestation
+    * escape hatch).
     */
   def run(spark: SparkSession, target: String, source: DataFrame,
       eventTimeCol: String, begin: Timestamp, end: Timestamp,
@@ -212,31 +216,26 @@ object Microbatch {
             "its partitions (rebuild the table, or match the original " +
             "batch_size)")
         // day/month/year all share the DATE column type, so for a
-        // grandfathered table (no recorded property) the type check alone
-        // cannot stop a COARSER re-run from melting finer partitions into
-        // period-start ones. One-sided inference from the existing
-        // partition values closes the provable direction: any batch_start
-        // NOT aligned to the requested period's start proves the table
-        // was built finer — fail before the first overwrite. (The
-        // converse — a finer re-run against a coarser-built table whose
-        // values all happen to be period-aligned — is not provable from
-        // values; the property recorded at the end of every completed run
-        // closes it from then on.) The distinct is over the partition
-        // column: metadata-scale, bounded by the partition count.
-        if (bsType == DateType && unit != "day") {
-          val misaligned = spark.table(quoted).select(col("batch_start"))
-            .distinct().collect()
-            .flatMap(r => Option(r.getDate(0)).map(_.toLocalDate))
-            .filterNot(d =>
-              if (unit == "month") d.getDayOfMonth == 1
-              else d.getDayOfYear == 1)
-          if (misaligned.nonEmpty) throw new IllegalStateException(
-            s"microbatch target $quoted holds batch_start values not " +
-              s"aligned to '$unit' starts (e.g. ${misaligned.head}) — it " +
-              s"was built at a finer batch_size; re-running at '$unit' " +
-              "would melt those partitions into one (rebuild the table, " +
-              "or match the original batch_size)")
-        }
+        // grandfathered table (no recorded property) NO granularity is
+        // provable from the schema — and a mismatch is silently lossy in
+        // BOTH directions (a month run on a day table melts the month
+        // into its first-of-month partition; a day run on a month table
+        // replaces the whole-month partition with one day's rows).
+        // Partition VALUES cannot prove it either: a young day table and
+        // a month table both show only period-aligned dates. Refuse
+        // loudly and offer the one-statement attestation escape hatch —
+        // after which every completed run re-records the property.
+        // (Hourly tables are unambiguous: only batch_size='hour'
+        // produces a TIMESTAMP batch_start, so the type check above is
+        // the whole proof.)
+        if (bsType == DateType) throw new IllegalStateException(
+          s"microbatch target $quoted has no recorded batch_size and its " +
+            "DATE-typed batch_start cannot distinguish day/month/year — " +
+            "a mismatched re-run silently corrupts partitions in either " +
+            "direction. Attest the granularity it was built at with " +
+            s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+            s"('$GranularityProperty'='<day|month|year>') and re-run, " +
+            "or rebuild the table")
     }
   }
 }

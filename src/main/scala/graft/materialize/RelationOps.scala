@@ -100,6 +100,19 @@ object RelationOps {
     val rel = Relation.parse(name)
     val tmp = Relation.sibling(name, "__evolve_src")
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
+    // USER table properties ride through the rebuild: governance tags
+    // (`graft.tag.*`), the microbatch granularity attestation, and any
+    // caller-set metadata live in TBLPROPERTIES, and the relayout CTAS
+    // would otherwise silently drop them — a layout rewrite losing
+    // governance metadata surfaced as the microbatch machine refusing a
+    // post-compaction table. Engine-managed keys (spark.*, storage
+    // internals) are the rebuilt table's own business and are excluded.
+    val reserved = Set("transient_lastDdlTime", "external", "location",
+      "owner", "provider", "path")
+    val carriedProps = spark.sql(s"SHOW TBLPROPERTIES ${rel.quoted}")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filterNot { case (k, _) =>
+        k.startsWith("spark.") || k.startsWith("option.") || reserved(k) }
     rename(spark, name, tmp.name)
     // The rename moves the table DIRECTORY, but a partitioned table's
     // catalog entries still record per-partition locations under the old
@@ -119,6 +132,12 @@ object RelationOps {
       // forward one did — repair again or the "restored" table reads empty.
       repairIfPartitioned(spark, rel)
       throw e
+    }
+    if (carriedProps.nonEmpty) {
+      val rendered = carriedProps.map { case (k, v) =>
+        s"${Relation.sqlLiteral(k)}=${Relation.sqlLiteral(v)}" }
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES ($rendered)")
     }
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
   }

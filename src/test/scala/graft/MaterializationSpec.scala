@@ -555,17 +555,26 @@ class MaterializationSpec extends AnyFunSuite {
         ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"),
         batchSize = "hour")
     }
-    // ...and the DATE-typed granularities get the one-sided value
-    // inference: this day-built table holds batch_start=2024-01-02, not a
-    // month start, so a month re-run is provably a mismatch even without
-    // the property.
-    val inferred = intercept[IllegalStateException] {
-      Microbatch.run(spark, t, src, "ts",
-        ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"),
-        batchSize = "month")
+    // ...while a grandfathered DATE-typed table is refused for EVERY
+    // date-granularity run — a mismatch is silently lossy in both
+    // directions (month-on-day melts the month; day-on-month replaces a
+    // whole-month partition with one day) and neither the schema nor the
+    // partition values can prove which of day/month/year built it. The
+    // error names the attestation escape hatch.
+    for (size <- Seq("day", "month")) {
+      val refused = intercept[IllegalStateException] {
+        Microbatch.run(spark, t, src, "ts",
+          ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"),
+          batchSize = size)
+      }
+      assert(refused.getMessage.contains("SET TBLPROPERTIES"),
+        refused.getMessage)
     }
-    assert(inferred.getMessage.contains("not aligned"), inferred.getMessage)
-    // ...and a matching re-run back-fills the property.
+    assert(spark.table(t).count() === 2, "refused runs must not write")
+    // The documented escape hatch: attest the original granularity, and
+    // the matching re-run proceeds (the property then stays recorded).
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      s"('${Microbatch.GranularityProperty}'='day')")
     Microbatch.run(spark, t, src, "ts",
       ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
     val recorded = spark.sql(s"SHOW TBLPROPERTIES $t")
@@ -580,6 +589,24 @@ class MaterializationSpec extends AnyFunSuite {
     }
     assert(notMb.getMessage.contains("batch_start"), notMb.getMessage)
     spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("relayout rewrites preserve user TBLPROPERTIES (tags, attestations)") {
+    import spark.implicits._
+    val t = freshTable()
+    TableMaterialization.run(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // Governance tags and the microbatch granularity attestation both live
+    // in TBLPROPERTIES; the relayout CTAS previously dropped them (the
+    // microbatch machine surfaced it as a post-compaction refusal).
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.tag.pii'='true', 'graft.microbatch.batch_size'='day')")
+    RelationOps.compact(spark, t)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.tag.pii") === Some("true"))
+    assert(props.get("graft.microbatch.batch_size") === Some("day"))
+    assert(spark.table(t).count() === 2, "relayout must not touch contents")
   }
 
   test("microbatch: drained windows cost a set lookup, not a probe job each") {

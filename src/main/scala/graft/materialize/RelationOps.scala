@@ -123,8 +123,11 @@ object RelationOps {
     repairIfPartitioned(spark, tmp)
     try {
       graft.core.Failpoints.check("relayout.rebuild")
+      // Carried properties ride the materialization itself (its own
+      // TBLPROPERTIES channel) — no window where the rebuilt table exists
+      // without its governance metadata.
       TableMaterialization.run(spark, name, shape(spark.table(tmp.quoted)),
-        partitionBy = partitionBy)
+        partitionBy = partitionBy, properties = carriedProps.toMap)
     } catch { case e: Throwable =>
       spark.sql(s"DROP TABLE IF EXISTS ${rel.quoted}")
       rename(spark, tmp.name, name)
@@ -132,12 +135,6 @@ object RelationOps {
       // forward one did — repair again or the "restored" table reads empty.
       repairIfPartitioned(spark, rel)
       throw e
-    }
-    if (carriedProps.nonEmpty) {
-      val rendered = carriedProps.map { case (k, v) =>
-        s"${Relation.sqlLiteral(k)}=${Relation.sqlLiteral(v)}" }
-        .mkString(", ")
-      spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES ($rendered)")
     }
     spark.sql(s"DROP TABLE IF EXISTS ${tmp.quoted}")
   }

@@ -634,6 +634,48 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantile pins: equal a plain-Scala single-valued-window oracle") {
+    // The pinValues contract (r16): a `<q>_val` column is non-null exactly
+    // when the rank-tolerance window [p·n − tol, p·n + tol] ∩ [1, n] holds
+    // ONE distinct value, and then it IS that value — for any conforming
+    // sketch, any merge order. Random heavily-tied data (small value
+    // domains) exercises both pinned and straddling windows at random
+    // accuracies; the oracle recomputes the window ends with the same
+    // integer arithmetic from the sorted values.
+    import graft.operators.Quantiles
+    val rnd = new Random(1601)
+    (1 to 8).foreach { trial =>
+      val n = 50 + rnd.nextInt(400)
+      val domain = 2 + rnd.nextInt(12)
+      val acc = Seq(10, 25, 100, 1000)(rnd.nextInt(4))
+      val vals = Seq.fill(n)(rnd.nextInt(domain).toDouble)
+      val qs = Seq(("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4),
+        ("q90", 9, 10))
+      val df = vals.zipWithIndex
+        .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+        .repartition(1 + rnd.nextInt(6))
+      val approx = Quantiles.approxGroupQuantiles(df, "g", "v", qs, acc)
+      val got = Quantiles.rankWithin(df, approx, "g", "v", qs, acc,
+        pinValues = true).collect()(0)
+      val sorted = vals.sorted.toIndexedSeq
+      val tol = (n / acc + 1).toLong
+      qs.zipWithIndex.foreach { case ((name, num, den), qi) =>
+        // Contract leg must hold (GK conforms at every tested accuracy) —
+        // the pin equivalence theorem assumes a conforming sketch.
+        assert(got.getBoolean(2 + qi), s"trial=$trial $name contract")
+        val a = num.toLong * n - tol * den
+        val rmin = (math.max(a, den.toLong) + den - 1) / den
+        val rmax = math.min((num.toLong * n + tol * den) / den, n.toLong)
+        val (vLo, vHi) = (sorted((rmin - 1).toInt), sorted((rmax - 1).toInt))
+        val want = if (vLo == vHi) Some(vLo) else None
+        val gotPin = if (got.isNullAt(2 + qs.size + qi)) None
+          else Some(got.getDouble(2 + qs.size + qi))
+        assert(gotPin === want,
+          s"trial=$trial $name acc=$acc n=$n domain=$domain pin mismatch")
+      }
+    }
+  }
+
   test("bm25: equals a plain-Scala reference on random corpora and queries") {
     import graft.text.Bm25
     val rnd = new Random(19)

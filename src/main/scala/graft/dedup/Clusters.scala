@@ -75,6 +75,14 @@ object Clusters {
     * label-frame cost is visible next to the shuffle numbers. The listener
     * bus is asynchronous — a short post-round sleep lets it drain, which is
     * fine for a diagnostic and unacceptable anywhere else.
+    *
+    * SINGLE-TENANT ASSUMPTION: the listener hears every stage on the
+    * shared SparkContext, so any concurrent job in the same session
+    * (parallel suites, another query on a shared engine) pollutes the
+    * per-round deltas; and the fixed drain sleep can under-drain a busy
+    * bus, shifting a stage's metrics into the next round's delta. Profile
+    * on an otherwise-idle session only, and treat the numbers as
+    * attribution, not accounting.
     */
   private final class RoundProfiler(sc: org.apache.spark.SparkContext) {
     import java.util.concurrent.atomic.LongAdder

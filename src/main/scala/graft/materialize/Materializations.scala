@@ -606,7 +606,15 @@ final case class IncrementalConfig(
     mergeExcludeColumns: Seq[String] = Nil,
     matchedPredicate: Option[Column] = None,
     onSchemaChange: SchemaChangePolicy = SchemaChangePolicy.Ignore,
-    fileFormat: String = "parquet")
+    fileFormat: String = "parquet",
+    // TBLPROPERTIES recorded when the FIRST run creates the target —
+    // riding the CTAS materialization itself (the r16 lesson: properties
+    // a table must carry to be self-describing go through the
+    // materialization's own channel, not a follow-up statement a crash
+    // can separate from the table). Subsequent runs never re-write them
+    // here; callers owning run-over-run property state (microbatch's
+    // granularity record) re-assert it themselves.
+    tableProperties: Map[String, String] = Map.empty)
 
 /** The incremental materialization state machine (reference
   * macros/materializations/incremental/incremental.sql):
@@ -625,7 +633,8 @@ object IncrementalMaterialization {
     }
     if (!spark.catalog.tableExists(rel.quoted)) {
       TableMaterialization.run(spark, target, batch,
-        format = cfg.fileFormat, partitionBy = cfg.partitionBy)
+        format = cfg.fileFormat, partitionBy = cfg.partitionBy,
+        properties = cfg.tableProperties)
       return
     }
     SchemaEvolution(spark, target, batch, cfg.onSchemaChange)

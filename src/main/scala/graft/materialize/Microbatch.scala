@@ -58,6 +58,19 @@ object Microbatch {
     * dynamic overwrite would — re-running a window always lands exactly
     * that window's source truth. Returns the number of batches executed.
     *
+    * CONTRACT: `source` must be STABLE for the duration of the run. The
+    * drained-vs-non-empty classification is computed once up front (the
+    * one-pass pre-pass) while each window's write re-scans `source` — if
+    * rows drain out of a window between the pre-pass and that window's
+    * turn in a long backfill, its dynamic overwrite sees zero rows and
+    * no-ops, leaving the stale partition the drained-window DROP exists
+    * to clear (and conversely, rows arriving mid-run land or miss
+    * arbitrarily by window position). Run against an immutable snapshot
+    * (a committed table/path, not a live view over moving data); a
+    * caller that cannot guarantee stability should snapshot or cache the
+    * frame first. Re-running the range afterwards reconciles any drift,
+    * exactly like the crash-recovery path.
+    *
     * Granularity is a TABLE property, not a run parameter: a re-run whose
     * `batchSize` disagrees with what the target was built at FAILS LOUDLY
     * up front. Before this guard an hourly re-run against a day-built
@@ -102,13 +115,31 @@ object Microbatch {
     // begin < end and aligned <= begin, so there is always >= 1 window.
     val starts = Iterator.iterate(aligned)(_.plus(1, chrono))
       .takeWhile(_.isBefore(endLdt)).toVector
+    // The granularity record rides the FIRST window's CTAS as a
+    // materialization-channel TBLPROPERTY — a table is self-describing
+    // from the moment it exists. Before r17 the property was written only
+    // AFTER the whole window loop, so a crash on a table's first
+    // day/month/year run (≥1 committed window, loop unfinished) left a
+    // property-less DATE table that validateGranularity REFUSES — the
+    // documented "simply re-run the range" recovery then demanded manual
+    // attestation on exactly the runs that most need automatic retry.
     val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
-      partitionBy = Seq("batch_start"))
+      partitionBy = Seq("batch_start"),
+      tableProperties = Map(GranularityProperty -> unit))
     // Parse once, probe the catalog once — existence can only flip
     // false→true (the first window's CTAS), tracked locally.
     val rel = graft.core.Relation.parse(target)
     var targetExists = spark.catalog.tableExists(rel.quoted)
-    if (targetExists) validateGranularity(spark, rel.quoted, unit)
+    if (targetExists) {
+      validateGranularity(spark, rel.quoted, unit)
+      // A validated pre-existing table may still lack the property (an
+      // hourly table proven by its TIMESTAMP type) — record it NOW, before
+      // any window runs, so one validated run makes the table
+      // self-describing no matter where a crash lands. Idempotent for
+      // recorded/attested tables (same key, same proven value).
+      spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES " +
+        s"('$GranularityProperty'=${graft.core.Relation.sqlLiteral(unit)})")
+    }
     // TIMEZONE DISCIPLINE: everything engine-side is anchored in the
     // SESSION timezone's wall clock. Window boundaries enter Spark as
     // wall-clock STRINGS parsed by to_timestamp (session tz) — never as
@@ -177,13 +208,6 @@ object Microbatch {
       graft.core.Failpoints.check("microbatch.window")
       n += 1
     }
-    // Record the granularity for future re-runs to validate against —
-    // metadata-only, idempotent. A crash before this line leaves a table
-    // without the property; the type-based fallback still guards the
-    // hour/coarser axis, and the next completed run writes it.
-    if (targetExists)
-      spark.sql(s"ALTER TABLE ${rel.quoted} SET TBLPROPERTIES " +
-        s"('$GranularityProperty'=${graft.core.Relation.sqlLiteral(unit)})")
     n
   }
 

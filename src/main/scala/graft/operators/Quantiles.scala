@@ -183,4 +183,77 @@ object Quantiles {
     }
     counted.select(col(groupCol) +: col("n_rows") +: (checks ++ pins): _*)
   }
+
+  /** Value-interval form of the sketch contract (r16 verdict item 3 —
+    * the thinnest-oracle class closed for near-continuous values): per
+    * group and quantile, the EXACT order statistics at the two clamped
+    * ends of the rank-tolerance window — `<name>_lo` at rank
+    * rmin = max(1, ceil((p·n − tol)/1)) and `<name>_hi` at rank
+    * rmax = min(n, floor(p·n + tol)), tol = floor(n/accuracy)+1, the
+    * identical integer arithmetic as [[rankWithin]]'s pins — plus
+    * `<name>_ok` = the sketch's returned element BETWEEN the two. An
+    * exact engine replays `_lo`/`_hi` from its own order statistics, so
+    * a correctness gate hashes REAL replayed values instead of taking
+    * the rank contract's word for it; `_ok` is equivalent to
+    * [[rankWithin]]'s counter check (for an element q: q ≥ v_lo ⟺
+    * |{x ≤ q}| ≥ rmin and q ≤ v_hi ⟺ |{x < q}| + 1 ≤ rmax — the same
+    * inequalities cross-multiplied, with the [1, n] clamps vacuous for
+    * an element), and stays merge-order-free: every conforming sketch
+    * choice lands inside the window by definition.
+    *
+    * Plan shape: computing true order statistics requires a per-group
+    * rank (one shuffle + in-partition sort — the exact path's funnel),
+    * so this is the VERIFICATION surface for gates and audits; the
+    * production sketch path ([[approxGroupQuantiles]]) stays one
+    * map-side-combinable pass with no Window. Output: (groupCol,
+    * n_rows, then per quantile `<name>_lo`, `<name>_hi`, `<name>_ok`).
+    */
+  def boundsWithin(df: DataFrame, approx: DataFrame, groupCol: String,
+      valueCol: String, quantiles: Seq[(String, Int, Int)],
+      accuracy: Int): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    require(accuracy >= 1, s"accuracy must be positive: $accuracy")
+    // No tie-break column: ties share the VALUE, and only values are
+    // selected — rank assignment among tied rows cannot change the
+    // selected element (the property the exact oracle relies on too).
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val n = col("__graft_n")
+    val aggs = max(n).as("n_rows") +:
+      quantiles.flatMap { case (name, num, den) =>
+        // Same exact-floor long division as rankWithin's pins (numerators
+        // are exact doubles below 2^53; quotients are rationals with
+        // denominator ≤ den, so the truncating cast is an exact floor on
+        // these non-negative values).
+        val tol = (n / lit(accuracy.toLong)).cast("long") + lit(1L)
+        val lo = lit(num.toLong) * n - tol * lit(den.toLong)
+        val rmin = ((greatest(lo, lit(den.toLong)) + lit(den.toLong - 1)) /
+          lit(den.toLong)).cast("long")
+        val rmax = least(((lit(num.toLong) * n + tol * lit(den.toLong)) /
+          lit(den.toLong)).cast("long"), n)
+        Seq(
+          max(when(col("__graft_rn") === rmin, col(valueCol)))
+            .as(s"${name}_lo"),
+          max(when(col("__graft_rn") === rmax, col(valueCol)))
+            .as(s"${name}_hi"))
+      }
+    val bounds = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // Null-SAFE group join against the sketch frame (a NULL group key is
+    // a real group on both sides); both frames descend from the same
+    // null-filtered groupBy, so the group sets are identical.
+    val approxG = approx.drop("n_rows")
+      .withColumnRenamed(groupCol, "__graft_g")
+    val joined = bounds.join(broadcast(approxG),
+      col(groupCol) <=> col("__graft_g")).drop("__graft_g")
+    val out = quantiles.flatMap { case (name, _, _) => Seq(
+      col(s"${name}_lo"), col(s"${name}_hi"),
+      col(name).between(col(s"${name}_lo"), col(s"${name}_hi"))
+        .as(s"${name}_ok"))
+    }
+    joined.select(col(groupCol) +: col("n_rows") +: out: _*)
+  }
 }

@@ -314,31 +314,38 @@ object EventQueries {
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** The SKETCH-path quantile twin ([[graft.operators.Quantiles
-    * .approxGroupQuantiles]] + [[graft.operators.Quantiles.rankWithin]]):
-    * the exact operator's scaladoc routes 100 TB LOW-cardinality keys to
-    * `approx_percentile` — this gate demonstrates that path and BOUNDS its
-    * error. The sketch's returned element is merge-order-dependent (any
-    * in-tolerance element may come back), so the gate's hashable surface
-    * is the CONTRACT, not the value: per event_type, booleans asserting
-    * the returned element's rank is within floor(n/accuracy)+1 ranks of
-    * the target rank p·n — pure integer arithmetic, deterministic on both
-    * engines. The oracle asserts the same contract trivially (TRUE per
-    * quantile): a red here means the sketch path exceeded its documented
-    * tolerance. Plan shape (spec-pinned): no Window, one shuffle per
-    * aggregation — map-side combinable, no per-group funnel.
+    * .approxGroupQuantiles]] + [[graft.operators.Quantiles.boundsWithin]]/
+    * [[graft.operators.Quantiles.rankWithin]]): the exact operator's
+    * scaladoc routes 100 TB LOW-cardinality keys to `approx_percentile` —
+    * this gate demonstrates that path and BOUNDS its error. The sketch's
+    * returned element is merge-order-dependent (any in-tolerance element
+    * may come back), so the gate's hashable surface is the CONTRACT, not
+    * the sketch's choice — but the contract is grounded in REAL replayed
+    * values on both legs (r16 verdict items 2–3, the thinnest-oracle
+    * class closed): per event_type and quantile, leg 1 hashes the exact
+    * order statistics at the rank-tolerance window's two clamped ends
+    * (`p*_lo`/`p*_hi` — DuckDB replays both from its own order
+    * statistics) plus `p*_ok` = the returned element BETWEEN them (a
+    * value-interval check equivalent to the integer rank contract —
+    * boundsWithin's scaladoc carries the proof); leg 2 pins the returned
+    * element itself wherever the window is provably single-valued.
+    * Plan shape: the production sketch path stays no-Window / one
+    * map-side-combinable pass (spec-pinned on the operator); the
+    * bounds VERIFICATION pass pays the exact path's per-group rank —
+    * the price of an oracle that hashes real values.
     */
   def evtQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantiles
     val ev = Tables.events(spark, dir)
-    // Leg 1 (contract over near-continuous doubles): `value` at
-    // accuracy 1000 — the _ok booleans assert the rank-error contract in
-    // pure integer arithmetic; pinned VALUES are structurally unavailable
-    // here (≈90% distinct values means no tolerance window is
-    // single-valued), which is exactly why leg 2 exists.
+    // Leg 1 (value-interval contract over near-continuous doubles):
+    // `value` at accuracy 1000 — pinned single VALUES are structurally
+    // unavailable (≈90% distinct values means no tolerance window is
+    // single-valued, which is why leg 2 exists), but the window's END
+    // values are exact order statistics both engines can compute.
     val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
     val approx = Quantiles.approxGroupQuantiles(ev, "event_type", "value",
       qs, accuracy = 1000)
-    val contract = Quantiles.rankWithin(ev, approx, "event_type", "value",
+    val contract = Quantiles.boundsWithin(ev, approx, "event_type", "value",
       qs, accuracy = 1000)
     // Leg 2 (pinned real values over a tied column): `user_id` has ~13
     // rows per (event_type, user) at every test scale, so a tight rank
@@ -369,16 +376,49 @@ object EventQueries {
     c.join(u, col("c.event_type") <=> col("u.event_type"), "full")
       .select(
         coalesce(col("c.event_type"), col("u.event_type")).as("event_type"),
-        col("c.n_rows"), col("c.p50_ok"), col("c.p90_ok"), col("c.p99_ok"),
+        col("c.n_rows"),
+        col("c.p50_lo"), col("c.p50_hi"), col("c.p50_ok"),
+        col("c.p90_lo"), col("c.p90_hi"), col("c.p90_ok"),
+        col("c.p99_lo"), col("c.p99_hi"), col("c.p99_ok"),
         col("u.n_uid"), col("u.u50_ok"), col("u.u90_ok"), col("u.u99_ok"),
         col("u.u50_val"), col("u.u90_val"), col("u.u99_val"))
       .orderBy(col("event_type"))
   }
 
   private val evtQuantilesApproxSql =
-    """WITH vals AS (
-      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
-      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+    """WITH vranked AS (
+      |  SELECT event_type, value AS v,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |), vbound AS (
+      |  -- Leg 1's replayed rank-window ends (accuracy 1000): the same
+      |  -- integer arithmetic as the Spark side's boundsWithin —
+      |  -- tol = n//1000 + 1, rmin = max(1, ceil((num*n - tol*den)/den)),
+      |  -- rmax = min(n, floor((num*n + tol*den)/den)) — evaluated as
+      |  -- exact order statistics. The _ok verdict (sketch element
+      |  -- BETWEEN the two) is computable only where the sketch runs.
+      |  SELECT r.event_type, q.name, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = (GREATEST(q.num*n - ((n // 1000)+1)*q.den,
+      |                                 q.den) + q.den - 1) // q.den
+      |        THEN v END) AS v_lo,
+      |    MAX(CASE WHEN rn = LEAST((q.num*n + ((n // 1000)+1)*q.den)
+      |                             // q.den, n)
+      |        THEN v END) AS v_hi
+      |  FROM vranked r
+      |  CROSS JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+      |    q(name, num, den)
+      |  GROUP BY 1, 2
+      |), vals AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |    MAX(CASE WHEN name = 'p50' THEN v_lo END) AS p50_lo,
+      |    MAX(CASE WHEN name = 'p50' THEN v_hi END) AS p50_hi,
+      |    MAX(CASE WHEN name = 'p90' THEN v_lo END) AS p90_lo,
+      |    MAX(CASE WHEN name = 'p90' THEN v_hi END) AS p90_hi,
+      |    MAX(CASE WHEN name = 'p99' THEN v_lo END) AS p99_lo,
+      |    MAX(CASE WHEN name = 'p99' THEN v_hi END) AS p99_hi
+      |  FROM vbound GROUP BY 1
       |), ranked AS (
       |  SELECT event_type, user_id AS u,
       |    row_number() OVER (PARTITION BY event_type
@@ -409,12 +449,12 @@ object EventQueries {
       |  FROM pinq GROUP BY 1
       |)
       |SELECT COALESCE(v.event_type, p.event_type) AS event_type, v.n_rows,
-      |  CASE WHEN v.event_type IS NOT NULL OR v.n_rows IS NOT NULL
-      |       THEN TRUE END AS p50_ok,
-      |  CASE WHEN v.event_type IS NOT NULL OR v.n_rows IS NOT NULL
-      |       THEN TRUE END AS p90_ok,
-      |  CASE WHEN v.event_type IS NOT NULL OR v.n_rows IS NOT NULL
-      |       THEN TRUE END AS p99_ok,
+      |  v.p50_lo, v.p50_hi,
+      |  CASE WHEN v.n_rows IS NOT NULL THEN TRUE END AS p50_ok,
+      |  v.p90_lo, v.p90_hi,
+      |  CASE WHEN v.n_rows IS NOT NULL THEN TRUE END AS p90_ok,
+      |  v.p99_lo, v.p99_hi,
+      |  CASE WHEN v.n_rows IS NOT NULL THEN TRUE END AS p99_ok,
       |  p.n_uid,
       |  CASE WHEN p.n_uid IS NOT NULL THEN TRUE END AS u50_ok,
       |  CASE WHEN p.n_uid IS NOT NULL THEN TRUE END AS u90_ok,

@@ -581,6 +581,19 @@ class MaterializationSpec extends AnyFunSuite {
       .filter(col("key") === Microbatch.GranularityProperty)
       .collect().map(_.getString(1))
     assert(recorded.toSeq === Seq("day"))
+    // Attest-then-WRONG-size: the attestation re-arms the property guard,
+    // so a month run against the now-attested day table is refused by the
+    // recorded-property check (not the grandfathered refusal) — attesting
+    // never weakens the guard, it only names the one true granularity.
+    val postAttest = intercept[IllegalStateException] {
+      Microbatch.run(spark, t, src, "ts",
+        ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"),
+        batchSize = "month")
+    }
+    assert(postAttest.getMessage.contains("'day'") &&
+      !postAttest.getMessage.contains("SET TBLPROPERTIES"),
+      postAttest.getMessage)
+    assert(spark.table(t).count() === 2, "post-attest refusal must not write")
     // A pre-existing table that is not a microbatch table at all.
     spark.sql(s"CREATE TABLE $db.not_mb (id BIGINT) USING PARQUET")
     val notMb = intercept[IllegalStateException] {
@@ -588,6 +601,60 @@ class MaterializationSpec extends AnyFunSuite {
         ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
     }
     assert(notMb.getMessage.contains("batch_start"), notMb.getMessage)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("microbatch: the granularity record rides the FIRST window — a mid-first-run crash leaves a self-describing table") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import graft.materialize.Microbatch
+    import graft.core.Failpoints
+    val db = "graft_spec_mbfirst"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t = s"$db.mb_crash_first"
+    val src = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 11:00:00"), 2.0)).toDF("id", "ts", "v")
+    // Crash a brand-new DAY table's FIRST run after its first committed
+    // window. Before r17 the property was written only after the whole
+    // loop, so this exact crash left a property-less DATE table that the
+    // grandfathered refusal then blocked from the documented "re-run the
+    // range" recovery (r16 ADVICE item) — the property must now ride the
+    // first window's CTAS itself.
+    try {
+      Failpoints.arm("microbatch.window")
+      intercept[Failpoints.Injected] {
+        Microbatch.run(spark, t, src, "ts",
+          ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+      }
+    } finally Failpoints.disarmAll()
+    val prop = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .filter(col("key") === Microbatch.GranularityProperty)
+      .collect().map(_.getString(1))
+    assert(prop.toSeq === Seq("day"),
+      "a one-window table must already carry its granularity record")
+    // The documented recovery works WITHOUT manual attestation.
+    val n = Microbatch.run(spark, t, src, "ts",
+      ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    assert(n === 2)
+    assert(spark.table(t).select("id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // And a validated run on a property-LESS pre-existing table records
+    // the property up front (the hour-proved shape): strip it, re-run at
+    // the type-proven granularity, observe the record restored.
+    val th = s"$db.mb_hour_selfdesc"
+    Microbatch.run(spark, th, src, "ts",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+      batchSize = "hour")
+    spark.sql(s"ALTER TABLE $th UNSET TBLPROPERTIES IF EXISTS " +
+      s"('${Microbatch.GranularityProperty}')")
+    Microbatch.run(spark, th, src, "ts",
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+      batchSize = "hour")
+    val hprop = spark.sql(s"SHOW TBLPROPERTIES $th")
+      .filter(col("key") === Microbatch.GranularityProperty)
+      .collect().map(_.getString(1))
+    assert(hprop.toSeq === Seq("hour"))
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 

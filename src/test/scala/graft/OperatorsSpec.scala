@@ -639,6 +639,50 @@ class OperatorsSpec extends AnyFunSuite {
         s"edge group ${Option(r.getString(0))} failed its rank check")))
   }
 
+  test("approx quantiles: window-end bounds replay order statistics, BETWEEN verdicts match the rank contract") {
+    import graft.operators.Quantiles
+    // Same 50×1.0 / 50×2.0 frame as the pin spec: acc=10 → tol=11, windows
+    // p0 → ranks [1,11] (lo=hi=1.0), p50 → [39,61] (lo=1.0, hi=2.0 — the
+    // two-valued window a pin cannot cover but bounds CAN), p90 → [79,100]
+    // (lo=hi=2.0), p100 → [89,100] (lo=hi=2.0).
+    val qs = Seq(("p0", 0, 1), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1))
+    val df = ((1 to 50).map(i => ("t", 1.0, i.toLong)) ++
+      (51 to 100).map(i => ("t", 2.0, i.toLong)))
+      .toDF("g", "v", "id").repartition(7)
+    val acc = 10
+    val approx = Quantiles.approxGroupQuantiles(df, "g", "v", qs, acc)
+    val got = Quantiles.boundsWithin(df, approx, "g", "v", qs, acc)
+    assert(got.columns.toSeq === Seq("g", "n_rows",
+      "p0_lo", "p0_hi", "p0_ok", "p50_lo", "p50_hi", "p50_ok",
+      "p90_lo", "p90_hi", "p90_ok", "p100_lo", "p100_hi", "p100_ok"))
+    val row = got.collect()(0)
+    assert(row.getLong(1) === 100L)
+    assert((row.getDouble(2), row.getDouble(3)) === ((1.0, 1.0)), "p0 window")
+    assert((row.getDouble(5), row.getDouble(6)) === ((1.0, 2.0)),
+      "p50 straddles both values — bounds expose what a pin cannot")
+    assert((row.getDouble(8), row.getDouble(9)) === ((2.0, 2.0)), "p90")
+    assert((row.getDouble(11), row.getDouble(12)) === ((2.0, 2.0)), "p100")
+    Seq(4, 7, 10, 13).foreach(i =>
+      assert(row.getBoolean(i), s"BETWEEN verdict col $i"))
+    // A planted out-of-tolerance element fails exactly its own verdict,
+    // and the verdict must agree with rankWithin's counter check — the
+    // two are provably equivalent for any element (boundsWithin scaladoc).
+    val planted = approx.withColumn("p90", lit(1.0))
+    val b = Quantiles.boundsWithin(df, planted, "g", "v", qs, acc).collect()(0)
+    val r = Quantiles.rankWithin(df, planted, "g", "v", qs, acc).collect()(0)
+    assert(!b.getBoolean(10) && !r.getBoolean(4), "planted p90 fails both")
+    assert(b.getBoolean(4) === r.getBoolean(2))
+    assert(b.getBoolean(7) === r.getBoolean(3))
+    assert(b.getBoolean(13) === r.getBoolean(5))
+    // NULL group key survives the null-safe join (real group on both paths).
+    val edge = Seq((Some("a"), 1.0, 1L), (Some("a"), 2.0, 2L),
+      (None, 5.0, 3L), (None, 6.0, 4L)).toDF("g", "v", "id")
+    val edgeApprox = Quantiles.approxGroupQuantiles(edge, "g", "v", qs, acc)
+    val edgeBounds = Quantiles.boundsWithin(edge, edgeApprox, "g", "v", qs, acc)
+    assert(edgeBounds.collect().map(r2 => Option(r2.getString(0))).toSet
+      === Set(Some("a"), None))
+  }
+
   test("approx quantiles: pinned values surface exactly the single-valued windows") {
     import graft.operators.Quantiles
     // 50×1.0 then 50×2.0: value 1.0 owns ranks [1,50], 2.0 owns [51,100].

@@ -676,6 +676,56 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantile bounds: replay order statistics; BETWEEN equals the rank law for ANY element") {
+    // The boundsWithin contract (r17): `<q>_lo`/`<q>_hi` are the exact
+    // order statistics at the clamped rank-window ends — replayable by an
+    // exact engine from sorted values — and the BETWEEN verdict equals
+    // rankWithin's counter check for ANY planted group element (the
+    // equivalence claim covers non-conforming plants too, so the two
+    // formulations can never split a gate's verdict).
+    import graft.operators.Quantiles
+    val rnd = new Random(1733)
+    (1 to 8).foreach { trial =>
+      val n = 50 + rnd.nextInt(400)
+      val domain = 2 + rnd.nextInt(40) // heavy-tie through sparse regimes
+      val acc = Seq(10, 25, 100, 1000)(rnd.nextInt(4))
+      val vals = Seq.fill(n)(rnd.nextInt(domain).toDouble)
+      val qs = Seq(("q25", 1, 4), ("q50", 1, 2), ("q90", 9, 10))
+      val df = (vals.zipWithIndex
+        .map { case (v, i) => ("g", Some(v), i.toLong) } ++
+        Seq(("g", None, 9001L), ("g", None, 9002L))) // null rows filter out
+        .toDF("g", "v", "id").repartition(1 + rnd.nextInt(6))
+      // Plant ARBITRARY elements as the sketch frame — in or out of
+      // tolerance at random.
+      val plant = qs.map(_ => vals(rnd.nextInt(n)))
+      val plantedDf = Seq((("g"), n.toLong, plant(0), plant(1), plant(2)))
+        .toDF("g", "n_rows", "q25", "q50", "q90")
+      val b = Quantiles.boundsWithin(df, plantedDf, "g", "v", qs, acc)
+        .collect()(0)
+      val r = Quantiles.rankWithin(df, plantedDf, "g", "v", qs, acc)
+        .collect()(0)
+      assert(b.getLong(1) === n.toLong)
+      val sorted = vals.sorted.toIndexedSeq
+      val tol = (n / acc + 1).toLong
+      qs.zipWithIndex.foreach { case ((name, num, den), qi) =>
+        val a = num.toLong * n - tol * den
+        val rmin = (math.max(a, den.toLong) + den - 1) / den
+        val rmax = math.min((num.toLong * n + tol * den) / den, n.toLong)
+        val (vLo, vHi) = (sorted((rmin - 1).toInt), sorted((rmax - 1).toInt))
+        assert(b.getDouble(2 + 3 * qi) === vLo,
+          s"trial=$trial $name acc=$acc lo bound")
+        assert(b.getDouble(3 + 3 * qi) === vHi,
+          s"trial=$trial $name acc=$acc hi bound")
+        val between = plant(qi) >= vLo && plant(qi) <= vHi
+        assert(b.getBoolean(4 + 3 * qi) === between,
+          s"trial=$trial $name BETWEEN verdict")
+        assert(r.getBoolean(2 + qi) === between,
+          s"trial=$trial $name acc=$acc n=$n plant=${plant(qi)} — " +
+            "rank law and value interval split")
+      }
+    }
+  }
+
   test("bm25: equals a plain-Scala reference on random corpora and queries") {
     import graft.text.Bm25
     val rnd = new Random(19)

@@ -174,9 +174,16 @@ object Bench {
     *
     * A window is a maximal set of ≥3 flagged run positions such that
     * every interior position is elevated vs the quiet-window MEDIAN leg
-    * (ratio ≥ [[StallHotRatio]]; a gate the median does not cover
-    * bridges), and the first measured position on EACH side of the window
-    * is provably NOT elevated — the decay-at-the-edges signature. No
+    * (ratio ≥ [[StallHotRatio]]); and the window DECAYS at both edges:
+    * walking outward, the first position the median covers must be
+    * provably NOT elevated (running off the suite boundary counts as
+    * decayed — there is nothing outside to check). Positions the median
+    * does not cover (gates newer than the blessing) bridge an interior
+    * gap — but at most TWO consecutively, so a sparsely-covered median
+    * can never chain scattered flags into one spurious window, and an
+    * uncovered edge is walked PAST, never silently counted as decay —
+    * when elevation provably continues beyond the flags (the
+    * shared-code-path regression shape), the label is withheld. No
     * median leg ⇒ no windows (the analysis has no quiet reference).
     *
     * The label is a SHAPE CUE for the forward/reverse intersection
@@ -187,19 +194,37 @@ object Bench {
       flaggedPositions: Seq[Int],
       medianRatio: Int => Option[Double],
       maxPos: Int): Seq[(Int, Int)] = {
-    def bridges(p: Int) = medianRatio(p).forall(_ >= StallHotRatio)
-    def provenHot(p: Int) = medianRatio(p).exists(_ >= StallHotRatio)
+    // Interior gap: every covered position elevated, at most 2 uncovered
+    // positions bridged (an uncovered swath is no evidence of anything —
+    // unlimited bridging would chain scattered flags under a stale
+    // median blessing).
+    def gapBridges(lo: Int, hi: Int): Boolean = {
+      val interior = (lo + 1) until hi
+      interior.forall(p => medianRatio(p).forall(_ >= StallHotRatio)) &&
+        interior.count(p => medianRatio(p).isEmpty) <= 2
+    }
+    // Edge decay: walk outward to the first position the median COVERS;
+    // uncovered positions are skipped, never counted as decay. Off the
+    // suite boundary = decayed (nothing outside to check).
+    def edgeDecays(from: Int, step: Int): Boolean = {
+      var p = from
+      while (p >= 0 && p <= maxPos) {
+        medianRatio(p) match {
+          case Some(r) => return r < StallHotRatio
+          case None => p += step
+        }
+      }
+      true
+    }
     val flags = flaggedPositions.distinct.sorted
     val groups = flags.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
       acc.lastOption match {
-        case Some(g) if ((g.last + 1) until p).forall(bridges) =>
-          acc.init :+ (g :+ p)
+        case Some(g) if gapBridges(g.last, p) => acc.init :+ (g :+ p)
         case _ => acc :+ Vector(p)
       }
     }
     groups.filter(_.size >= 3).map(g => (g.head, g.last)).filter {
-      case (lo, hi) =>
-        (lo == 0 || !provenHot(lo - 1)) && (hi >= maxPos || !provenHot(hi + 1))
+      case (lo, hi) => edgeDecays(lo - 1, -1) && edgeDecays(hi + 1, +1)
     }
   }
 
@@ -485,9 +510,15 @@ object Bench {
     // stall-window analysis above is replayable from the record alone —
     // a future reader adjudicating a flagged record reads positions here
     // instead of reconstructing them from the suite's sort order.
+    // Emitted BEFORE the queries map on purpose: the driver keeps a
+    // bounded TAIL of stdout, so head-truncation eats the line's front —
+    // better it eat positions (reconstructable from the sort order and
+    // an order marker) than push the queries map (the field every future
+    // round's guard parses as its baseline) 3 KB further from the
+    // surviving end.
     val positions = results.map { case (k, _, _, _, p) => s""""$k":$p""" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"positions":$positions,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","positions":$positions,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // The driver records only a bounded tail of stdout, which has eaten the
     // HEAD of this (long) line in past rounds — losing the "total" field and
     // the alphabetically-first queries. Two mitigations: (1) persist the

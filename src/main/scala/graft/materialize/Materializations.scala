@@ -608,12 +608,18 @@ final case class IncrementalConfig(
     onSchemaChange: SchemaChangePolicy = SchemaChangePolicy.Ignore,
     fileFormat: String = "parquet",
     // TBLPROPERTIES recorded when the FIRST run creates the target —
-    // riding the CTAS materialization itself (the r16 lesson: properties
-    // a table must carry to be self-describing go through the
-    // materialization's own channel, not a follow-up statement a crash
-    // can separate from the table). Subsequent runs never re-write them
-    // here; callers owning run-over-run property state (microbatch's
-    // granularity record) re-assert it themselves.
+    // through the CTAS materialization's own property channel (the r16
+    // lesson), so the table is self-describing the moment the
+    // materialization call returns. NOT fully atomic with the catalog
+    // commit: the DataFrameWriter API has no properties channel, so
+    // TableMaterialization applies them via ALTER immediately after
+    // saveAsTable — a crash INSIDE that sub-statement gap still leaves
+    // a property-less table (for microbatch, the grandfathered refusal +
+    // attestation hatch is the designed backstop for exactly that
+    // sliver; before r17 the exposed window was the entire window loop).
+    // Subsequent runs never re-write them here; callers owning
+    // run-over-run property state (microbatch's granularity record)
+    // re-assert it themselves.
     tableProperties: Map[String, String] = Map.empty)
 
 /** The incremental materialization state machine (reference

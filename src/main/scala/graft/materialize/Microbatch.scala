@@ -78,14 +78,17 @@ object Microbatch {
     * drained window that can resolve to the whole day and silently drop
     * 24 hours of data (and a non-empty window died as an opaque write
     * error). The check: the recorded [[GranularityProperty]] when
-    * present (written after every successful run; distinguishes
-    * day/month/year, which share the DATE column type); without it a
-    * TIMESTAMP batch_start proves 'hour' (the only size producing one),
-    * while a DATE-typed grandfathered table is REFUSED outright — a
-    * mismatch is silently lossy in both directions and nothing in the
-    * schema or partition values can prove which of day/month/year built
-    * it (the error names the one-statement TBLPROPERTIES attestation
-    * escape hatch).
+    * present (recorded BEFORE any window runs — riding the first
+    * window's CTAS for a new table, or re-asserted immediately after
+    * validation for a pre-existing one — so a crash at any point of any
+    * run leaves a self-describing table, modulo the sub-statement gap
+    * inside the CTAS itself; distinguishes day/month/year, which share
+    * the DATE column type); without it a TIMESTAMP batch_start proves
+    * 'hour' (the only size producing one), while a DATE-typed
+    * grandfathered table is REFUSED outright — a mismatch is silently
+    * lossy in both directions and nothing in the schema or partition
+    * values can prove which of day/month/year built it (the error names
+    * the one-statement TBLPROPERTIES attestation escape hatch).
     */
   def run(spark: SparkSession, target: String, source: DataFrame,
       eventTimeCol: String, begin: Timestamp, end: Timestamp,
@@ -117,12 +120,16 @@ object Microbatch {
       .takeWhile(_.isBefore(endLdt)).toVector
     // The granularity record rides the FIRST window's CTAS as a
     // materialization-channel TBLPROPERTY — a table is self-describing
-    // from the moment it exists. Before r17 the property was written only
-    // AFTER the whole window loop, so a crash on a table's first
-    // day/month/year run (≥1 committed window, loop unfinished) left a
-    // property-less DATE table that validateGranularity REFUSES — the
-    // documented "simply re-run the range" recovery then demanded manual
-    // attestation on exactly the runs that most need automatic retry.
+    // from the moment the first window's materialization returns (the
+    // residual exposure is the sub-statement saveAsTable→ALTER gap
+    // inside TableMaterialization, for which the attestation hatch
+    // remains the backstop; see IncrementalConfig.tableProperties).
+    // Before r17 the property was written only AFTER the whole window
+    // loop, so a crash on a table's first day/month/year run (≥1
+    // committed window, loop unfinished) left a property-less DATE table
+    // that validateGranularity REFUSES — the documented "simply re-run
+    // the range" recovery then demanded manual attestation on exactly
+    // the runs that most need automatic retry.
     val cfg = IncrementalConfig(IncrementalStrategy.InsertOverwrite,
       partitionBy = Seq("batch_start"),
       tableProperties = Map(GranularityProperty -> unit))

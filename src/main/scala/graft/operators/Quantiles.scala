@@ -213,6 +213,9 @@ object Quantiles {
       accuracy: Int): DataFrame = {
     require(quantiles.nonEmpty, "no quantiles requested")
     require(accuracy >= 1, s"accuracy must be positive: $accuracy")
+    quantiles.foreach { case (n, num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $n: $num/$den")
+    }
     // No tie-break column: ties share the VALUE, and only values are
     // selected — rank assignment among tied rows cannot change the
     // selected element (the property the exact oracle relies on too).

@@ -25,6 +25,13 @@ class BenchBaselineSpec extends AnyFunSuite {
     val expected = Map("q1" -> 1.25, "dd_x" -> 0.375)
     assert(Bench.baselineQueries(rawLine) === expected)
     assert(Bench.baselineQueries(envelope) === expected)
+    // r17 record shape: the run-order positions map precedes the queries
+    // map (so head-truncation eats the reconstructable field first) —
+    // the parser must anchor on the "queries" key, never grab positions'
+    // integer entries.
+    val withPositions = rawLine.replace("\"queries\"",
+      """"positions":{"q1":0,"dd_x":1},"queries"""")
+    assert(Bench.baselineQueries(withPositions) === expected)
   }
 
   test("a record truncated before the queries map parses EMPTY, not partial") {
@@ -190,6 +197,24 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.stallWindows(Seq(10, 12, 14),
       mr(Map(10 -> 5.0, 14 -> 5.0, 12 -> 5.0, 9 -> 1.0, 15 -> 1.0)),
       203) === Seq((10, 14)))
+    // An UNCOVERED edge neighbor is walked PAST, not counted as decay:
+    // with elevation provably continuing at the first covered position
+    // beyond it, the label is withheld (real shared-code-path
+    // regressions whose neighbor gate is newer than the blessing must
+    // not read as a stall)...
+    assert(Bench.stallWindows(Seq(10, 11, 12),
+      mr(Map(9 -> 1.0, 10 -> 5.0, 11 -> 5.0, 12 -> 5.0, 14 -> 4.0)),
+      203) === Nil)
+    // ...and labeled when the walk finds quiet instead.
+    assert(Bench.stallWindows(Seq(10, 11, 12),
+      mr(Map(9 -> 1.0, 10 -> 5.0, 11 -> 5.0, 12 -> 5.0, 14 -> 1.0)),
+      203) === Seq((10, 12)))
+    // More than two consecutive uncovered interior positions break the
+    // bridge — a stale sparse median cannot chain distant flags into
+    // one spurious window.
+    assert(Bench.stallWindows(Seq(10, 14, 18),
+      mr(Map(9 -> 1.0, 10 -> 5.0, 14 -> 5.0, 18 -> 5.0, 19 -> 1.0)),
+      203) === Nil)
   }
 
   test("replayed r16 driver-record shape yields [stall_window pos=17..24]") {

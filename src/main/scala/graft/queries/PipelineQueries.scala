@@ -1223,15 +1223,22 @@ object PipelineQueries {
       .select("id_a", "id_b")
       .scopedCheckpoint()
     val missed = truth.except(found)
-    truth.agg(count(lit(1)).as("n_true"))
+    // Per-pair surface (r17, the recallSurface protocol): every ground-
+    // truth pair rides the hashed output — the oracle re-derives the
+    // exact Jaccard pair SET, not just its count — with the global
+    // recall verdict repeated per row.
+    val verdict = truth.agg(count(lit(1)).as("__n_true"))
       .crossJoin(missed.agg(count(lit(1)).as("__n_missed")))
-      .select(col("n_true"),
-        (col("__n_missed") * 10 <= col("n_true")).as("recall_ok"))
+      .select((col("__n_missed") * 10 <= col("__n_true")).as("recall_ok"))
+    truth.crossJoin(broadcast(verdict))
+      .select(col("id_a"), col("id_b"), col("recall_ok"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val ddMinhashRecallSql =
-    s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok
-       |FROM (${bruteJaccardSql(0.7, sample = true)})""".stripMargin
+  private def ddMinhashRecallSql =
+    s"""SELECT id_a, id_b, TRUE AS recall_ok
+       |FROM (${bruteJaccardSql(0.7, sample = true)})
+       |ORDER BY 1, 2""".stripMargin
 
   /** Formerly a rows-only sketch dump; now fully oracle-checked (r10
     * verdict item 3) on the parts DuckDB CAN derive from the same
@@ -1878,6 +1885,58 @@ object PipelineQueries {
           v => v.cast("float")).as("embedding"))
   }
 
+  /** The shared surface of every ANN recall gate (r17 — the thin-oracle
+    * class the r16/r17 verdicts closed for quantiles, closed here for
+    * retrieval): one row per probe carrying the BRUTE-FORCE ground truth
+    * (query_id, neighbor_id) that DuckDB independently re-derives — the
+    * 95/5 blend, the double-widened cosine, and the (score desc, id asc)
+    * argmax replayed in SQL — plus the gate's recall verdict repeated
+    * per row (a global recall below the bar flips EVERY row's boolean,
+    * so the aggregate contract still hashes; the sketch's own picks stay
+    * engine-side, as they must). A drifted brute-force baseline — the
+    * reference the recall is measured AGAINST — now hash-mismatches
+    * row-by-row instead of silently redefining truth.
+    */
+  private def recallSurface(truth: DataFrame, found: DataFrame): DataFrame = {
+    val hit = truth.intersect(found)
+    val verdict = truth.agg(count(lit(1)).as("__n_q"))
+      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
+      .select((col("__n_hit") * 10 >= col("__n_q") * 9).as("recall_ok"))
+    truth.crossJoin(broadcast(verdict))
+      .select(col("query_id"), col("neighbor_id"), col("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB replay of the recall gates' ground truth: rebuild the
+    * [[ivfRecallProbes]] blends (double arithmetic, cast back to FLOAT —
+    * the same rounding Spark's transform/zip_with pipeline applies),
+    * score them against the corpus with list_cosine_similarity, and take
+    * the (cosine desc, vec_id asc) argmax — [[graft.similarity.Knn]]'s
+    * topK tie-break. The argmax margins are structural (a 95% blend
+    * scores ≈0.999 against its source vs ≈0.3 isotropic noise), so
+    * float-vs-double engine differences cannot flip a winner. A `def`:
+    * object-val initialization order made shared-val SQL fragments read
+    * as null (the bm25RankedCtes lesson).
+    */
+  private def recallTruthSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+      |), probes AS (
+      |  SELECT a.vec_id + 7000000 AS query_id,
+      |    list_transform(list_zip(a.embedding, b.embedding),
+      |      s -> CAST(CAST(s[1] AS DOUBLE) * 0.95 +
+      |                CAST(s[2] AS DOUBLE) * 0.05 AS FLOAT)) AS q
+      |  FROM c a JOIN c b ON b.vec_id = (a.vec_id + 1) % 500
+      |), scored AS (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(p.q, c.embedding) DESC,
+      |               c.vec_id ASC) AS rn
+      |  FROM probes p CROSS JOIN c
+      |)
+      |SELECT query_id, neighbor_id, TRUE AS recall_ok
+      |FROM scored WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   /** IVF recall against brute-force ground truth (the FAISS recall@1
     * protocol, mirroring dd_minhash_recall): probes are the
     * [[ivfRecallProbes]] blends — close to their source but NOT
@@ -1887,7 +1946,7 @@ object PipelineQueries {
     * synthetic corpus is isotropic — ranks 2+ sit in the noise floor
     * (cosine ≈ 0.3) and spread uniformly across lists, so recall@k>1
     * would measure the corpus, not the index. Bounded 500-vector sample,
-    * sf-stable.
+    * sf-stable. Surface: [[recallSurface]] — per-probe replayed truth.
     */
   def simKnnIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -1898,15 +1957,10 @@ object PipelineQueries {
     val found = Knn.ivfTopK(probes, corpus, "vec_id", "embedding", k = 1,
       nlist = 16, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"))
-    val hit = truth.intersect(found)
-    truth.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
-      .select(col("n_queries"),
-        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+    recallSurface(truth, found)
   }
 
-  private val simKnnIvfRecallSql =
-    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+  private def simKnnIvfRecallSql = recallTruthSql
 
   /** IVF-PQ in the near-duplicate-retrieval harness: probes are exact
     * copies of corpus vectors (+6,000,000). The coarse quantizer routes an
@@ -1952,15 +2006,10 @@ object PipelineQueries {
     val found = Knn.ivfPqTopK(probes, corpus, "vec_id", "embedding", k = 1,
       nlist = 16, m = 8, nprobe = 4, refine = 32)
       .select(col("query_id"), col("neighbor_id"))
-    val hit = truth.intersect(found)
-    truth.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
-      .select(col("n_queries"),
-        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+    recallSurface(truth, found)
   }
 
-  private val simKnnIvfPqRecallSql =
-    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+  private def simKnnIvfPqRecallSql = recallTruthSql
 
   /** SQ8 retrieval, identical-copy protocol (`sim_knn_ivfpq` precedent):
     * planted exact copies must come back at rank 1 through the quantized
@@ -2000,15 +2049,10 @@ object PipelineQueries {
     val found = Knn.sq8TopK(probes, corpus, "vec_id", "embedding", k = 1,
       refine = 32)
       .select(col("query_id"), col("neighbor_id"))
-    val hit = truth.intersect(found)
-    truth.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
-      .select(col("n_queries"),
-        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+    recallSurface(truth, found)
   }
 
-  private val simKnnSqRecallSql =
-    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+  private def simKnnSqRecallSql = recallTruthSql
 
   /** Binary-quantization code packing pinned bit-for-bit: the oracle
     * rebuilds every 32-bit word of the first five vectors' sign-bit
@@ -2074,15 +2118,10 @@ object PipelineQueries {
     val found = Knn.truncatedTopK(probes, corpus, "vec_id", "embedding",
       d = 16, k = 1, refine = 128)
       .select(col("query_id"), col("neighbor_id"))
-    val hit = truth.intersect(found)
-    truth.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
-      .select(col("n_queries"),
-        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+    recallSurface(truth, found)
   }
 
-  private val simKnnTruncRecallSql =
-    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+  private def simKnnTruncRecallSql = recallTruthSql
 
   /** Binary-quantized ANN on planted copies: an identical vector has
     * Hamming distance 0, survives any refine cut, and wins the exact
@@ -2120,15 +2159,10 @@ object PipelineQueries {
     val found = Knn.binaryTopK(probes, corpus, "vec_id", "embedding", k = 1,
       refine = 128)
       .select(col("query_id"), col("neighbor_id"))
-    val hit = truth.intersect(found)
-    truth.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
-      .select(col("n_queries"),
-        (col("__n_hit") * 10 >= col("n_queries") * 9).as("recall_ok"))
+    recallSurface(truth, found)
   }
 
-  private val simKnnBinaryRecallSql =
-    "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 500"
+  private def simKnnBinaryRecallSql = recallTruthSql
 
   // ---------------------------------------------------------------- multimodal
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {

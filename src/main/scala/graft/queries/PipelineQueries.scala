@@ -1210,29 +1210,18 @@ object PipelineQueries {
   def ddMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = plantedDocs(
       Tables.documents(spark, dir).filter(col("doc_id") < RecallSampleDocs))
-    // Both pair lists are consumed twice (the count aggregate + the
-    // except), and each is the output of an expensive pipeline (quadratic
-    // ground truth; the full LSH stack) — materialize them once. They are
-    // bounded pair lists over the sample, so the checkpoint footprint is
-    // trivial.
+    // Per-pair surface (r17): every ground-truth pair rides the hashed
+    // output — the oracle re-derives the exact Jaccard pair SET, not
+    // just its count — through the same [[recallSurface]] protocol as
+    // the ANN gates (which checkpoints the multiply-consumed quadratic
+    // truth side once; the LSH `found` side is consumed once and stays
+    // lazy).
     val truth = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 3)
       .filter(col("jaccard") >= 0.7)
       .select("id_a", "id_b")
-      .scopedCheckpoint()
     val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
       .select("id_a", "id_b")
-      .scopedCheckpoint()
-    val missed = truth.except(found)
-    // Per-pair surface (r17, the recallSurface protocol): every ground-
-    // truth pair rides the hashed output — the oracle re-derives the
-    // exact Jaccard pair SET, not just its count — with the global
-    // recall verdict repeated per row.
-    val verdict = truth.agg(count(lit(1)).as("__n_true"))
-      .crossJoin(missed.agg(count(lit(1)).as("__n_missed")))
-      .select((col("__n_missed") * 10 <= col("__n_true")).as("recall_ok"))
-    truth.crossJoin(broadcast(verdict))
-      .select(col("id_a"), col("id_b"), col("recall_ok"))
-      .orderBy(col("id_a"), col("id_b"))
+    recallSurface(truth, found, Seq("id_a", "id_b"))
   }
 
   private def ddMinhashRecallSql =
@@ -1897,14 +1886,23 @@ object PipelineQueries {
     * reference the recall is measured AGAINST — now hash-mismatches
     * row-by-row instead of silently redefining truth.
     */
-  private def recallSurface(truth: DataFrame, found: DataFrame): DataFrame = {
-    val hit = truth.intersect(found)
-    val verdict = truth.agg(count(lit(1)).as("__n_q"))
+  private def recallSurface(truth: DataFrame, found: DataFrame,
+      keyCols: Seq[String] = Seq("query_id", "neighbor_id")): DataFrame = {
+    // `truth` is consumed THREE times (the intersect probe, the count
+    // aggregate, and the emitted rows) and is the expensive side of every
+    // recall gate (a quadratic scoring pipeline) — materialize it once;
+    // `found` is consumed once and stays lazy. The ≥90% bar is the
+    // hit-based inequality hit·10 ≥ 9·n — for a distinct truth set,
+    // algebraically the same bar as the historical missed·10 ≤ n
+    // (hit = n − missed), now stated once for all six gates.
+    val t = truth.scopedCheckpoint()
+    val hit = t.intersect(found)
+    val verdict = t.agg(count(lit(1)).as("__n_q"))
       .crossJoin(hit.agg(count(lit(1)).as("__n_hit")))
       .select((col("__n_hit") * 10 >= col("__n_q") * 9).as("recall_ok"))
-    truth.crossJoin(broadcast(verdict))
-      .select(col("query_id"), col("neighbor_id"), col("recall_ok"))
-      .orderBy(col("query_id"))
+    t.crossJoin(broadcast(verdict))
+      .select(keyCols.map(col) :+ col("recall_ok"): _*)
+      .orderBy(keyCols.map(col): _*)
   }
 
   /** DuckDB replay of the recall gates' ground truth: rebuild the

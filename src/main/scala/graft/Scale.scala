@@ -110,8 +110,14 @@ object Scale {
       .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
       .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
       .config("spark.ui.enabled", "false")
+      // Same scratch-dir selection as Bench/Verify (Engine.scratchLocalDir:
+      // the ≥32 GiB headroom guard covers the ×64 legs' shuffle peaks).
+      .config("spark.local.dir",
+        graft.core.Engine.scratchLocalDir().getOrElse(
+          System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Engine.perfDefaults(spark)
     import spark.implicits._
 
     // ------------------------------------------------------------ staging

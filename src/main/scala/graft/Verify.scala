@@ -12,13 +12,19 @@ object Verify {
       case Array(s, o, names) => (s, o, Some(names.split(",").toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = {
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+      // Same scratch-dir + runtime perf confs as Bench (Engine scaladocs).
+      graft.core.Engine.scratchLocalDir()
+        .fold(b)(d => b.config("spark.local.dir", d))
+        .getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Engine.perfDefaults(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   *     macros/materializations/incremental/strategies.sql:14-17)
   */
 object Engine {
-  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
@@ -25,11 +25,14 @@ object Engine {
       .config("spark.sql.crossJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
+    // No-op when the context already exists (static conf); see the scaladoc.
+    scratchLocalDir().fold(b)(d => b.config("spark.local.dir", d))
+  }
 
   def session(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    perfDefaults(s)
   }
 
   /** Apply the per-session confs the reference sets to an externally-created
@@ -39,7 +42,89 @@ object Engine {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.crossJoin.enabled", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    perfDefaults(spark)
+  }
+
+  /** Default group-count ceiling for hash-mode ObjectHashAggregate before
+    * the sort-based fallback — see [[perfDefaults]]. 2²¹ groups of
+    * bounded-size buffers is ~100–300 MB of per-task state, proportionate
+    * to the shuffle block the task just read; Spark's sort fallback stays
+    * armed above it as the genuine-pathology backstop.
+    */
+  val ObjAggFallbackDefault: Int = 1 << 21
+
+  /** Runtime performance confs every entry point (Bench/Verify/Scale/
+    * [[session]]) applies — r17 optimization round, guide §5.
+    *
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` defaults
+    * to 128 distinct groups PER TASK; past it, ObjectHashAggregateExec —
+    * the physical operator behind every TypedImperativeAggregate
+    * ([[graft.functions.CollectMinK]] bucket caps,
+    * [[graft.functions.VecMean]] pooling, Spark's own collect_list /
+    * collect_set / percentile) — serializes every group buffer and routes
+    * ALL remaining input through an UnsafeKVExternalSorter: a sort plus
+    * spill files on the local disk, invisible in `explain` (the plan node
+    * is identical either way). Caught live by a thread dump of a stalled
+    * dd_simhash run (OPTIMIZATION_r17.md finding 1): every LSH band-bucket
+    * aggregation in the dedup/similarity family has ≫128 groups per task
+    * and was paying serialize+sort+spill on its hottest aggregation.
+    *
+    * That 128-group hair trigger guards against UNBOUNDED per-group state;
+    * the engine's typed-aggregate state is bounded by design (CollectMinK
+    * holds ≤ k ids — bounding bucket state is its reason to exist; VecMean
+    * a fixed dim-sized buffer), so the hash map's footprint is O(rows in
+    * the task's input) — the same order as the shuffle block it reads.
+    * Raised to [[ObjAggFallbackDefault]]; `SPARK_GRAFT_OBJ_AGG_FALLBACK`
+    * overrides it per deployment (at 100 TB, per-task group counts are
+    * governed by AQE partition sizing, and the fallback remains armed
+    * above the ceiling). An unparseable override warns and keeps the
+    * default rather than silently reverting to Spark's 128.
+    */
+  def perfDefaults(spark: SparkSession): SparkSession = {
+    val thr = sys.env.get("SPARK_GRAFT_OBJ_AGG_FALLBACK").map { s =>
+      s.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[engine] ignoring invalid SPARK_GRAFT_OBJ_AGG_FALLBACK '$s'; " +
+            s"using $ObjAggFallbackDefault")
+        ObjAggFallbackDefault
+      }
+    }.getOrElse(ObjAggFallbackDefault)
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", thr)
     spark
+  }
+
+  /** Scratch directory for shuffle/spill files (`spark.local.dir` — STATIC:
+    * must be set before the SparkContext exists, hence a builder-time
+    * helper rather than a [[perfDefaults]] conf).
+    *
+    * Policy (r17 optimization round, guide §5/§6): shuffle scratch belongs
+    * on the fastest ephemeral storage available — on a production cluster
+    * that is the node's local NVMe (the default behavior); on this
+    * 128 GiB single-node sandbox it is the RAM disk, which also removes
+    * the hypervisor's intermittently-throttled virtio disk (measured
+    * 5–318 MB/s minute-to-minute, OPTIMIZATION_r17.md) from every gate's
+    * critical path. Selection: `SPARK_GRAFT_LOCAL_DIR` wins when set
+    * (empty string = force Spark's default); otherwise /dev/shm is used
+    * when it is writable with ≥ 32 GiB headroom (the full sf0.1 suite's
+    * shuffle+spill peak is MBs; the ×64 scale sweeps stay well under this
+    * guard); otherwise None leaves Spark's default (java.io.tmpdir).
+    */
+  def scratchLocalDir(env: Map[String, String] = sys.env): Option[String] = {
+    def fallback(): Option[String] = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= (32L << 30)) {
+        val d = new java.io.File(shm, "graft-local")
+        d.mkdirs()
+        if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
+      } else None
+    }
+    env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some("") => None
+      case Some(dir) => Some(dir)
+      case None => fallback()
+    }
   }
 
   /** X2: per-model isolated session — separate SQL conf / temp views /

@@ -332,4 +332,37 @@ class BenchBaselineSpec extends AnyFunSuite {
       Seq(cand("BENCH_r09", "0.01", "q1" -> 0.2)), sfDir)
     assert(chosen.isEmpty)
   }
+
+  // ----------------------------------------------------- r17 perf defaults
+
+  test("perfDefaults keeps bounded typed aggregates in hash mode " +
+      "(objectHashAggregate fallback threshold raised from Spark's 128)") {
+    val spark = SparkTestSession.spark
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(key)
+    try {
+      graft.core.Engine.perfDefaults(spark)
+      assert(spark.conf.get(key).toInt ===
+        graft.core.Engine.ObjAggFallbackDefault)
+      assert(graft.core.Engine.ObjAggFallbackDefault > 128,
+        "the raised ceiling must exceed Spark's default hair trigger")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("scratchLocalDir: explicit env wins, empty env forces Spark default, " +
+      "default branch yields a writable dir or None") {
+    val e = graft.core.Engine
+    assert(e.scratchLocalDir(Map("SPARK_GRAFT_LOCAL_DIR" -> "/x/y"))
+      === Some("/x/y"))
+    assert(e.scratchLocalDir(Map("SPARK_GRAFT_LOCAL_DIR" -> "")) === None)
+    e.scratchLocalDir(Map.empty) match {
+      case Some(d) =>
+        val f = new java.io.File(d)
+        assert(f.isDirectory && f.canWrite, s"$d must be writable")
+      case None => // host without a roomy tmpfs — Spark default applies
+    }
+  }
 }

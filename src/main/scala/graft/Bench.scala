@@ -369,11 +369,16 @@ object Bench {
         // and gate timestamps must render the same as the DuckDB oracle's.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-      // Shuffle/spill scratch on the fastest ephemeral storage available
-      // (r17: tmpfs on this RAM-rich sandbox, env-overridable) — see
-      // Engine.scratchLocalDir.
+      // Shuffle/spill scratch AND the run's warehouse (staging dirs + the
+      // per-gate scratch databases live under it) on the fastest ephemeral
+      // storage available (r17: tmpfs on this RAM-rich sandbox,
+      // env-overridable) — see Engine.scratchLocalDir. The warehouse is
+      // per-run unique: concurrent dev runs must not sweep each other's
+      // staging roots.
       graft.core.Engine.scratchLocalDir()
-        .fold(b)(d => b.config("spark.local.dir", d))
+        .fold(b)(d => b.config("spark.local.dir", d)
+          .config("spark.sql.warehouse.dir",
+            graft.core.Engine.scratchTempDir("graft-bench-wh-").toString))
         .getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")

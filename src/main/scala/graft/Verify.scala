@@ -18,9 +18,12 @@ object Verify {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-      // Same scratch-dir + runtime perf confs as Bench (Engine scaladocs).
+      // Same scratch-dir + scratch-warehouse + runtime perf confs as Bench
+      // (Engine scaladocs).
       graft.core.Engine.scratchLocalDir()
-        .fold(b)(d => b.config("spark.local.dir", d))
+        .fold(b)(d => b.config("spark.local.dir", d)
+          .config("spark.sql.warehouse.dir",
+            graft.core.Engine.scratchTempDir("graft-verify-wh-").toString))
         .getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")

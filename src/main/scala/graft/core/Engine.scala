@@ -127,6 +127,18 @@ object Engine {
     }
   }
 
+  /** A fresh ephemeral temp directory, preferring [[scratchLocalDir]] over
+    * java.io.tmpdir — for run-scoped artifacts with tempdir semantics
+    * (per-gate scratch databases, scratch warehouses): same lifecycle as
+    * before, just on the fast device when one exists.
+    */
+  def scratchTempDir(prefix: String): java.nio.file.Path =
+    scratchLocalDir() match {
+      case Some(d) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(d), prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+
   /** X2: per-model isolated session — separate SQL conf / temp views /
     * registered functions over the shared SparkContext (the reference's
     * `enable_session_per_model`, connections.py:43-84).

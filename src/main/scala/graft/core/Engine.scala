@@ -26,7 +26,13 @@ object Engine {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
     // No-op when the context already exists (static conf); see the scaladoc.
-    scratchLocalDir().fold(b)(d => b.config("spark.local.dir", d))
+    // Library sessions honor an EXPLICIT scratch override only (r17 advice:
+    // a production node with a big tmpfs must not silently move shuffle
+    // scratch into RAM — the /dev/shm auto-fallback is for the dev/driver
+    // entry points Bench/Verify/Scale/PlanDump, which pass autoFallback
+    // through their own scratchLocalDir() calls; SPARK_GRAFT_LOCAL_DIR=auto
+    // opts a library session in).
+    scratchLocalDir(autoFallback = false).fold(b)(d => b.config("spark.local.dir", d))
   }
 
   def session(): SparkSession = {
@@ -105,12 +111,25 @@ object Engine {
     * the hypervisor's intermittently-throttled virtio disk (measured
     * 5–318 MB/s minute-to-minute, OPTIMIZATION_r17.md) from every gate's
     * critical path. Selection: `SPARK_GRAFT_LOCAL_DIR` wins when set
-    * (empty string = force Spark's default); otherwise /dev/shm is used
-    * when it is writable with ≥ 32 GiB headroom (the full sf0.1 suite's
-    * shuffle+spill peak is MBs; the ×64 scale sweeps stay well under this
-    * guard); otherwise None leaves Spark's default (java.io.tmpdir).
+    * (empty/whitespace = force Spark's default, matching build.sbt's
+    * SPARK_GRAFT_TMPDIR trim semantics; the literal value `auto` requests
+    * the /dev/shm probe explicitly); otherwise, when `autoFallback` is
+    * true, /dev/shm is used when writable with ≥ 32 GiB headroom (the
+    * full sf0.1 suite's shuffle+spill peak is MBs; the ×64 scale sweeps
+    * stay well under this guard); otherwise None leaves Spark's default
+    * (java.io.tmpdir).
+    *
+    * `autoFallback` is true only at the dev/driver entry points
+    * (Bench/Verify/Scale/PlanDump — single-node runs whose scratch is
+    * run-scoped and swept); [[builder]] passes false so a LIBRARY session
+    * on a RAM-rich production node never silently moves shuffle scratch
+    * into tmpfs, where a run that outgrows it fails with ENOSPC mid-flight
+    * instead of spilling to disk (r17 advice item 1). The headroom check
+    * runs once, at session start — a single-node-scratch assumption, not a
+    * mid-run guarantee.
     */
-  def scratchLocalDir(env: Map[String, String] = sys.env): Option[String] = {
+  def scratchLocalDir(env: Map[String, String] = sys.env,
+      autoFallback: Boolean = true): Option[String] = {
     def fallback(): Option[String] = {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite &&
@@ -120,10 +139,11 @@ object Engine {
         if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
       } else None
     }
-    env.get("SPARK_GRAFT_LOCAL_DIR") match {
+    env.get("SPARK_GRAFT_LOCAL_DIR").map(_.trim) match {
       case Some("") => None
+      case Some("auto") => fallback()
       case Some(dir) => Some(dir)
-      case None => fallback()
+      case None => if (autoFallback) fallback() else None
     }
   }
 

@@ -41,6 +41,26 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.baselineQueries(truncated) === Map.empty)
   }
 
+  test("compactLine: queries last, fastest-first, integer ms, guard-safe") {
+    val line = Bench.compactLine(
+      Seq("slow_gate" -> 2.5004, "fast_gate" -> 0.0996, "mid_gate" -> 1.0),
+      3.6, Seq("bad_gate"), "/root/testdata/sf0.1")
+    // `queries` is the FINAL field (the driver keeps a bounded stdout
+    // TAIL, so the suffix that survives must be all queries map), sorted
+    // fastest-first so the retained suffix holds the slowest gates.
+    assert(line.endsWith(
+      """"queries":{"fast_gate":100,"mid_gate":1000,"slow_gate":2500}}"""))
+    assert(line.contains(""""metric":"total""""))
+    assert(line.contains(""""value":3.600"""))
+    assert(line.contains(""""queries_unit":"ms""""))
+    assert(line.contains(""""failed":["bad_gate"]"""))
+    // Guard safety: integer-ms entries must NEVER parse as per-gate
+    // SECONDS — baselineQueries' pair regex requires a decimal point, so
+    // a record holding only the compact line parses EMPTY (and is skipped
+    // as truncated) instead of poisoning a baseline leg ×1000.
+    assert(Bench.baselineQueries(line) === Map.empty)
+  }
+
   test("baselineSf reads bare-number, quoted-number and directory-path forms") {
     assert(Bench.baselineSf("""{"sf": 0.1, "tail": "..."}""") === Some("0.1"))
     assert(Bench.baselineSf("""{"sf":"0.01"}""") === Some("0.01"))

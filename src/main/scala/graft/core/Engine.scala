@@ -151,13 +151,52 @@ object Engine {
     * java.io.tmpdir — for run-scoped artifacts with tempdir semantics
     * (per-gate scratch databases, scratch warehouses): same lifecycle as
     * before, just on the fast device when one exists.
+    *
+    * Every directory handed out here is swept by a JVM shutdown hook
+    * (r17 advice item 3: per-gate scratch databases and per-run
+    * warehouses otherwise accumulate on the RAM-backed device across
+    * runs until the 32 GiB headroom guard trips, silently degrading
+    * later runs to the slow disk while the leaked files pin RAM until
+    * reboot). The sweep is best-effort per entry — a file the OS
+    * already reclaimed, or a directory another process holds open,
+    * never blocks JVM exit or the other entries' deletion.
     */
-  def scratchTempDir(prefix: String): java.nio.file.Path =
-    scratchLocalDir() match {
+  def scratchTempDir(prefix: String): java.nio.file.Path = {
+    val dir = scratchLocalDir() match {
       case Some(d) => java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(d), prefix)
       case None => java.nio.file.Files.createTempDirectory(prefix)
     }
+    scratchDirs.add(dir)
+    registerSweepHook()
+    dir
+  }
+
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val sweepHookArmed = new java.util.concurrent.atomic.AtomicBoolean()
+  private def registerSweepHook(): Unit =
+    if (sweepHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => sweepScratchDirs(), "graft-scratch-sweep"))
+
+  /** Delete every [[scratchTempDir]] this JVM created (test-visible; the
+    * shutdown hook's body). Deletion order is children-first via the
+    * reverse-sorted walk; failures are swallowed per entry.
+    */
+  private[graft] def sweepScratchDirs(): Unit = {
+    var p = scratchDirs.poll()
+    while (p != null) {
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => })
+        finally walk.close()
+      } catch { case _: Throwable => }
+      p = scratchDirs.poll()
+    }
+  }
 
   /** X2: per-model isolated session — separate SQL conf / temp views /
     * registered functions over the shared SparkContext (the reference's

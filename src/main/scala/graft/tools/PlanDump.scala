@@ -20,7 +20,9 @@ object PlanDump {
       case _ => sys.error(
         "usage: graft.tools.PlanDump <sfDir> <outDir> [q1,q2,...]")
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same "4" default as Bench (r17 advice: a differing default silently
+    // dumps plans at a shuffle-partition count the bench never executes).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = {
       val b = org.apache.spark.sql.SparkSession.builder()
         .master(s"local[$cpus]")

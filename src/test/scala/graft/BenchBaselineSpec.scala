@@ -385,4 +385,24 @@ class BenchBaselineSpec extends AnyFunSuite {
       case None => // host without a roomy tmpfs — Spark default applies
     }
   }
+
+  test("scratchTempDir: the sweep removes every handed-out directory, " +
+      "contents included, and tolerates an already-deleted entry") {
+    val e = graft.core.Engine
+    val d1 = e.scratchTempDir("graft-sweep-spec-")
+    val d2 = e.scratchTempDir("graft-sweep-spec-")
+    java.nio.file.Files.writeString(d1.resolve("payload.txt"), "x")
+    java.nio.file.Files.createDirectories(d1.resolve("nested/deeper"))
+    java.nio.file.Files.writeString(
+      d1.resolve("nested/deeper/leaf.txt"), "y")
+    // An entry the OS (or another sweep) already reclaimed must not block
+    // the remaining entries' deletion.
+    java.nio.file.Files.delete(d2)
+    e.sweepScratchDirs()
+    assert(!java.nio.file.Files.exists(d1),
+      s"$d1 must be swept recursively")
+    assert(!java.nio.file.Files.exists(d2))
+    // Idempotent: a second sweep over the drained queue is a no-op.
+    e.sweepScratchDirs()
+  }
 }

@@ -67,6 +67,48 @@ object Scale {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Per-stage straggler evidence, armed by SPARK_GRAFT_STAGE_SKEW=1
+    * (stderr diagnostic — guide §2.5: a max/median task-duration ratio
+    * ≳5 is the skew signature; the 100 TB claim that the capped-bucket
+    * LSH design bounds skew needs measured ratios ≈1 on the hot band
+    * aggregation stages at an amplified scale, not a design argument —
+    * r17 verdict item 8). One line per completed stage with ≥ 8 tasks:
+    * task count, median/max duration, max/median ratio, and the stage's
+    * max shuffle-read task bytes so a duration outlier can be attributed
+    * to data volume vs a sick executor. Same single-tenant caveat as the
+    * other diagnostic listeners.
+    */
+  private final class StageSkewReporter(sc: org.apache.spark.SparkContext) {
+    private val durs = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (e.taskInfo != null && m != null)
+          durs.computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]())
+            .add((e.taskInfo.duration, m.shuffleReadMetrics.totalBytesRead))
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val q = durs.remove(e.stageInfo.stageId)
+        if (q != null && q.size >= 8) {
+          import scala.jdk.CollectionConverters._
+          val ds = q.asScala.map(_._1).toArray.sorted
+          val med = math.max(ds(ds.length / 2), 1L)
+          val maxSr = q.asScala.map(_._2).max
+          System.err.println(f"[stage-skew] stage=${e.stageInfo.stageId}%-5d " +
+            f"tasks=${ds.length}%-4d med=${med / 1000.0}%6.2fs " +
+            f"max=${ds.last / 1000.0}%6.2fs ratio=${ds.last.toDouble / med}%5.2f " +
+            f"maxShufR=${maxSr / 1048576.0}%8.1fMB  " +
+            e.stageInfo.name.takeWhile(_ != '\n').take(60))
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+  }
+
   /** (count, Σ xxhash64(row)) over a projection — the multiset witness.
     * For replica-disjoint operators the ×k witness is exactly k × the ×1
     * witness when the projection maps ids back to original space.
@@ -118,6 +160,8 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Engine.perfDefaults(spark)
+    if (sys.env.get("SPARK_GRAFT_STAGE_SKEW").contains("1"))
+      new StageSkewReporter(spark.sparkContext)
     import spark.implicits._
 
     // ------------------------------------------------------------ staging

@@ -52,12 +52,25 @@ object Engine {
   }
 
   /** Default group-count ceiling for hash-mode ObjectHashAggregate before
-    * the sort-based fallback — see [[perfDefaults]]. 2²¹ groups of
-    * bounded-size buffers is ~100–300 MB of per-task state, proportionate
-    * to the shuffle block the task just read; Spark's sort fallback stays
-    * armed above it as the genuine-pathology backstop.
+    * the sort-based fallback — see [[perfDefaults]].
+    *
+    * 2¹⁶ (r18, down from r17's 2²¹): the sort fallback is this operator's
+    * ONLY spill valve, so the ceiling must keep the hash map proportionate
+    * to a task's execution-memory share, not just to its input. The r18
+    * capped-heap sweep made that concrete: at ×64 data under an 8 GiB
+    * heap (≈60 MB execution memory per task slot under contention), the
+    * 2²¹ ceiling died in dd_cluster's LSH feeder with
+    * `SparkOutOfMemoryError: Unable to acquire 65536 bytes` — the
+    * hash-mode map (≥160k groups/task) squeezed out the round's
+    * persisted edge cache — while Spark's 128 default survived the same
+    * leg by spilling. 2¹⁶ groups of bounded buffers is single-digit MBs
+    * per task — safe at any heap the engine supports — and still 512×
+    * above the 128-group hair trigger: every measured win of the raise
+    * (sf0.1 family 1.07×, dd_minhash ×16 1.14× — per-task group counts
+    * ≤ ~40k in both) sits UNDER 2¹⁶, so the wins keep hash mode and the
+    * ×64-shaped pathology gets its spill valve back.
     */
-  val ObjAggFallbackDefault: Int = 1 << 21
+  val ObjAggFallbackDefault: Int = 1 << 16
 
   /** Runtime performance confs every entry point (Bench/Verify/Scale/
     * [[session]]) applies — r17 optimization round, guide §5.
